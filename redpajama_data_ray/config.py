@@ -1,0 +1,23 @@
+"""Global constants for the engine.
+
+PRECISION mirrors the reference's score rounding
+(/root/reference/app/src/core/constants.py:1). Seeds are pinned for
+deterministic minhash permutations and synthetic-corpus generation
+(reference pins seed=42: /root/reference/app/src/pipeline.py:215-216).
+"""
+
+# decimal rounding applied to every floating-point quality score
+PRECISION = 8
+
+# minhash configuration (reference: configs/rp_v2.0.conf:27-29)
+MINHASH_SEED = 42
+MINHASH_NUM_PERMUTATIONS = 128
+MINHASH_NGRAM_SIZE = 13
+MINHASH_SIMILARITIES = (1.0, 0.9, 0.8, 0.7)
+
+# synthetic corpus generation
+CORPUS_SEED = 42
+
+# perplexity bucket mapping (reference: core/worker.py:40-49 maps
+# head/middle/tail -> 0.0/1.0/2.0)
+BUCKET_TO_INT = {"head": 0.0, "middle": 1.0, "tail": 2.0}

@@ -1,0 +1,81 @@
+"""Quality classifier (fastText-supervised stand-in).
+
+The reference scores documents with fastText supervised models
+(wikiref / palm / wikipedia vs common-crawl:
+/root/reference/app/src/core/quality_signals/classifiers.py:50-114).
+fastText binaries can't be loaded in this container, so this implements
+the same public technique — a linear bag-of-hashed-ngrams classifier
+(fastText's architecture) fit as multinomial Naive Bayes — trained
+deterministically in ``__init__`` from embedded seed text: "quality"
+prose (the language seed samples) vs "cc" (a noisy mixed sample).
+
+Interface mirrors the reference stage: ``score(text)`` returns the
+probability the document is *quality* — if the argmax label is
+``__label__cc`` the score is ``1 - p`` else ``p``
+(classifiers.py:63-77, CCNET_LABEL at core/constants.py:2).
+Input is newline-stripped before prediction, as fastText requires
+(/root/reference/app/src/core/quality_signals/utils/classifiers.py:4-15).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .importance import text_features
+from .langid import _SEED_TEXT
+
+CCNET_LABEL = "__label__cc"
+QUALITY_LABEL = "__label__quality"
+
+_CC_SEED = (
+    "click here subscribe now free download best price buy cheap "
+    "viagra casino poker win money online shop cart checkout login "
+    "password username error 404 page not found javascript required "
+    "cookie policy accept terms conditions privacy gdpr newsletter "
+    "signup email address submit comment reply share like follow "
+    "qqqq zzzz xxxx 1234567890 asdf jkl lorem ipsum dolor sit amet"
+)
+
+_BUCKETS = 4096
+
+
+def preprocess(text: str) -> str:
+    """Newline-strip + trim (classifiers.py preprocess)."""
+    return " ".join(text.splitlines()).strip()
+
+
+class QualityClassifier:
+    """Naive-Bayes linear scorer over hashed word uni+bigrams."""
+
+    def __init__(self, smoothing: float = 1.0):
+        quality_text = " ".join(_SEED_TEXT[k] for k in sorted(_SEED_TEXT))
+        q = text_features(quality_text, _BUCKETS).astype(np.float64)
+        c = text_features(_CC_SEED, _BUCKETS).astype(np.float64)
+        lq = np.log((q + smoothing) / (q.sum() + smoothing * _BUCKETS))
+        lc = np.log((c + smoothing) / (c.sum() + smoothing * _BUCKETS))
+        self.weights = lq - lc  # log-odds per hashed feature
+
+    def predict(self, text: str) -> Tuple[str, float]:
+        """(label, prob) of the argmax class, fastText-style."""
+        feats = text_features(preprocess(text), _BUCKETS)
+        n = feats.sum()
+        if n == 0:
+            return CCNET_LABEL, 0.5
+        margin = float(feats @ self.weights) / n
+        p_quality = 1.0 / (1.0 + math.exp(-5.0 * margin))
+        if p_quality >= 0.5:
+            return QUALITY_LABEL, p_quality
+        return CCNET_LABEL, 1.0 - p_quality
+
+    def score(self, text: str) -> Optional[float]:
+        """P(quality) in [0,1]; None for empty docs (classifiers.py:61-62
+        returns None when the model/input is unusable)."""
+        if not text.strip():
+            return None
+        label, p = self.predict(text)
+        if label == CCNET_LABEL:
+            return round(1.0 - p, 8)
+        return round(p, 8)

@@ -1,0 +1,346 @@
+"""Per-document quality-signal kernel.
+
+Computes every doc-level and line-level quality signal of the reference
+pipeline in one pass over a document. Semantics are replicated from:
+
+- doc signals:    /root/reference/app/src/core/quality_signals/
+                  natural_language.py, repetitions.py, content.py
+- line signals:   /root/reference/app/src/core/quality_signals/lines.py
+- derived views:  /root/reference/app/src/core/document.py:40-107
+
+The kernel is pure Python/numpy (no Ray); the Ray stage in
+``stages/signals.py`` maps it over Arrow batches, and the test suite uses
+it directly as the oracle. Scores are rounded to PRECISION=8 decimals
+(/root/reference/app/src/core/constants.py:1); ``None`` encodes
+"not applicable" exactly where the reference emits null.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter
+from typing import Dict, List, Optional, Sequence, Set, Tuple
+
+from ..config import PRECISION
+from ..text import TextSlice, form_ngrams, normalize, split_lines, wordpunct_tokenize
+from .wordlists import get_bad_words, get_stop_words
+
+_SENT_RE = re.compile(r"\b[^.!?]+[.!?]*", re.UNICODE)
+_ALPHA_RE = re.compile(r"[a-zA-Z]")
+_LOREM_RE = re.compile(r"lorem ipsum", re.IGNORECASE)
+
+_SYMBOLS = ("#", "...", "…")
+_ELLIPSIS = ("...", "…")
+_TERMINAL_PUNCT = (".", "!", "?", "”")
+_BULLETS = (
+    "•", "‣", "▶", "◀", "◦",
+    "■", "□", "▪", "▫", "–",
+)
+
+# column names of all doc-level signals, in output order
+DOC_SIGNAL_NAMES: Tuple[str, ...] = (
+    "rps_doc_num_sentences",
+    "rps_doc_word_count",
+    "rps_doc_mean_word_length",
+    "rps_doc_symbol_to_word_ratio",
+    "rps_doc_frac_lines_end_with_ellipsis",
+    "rps_doc_frac_no_alph_words",
+    "rps_doc_frac_unique_words",
+    "rps_doc_unigram_entropy",
+    "rps_doc_frac_all_caps_words",
+    "rps_doc_frac_chars_top_2gram",
+    "rps_doc_frac_chars_top_3gram",
+    "rps_doc_frac_chars_top_4gram",
+    "rps_doc_frac_chars_dupe_5grams",
+    "rps_doc_frac_chars_dupe_6grams",
+    "rps_doc_frac_chars_dupe_7grams",
+    "rps_doc_frac_chars_dupe_8grams",
+    "rps_doc_frac_chars_dupe_9grams",
+    "rps_doc_frac_chars_dupe_10grams",
+    "rps_doc_lorem_ipsum",
+    "rps_doc_curly_bracket",
+    "rps_doc_ldnoobw_words",
+    "rps_doc_stop_word_fraction",
+)
+
+# line-level signals: name -> arrow list<float64> column
+LINE_SIGNAL_NAMES: Tuple[str, ...] = (
+    "rps_lines_javascript_counts",
+    "rps_lines_ending_with_terminal_punctution_mark",  # reference spelling
+    "rps_lines_num_words",
+    "rps_lines_uppercase_letter_fraction",
+    "rps_lines_numerical_chars_fraction",
+    "rps_lines_start_with_bulletpoint",
+)
+
+
+def _round(x: float) -> float:
+    return round(x, PRECISION)
+
+
+class DocView:
+    """Derived views of one document, computed once and shared by all
+    signals (mirrors Document: /root/reference/app/src/core/document.py)."""
+
+    __slots__ = (
+        "raw", "norm", "raw_lines", "norm_lines",
+        "raw_words", "norm_words",
+    )
+
+    def __init__(self, content: str):
+        self.raw = content
+        self.norm = normalize(content)
+        self.raw_lines: Tuple[TextSlice, ...] = split_lines(content)
+        self.norm_lines: Tuple[TextSlice, ...] = split_lines(
+            content, normalizer=normalize
+        )
+        self.raw_words: List[str] = wordpunct_tokenize(content)
+        self.norm_words: List[str] = self.norm.split()
+
+
+def _frac_chars_top_ngram(norm_words: Sequence[str], n: int) -> float:
+    """Chars in the most-common word n-gram x its count / total word chars;
+    0.0 when the top n-gram occurs at most once
+    (repetitions.py:37-71)."""
+    counts = Counter(form_ngrams(iter(norm_words), n))
+    if not counts:
+        return 0.0
+    ngram, count = counts.most_common(1)[0]
+    if count <= 1:
+        return 0.0
+    total_chars = sum(len(w) for w in norm_words)
+    return _round(sum(len(w) for w in ngram) * count / total_chars)
+
+
+def _frac_chars_dupe_ngrams(norm_words: Sequence[str], n: int) -> float:
+    """Fraction of word-chars covered by n-grams occurring >= 2 times;
+    overlapping positions counted once via a word-position mask
+    (repetitions.py:95-145)."""
+    if len(norm_words) < n:
+        return 0.0
+    grams = list(form_ngrams(iter(norm_words), n))
+    dupes = {g for g, c in Counter(grams).items() if c > 1}
+    if not dupes:
+        total = sum(len(w) for w in norm_words)
+        return 0.0 if total else 0.0
+    mask = [0] * len(norm_words)
+    for i, g in enumerate(grams):
+        if g in dupes:
+            for j in range(i, i + n):
+                mask[j] = 1
+    total = 0
+    duped = 0
+    for w, m in zip(norm_words, mask):
+        lw = len(w)
+        total += lw
+        if m:
+            duped += lw
+    if total == 0:
+        return 0.0
+    return _round(duped / total)
+
+
+class SignalKernel:
+    """Stateful per-language tables + stateless math for all signals.
+
+    Instantiate once per actor / test; call :meth:`doc_signals` and
+    :meth:`line_signals` per document.
+    """
+
+    def __init__(
+        self,
+        language: str = "en",
+        stop_words: Optional[Set[str]] = None,
+        bad_words: Optional[Set[str]] = None,
+    ):
+        self.stop_words = (
+            stop_words if stop_words is not None else get_stop_words(language)
+        )
+        self.bad_words = (
+            bad_words if bad_words is not None else get_bad_words(language)
+        )
+        # n-gram lengths present in the blocklist (content.py:66-69)
+        self._bad_gram_vals = sorted(
+            {w.count(" ") + 1 for w in self.bad_words}
+        )
+
+    # ---------------- doc-level ----------------
+
+    def doc_signals(self, content: str) -> Dict[str, Optional[float]]:
+        return self.doc_signals_view(DocView(content))
+
+    def doc_signals_view(self, v: DocView) -> Dict[str, Optional[float]]:
+        out: Dict[str, Optional[float]] = {}
+
+        n_raw = len(v.raw_words)
+        n_norm = len(v.norm_words)
+
+        # natural_language.py:37-47
+        out["rps_doc_num_sentences"] = float(len(_SENT_RE.findall(v.raw)))
+        # natural_language.py:50-55
+        out["rps_doc_word_count"] = float(n_norm)
+        # natural_language.py:58-69
+        if n_norm == 0:
+            out["rps_doc_mean_word_length"] = None
+        else:
+            out["rps_doc_mean_word_length"] = _round(
+                sum(len(w) for w in v.norm_words) / n_norm
+            )
+        # natural_language.py:72-92
+        if n_raw == 0:
+            out["rps_doc_symbol_to_word_ratio"] = None
+        else:
+            n_sym = float(sum(v.raw.count(s) for s in _SYMBOLS))
+            out["rps_doc_symbol_to_word_ratio"] = _round(n_sym / n_raw)
+        # natural_language.py:95-115
+        n_lines = len(v.raw_lines)
+        if n_lines == 0:
+            out["rps_doc_frac_lines_end_with_ellipsis"] = None
+        else:
+            n_ell = float(
+                sum(
+                    s.text.rstrip().endswith(_ELLIPSIS)
+                    for s in v.raw_lines
+                )
+            )
+            out["rps_doc_frac_lines_end_with_ellipsis"] = _round(
+                n_ell / n_lines
+            )
+        # natural_language.py:118-138
+        if n_raw == 0:
+            out["rps_doc_frac_no_alph_words"] = None
+        else:
+            n_alpha = float(
+                sum(_ALPHA_RE.search(w) is not None for w in v.raw_words)
+            )
+            out["rps_doc_frac_no_alph_words"] = _round(1.0 - n_alpha / n_raw)
+        # natural_language.py:141-155
+        if n_norm == 0:
+            out["rps_doc_frac_unique_words"] = None
+        else:
+            out["rps_doc_frac_unique_words"] = _round(
+                len(set(v.norm_words)) / n_norm
+            )
+        # natural_language.py:158-181
+        if n_norm == 0:
+            out["rps_doc_unigram_entropy"] = None
+        else:
+            counter = Counter(v.norm_words)
+            total = sum(counter.values())
+            entropy = sum(
+                -c / total * math.log(c / total)
+                for c in counter.values()
+                if c > 0
+            )
+            out["rps_doc_unigram_entropy"] = _round(entropy)
+        # natural_language.py:184-197
+        if n_raw == 0:
+            out["rps_doc_frac_all_caps_words"] = None
+        else:
+            out["rps_doc_frac_all_caps_words"] = _round(
+                sum(map(str.isupper, v.raw_words)) / n_raw
+            )
+        # repetitions.py
+        for n in (2, 3, 4):
+            out[f"rps_doc_frac_chars_top_{n}gram"] = _frac_chars_top_ngram(
+                v.norm_words, n
+            )
+        for n in range(5, 11):
+            out[f"rps_doc_frac_chars_dupe_{n}grams"] = (
+                _frac_chars_dupe_ngrams(v.norm_words, n)
+            )
+        # content.py:103-126
+        if len(v.norm) == 0 or "lorem ipsum" not in v.norm:
+            out["rps_doc_lorem_ipsum"] = 0.0
+        else:
+            out["rps_doc_lorem_ipsum"] = _round(
+                len(_LOREM_RE.findall(v.norm)) / len(v.norm)
+            )
+        # content.py:129-150
+        if len(v.raw) == 0 or ("{" not in v.raw and "}" not in v.raw):
+            out["rps_doc_curly_bracket"] = 0.0
+        else:
+            out["rps_doc_curly_bracket"] = _round(
+                (v.raw.count("{") + v.raw.count("}")) / len(v.raw)
+            )
+        # content.py:49-100
+        out["rps_doc_ldnoobw_words"] = self._ldnoobw_count(v)
+        # content.py:168-188
+        if n_norm == 0:
+            out["rps_doc_stop_word_fraction"] = 0.0
+        else:
+            n_stop = sum(w in self.stop_words for w in v.raw_words)
+            out["rps_doc_stop_word_fraction"] = _round(n_stop / n_raw)
+        return out
+
+    def _ldnoobw_count(self, v: DocView) -> float:
+        if len(v.norm) == 0:
+            return 0.0
+        num = 0
+        for n in self._bad_gram_vals:
+            if n == 1:
+                num += sum(w in self.bad_words for w in v.norm_words)
+            else:
+                num += sum(
+                    " ".join(g) in self.bad_words
+                    for g in form_ngrams(iter(v.norm_words), n)
+                )
+        return float(num)
+
+    # ---------------- line-level ----------------
+
+    def line_signals(self, content: str) -> Dict[str, Optional[List[float]]]:
+        return self.line_signals_view(DocView(content))
+
+    def line_signals_view(
+        self, v: DocView
+    ) -> Dict[str, Optional[List[float]]]:
+        out: Dict[str, Optional[List[float]]] = {}
+        # lines.py:33-49 (normalized lines)
+        out["rps_lines_javascript_counts"] = [
+            0.0
+            if len(s.text) == 0
+            else float(sum(1 for w in s.text.split() if w == "javascript"))
+            for s in v.norm_lines
+        ]
+        # lines.py:52-67 (raw lines)
+        out["rps_lines_ending_with_terminal_punctution_mark"] = [
+            float(s.text.rstrip().endswith(_TERMINAL_PUNCT))
+            for s in v.raw_lines
+        ]
+        # lines.py:70-81 (normalized lines)
+        out["rps_lines_num_words"] = [
+            float(len(s.text.split())) for s in v.norm_lines
+        ]
+        # lines.py:84-98 (raw lines)
+        out["rps_lines_uppercase_letter_fraction"] = [
+            0.0
+            if len(s.text) == 0
+            else _round(sum(map(str.isupper, s.text)) / len(s.text))
+            for s in v.raw_lines
+        ]
+        # lines.py:101-116 (normalized lines)
+        out["rps_lines_numerical_chars_fraction"] = [
+            0.0
+            if len(s.text) == 0
+            else _round(sum(map(str.isnumeric, s.text)) / len(s.text))
+            for s in v.norm_lines
+        ]
+        # lines.py:119-153 (raw lines; empty doc -> null list)
+        if len(v.raw_lines) == 0:
+            out["rps_lines_start_with_bulletpoint"] = None
+        else:
+            out["rps_lines_start_with_bulletpoint"] = [
+                float(s.text.lstrip().startswith(_BULLETS))
+                for s in v.raw_lines
+            ]
+        return out
+
+    def all_signals(self, content: str) -> Dict[str, object]:
+        """Doc + line signals in one dict over a single DocView pass."""
+        v = DocView(content)
+        out: Dict[str, object] = {}
+        out.update(self.doc_signals_view(v))
+        out.update(self.line_signals_view(v))
+        return out

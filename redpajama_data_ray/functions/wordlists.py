@@ -1,0 +1,102 @@
+"""Embedded word lists: stopwords and a toxicity (LDNOOBW-style) blocklist.
+
+The reference loads stopword sets per language from stopwords-json
+(/root/reference/app/src/core/quality_signals/utils/stop_words.py:10-609)
+and the LDNOOBW blocklist from per-language text files
+(/root/reference/app/src/core/quality_signals/utils/content.py:14-39).
+This container has no network, so we embed compact public-knowledge lists
+with the same shape (sets of lowercase entries; blocklist entries may be
+multi-word). Lists are intentionally small; swap in the full public lists
+in production by passing custom sets to the kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Set
+
+_EN_STOPWORDS = {
+    "a", "about", "above", "after", "again", "all", "an", "and", "any",
+    "are", "as", "at", "be", "because", "been", "before", "being", "below",
+    "between", "both", "but", "by", "can", "did", "do", "does", "doing",
+    "down", "during", "each", "few", "for", "from", "further", "had",
+    "has", "have", "having", "he", "her", "here", "hers", "him", "his",
+    "how", "i", "if", "in", "into", "is", "it", "its", "just", "me",
+    "more", "most", "my", "no", "nor", "not", "now", "of", "off", "on",
+    "once", "only", "or", "other", "our", "out", "over", "own", "s",
+    "same", "she", "should", "so", "some", "such", "t", "than", "that",
+    "the", "their", "them", "then", "there", "these", "they", "this",
+    "those", "through", "to", "too", "under", "until", "up", "very",
+    "was", "we", "were", "what", "when", "where", "which", "while",
+    "who", "whom", "why", "will", "with", "you", "your",
+}
+
+_FR_STOPWORDS = {
+    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
+    "en", "et", "eux", "il", "ils", "je", "la", "le", "les", "leur",
+    "lui", "ma", "mais", "me", "même", "mes", "moi", "mon", "ne", "nos",
+    "notre", "nous", "on", "ou", "par", "pas", "pour", "qu", "que",
+    "qui", "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi",
+    "ton", "tu", "un", "une", "vos", "votre", "vous", "est", "sont",
+}
+
+_DE_STOPWORDS = {
+    "aber", "alle", "als", "also", "am", "an", "auch", "auf", "aus",
+    "bei", "bin", "bis", "bist", "da", "damit", "das", "dass", "dein",
+    "dem", "den", "der", "des", "die", "doch", "dort", "du", "durch",
+    "ein", "eine", "einem", "einen", "einer", "eines", "er", "es",
+    "für", "hab", "habe", "haben", "hat", "hier", "ich", "ihr", "im",
+    "in", "ist", "ja", "kann", "mein", "mit", "nach", "nicht", "noch",
+    "nur", "oder", "sein", "sich", "sie", "sind", "so", "über", "um",
+    "und", "uns", "vom", "von", "vor", "war", "was", "wenn", "wie",
+    "wir", "wird", "zu", "zum", "zur",
+}
+
+_ES_STOPWORDS = {
+    "a", "al", "algo", "como", "con", "de", "del", "desde", "donde",
+    "durante", "e", "el", "ella", "ellas", "ellos", "en", "entre",
+    "era", "es", "esa", "ese", "eso", "esta", "este", "esto", "fue",
+    "ha", "hasta", "hay", "la", "las", "le", "les", "lo", "los", "más",
+    "me", "mi", "muy", "no", "nos", "o", "para", "pero", "por", "que",
+    "se", "ser", "si", "sin", "sobre", "son", "su", "sus", "también",
+    "te", "tiene", "todo", "un", "una", "uno", "y", "ya", "yo",
+}
+
+_IT_STOPWORDS = {
+    "a", "ad", "al", "alla", "anche", "che", "chi", "ci", "come", "con",
+    "da", "dal", "della", "di", "e", "ed", "era", "essere", "fra",
+    "gli", "ha", "hanno", "ho", "i", "il", "in", "la", "le", "lei",
+    "lo", "loro", "lui", "ma", "mi", "ne", "nei", "nel", "noi", "non",
+    "o", "per", "perché", "più", "quella", "quello", "questa", "questo",
+    "se", "sei", "si", "sia", "sono", "su", "sua", "sul", "suo", "ti",
+    "tra", "tu", "tutti", "tutto", "un", "una", "uno", "voi",
+}
+
+_STOPWORDS = {
+    "en": _EN_STOPWORDS,
+    "fr": _FR_STOPWORDS,
+    "de": _DE_STOPWORDS,
+    "es": _ES_STOPWORDS,
+    "it": _IT_STOPWORDS,
+}
+
+
+def get_stop_words(lang: str) -> Set[str]:
+    """Stopword set for a language code; empty set when unsupported."""
+    return _STOPWORDS.get(lang, set())
+
+
+# Small LDNOOBW-style blocklist (mild subset; entries may be multi-word,
+# matched against normalized words / n-grams joined by single spaces, as in
+# /root/reference/app/src/core/quality_signals/content.py:49-100).
+_EN_BLOCKLIST = {
+    "ass", "bastard", "bitch", "boobs", "dick", "porn", "pussy", "sex",
+    "shit", "slut", "tits", "whore", "xxx",
+    "adult video", "hard core", "xxx video", "strip club",
+}
+
+_BLOCKLIST = {"en": _EN_BLOCKLIST}
+
+
+def get_bad_words(lang: str) -> Set[str]:
+    """LDNOOBW-style blocklist for a language; empty set when unsupported."""
+    return _BLOCKLIST.get(lang, set())

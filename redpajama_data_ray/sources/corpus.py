@@ -1,0 +1,259 @@
+"""Deterministic synthetic source-code corpus (BASELINE.json input_hint).
+
+Generates a Parquet table with columns
+``(repo:string, path:string, commit:string, lang:string, content:string)``
+— one row per source file — with the content mix FIXTURES.md §1 requires:
+normal code, prose/README files, per-signal edge cases, PII-laden rows,
+exact and near duplicates, a Zipf-skewed "giant repo", and an oversized
+single-line file for block-size handling. Everything derives from
+``numpy.random.default_rng(seed)``; same (seed, n_rows) -> byte-identical
+table. No external data.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from ..config import CORPUS_SEED
+
+_LANGS = ["python", "c", "cpp", "js", "java", "go", "md", "txt"]
+_EXT = {
+    "python": "py", "c": "c", "cpp": "cc", "js": "js",
+    "java": "java", "go": "go", "md": "md", "txt": "txt",
+}
+
+_CODE_WORDS = (
+    "def return import class self value result index buffer stream "
+    "config parse token node tree list dict map array string int float "
+    "error handle open close read write flush cache lock thread queue "
+    "batch shard merge split filter reduce apply compute update delete"
+).split()
+
+_PROSE_WORDS = (
+    "the quick brown fox jumps over a lazy dog and then it runs through "
+    "the field with great speed while we watch from the old house near "
+    "that tall tree because there is nothing better to do on such a "
+    "fine day when all of our work has already been done for now"
+).split()
+
+_PII_SNIPPETS = [
+    'api_key = "sk_live_{r16}"',
+    "contact: user{n}@example{n}.com",
+    "host = 10.{a}.{b}.{c}",
+    "AKIA{akia}",
+    "Bearer tok_{r16}abcdefgh",
+]
+
+
+def _rand_words(rng: np.random.Generator, vocab: List[str], n: int) -> str:
+    return " ".join(vocab[i] for i in rng.integers(0, len(vocab), n))
+
+
+def _code_file(rng: np.random.Generator, lang: str) -> str:
+    n_funcs = int(rng.integers(3, 15))
+    lines: List[str] = [f"// generated module ({lang})", ""]
+    for i in range(n_funcs):
+        name = f"fn_{int(rng.integers(0, 10_000))}"
+        args = ", ".join(
+            _rand_words(rng, _CODE_WORDS, 1) for _ in range(int(rng.integers(0, 4)))
+        )
+        lines.append(f"function {name}({args}) {{")
+        for _ in range(int(rng.integers(2, 12))):
+            lines.append(
+                f"    {_rand_words(rng, _CODE_WORDS, int(rng.integers(3, 9)))};"
+            )
+        lines.append("}")
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _prose_file(rng: np.random.Generator) -> str:
+    n_paras = int(rng.integers(2, 8))
+    paras = []
+    for _ in range(n_paras):
+        n_sents = int(rng.integers(2, 8))
+        sents = []
+        for _ in range(n_sents):
+            s = _rand_words(rng, _PROSE_WORDS, int(rng.integers(5, 18)))
+            sents.append(s.capitalize() + ".")
+        paras.append(" ".join(sents))
+    return "\n\n".join(paras)
+
+
+def _pii_file(rng: np.random.Generator) -> str:
+    body = _prose_file(rng)
+    snippets = []
+    for _ in range(int(rng.integers(1, 5))):
+        tpl = _PII_SNIPPETS[int(rng.integers(0, len(_PII_SNIPPETS)))]
+        r16 = "".join(
+            "abcdefghijklmnop"[i] for i in rng.integers(0, 16, 16)
+        )
+        akia = "".join(
+            "ABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"[i]
+            for i in rng.integers(0, 36, 16)
+        )
+        snippets.append(
+            tpl.format(
+                r16=r16,
+                akia=akia,
+                n=int(rng.integers(1, 99)),
+                a=int(rng.integers(0, 255)),
+                b=int(rng.integers(0, 255)),
+                c=int(rng.integers(0, 255)),
+            )
+        )
+    return body + "\n" + "\n".join(snippets) + "\n"
+
+
+def _edge_file(rng: np.random.Generator, kind: int) -> str:
+    if kind == 0:
+        return ""  # empty
+    if kind == 1:
+        return "   \n\t\n   "  # whitespace only
+    if kind == 2:
+        return "!!! ??? ;;; ... ###" * int(rng.integers(1, 5))  # no alpha
+    if kind == 3:
+        return " ".join(_PROSE_WORDS[:5])  # < 13 words -> null minhash
+    if kind == 4:
+        # pathological repetition for dupe-ngram masks
+        gram = _rand_words(rng, _PROSE_WORDS, 5)
+        return (gram + " ") * int(rng.integers(10, 30))
+    if kind == 5:
+        bullets = ["• item one", "‣ item two …", "– dash item", "plain line."]
+        return "\n".join(bullets * int(rng.integers(2, 6)))
+    if kind == 6:
+        return "Lorem ipsum dolor sit amet. " + _prose_file(rng)
+    if kind == 7:
+        return "THIS FILE IS ALL CAPS SHOUTING " * int(rng.integers(2, 8))
+    if kind == 8:
+        return "enable javascript to view this page\n" * int(rng.integers(2, 6))
+    # kind == 9: toxicity terms for LDNOOBW counts
+    return _prose_file(rng) + "\nxxx porn and some shit here\n"
+
+
+def generate_corpus_table(
+    n_rows: int, seed: int = CORPUS_SEED
+) -> pa.Table:
+    """Build the corpus as one Arrow table (deterministic in seed)."""
+    rng = np.random.default_rng(seed)
+
+    # Zipf-skewed repo sizes: repo_00 is the giant repo (~30% of rows)
+    n_repos = 20
+    weights = np.array([0.30] + [0.70 / (n_repos - 1)] * (n_repos - 1))
+    repo_idx = rng.choice(n_repos, size=n_rows, p=weights)
+
+    repos: List[str] = []
+    paths: List[str] = []
+    commits: List[str] = []
+    langs: List[str] = []
+    contents: List[str] = []
+
+    hexchars = "0123456789abcdef"
+    per_repo_counter: Dict[int, int] = {}
+
+    for i in range(n_rows):
+        r = int(repo_idx[i])
+        seq = per_repo_counter.get(r, 0)
+        per_repo_counter[r] = seq + 1
+        lang = _LANGS[int(rng.integers(0, len(_LANGS)))]
+        # content bucket: 55% code, 20% prose, 10% edge, 10% pii, 5% dup
+        bucket = rng.random()
+        if bucket < 0.55:
+            content = _code_file(rng, lang)
+        elif bucket < 0.75:
+            content = _prose_file(rng)
+            lang = "md" if rng.random() < 0.5 else "txt"
+        elif bucket < 0.85:
+            content = _edge_file(rng, int(rng.integers(0, 10)))
+        elif bucket < 0.95:
+            content = _pii_file(rng)
+        else:
+            # duplicate / near-duplicate of a synthetic base text
+            base_id = int(rng.integers(0, max(1, n_rows // 100)))
+            base_rng = np.random.default_rng(seed + 100_000 + base_id)
+            content = _prose_file(base_rng)
+            if rng.random() < 0.5 and content:
+                # near-dup: perturb ~5% of words
+                words = content.split(" ")
+                n_swap = max(1, len(words) // 20)
+                for j in rng.integers(0, len(words), n_swap):
+                    words[int(j)] = _PROSE_WORDS[
+                        int(rng.integers(0, len(_PROSE_WORDS)))
+                    ]
+                content = " ".join(words)
+
+        repos.append(f"repo_{r:02d}")
+        paths.append(f"src/mod_{seq:05d}.{_EXT[lang]}")
+        commits.append(
+            "".join(hexchars[j] for j in rng.integers(0, 16, 40))
+        )
+        langs.append(lang)
+        contents.append(content)
+
+    # one oversized single-line file (~1 MB) in the giant repo for
+    # block-size / skew handling
+    if n_rows >= 100:
+        big = _rand_words(rng, _CODE_WORDS, 150_000)
+        repos.append("repo_00")
+        paths.append("gen/bundle.min.js")
+        commits.append("".join(hexchars[j] for j in rng.integers(0, 16, 40)))
+        langs.append("js")
+        contents.append(big)
+
+    return pa.table(
+        {
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "commit": pa.array(commits, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+            "content": pa.array(contents, pa.string()),
+        }
+    )
+
+
+def corpus_rows_for_sf(sf: float) -> int:
+    """FIXTURES.md §6: ~500 rows at sf0.001, ~5k at 0.01, ~50k at 0.1."""
+    return max(50, int(round(500_000 * sf)))
+
+
+def ensure_corpus_parquet(
+    sf: float,
+    cache_dir: str = "/tmp/rpray_corpus",
+    seed: int = CORPUS_SEED,
+    num_shards: int = 8,
+) -> str:
+    """Write (once) and return the path of the corpus parquet directory
+    for a scale factor. Sharded into ``num_shards`` files so reads
+    parallelize and the manifest/resume path has real partitions."""
+    n_rows = corpus_rows_for_sf(sf)
+    out_dir = os.path.join(cache_dir, f"sf{sf}_seed{seed}_n{n_rows}")
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    table = generate_corpus_table(n_rows, seed)
+    shard_size = (table.num_rows + num_shards - 1) // num_shards
+    for s in range(num_shards):
+        shard = table.slice(s * shard_size, shard_size)
+        if shard.num_rows == 0:
+            continue
+        pq.write_table(shard, os.path.join(out_dir, f"shard_{s:04d}.parquet"))
+    with open(done, "w") as f:
+        f.write("ok")
+    return out_dir
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    """Parse the scale factor out of a '/root/testdata/sf0.01' style path."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return 0.001

@@ -1,0 +1,15 @@
+from .normalization import (
+    normalize,
+    split_lines,
+    wordpunct_tokenize,
+    form_ngrams,
+    TextSlice,
+)
+
+__all__ = [
+    "normalize",
+    "split_lines",
+    "wordpunct_tokenize",
+    "form_ngrams",
+    "TextSlice",
+]

@@ -1,0 +1,96 @@
+"""Text normalization / tokenization kernel.
+
+Semantics match the reference pipeline so quality-signal values agree
+bit-for-bit:
+
+- ``normalize``: punctuation strip -> lowercase -> whitespace collapse ->
+  NFD, in that exact order
+  (/root/reference/app/src/utilities/text/normalization.py:8-32).
+- ``split_lines``: regex ``([^\\n]*\\n|[^\\n]+$)`` preserving char offsets,
+  empty lines KEPT by default for the line-signal path
+  (/root/reference/app/src/core/document.py:16-37,62-69).
+- ``wordpunct_tokenize``: NLTK WordPunctTokenizer equivalent — the public
+  regex ``\\w+|[^\\w\\s]+`` — reimplemented to avoid the nltk dependency
+  (/root/reference/app/src/core/document.py:9,72).
+- ``form_ngrams``: sliding n-gram tuples over a token sequence
+  (/root/reference/app/src/utilities/text/ngrams.py:1-17).
+
+All functions are pure Python and double as the test oracle.
+"""
+
+from __future__ import annotations
+
+import re
+import string
+import unicodedata
+from typing import Iterable, Iterator, List, NamedTuple, Tuple
+
+_PUNCT_TABLE = str.maketrans("", "", string.punctuation)
+_WS_RE = re.compile(r"\s+")
+_LINE_RE = re.compile(r"([^\n]*\n|[^\n]+$)")
+_WORDPUNCT_RE = re.compile(r"\w+|[^\w\s]+")
+
+
+class TextSlice(NamedTuple):
+    """A span of text with its [start, end) character offsets."""
+
+    text: str
+    start: int
+    end: int
+
+
+def normalize(
+    text: str,
+    remove_punct: bool = True,
+    lowercase: bool = True,
+    nfd_unicode: bool = True,
+    white_space: bool = True,
+) -> str:
+    """Lowercase, strip ASCII punctuation, collapse whitespace, NFD."""
+    if remove_punct:
+        text = text.translate(_PUNCT_TABLE)
+    if lowercase:
+        text = text.lower()
+    if white_space:
+        text = text.strip()
+        text = _WS_RE.sub(" ", text)
+    if nfd_unicode:
+        text = unicodedata.normalize("NFD", text)
+    return text
+
+
+def split_lines(
+    text: str,
+    normalizer=None,
+    remove_empty: bool = False,
+) -> Tuple[TextSlice, ...]:
+    """Split into newline-terminated slices with original char offsets."""
+    if normalizer is None:
+        slices = tuple(
+            TextSlice(m.group(0), m.start(), m.end())
+            for m in _LINE_RE.finditer(text)
+        )
+    else:
+        slices = tuple(
+            TextSlice(normalizer(m.group(0)), m.start(), m.end())
+            for m in _LINE_RE.finditer(text)
+        )
+    if remove_empty:
+        slices = tuple(s for s in slices if s.text.strip())
+    return slices
+
+
+def wordpunct_tokenize(text: str) -> List[str]:
+    """Alternating alphanumeric / non-alphanumeric-non-space runs."""
+    return _WORDPUNCT_RE.findall(text)
+
+
+def form_ngrams(tokens: Iterable[str], n: int) -> Iterator[tuple]:
+    """Yield successive n-tuples from a token iterable (no padding)."""
+    it = iter(tokens)
+    window = []
+    for tok in it:
+        window.append(tok)
+        if len(window) == n:
+            yield tuple(window)
+            del window[0]
