@@ -1,0 +1,54 @@
+"""Exact deduplication via hash-partitioned keep-first.
+
+The reference's exact dedup is a sequential mmap Bloom filter over the
+driver (/root/reference/app/src/bloomfilter.py:296-417) — probabilistic
+and single-threaded by construction. The Ray-native design is a shuffle:
+group by the content hash and keep the deterministic first row per group
+(min ``order_col``), which is exact (no false positives), parallel, and
+order-independent. At 100 TB the shuffle key is a 64-char hex string;
+rows-per-group is tiny, so the groupby is a well-balanced all-to-all.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def _keep_first_factory(order_col: str):
+    def keep_first(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group
+        idx = pa.compute.sort_indices(group.column(order_col))[0].as_py()
+        return group.slice(idx, 1)
+
+    return keep_first
+
+
+def exact_dedup(
+    ds: Dataset,
+    key: str = "content_sha256",
+    order_col: str = "doc_id",
+) -> Dataset:
+    """Keep one row (min order_col) per distinct value of ``key``."""
+    return ds.groupby(key).map_groups(
+        _keep_first_factory(order_col), batch_format="pyarrow"
+    )
+
+
+def duplicate_rows(
+    ds: Dataset,
+    key: str = "content_sha256",
+    order_col: str = "doc_id",
+) -> Dataset:
+    """The complement: every row that is NOT the first of its group
+    (the reference emits these as its duplicates table:
+    bloomfilter.py:380-396)."""
+
+    def drop_first(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group.slice(0, 0)
+        order = pa.compute.sort_indices(group.column(order_col))
+        return group.take(order[1:])
+
+    return ds.groupby(key).map_groups(drop_first, batch_format="pyarrow")

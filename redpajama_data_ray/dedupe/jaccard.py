@@ -1,0 +1,64 @@
+"""Exact n-gram Jaccard similarity — the verification step for fuzzy
+dedup candidates, and a standalone brute-force near-dup oracle for
+tests (small inputs only; the scale path is MinHash-LSH in ``lsh.py``).
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Set, Tuple
+
+from ..text import form_ngrams, normalize
+
+
+def shingle_set(text: str, n: int = 13) -> Set[str]:
+    """The same shingles MinHash hashes (dedupe/utils.py:104: space-joined
+    word n-grams of the normalized text, de-duplicated)."""
+    tokens = normalize(text).split()
+    return {" ".join(g) for g in form_ngrams(iter(tokens), n)}
+
+
+def jaccard(a: Set[str], b: Set[str]) -> float:
+    if not a and not b:
+        return 1.0
+    if not a or not b:
+        return 0.0
+    inter = len(a & b)
+    return inter / (len(a) + len(b) - inter)
+
+
+def verify_pairs(
+    texts_by_id: dict,
+    pairs: Sequence[Tuple[int, int]],
+    threshold: float,
+    ngram: int = 13,
+) -> List[Tuple[int, int, float]]:
+    """Filter candidate id pairs by exact shingle Jaccard >= threshold."""
+    cache = {}
+
+    def sh(i):
+        if i not in cache:
+            cache[i] = shingle_set(texts_by_id[i], ngram)
+        return cache[i]
+
+    out = []
+    for a, b in pairs:
+        j = jaccard(sh(a), sh(b))
+        if j >= threshold:
+            out.append((a, b, j))
+    return out
+
+
+def brute_force_near_dups(
+    texts_by_id: dict, threshold: float, ngram: int = 13
+) -> List[Tuple[int, int, float]]:
+    """O(n^2) exact near-dup pairs — test oracle only."""
+    ids = sorted(texts_by_id)
+    shingles = {i: shingle_set(texts_by_id[i], ngram) for i in ids}
+    out = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            j = jaccard(shingles[a], shingles[b])
+            if j >= threshold:
+                out.append((a, b, j))
+    return out

@@ -1,0 +1,164 @@
+"""MinHash-LSH fuzzy deduplication.
+
+Ray-native rewrite of the reference's LSH job
+(/root/reference/app/src/run_lsh.py:179-372):
+
+1. explode banded signatures into ``(band_key, id_int)`` rows
+   (a ``map_batches`` flat-explode — run_lsh.py:252-268 does this with a
+   polars explode),
+2. ``groupby(band_key)`` -> per-group edges ``(id, min_id)``
+   (run_lsh.py:269-285),
+3. connected components over the collected edge list on the driver —
+   edges are orders of magnitude smaller than docs, matching the
+   reference's design point (run_lsh.py:295-322 uses networkit on the
+   driver; we use union-find, no extra dependency),
+4. cluster id = min(id_int) of the component (run_lsh.py:324-338),
+5. duplicates = rows whose cluster representative is another row;
+   filtering is a broadcast semi-join (``ray.put`` the dup id set, filter
+   inside ``map_batches``) — no second shuffle.
+
+At 100 TB scale steps 1-2 shuffle only (band_key, id) pairs (~100 bytes
+per doc per band), not content; step 3's edge list stays driver-sized
+because band groups are overwhelmingly singletons.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def explode_bands(
+    sig_column: str,
+) -> "callable":
+    """Factory: map_batches fn exploding list<binary> signatures into
+    (band_key: string, id_int: uint64) rows."""
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        ids = batch.column("id_int").to_pylist()
+        sigs = batch.column(sig_column).to_pylist()
+        out_keys: List[str] = []
+        out_ids: List[int] = []
+        for id_int, bands in zip(ids, sigs):
+            if bands is None:
+                continue
+            for b_idx, b_sig in enumerate(bands):
+                out_keys.append(f"{b_idx}:{bytes(b_sig).hex()}")
+                out_ids.append(id_int)
+        return pa.table(
+            {
+                "band_key": pa.array(out_keys, pa.string()),
+                "id_int": pa.array(out_ids, pa.uint64()),
+            }
+        )
+
+    return _explode
+
+
+def _emit_edges(group: pa.Table) -> pa.Table:
+    """Edges (id_int, min_id) for groups with >1 member
+    (run_lsh.py:269-285; self-edges filtered)."""
+    if group.num_rows <= 1:
+        return pa.table(
+            {
+                "id_int": pa.array([], pa.uint64()),
+                "min_id": pa.array([], pa.uint64()),
+            }
+        )
+    ids = group.column("id_int").to_numpy(zero_copy_only=False)
+    mn = ids.min()
+    others = ids[ids != mn]
+    return pa.table(
+        {
+            "id_int": pa.array(others, pa.uint64()),
+            "min_id": pa.array(np.full(len(others), mn), pa.uint64()),
+        }
+    )
+
+
+class _UnionFind:
+    __slots__ = ("parent",)
+
+    def __init__(self):
+        self.parent: Dict[int, int] = {}
+
+    def find(self, x: int) -> int:
+        p = self.parent
+        root = x
+        while p.get(root, root) != root:
+            root = p[root]
+        while p.get(x, x) != x:
+            p[x], x = root, p[x]
+        return root
+
+    def union(self, a: int, b: int):
+        ra, rb = self.find(a), self.find(b)
+        if ra == rb:
+            return
+        # attach larger id under smaller so min ids win representative
+        if ra < rb:
+            self.parent[rb] = ra
+        else:
+            self.parent[ra] = rb
+
+
+def lsh_clusters(
+    ds: Dataset,
+    sig_column: str = "signature_sim0.8",
+) -> Dict[int, int]:
+    """id_int -> cluster_id (min id_int of the connected component) for
+    every doc that belongs to a multi-doc cluster."""
+    edges_ds = (
+        ds.select_columns(["id_int", sig_column])
+        .map_batches(explode_bands(sig_column), batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(_emit_edges, batch_format="pyarrow")
+    )
+    uf = _UnionFind()
+    # edges are rare relative to docs; iterate batches on the driver
+    for batch in edges_ds.iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for a, b in zip(
+            batch.column("id_int").to_pylist(),
+            batch.column("min_id").to_pylist(),
+        ):
+            uf.union(a, b)
+    clusters: Dict[int, int] = {}
+    for node in list(uf.parent):
+        clusters[node] = uf.find(node)
+    # roots map to themselves too
+    for node, root in list(clusters.items()):
+        clusters.setdefault(root, root)
+    return clusters
+
+
+def fuzzy_dedup(
+    ds: Dataset,
+    sig_column: str = "signature_sim0.8",
+    id_column: str = "id_int",
+) -> Tuple[Dataset, Dict[int, int]]:
+    """Drop every row whose cluster representative is another row.
+
+    Returns (deduped dataset, id_int -> cluster_id map). The duplicate
+    id set is broadcast via ``ray.put`` and filtered inside
+    ``map_batches`` — a semi-join without a shuffle (J3 in SURVEY.md).
+    """
+    clusters = lsh_clusters(ds, sig_column)
+    dupes: Set[int] = {i for i, c in clusters.items() if i != c}
+    if not dupes:
+        return ds, clusters
+    dupes_ref = ray.put(dupes)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        dset = ray.get(dupes_ref)
+        mask = [
+            i not in dset for i in batch.column(id_column).to_pylist()
+        ]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow"), clusters

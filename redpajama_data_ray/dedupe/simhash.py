@@ -1,0 +1,125 @@
+"""SimHash near-duplicate detection.
+
+64-bit SimHash per document (Charikar 2002; computed in
+``functions/fingerprint.py``), candidate generation by banding the
+fingerprint into 4 x 16-bit bands (two near-dups within Hamming distance
+3 share at least one band by pigeonhole), verification by exact Hamming
+distance. Same shuffle shape as MinHash-LSH: explode -> groupby(band) ->
+candidate pairs -> driver union-find.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Set, Tuple
+
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from ..functions.fingerprint import hamming64, simhash64
+from ..text import normalize
+
+N_BANDS = 4
+BAND_BITS = 16
+
+
+def add_simhash(batch: pa.Table, text_column: str = "content") -> pa.Table:
+    texts = batch.column(text_column).to_pylist()
+    hashes = [
+        simhash64(normalize(t if t is not None else "").split())
+        for t in texts
+    ]
+    return batch.append_column("simhash64", pa.array(hashes, pa.uint64()))
+
+
+def _explode_simhash_bands(batch: pa.Table) -> pa.Table:
+    ids = batch.column("id_int").to_pylist()
+    hashes = batch.column("simhash64").to_pylist()
+    keys: List[str] = []
+    out_ids: List[int] = []
+    out_hashes: List[int] = []
+    for i, h in zip(ids, hashes):
+        for b in range(N_BANDS):
+            band_val = (h >> (b * BAND_BITS)) & 0xFFFF
+            keys.append(f"{b}:{band_val:04x}")
+            out_ids.append(i)
+            out_hashes.append(h)
+    return pa.table(
+        {
+            "band_key": pa.array(keys, pa.string()),
+            "id_int": pa.array(out_ids, pa.uint64()),
+            "simhash64": pa.array(out_hashes, pa.uint64()),
+        }
+    )
+
+
+def _pairs_factory(max_hamming: int):
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n <= 1:
+            return pa.table(
+                {"a": pa.array([], pa.uint64()), "b": pa.array([], pa.uint64())}
+            )
+        ids = group.column("id_int").to_pylist()
+        hs = group.column("simhash64").to_pylist()
+        a_out, b_out = [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if hamming64(hs[i], hs[j]) <= max_hamming:
+                    a_out.append(ids[i])
+                    b_out.append(ids[j])
+        return pa.table(
+            {"a": pa.array(a_out, pa.uint64()), "b": pa.array(b_out, pa.uint64())}
+        )
+
+    return _pairs
+
+
+def simhash_near_dup_pairs(
+    ds: Dataset, max_hamming: int = 3
+) -> List[Tuple[int, int]]:
+    """Verified near-dup id pairs (Hamming <= max_hamming). ``ds`` must
+    already carry ``id_int`` and ``simhash64`` columns."""
+    pairs_ds = (
+        ds.select_columns(["id_int", "simhash64"])
+        .map_batches(_explode_simhash_bands, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(_pairs_factory(max_hamming), batch_format="pyarrow")
+    )
+    seen: Set[Tuple[int, int]] = set()
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b in zip(batch.column("a").to_pylist(), batch.column("b").to_pylist()):
+            seen.add((min(a, b), max(a, b)))
+    return sorted(seen)
+
+
+def simhash_dedup(ds: Dataset, max_hamming: int = 3) -> Dataset:
+    """Drop the higher-id member of every near-dup pair (transitively,
+    via union-find on the pair list)."""
+    pairs = simhash_near_dup_pairs(ds, max_hamming)
+    parent: Dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    dupes = {x for x in parent if find(x) != x}
+    if not dupes:
+        return ds
+    ref = ray.put(dupes)
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        mask = [i not in d for i in batch.column("id_int").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1,0 +1,132 @@
+"""Multimodal actor-pool stages: opaque binary payload columns with typed
+metadata, processed by ``map_batches`` actor stages.
+
+Real image/audio codecs are not installed in this container, so the
+decode kernels are STUBBED: ``decode_fn="fake"`` (default) produces a
+deterministic pseudo-decode from the payload bytes (hash-seeded), and
+``decode_fn="real"`` raises ``NotImplementedError`` with instructions.
+Everything around the stub — schema handling, small-batch sizing for
+large binary rows, actor-pool state, output layout — is real and tested,
+so swapping in PIL/ffmpeg later only changes the kernel body.
+
+Scale note: binary payload rows are large, so callers should use a small
+``batch_size`` (e.g. 16-64) and rely on Arrow binary columns staying in
+the object store (batch_format="pyarrow"; pandas would copy).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List, Optional
+
+import numpy as np
+import pyarrow as pa
+
+IMAGE_SCHEMA = pa.schema(
+    [
+        ("media_id", pa.string()),
+        ("payload", pa.binary()),
+        ("mime", pa.string()),
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
+    """Deterministic pseudo-decode: payload hash seeds a uint8 array."""
+    seed = int.from_bytes(
+        hashlib.blake2b(payload, digest_size=8).digest(), "little"
+    )
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+
+
+class DecodeImageStage:
+    """binary payload -> fixed-size decoded tensor + basic stats.
+
+    Actor-pool stage: ``map_batches(DecodeImageStage, batch_size=32,
+    concurrency=(1, 4), batch_format="pyarrow")``.
+    """
+
+    def __init__(
+        self,
+        target_size: int = 32,
+        decode_fn: str = "fake",
+        payload_col: str = "payload",
+    ):
+        if decode_fn not in ("fake", "real"):
+            raise ValueError(decode_fn)
+        if decode_fn == "real":
+            raise NotImplementedError(
+                "real image decode requires an imaging library (PIL/cv2) "
+                "not present in this container; install one and implement "
+                "_decode_real, everything else in this stage is ready"
+            )
+        self.size = target_size
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        means, stds, feats = [], [], []
+        for p in payloads:
+            p = p or b""
+            px = _fake_pixels(p, self.size, self.size)
+            means.append(float(px.mean()))
+            stds.append(float(px.std()))
+            # 8-dim channel-histogram feature (deterministic)
+            hist, _ = np.histogram(px, bins=8, range=(0, 256))
+            f = hist.astype(np.float64)
+            feats.append((f / (f.sum() or 1.0)).tolist())
+        return (
+            batch.append_column("pixel_mean", pa.array(means, pa.float64()))
+            .append_column("pixel_std", pa.array(stds, pa.float64()))
+            .append_column(
+                "image_feature", pa.array(feats, pa.list_(pa.float64()))
+            )
+        )
+
+
+class AudioFrameSampleStage:
+    """binary audio payload -> fixed number of deterministic "frames"
+    (stub kernel, real plumbing). One row in, one list<float64> out."""
+
+    def __init__(self, n_frames: int = 16, payload_col: str = "payload"):
+        self.n_frames = n_frames
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch.column(self.payload_col).to_pylist()
+        frames = []
+        for p in payloads:
+            p = p or b""
+            arr = np.frombuffer(
+                hashlib.blake2b(p, digest_size=self.n_frames * 8).digest(),
+                dtype=np.uint64,
+            )
+            frames.append((arr / np.uint64(2**64 - 1)).astype(np.float64).tolist())
+        return batch.append_column(
+            "audio_frames", pa.array(frames, pa.list_(pa.float64()))
+        )
+
+
+def make_media_table(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic synthetic media table for tests/benches."""
+    rng = np.random.default_rng(seed)
+    ids, payloads, mimes, ws, hs = [], [], [], [], []
+    for i in range(n):
+        size = int(rng.integers(64, 4096))
+        payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
+        ids.append(f"media_{i:06d}")
+        mimes.append("image/png" if i % 2 == 0 else "image/jpeg")
+        ws.append(int(rng.integers(16, 512)))
+        hs.append(int(rng.integers(16, 512)))
+    return pa.table(
+        {
+            "media_id": pa.array(ids, pa.string()),
+            "payload": pa.array(payloads, pa.binary()),
+            "mime": pa.array(mimes, pa.string()),
+            "width": pa.array(ws, pa.int32()),
+            "height": pa.array(hs, pa.int32()),
+        }
+    )

@@ -1,0 +1,116 @@
+"""The flagship quality pipeline (SURVEY.md §7.1 architecture).
+
+    read_parquet(corpus)                      # (repo,path,commit,lang,content)
+      -> map_batches(assign_ids)              # doc_id, id_int, content_sha256
+      -> map_batches(LangIdStage,  actor pool)
+      -> map_batches(PerplexityStage, actor pool)
+      -> map_batches(SignalStage,  actor pool)   # all rps_doc_*/rps_lines_*
+      -> map_batches(MinHashStage, actor pool)   # banded signatures
+      -> map_batches(scrub_batch)             # PII scrub + counts
+      -> map_batches(DecideStage)             # keep / drop_reasons
+
+Everything streams; nothing materializes the corpus. Filtering
+(``keep``) and dedup branches are applied by the caller so the annotated
+dataset can feed multiple sinks (signals parquet, kept corpus, minhash
+parquet) from one pass, mirroring the reference's triple output
+(/root/reference/app/src/core/worker.py:291-356).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import pyarrow as pa
+import ray.data
+from ray.data import Dataset
+
+from ..functions.rules import RuleConfig
+from ..sources.corpus import ensure_corpus_parquet, sf_from_dir
+from ..stages import (
+    DecideStage,
+    LangIdStage,
+    MinHashStage,
+    PerplexityStage,
+    SignalStage,
+    assign_ids,
+    scrub_batch,
+)
+
+
+@dataclass
+class QualityConfig:
+    """Per-stage sizing. Batch sizes keep a batch x concurrency well
+    under worker heap even with multi-MB content rows; actor pools
+    autoscale within (1, max) so no stage starves the others."""
+
+    batch_size: int = 256
+    actor_batch_size: int = 256
+    max_actors: int = 8
+    include_line_signals: bool = True
+    include_minhash: bool = True
+    include_classifier: bool = True
+    include_dsir: bool = True
+    rules: RuleConfig = RuleConfig()
+
+
+def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
+    """corpus Dataset -> fully annotated Dataset (lazy, streaming)."""
+    cfg = cfg or QualityConfig()
+    pool = dict(
+        batch_format="pyarrow",
+        batch_size=cfg.actor_batch_size,
+        concurrency=(1, cfg.max_actors),
+        num_cpus=1,
+    )
+    ds = ds.map_batches(
+        assign_ids, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    ds = ds.map_batches(LangIdStage, **pool)
+    ds = ds.map_batches(PerplexityStage, **pool)
+    ds = ds.map_batches(
+        SignalStage,
+        fn_constructor_kwargs=dict(
+            include_line_signals=cfg.include_line_signals,
+            include_classifier=cfg.include_classifier,
+            include_dsir=cfg.include_dsir,
+        ),
+        **pool,
+    )
+    if cfg.include_minhash:
+        ds = ds.map_batches(MinHashStage, **pool)
+    ds = ds.map_batches(
+        scrub_batch, batch_format="pyarrow", batch_size=cfg.batch_size
+    )
+    ds = ds.map_batches(
+        DecideStage,
+        fn_constructor_kwargs=dict(config=cfg.rules),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.max_actors),
+    )
+    return ds
+
+
+def read_corpus(sf_dir: str) -> Dataset:
+    """Synthesize (cached) + read the code corpus matching a testdata
+    scale-factor directory."""
+    sf = sf_from_dir(sf_dir)
+    corpus_dir = ensure_corpus_parquet(sf)
+    return ray.data.read_parquet(corpus_dir)
+
+
+def run_flagship(
+    sf_dir: str = "/root/testdata/sf0.001",
+    cfg: Optional[QualityConfig] = None,
+) -> Dataset:
+    """End-to-end annotated corpus for a scale factor (lazy)."""
+    return annotate(read_corpus(sf_dir), cfg)
+
+
+def kept(ds: Dataset) -> Dataset:
+    """The retained, scrubbed corpus (keep == True)."""
+    return ds.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["keep"], True)),
+        batch_format="pyarrow",
+    )

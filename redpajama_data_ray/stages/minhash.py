@@ -1,0 +1,36 @@
+"""MinHash signature actor stage.
+
+Permutations are built once per actor from the pinned seed (checksummed,
+deterministic across actors: /root/reference/app/src/dedupe/minhash.py:35-57,
+worker.py:96-104). Adds one ``list<binary>`` column per similarity
+threshold — null for docs shorter than the shingle size — mirroring the
+reference's minhash parquet schema (worker.py:156-166).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.minhash import MinHasher
+from ..text import normalize
+
+
+class MinHashStage:
+    def __init__(self, text_column: str = "content", **minhash_kwargs):
+        self.hasher = MinHasher(**minhash_kwargs)
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        keys = self.hasher.signature_keys
+        cols = {k: [] for k in keys}
+        for t in texts:
+            tokens = normalize(t if t is not None else "").split()
+            sigs = self.hasher.banded_signatures(tokens)
+            for k in keys:
+                cols[k].append(sigs[k])
+        for k in keys:
+            batch = batch.append_column(
+                k, pa.array(cols[k], pa.list_(pa.binary()))
+            )
+        return batch

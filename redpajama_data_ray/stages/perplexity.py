@@ -1,0 +1,35 @@
+"""Perplexity actor stage (KenLM-role model, loaded once per actor).
+
+Adds ``ppl: float64`` and ``ppl_bucket: string`` (head/middle/tail —
+bucket float mapping per /root/reference/app/src/core/worker.py:40-49 is
+available as ``ppl_bucket_int``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..config import BUCKET_TO_INT
+from ..functions.perplexity import PerplexityScorer
+
+
+class PerplexityStage:
+    def __init__(self, text_column: str = "content"):
+        self.scorer = PerplexityScorer()
+        self.text_column = text_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        ppls, buckets = [], []
+        for t in texts:
+            ppl, bucket = self.scorer.score(t if t is not None else "")
+            ppls.append(ppl)
+            buckets.append(bucket)
+        bucket_ints = [BUCKET_TO_INT.get(b) for b in buckets]
+        return (
+            batch.append_column("ppl", pa.array(ppls, pa.float64()))
+            .append_column("ppl_bucket", pa.array(buckets, pa.string()))
+            .append_column(
+                "ppl_bucket_int", pa.array(bucket_ints, pa.float64())
+            )
+        )

@@ -1,0 +1,34 @@
+"""Stateless PII-scrub stage (precompiled module-level regexes).
+
+Rewrites ``content`` in place with the scrubbed text, keeps the original
+hash in ``content_sha256`` (assigned upstream), and adds
+``content_scrubbed_sha256`` plus one count column per PII category.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pyarrow as pa
+
+from ..functions.pii import PII_COUNT_COLUMNS, scrub_text
+
+
+def scrub_batch(batch: pa.Table, text_column: str = "content") -> pa.Table:
+    texts = batch.column(text_column).to_pylist()
+    scrubbed = []
+    counts = {k: [] for k in PII_COUNT_COLUMNS}
+    hashes = []
+    for t in texts:
+        s, c = scrub_text(t if t is not None else "")
+        scrubbed.append(s)
+        for k in PII_COUNT_COLUMNS:
+            counts[k].append(c[k])
+        hashes.append(hashlib.sha256(s.encode("utf-8")).hexdigest())
+    idx = batch.schema.get_field_index(text_column)
+    batch = batch.set_column(idx, text_column, pa.array(scrubbed, pa.string()))
+    for k in PII_COUNT_COLUMNS:
+        batch = batch.append_column(k, pa.array(counts[k], pa.int64()))
+    return batch.append_column(
+        "content_scrubbed_sha256", pa.array(hashes, pa.string())
+    )

@@ -1,0 +1,103 @@
+"""Fused quality-signal actor stage.
+
+One ``map_batches`` computes every doc-level and line-level signal per
+batch (the reference likewise runs all signal callables over one
+Document pass: /root/reference/app/src/core/worker.py:230-232). Signal
+tables (stopwords, LDNOOBW blocklist) are built once per actor in
+``__init__`` — the Ray-native analog of per-process signal registration
+(/root/reference/app/src/core/worker.py:172-215).
+
+Output: one ``float64`` column per doc signal (null = not applicable),
+one ``list<float64>`` column per line signal, plus the optional
+classifier / DSIR scores.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+
+from ..functions.classifier import QualityClassifier
+from ..functions.doc_signals import (
+    DOC_SIGNAL_NAMES,
+    LINE_SIGNAL_NAMES,
+    DocView,
+    SignalKernel,
+)
+from ..functions.importance import DSIRScorer, build_hash_dist
+from ..functions.langid import _SEED_TEXT
+
+
+class SignalStage:
+    def __init__(
+        self,
+        text_column: str = "content",
+        language: str = "en",
+        include_line_signals: bool = True,
+        include_classifier: bool = True,
+        include_dsir: bool = True,
+        dsir_buckets: int = 10_000,
+    ):
+        self.kernel = SignalKernel(language=language)
+        self.text_column = text_column
+        self.include_line_signals = include_line_signals
+        self.classifier = QualityClassifier() if include_classifier else None
+        if include_dsir:
+            # offline-artifact path (G5): target dist from prose seeds,
+            # source dist from the code seed — built once per actor
+            tgt, lam_t = build_hash_dist(
+                [_SEED_TEXT[k] for k in ("en", "fr", "de", "es", "it")],
+                dsir_buckets,
+            )
+            src, lam_s = build_hash_dist([_SEED_TEXT["code"]], dsir_buckets)
+            self.dsir: Optional[DSIRScorer] = DSIRScorer(
+                tgt, src, lam_t, lam_s
+            )
+        else:
+            self.dsir = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        doc_cols = {name: [] for name in DOC_SIGNAL_NAMES}
+        line_cols = (
+            {name: [] for name in LINE_SIGNAL_NAMES}
+            if self.include_line_signals
+            else {}
+        )
+        clf_scores = [] if self.classifier else None
+        dsir_scores = [] if self.dsir else None
+
+        for t in texts:
+            t = t if t is not None else ""
+            v = DocView(t)
+            doc = self.kernel.doc_signals_view(v)
+            for name in DOC_SIGNAL_NAMES:
+                doc_cols[name].append(doc[name])
+            if self.include_line_signals:
+                lines = self.kernel.line_signals_view(v)
+                for name in LINE_SIGNAL_NAMES:
+                    line_cols[name].append(lines[name])
+            if clf_scores is not None:
+                clf_scores.append(self.classifier.score(t))
+            if dsir_scores is not None:
+                dsir_scores.append(self.dsir.score(t))
+
+        for name in DOC_SIGNAL_NAMES:
+            batch = batch.append_column(
+                name, pa.array(doc_cols[name], pa.float64())
+            )
+        for name in LINE_SIGNAL_NAMES:
+            batch = batch.append_column(
+                name, pa.array(line_cols[name], pa.list_(pa.float64()))
+            )
+        if clf_scores is not None:
+            batch = batch.append_column(
+                "rps_doc_ml_quality_score", pa.array(clf_scores, pa.float64())
+            )
+        if dsir_scores is not None:
+            batch = batch.append_column(
+                "rps_doc_importance_weight",
+                pa.array(dsir_scores, pa.float64()),
+            )
+        return batch

@@ -1,0 +1,102 @@
+"""Per-partition lineage/metrics manifest and checkpoint resume (X5).
+
+The reference tracks per-uri SUCCESS/FAIL marker files and skips
+completed uris on rerun (/root/reference/app/src/core/worker.py:118-126,
+374-394). The Ray-native equivalent: one manifest JSON line per
+committed input partition, written atomically (temp file + rename) after
+that partition's output parquet directory is fully written. On startup,
+``pending()`` prunes already-committed inputs, so a killed run resumes
+from the last committed partition.
+
+Layout (resumable output, one directory per input shard)::
+
+    out_dir/
+      part=<shard>/*.parquet     # written first
+      _manifest/<shard>.json     # committed last (atomic rename)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, Iterable, List, Optional
+
+from ray.data import Dataset
+
+
+class Manifest:
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        self.manifest_dir = os.path.join(out_dir, "_manifest")
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    def committed(self) -> Dict[str, dict]:
+        out = {}
+        for name in os.listdir(self.manifest_dir):
+            if not name.endswith(".json"):
+                continue
+            with open(os.path.join(self.manifest_dir, name)) as f:
+                rec = json.load(f)
+            out[rec["partition"]] = rec
+        return out
+
+    def pending(self, partitions: Iterable[str]) -> List[str]:
+        done = self.committed()
+        return [p for p in partitions if p not in done]
+
+    def partition_output_dir(self, partition: str) -> str:
+        return os.path.join(self.out_dir, f"part={partition}")
+
+    def commit(self, partition: str, metrics: Optional[dict] = None):
+        """Atomically record a partition as complete with its metrics."""
+        rec = {
+            "partition": partition,
+            "committed_at": time.time(),
+            "metrics": metrics or {},
+        }
+        final = os.path.join(self.manifest_dir, f"{partition}.json")
+        tmp = final + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(rec, f)
+        os.replace(tmp, final)  # atomic on POSIX
+
+
+def run_partitioned(
+    input_files: List[str],
+    out_dir: str,
+    process_fn: Callable[[str], Dataset],
+    metrics_fn: Optional[Callable[[Dataset], dict]] = None,
+) -> Dict[str, dict]:
+    """Process each input file into its own committed output partition,
+    skipping partitions already present in the manifest (resume).
+
+    ``process_fn(path) -> Dataset`` builds the (lazy) pipeline for one
+    input shard; the result is written to ``part=<shard>/`` and the
+    partition committed. Returns the full committed map.
+    """
+    manifest = Manifest(out_dir)
+    names = {p: os.path.splitext(os.path.basename(p))[0] for p in input_files}
+    todo = manifest.pending(names.values())
+    for path, shard in names.items():
+        if shard not in todo:
+            continue
+        ds = process_fn(path)
+        part_dir = manifest.partition_output_dir(shard)
+        ds.write_parquet(part_dir)
+        metrics = {"input": path, "rows": _count_rows(part_dir)}
+        if metrics_fn is not None:
+            metrics.update(metrics_fn(ds))
+        manifest.commit(shard, metrics)
+    return manifest.committed()
+
+
+def _count_rows(part_dir: str) -> int:
+    """Row count from written parquet footers (no re-execution)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for name in os.listdir(part_dir):
+        if name.endswith(".parquet"):
+            total += pq.ParquetFile(os.path.join(part_dir, name)).metadata.num_rows
+    return total

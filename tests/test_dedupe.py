@@ -1,0 +1,97 @@
+"""Dedup tests: exact, MinHash-LSH fuzzy, SimHash, Jaccard oracle."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from redpajama_data_ray.dedupe.exact import duplicate_rows, exact_dedup
+from redpajama_data_ray.dedupe.jaccard import brute_force_near_dups, jaccard, shingle_set
+from redpajama_data_ray.dedupe.lsh import fuzzy_dedup, lsh_clusters
+from redpajama_data_ray.dedupe.simhash import add_simhash, simhash_dedup
+from redpajama_data_ray.stages import MinHashStage, assign_ids
+
+
+def _corpus_table():
+    # 300 tokens, one changed -> shingle Jaccard ~0.91: clusters at 0.8
+    # (deterministic: 4/9 bands shared with seed-42 permutations)
+    base = " ".join(f"tok{i}" for i in range(300))
+    near = base.replace("tok150 ", "changed ")
+    rows = [
+        ("r1", "a.py", "c1", base),
+        ("r1", "b.py", "c2", base),            # exact dup of a
+        ("r2", "c.py", "c3", near),            # near dup of a
+        ("r2", "d.py", "c4", " ".join(f"other{i}" for i in range(300))),
+        ("r3", "e.py", "c5", "short doc"),
+    ]
+    return pa.table(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": [r[2] for r in rows],
+            "lang": ["python"] * len(rows),
+            "content": [r[3] for r in rows],
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def annotated():
+    ds = ray.data.from_arrow(_corpus_table())
+    ds = ds.map_batches(assign_ids, batch_format="pyarrow")
+    ds = ds.map_batches(MinHashStage, batch_format="pyarrow", concurrency=1)
+    return ds.materialize()
+
+
+def test_exact_dedup_keeps_first_by_doc_id(annotated):
+    out = exact_dedup(annotated).to_pandas()
+    assert len(out) == 4  # one of the two identical docs dropped
+    # kept the lexicographically-first doc_id among dups
+    assert "r1/a.py@c1" in set(out.doc_id)
+    assert "r1/b.py@c2" not in set(out.doc_id)
+    dups = duplicate_rows(annotated).to_pandas()
+    assert list(dups.doc_id) == ["r1/b.py@c2"]
+
+
+def test_lsh_clusters_exact_and_near(annotated):
+    df = annotated.to_pandas()
+    ids = dict(zip(df.doc_id, df.id_int))
+    clusters = lsh_clusters(annotated, "signature_sim0.8")
+    a, b, c = ids["r1/a.py@c1"], ids["r1/b.py@c2"], ids["r2/c.py@c3"]
+    # exact dups always cluster; the near-dup shares bands at 0.8
+    assert clusters.get(a) == clusters.get(b) == clusters.get(c)
+    # unrelated doc not clustered with them
+    d = ids["r2/d.py@c4"]
+    assert clusters.get(d, d) != clusters[a]
+
+
+def test_fuzzy_dedup_drops_non_representatives(annotated):
+    deduped, clusters = fuzzy_dedup(annotated, "signature_sim0.8")
+    out = deduped.to_pandas()
+    # 5 rows - 2 dropped (the a/b/c cluster keeps exactly one member —
+    # the min id_int, per run_lsh.py:324-338 representative semantics)
+    assert len(out) == 3
+    members = {"r1/a.py@c1", "r1/b.py@c2", "r2/c.py@c3"}
+    assert len(members & set(out.doc_id)) == 1
+    assert {"r2/d.py@c4", "r3/e.py@c5"} <= set(out.doc_id)
+
+
+def test_jaccard_oracle_and_shingles():
+    a = " ".join(f"word{i}" for i in range(30))
+    s = shingle_set(a, n=5)
+    assert all(len(g.split()) == 5 for g in s)
+    assert jaccard(s, s) == 1.0
+    assert jaccard(set(), set()) == 1.0
+    assert jaccard(s, set()) == 0.0
+    texts = {1: a, 2: a + "and something else entirely now", 3: "zzz yyy xxx"}
+    pairs = brute_force_near_dups(texts, threshold=0.5, ngram=5)
+    assert [(p[0], p[1]) for p in pairs] == [(1, 2)]
+
+
+def test_simhash_dedup(annotated):
+    ds = annotated.map_batches(add_simhash, batch_format="pyarrow")
+    out = simhash_dedup(ds, max_hamming=3).to_pandas()
+    # exact dup pair collapses (identical simhash -> Hamming 0); the
+    # survivor is the min id_int of the component
+    assert len({"r1/a.py@c1", "r1/b.py@c2"} & set(out.doc_id)) == 1
+    assert len(out) <= 4

@@ -1,0 +1,170 @@
+"""Doc-level signal unit tests on hand-built edge cases.
+
+Expected values derived by hand from the reference formulas in
+core/quality_signals/{natural_language,repetitions,content}.py.
+"""
+
+import math
+
+import pytest
+
+from redpajama_data_ray.functions.doc_signals import SignalKernel
+
+K = SignalKernel(language="en")
+
+
+def sig(text):
+    return K.doc_signals(text)
+
+
+def test_empty_doc_none_vs_zero_conventions():
+    s = sig("")
+    # natural_language.py None branches
+    assert s["rps_doc_mean_word_length"] is None
+    assert s["rps_doc_symbol_to_word_ratio"] is None
+    assert s["rps_doc_frac_lines_end_with_ellipsis"] is None
+    assert s["rps_doc_frac_no_alph_words"] is None
+    assert s["rps_doc_frac_unique_words"] is None
+    assert s["rps_doc_unigram_entropy"] is None
+    assert s["rps_doc_frac_all_caps_words"] is None
+    # content.py zero branches
+    assert s["rps_doc_lorem_ipsum"] == 0.0
+    assert s["rps_doc_curly_bracket"] == 0.0
+    assert s["rps_doc_ldnoobw_words"] == 0.0
+    assert s["rps_doc_stop_word_fraction"] == 0.0
+    # repetitions: 0.0 for empty
+    assert s["rps_doc_frac_chars_top_2gram"] == 0.0
+    assert s["rps_doc_frac_chars_dupe_5grams"] == 0.0
+    assert s["rps_doc_word_count"] == 0.0
+    assert s["rps_doc_num_sentences"] == 0.0
+
+
+def test_word_count_and_mean_length():
+    s = sig("Hello, world! Foo.")
+    # normalized: "hello world foo" -> 3 words
+    assert s["rps_doc_word_count"] == 3.0
+    assert s["rps_doc_mean_word_length"] == round((5 + 5 + 3) / 3, 8)
+
+
+def test_num_sentences():
+    assert sig("One. Two! Three?")["rps_doc_num_sentences"] == 3.0
+    assert sig("no terminal punct")["rps_doc_num_sentences"] == 1.0
+
+
+def test_symbol_to_word_ratio():
+    # raw words (wordpunct): ["a", "#", "b", "..."] -> 4 words;
+    # symbols: one "#", one "..."; "…" none
+    s = sig("a # b ...")
+    assert s["rps_doc_symbol_to_word_ratio"] == round(2 / 4, 8)
+
+
+def test_ellipsis_lines():
+    text = "first line...\nsecond line\nthird…\n"
+    s = sig(text)
+    assert s["rps_doc_frac_lines_end_with_ellipsis"] == round(2 / 3, 8)
+
+
+def test_frac_no_alph_words():
+    # wordpunct of "abc 123 !!!" -> ["abc", "123", "!!!"]; 1 has alpha
+    s = sig("abc 123 !!!")
+    assert s["rps_doc_frac_no_alph_words"] == round(1 - 1 / 3, 8)
+
+
+def test_frac_unique_and_entropy():
+    s = sig("a a b")
+    assert s["rps_doc_frac_unique_words"] == round(2 / 3, 8)
+    expected = -(2 / 3) * math.log(2 / 3) - (1 / 3) * math.log(1 / 3)
+    assert s["rps_doc_unigram_entropy"] == round(expected, 8)
+
+
+def test_all_caps():
+    # raw words: ["ABC", "def", "GHI"] -> 2/3
+    s = sig("ABC def GHI")
+    assert s["rps_doc_frac_all_caps_words"] == round(2 / 3, 8)
+
+
+def test_top_ngram_fraction():
+    # normalized words: "a b a b c": 2-grams: (a,b)x2,(b,a),(b,c)
+    # top (a,b) count 2, chars=2, total chars=5 -> 2*2/5
+    s = sig("a b a b c")
+    assert s["rps_doc_frac_chars_top_2gram"] == round(4 / 5, 8)
+    # top 3-gram occurs once -> 0.0
+    assert s["rps_doc_frac_chars_top_3gram"] == 0.0
+
+
+def test_dupe_ngram_masking_overlap_counted_once():
+    # words: x1..x5 x1..x5  (10 words, each len 2)
+    words = "w1 w2 w3 w4 w5 w1 w2 w3 w4 w5"
+    s = sig(words)
+    # 5-grams: (w1..w5) appears twice (pos 0 and 5); all positions masked
+    # by those two occurrences: 0-4 and 5-9 -> all chars duped
+    assert s["rps_doc_frac_chars_dupe_5grams"] == 1.0
+    # 6-grams: all distinct -> 0.0
+    assert s["rps_doc_frac_chars_dupe_6grams"] == 0.0
+
+
+def test_dupe_ngrams_short_doc():
+    assert sig("a b c")["rps_doc_frac_chars_dupe_5grams"] == 0.0
+
+
+def test_lorem_ipsum():
+    text = "Lorem Ipsum! lorem   ipsum."
+    s = sig(text)
+    # normalized: "lorem ipsum lorem ipsum" (24 chars incl spaces -> len 23)
+    norm = "lorem ipsum lorem ipsum"
+    assert s["rps_doc_lorem_ipsum"] == round(2 / len(norm), 8)
+
+
+def test_curly_bracket():
+    text = "if (x) { y } else { z }"
+    s = sig(text)
+    assert s["rps_doc_curly_bracket"] == round(4 / len(text), 8)
+
+
+def test_ldnoobw_single_and_multiword():
+    k = SignalKernel(language="en", bad_words={"bad", "very bad"})
+    s = k.doc_signals("this is bad and very bad indeed")
+    # "bad" appears twice as unigram; "very bad" once as bigram
+    assert s["rps_doc_ldnoobw_words"] == 3.0
+
+
+def test_stop_word_fraction_uses_raw_words():
+    k = SignalKernel(language="en")
+    # raw words: ["The", "cat", ".."] wait: wordpunct("The cat.") ->
+    # ["The", "cat", "."]; stopwords lowercase so "The" not in set
+    s = k.doc_signals("The cat.")
+    assert s["rps_doc_stop_word_fraction"] == 0.0
+    s = k.doc_signals("the cat sat on the mat")
+    # raw words all lowercase: the,on,the in stopwords -> 3/6
+    assert s["rps_doc_stop_word_fraction"] == 0.5
+
+
+def test_fractions_in_range_property():
+    texts = [
+        "", " ", "a", "A B C", "!!!", "x " * 100, "• bullet\n… more\n",
+        "{{{}}}", "Lorem ipsum dolor", "ABC DEF. GHI? J!",
+    ]
+    frac_cols = [
+        "rps_doc_frac_lines_end_with_ellipsis",
+        "rps_doc_frac_no_alph_words",
+        "rps_doc_frac_unique_words",
+        "rps_doc_frac_all_caps_words",
+        # NOTE: rps_doc_frac_chars_top_2gram intentionally excluded — the
+        # reference's formula (count * ngram_chars / total_chars,
+        # repetitions.py:66-69) exceeds 1.0 for overlapping top n-grams
+        # ("x "*100 -> 1.98) because occurrences are not overlap-masked.
+        "rps_doc_frac_chars_dupe_5grams",
+    ]
+    for t in texts:
+        s = sig(t)
+        for c in frac_cols:
+            if s[c] is not None:
+                assert 0.0 <= s[c] <= 1.0, (t, c, s[c])
+
+
+def test_dupe_fraction_monotone_nonincreasing_in_n():
+    text = ("alpha beta gamma delta epsilon zeta " * 8) + "eta theta"
+    s = sig(text)
+    vals = [s[f"rps_doc_frac_chars_dupe_{n}grams"] for n in range(5, 11)]
+    # more context -> fewer duplicated positions (weakly)
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))

@@ -1,0 +1,58 @@
+"""Line-level signal unit tests (reference lines.py semantics)."""
+
+from redpajama_data_ray.functions.doc_signals import SignalKernel
+
+K = SignalKernel()
+
+
+def lines(text):
+    return K.line_signals(text)
+
+
+def test_javascript_counts_on_normalized_lines():
+    out = lines("JavaScript! javascript\nno js here\n")
+    # normalized line 1: "javascript javascript" -> 2
+    assert out["rps_lines_javascript_counts"] == [2.0, 0.0]
+
+
+def test_terminal_punct_raw_lines():
+    out = lines("ends here.\nno end\nbang!\nq?\nquote”")
+    assert out["rps_lines_ending_with_terminal_punctution_mark"] == [
+        1.0, 0.0, 1.0, 1.0, 1.0,
+    ]
+
+
+def test_num_words_normalized_lines():
+    out = lines("One, two three!\n\nfour\n")
+    assert out["rps_lines_num_words"] == [3.0, 0.0, 1.0]
+
+
+def test_uppercase_fraction_raw_lines():
+    out = lines("ABc\nxyz")
+    # line 1 raw "ABc\n": 2 upper / 4 chars
+    assert out["rps_lines_uppercase_letter_fraction"] == [
+        round(2 / 4, 8), 0.0,
+    ]
+
+
+def test_numerical_fraction_normalized_lines():
+    out = lines("a 12\nxyz")
+    # normalized line 1: "a 12" -> 2 numeric / 4 chars
+    assert out["rps_lines_numerical_chars_fraction"] == [
+        round(2 / 4, 8), 0.0,
+    ]
+
+
+def test_bulletpoint_lines_and_empty_doc():
+    out = lines("• one\n‣ two\nplain\n– dash")
+    assert out["rps_lines_start_with_bulletpoint"] == [1.0, 1.0, 0.0, 1.0]
+    assert lines("")["rps_lines_start_with_bulletpoint"] is None
+
+
+def test_line_counts_match_across_signals():
+    text = "a\n\nb\nc"
+    out = lines(text)
+    lens = {
+        len(v) for k, v in out.items() if v is not None
+    }
+    assert lens == {4}

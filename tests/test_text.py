@@ -1,0 +1,74 @@
+"""Text kernel unit tests (reference semantics parity).
+
+Expected values are hand-derived from the reference's formulas
+(normalization.py:8-32, document.py:16-37, ngrams.py:1-17).
+"""
+
+import unicodedata
+
+from redpajama_data_ray.text import (
+    form_ngrams,
+    normalize,
+    split_lines,
+    wordpunct_tokenize,
+)
+
+
+def test_normalize_order_punct_then_lower_then_ws_then_nfd():
+    # punctuation stripped BEFORE lowercasing and whitespace collapse
+    assert normalize("Hello,   World!") == "hello world"
+    # NFD applied last: é -> e + combining accent
+    out = normalize("Café")
+    assert out == unicodedata.normalize("NFD", "café")
+    assert len(out) == 5  # e + combining char
+
+
+def test_normalize_empty_and_whitespace():
+    assert normalize("") == ""
+    assert normalize("   \n\t ") == ""
+    assert normalize("a  b\n\nc") == "a b c"
+
+
+def test_normalize_flags():
+    assert normalize("A.b", remove_punct=False) == "a.b"
+    assert normalize("A.B", lowercase=False) == "AB"
+
+
+def test_split_lines_offsets_and_empties_kept():
+    text = "ab\n\ncd"
+    slices = split_lines(text)
+    assert [(s.text, s.start, s.end) for s in slices] == [
+        ("ab\n", 0, 3),
+        ("\n", 3, 4),
+        ("cd", 4, 6),
+    ]
+
+
+def test_split_lines_trailing_newline_no_extra_line():
+    assert [s.text for s in split_lines("ab\n")] == ["ab\n"]
+    assert split_lines("") == ()
+
+
+def test_split_lines_normalized():
+    slices = split_lines("A b!\nC d", normalizer=normalize)
+    assert [s.text for s in slices] == ["a b", "c d"]
+    # offsets still refer to the RAW text
+    assert [(s.start, s.end) for s in slices] == [(0, 5), (5, 8)]
+
+
+def test_wordpunct_matches_nltk_semantics():
+    # NLTK WordPunctTokenizer regex is \w+|[^\w\s]+
+    assert wordpunct_tokenize("Can't stop, won't stop.") == [
+        "Can", "'", "t", "stop", ",", "won", "'", "t", "stop", ".",
+    ]
+    assert wordpunct_tokenize("") == []
+    assert wordpunct_tokenize("a-b c") == ["a", "-", "b", "c"]
+
+
+def test_form_ngrams():
+    assert list(form_ngrams(iter("abcd"), 2)) == [
+        ("a", "b"), ("b", "c"), ("c", "d"),
+    ]
+    assert list(form_ngrams(iter("ab"), 3)) == []
+    assert list(form_ngrams(iter("abc"), 3)) == [("a", "b", "c")]
+    assert list(form_ngrams(iter([]), 1)) == []
