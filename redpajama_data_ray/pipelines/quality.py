@@ -42,11 +42,19 @@ from ..stages import (
 class QualityConfig:
     """Per-stage sizing. Batch sizes keep a batch x concurrency well
     under worker heap even with multi-MB content rows; actor pools
-    autoscale within (1, max) so no stage starves the others."""
+    autoscale within (1, max) so no stage starves the others.
+
+    ``fused=True`` (default) runs every model in ONE actor pool
+    (stages/annotate.py) — no inter-pool handoff, fits any CPU budget.
+    ``fused=False`` runs one pool per model with fractional CPUs, for
+    heterogeneous per-stage scaling on a real cluster; both produce
+    identical columns (tested in tests/test_pipeline_e2e.py).
+    """
 
     batch_size: int = 256
-    actor_batch_size: int = 256
-    max_actors: int = 8
+    actor_batch_size: int = 64
+    max_actors: int = 16
+    fused: bool = True
     include_line_signals: bool = True
     include_minhash: bool = True
     include_classifier: bool = True
@@ -57,28 +65,43 @@ class QualityConfig:
 def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
     """corpus Dataset -> fully annotated Dataset (lazy, streaming)."""
     cfg = cfg or QualityConfig()
-    pool = dict(
-        batch_format="pyarrow",
-        batch_size=cfg.actor_batch_size,
-        concurrency=(1, cfg.max_actors),
-        num_cpus=1,
-    )
     ds = ds.map_batches(
         assign_ids, batch_format="pyarrow", batch_size=cfg.batch_size
     )
-    ds = ds.map_batches(LangIdStage, **pool)
-    ds = ds.map_batches(PerplexityStage, **pool)
-    ds = ds.map_batches(
-        SignalStage,
-        fn_constructor_kwargs=dict(
-            include_line_signals=cfg.include_line_signals,
-            include_classifier=cfg.include_classifier,
-            include_dsir=cfg.include_dsir,
-        ),
-        **pool,
+    feature_kwargs = dict(
+        include_line_signals=cfg.include_line_signals,
+        include_classifier=cfg.include_classifier,
+        include_dsir=cfg.include_dsir,
     )
-    if cfg.include_minhash:
-        ds = ds.map_batches(MinHashStage, **pool)
+    if cfg.fused:
+        from ..stages.annotate import AnnotateStage
+
+        ds = ds.map_batches(
+            AnnotateStage,
+            fn_constructor_kwargs=dict(
+                include_minhash=cfg.include_minhash, **feature_kwargs
+            ),
+            batch_format="pyarrow",
+            batch_size=cfg.actor_batch_size,
+            concurrency=(1, cfg.max_actors),
+            num_cpus=1,
+        )
+    else:
+        # one pool per model; fractional CPUs so min-actors of all pools
+        # fit small budgets without starving the executor
+        pool = dict(
+            batch_format="pyarrow",
+            batch_size=cfg.actor_batch_size,
+            concurrency=(1, cfg.max_actors),
+            num_cpus=0.5,
+        )
+        ds = ds.map_batches(LangIdStage, **pool)
+        ds = ds.map_batches(PerplexityStage, **pool)
+        ds = ds.map_batches(
+            SignalStage, fn_constructor_kwargs=feature_kwargs, **pool
+        )
+        if cfg.include_minhash:
+            ds = ds.map_batches(MinHashStage, **pool)
     ds = ds.map_batches(
         scrub_batch, batch_format="pyarrow", batch_size=cfg.batch_size
     )
@@ -88,6 +111,7 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, cfg.max_actors),
+        num_cpus=0.5,
     )
     return ds
 

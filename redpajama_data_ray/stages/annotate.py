@@ -1,0 +1,135 @@
+"""Fused annotation actor stage: every model + signal table in one pool.
+
+Holds the language-ID model, perplexity LM, signal kernel, classifier,
+DSIR scorer and minhash permutations in one actor (all loaded once in
+``__init__``) and computes the full annotation row-set in a single pass
+per batch. This is the default execution mode: one actor pool means the
+streaming executor can run read -> annotate -> scrub -> decide -> write
+with no inter-pool handoff, and the pipeline fits small CPU budgets
+(each extra pool reserves at least one CPU for its min actor).
+
+The per-model stages in ``langid.py`` / ``perplexity.py`` / ``signals.py``
+/ ``minhash.py`` remain available for heterogeneous scaling (e.g. give
+the perplexity pool more actors than langid on a real cluster) — both
+paths produce identical columns (tested).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.classifier import QualityClassifier
+from ..functions.doc_signals import (
+    DOC_SIGNAL_NAMES,
+    LINE_SIGNAL_NAMES,
+    DocView,
+    SignalKernel,
+)
+from ..functions.importance import DSIRScorer, build_hash_dist
+from ..functions.langid import NGramLangId, _SEED_TEXT
+from ..functions.minhash import MinHasher
+from ..functions.perplexity import PerplexityScorer
+from ..config import BUCKET_TO_INT
+
+
+class AnnotateStage:
+    def __init__(
+        self,
+        text_column: str = "content",
+        include_line_signals: bool = True,
+        include_minhash: bool = True,
+        include_classifier: bool = True,
+        include_dsir: bool = True,
+        dsir_buckets: int = 10_000,
+    ):
+        self.text_column = text_column
+        self.kernel = SignalKernel()
+        self.langid = NGramLangId()
+        self.pplx = PerplexityScorer()
+        self.include_line_signals = include_line_signals
+        self.hasher = MinHasher() if include_minhash else None
+        self.classifier = QualityClassifier() if include_classifier else None
+        if include_dsir:
+            tgt, lam_t = build_hash_dist(
+                [_SEED_TEXT[k] for k in ("en", "fr", "de", "es", "it")],
+                dsir_buckets,
+            )
+            src, lam_s = build_hash_dist([_SEED_TEXT["code"]], dsir_buckets)
+            self.dsir = DSIRScorer(tgt, src, lam_t, lam_s)
+        else:
+            self.dsir = None
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column(self.text_column).to_pylist()
+        n = len(texts)
+
+        doc_cols = {name: [None] * n for name in DOC_SIGNAL_NAMES}
+        line_cols = (
+            {name: [None] * n for name in LINE_SIGNAL_NAMES}
+            if self.include_line_signals
+            else {}
+        )
+        langs, lang_scores = [None] * n, [None] * n
+        ppls, buckets, bucket_ints = [None] * n, [None] * n, [None] * n
+        clf = [None] * n if self.classifier else None
+        dsir = [None] * n if self.dsir else None
+        sig_cols = (
+            {k: [None] * n for k in self.hasher.signature_keys}
+            if self.hasher
+            else {}
+        )
+
+        for i, t in enumerate(texts):
+            t = t if t is not None else ""
+            v = DocView(t)
+            doc = self.kernel.doc_signals_view(v)
+            for name in DOC_SIGNAL_NAMES:
+                doc_cols[name][i] = doc[name]
+            if self.include_line_signals:
+                lines = self.kernel.line_signals_view(v)
+                for name in LINE_SIGNAL_NAMES:
+                    line_cols[name][i] = lines[name]
+            lang, ls = self.langid.predict(t)
+            langs[i], lang_scores[i] = lang, ls
+            ppl, bucket = self.pplx.score(t)
+            ppls[i], buckets[i] = ppl, bucket
+            bucket_ints[i] = BUCKET_TO_INT.get(bucket)
+            if clf is not None:
+                clf[i] = self.classifier.score(t)
+            if dsir is not None:
+                dsir[i] = self.dsir.score(t)
+            if self.hasher:
+                sigs = self.hasher.banded_signatures(v.norm_words)
+                for k in sig_cols:
+                    sig_cols[k][i] = sigs[k]
+
+        batch = (
+            batch.append_column("lang_pred", pa.array(langs, pa.string()))
+            .append_column("lang_score", pa.array(lang_scores, pa.float64()))
+            .append_column("ppl", pa.array(ppls, pa.float64()))
+            .append_column("ppl_bucket", pa.array(buckets, pa.string()))
+            .append_column(
+                "ppl_bucket_int", pa.array(bucket_ints, pa.float64())
+            )
+        )
+        for name in DOC_SIGNAL_NAMES:
+            batch = batch.append_column(
+                name, pa.array(doc_cols[name], pa.float64())
+            )
+        for name in line_cols:
+            batch = batch.append_column(
+                name, pa.array(line_cols[name], pa.list_(pa.float64()))
+            )
+        if clf is not None:
+            batch = batch.append_column(
+                "rps_doc_ml_quality_score", pa.array(clf, pa.float64())
+            )
+        if dsir is not None:
+            batch = batch.append_column(
+                "rps_doc_importance_weight", pa.array(dsir, pa.float64())
+            )
+        for k in sig_cols:
+            batch = batch.append_column(
+                k, pa.array(sig_cols[k], pa.list_(pa.binary()))
+            )
+        return batch

@@ -87,7 +87,7 @@ class SignalStage:
             batch = batch.append_column(
                 name, pa.array(doc_cols[name], pa.float64())
             )
-        for name in LINE_SIGNAL_NAMES:
+        for name in line_cols:
             batch = batch.append_column(
                 name, pa.array(line_cols[name], pa.list_(pa.float64()))
             )

@@ -1,0 +1,169 @@
+"""End-to-end golden test: full Ray pipeline vs the row-at-a-time oracle.
+
+The oracle recomputes every signal, model score, scrub, and keep/drop
+decision per row with the pure-Python kernels (the same formulas the
+reference implements row-at-a-time); the pipeline must match labels at
+F1 >= 0.99 (expect 1.0) and per-row sha256 of retained scrubbed content
+(BASELINE.json acceptance criteria).
+"""
+
+import hashlib
+
+import pytest
+import ray.data
+
+from redpajama_data_ray.config import BUCKET_TO_INT
+from redpajama_data_ray.functions.doc_signals import SignalKernel
+from redpajama_data_ray.functions.langid import NGramLangId
+from redpajama_data_ray.functions.perplexity import PerplexityScorer
+from redpajama_data_ray.functions.pii import scrub_text
+from redpajama_data_ray.functions.rules import RuleConfig, decide
+from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+from redpajama_data_ray.sources.corpus import generate_corpus_table
+
+N_ROWS = 300
+
+
+def oracle_row(content: str, kernel, langid, pplx):
+    sigs = kernel.doc_signals(content)
+    lang, score = langid.predict(content)
+    ppl, bucket = pplx.score(content)
+    scrubbed, pii_counts = scrub_text(content)
+    row = dict(sigs)
+    row["lang_score"] = score
+    row["ppl_bucket"] = bucket
+    row.update(pii_counts)
+    keep, reasons = decide(row, RuleConfig())
+    return {
+        "lang_pred": lang,
+        "lang_score": score,
+        "ppl": ppl,
+        "ppl_bucket": bucket,
+        "keep": keep,
+        "drop_reasons": reasons,
+        "scrubbed_sha256": hashlib.sha256(
+            scrubbed.encode("utf-8")
+        ).hexdigest(),
+        **sigs,
+    }
+
+
+@pytest.fixture(scope="module")
+def pipeline_and_oracle():
+    table = generate_corpus_table(N_ROWS, seed=7)
+    ds = ray.data.from_arrow(table)
+    out = annotate(
+        ds, QualityConfig(max_actors=2, include_minhash=False)
+    ).to_pandas()
+
+    kernel = SignalKernel()
+    langid = NGramLangId()
+    pplx = PerplexityScorer()
+    oracle = [
+        oracle_row(c, kernel, langid, pplx)
+        for c in table.column("content").to_pylist()
+    ]
+    out = out.set_index("doc_id")
+    # order oracle rows by the same key
+    keys = [
+        f"{r}/{p}@{c}"
+        for r, p, c in zip(
+            table.column("repo").to_pylist(),
+            table.column("path").to_pylist(),
+            table.column("commit").to_pylist(),
+        )
+    ]
+    return out, dict(zip(keys, oracle))
+
+
+def test_keep_labels_f1(pipeline_and_oracle):
+    out, oracle = pipeline_and_oracle
+    assert len(out) == len(oracle)
+    tp = fp = fn = agree = 0
+    for doc_id, row in out.iterrows():
+        o = oracle[doc_id]
+        if row.keep and o["keep"]:
+            tp += 1
+        elif row.keep and not o["keep"]:
+            fp += 1
+        elif not row.keep and o["keep"]:
+            fn += 1
+        if bool(row.keep) == o["keep"]:
+            agree += 1
+    f1 = 2 * tp / (2 * tp + fp + fn) if tp else 0.0
+    assert f1 >= 0.99, f"keep/drop F1 {f1}"
+    assert agree == len(out)  # expect exact agreement
+
+
+def test_signal_values_match_oracle_exactly(pipeline_and_oracle):
+    out, oracle = pipeline_and_oracle
+    from redpajama_data_ray.functions.doc_signals import DOC_SIGNAL_NAMES
+
+    for doc_id, row in out.iterrows():
+        o = oracle[doc_id]
+        for name in DOC_SIGNAL_NAMES:
+            got = row[name]
+            want = o[name]
+            if want is None:
+                assert got != got or got is None, (doc_id, name, got)
+            else:
+                assert got == pytest.approx(want, abs=1e-12), (
+                    doc_id, name, got, want,
+                )
+
+
+def test_scrubbed_sha256_equality_on_retained(pipeline_and_oracle):
+    out, oracle = pipeline_and_oracle
+    checked = 0
+    for doc_id, row in out.iterrows():
+        o = oracle[doc_id]
+        if o["keep"]:
+            assert row.content_scrubbed_sha256 == o["scrubbed_sha256"], doc_id
+            checked += 1
+    assert checked > 50
+
+
+def test_drop_reasons_match(pipeline_and_oracle):
+    out, oracle = pipeline_and_oracle
+    for doc_id, row in out.iterrows():
+        assert list(row.drop_reasons) == oracle[doc_id]["drop_reasons"], doc_id
+
+
+def test_bucket_int_mapping(pipeline_and_oracle):
+    out, _ = pipeline_and_oracle
+    for _, row in out.iterrows():
+        expected = BUCKET_TO_INT.get(row.ppl_bucket)
+        got = row.ppl_bucket_int
+        assert (got != got and expected is None) or got == expected
+
+
+def test_batchsize_invariance():
+    """Pipeline output is identical across batch sizes / block counts
+    (order-independence of ids + signatures; SURVEY §5 property 4)."""
+    table = generate_corpus_table(60, seed=11)
+    outs = []
+    for bs, blocks in ((16, 8), (64, 2)):
+        ds = ray.data.from_arrow(table).repartition(blocks)
+        cfg = QualityConfig(
+            batch_size=bs, actor_batch_size=bs, max_actors=2,
+            include_minhash=True, include_classifier=False,
+            include_dsir=False, include_line_signals=False,
+        )
+        df = (
+            annotate(ds, cfg)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    a, b = outs
+    assert list(a.doc_id) == list(b.doc_id)
+    assert list(a.keep) == list(b.keep)
+    assert list(a.content_scrubbed_sha256) == list(b.content_scrubbed_sha256)
+    # minhash signatures identical
+    for col in ("signature_sim0.8",):
+        for x, y in zip(a[col], b[col]):
+            if x is None or (isinstance(x, float) and x != x):
+                assert y is None or (isinstance(y, float) and y != y)
+            else:
+                assert [bytes(i) for i in x] == [bytes(i) for i in y]
