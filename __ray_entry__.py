@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship quality pipeline (id assignment, language
+ID + perplexity actor pools, fused quality signals, minhash, PII scrub,
+keep/drop rules) over the sf0.001 synthetic code corpus.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+``queries()`` exposes every implemented operator/pipeline; each entry in
+``oracle_sql()`` is the DuckDB-equivalent SQL with identical column
+names (floats rounded identically on both sides). Queries without an
+oracle entry are non-SQL-expressible (model inference, minhash/LSH,
+ANN, multimodal) and get the driver's rows-only check; their exact
+semantics are covered by the pytest oracle suite in tests/.
+
+Ray is initialised by the driver before import; nothing here calls
+``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -19,26 +21,31 @@ from collections.abc import Callable
 from typing import Any
 
 
+def _quiet_data_context() -> None:
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001 (annotated corpus)."""
+    _quiet_data_context()
+    from redpajama_data_ray.pipelines.extras import q_corpus_flagship
+
+    return q_corpus_flagship("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    _quiet_data_context()
+    from redpajama_data_ray.pipelines.analysis import QUERIES
+    from redpajama_data_ray.pipelines.extras import EXTRA_QUERIES
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {**QUERIES, **EXTRA_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from redpajama_data_ray.pipelines.analysis import ORACLE_SQL
+
+    return dict(ORACLE_SQL)

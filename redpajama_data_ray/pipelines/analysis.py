@@ -1,0 +1,679 @@
+"""Driver-gate analysis queries over the testdata tables.
+
+Each ``q_*`` function is a Ray-Data-native pipeline over the parquet
+tables in ``sf_dir`` (documents / embeddings / events / lineitem /
+orders / customer); ``ORACLE_SQL`` holds the equivalent DuckDB SQL with
+IDENTICAL output column names and types. The driver runs both at
+sf=0.01 and compares row counts, schema and an order-insensitive value
+hash — so every float column is rounded identically (6 decimals) on
+both sides and every aggregate is aliased the same.
+
+These queries exercise the engine's operator surface (SURVEY.md §2):
+vectorized map_batches projections, pre-aggregated groupbys, broadcast
+joins, shuffle dedup, windowed/sessionized event aggregation, sort/top-k
+with deterministic tie-breaks, PII scrubbing, fingerprinting, and
+cosine top-k over embeddings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean, Sum
+
+from ..dedupe.exact import exact_dedup
+from ..functions.pii import duckdb_scrub_expression, scrub_text
+from ..similarity.knn import brute_force_knn
+
+_WS = r"\s+"
+
+
+def _docs(sf_dir: str, columns=None) -> Dataset:
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
+
+
+def _word_counts(texts: pa.ChunkedArray) -> pa.Array:
+    """Whitespace word count, vectorized (count of \\S+ matches)."""
+    return pc.cast(pc.count_substring_regex(texts, r"\S+"), pa.int64())
+
+
+# ------------------------------------------------------------------
+# documents: per-doc text analytics
+# ------------------------------------------------------------------
+
+def q_doc_word_count(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": t["doc_id"], "word_count": _word_counts(t["text"])}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_mean_word_length(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        wc = _word_counts(t["text"])
+        nonws = pc.utf8_length(
+            pc.replace_substring_regex(t["text"], r"\s", "")
+        )
+        mwl = pc.round(
+            pc.divide(
+                pc.cast(nonws, pa.float64()),
+                pc.cast(
+                    pc.if_else(pc.equal(wc, 0), None, wc), pa.float64()
+                ),
+            ),
+            6,
+        )
+        return pa.table({"doc_id": t["doc_id"], "mean_word_len": mwl})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_frac_unique_words(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fracs = []
+        for text in t["text"].to_pylist():
+            words = text.split()
+            fracs.append(
+                round(len(set(words)) / len(words), 6) if words else None
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "frac_unique": pa.array(fracs, pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_unigram_entropy(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ents = []
+        for text in t["text"].to_pylist():
+            words = text.split()
+            if not words:
+                ents.append(None)
+                continue
+            total = len(words)
+            ent = sum(
+                -c / total * math.log(c / total)
+                for c in Counter(words).values()
+            )
+            ents.append(round(ent, 6))
+        return pa.table(
+            {"doc_id": t["doc_id"], "entropy": pa.array(ents, pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+_STOPSET = ("the", "a", "and", "of", "to", "in", "is", "it")
+
+
+def q_doc_stopword_frac(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    stop = set(_STOPSET)
+
+    def f(t: pa.Table) -> pa.Table:
+        fracs = []
+        for text in t["text"].to_pylist():
+            words = text.split()
+            fracs.append(
+                round(sum(w in stop for w in words) / len(words), 6)
+                if words
+                else None
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "stop_frac": pa.array(fracs, pa.float64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_num_sentences(sf_dir: str) -> Dataset:
+    """Reference sentence-count regex (natural_language.py:39) per doc."""
+    import re
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    rx = re.compile(r"\b[^.!?]+[.!?]*")
+
+    def f(t: pa.Table) -> pa.Table:
+        ns = [len(rx.findall(x)) for x in t["text"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "num_sentences": pa.array(ns, pa.int64())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_char_classes(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        ln = pc.utf8_length(t["text"])
+        ln_null = pc.if_else(pc.equal(ln, 0), None, ln)
+        num = pc.count_substring_regex(t["text"], r"[0-9]")
+        upper = pc.count_substring_regex(t["text"], r"[A-Z]")
+        fd = pc.round(
+            pc.divide(pc.cast(num, pa.float64()), pc.cast(ln_null, pa.float64())), 6
+        )
+        fu = pc.round(
+            pc.divide(pc.cast(upper, pa.float64()), pc.cast(ln_null, pa.float64())), 6
+        )
+        return pa.table(
+            {"doc_id": t["doc_id"], "frac_numeric": fd, "frac_upper": fu}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_doc_fingerprint(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        fps = [
+            hashlib.md5(x.encode("utf-8")).hexdigest()
+            for x in t["text"].to_pylist()
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "fp": pa.array(fps, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# aggregates / groupbys (pre-aggregated inside map_batches)
+# ------------------------------------------------------------------
+
+def q_doc_stats_by_lang(sf_dir: str) -> "pa.Table":
+    ds = _docs(sf_dir, ["lang", "n_chars"])
+    out = (
+        ds.groupby("lang")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("n_chars", alias_name="total_chars"),
+            Mean("n_chars", alias_name="avg_chars"),
+        )
+        .to_pandas()
+    )
+    out["avg_chars"] = out["avg_chars"].round(6)
+    out["n_docs"] = out["n_docs"].astype("int64")
+    out["total_chars"] = out["total_chars"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_token_totals_by_source(sf_dir: str) -> "pa.Table":
+    """Partial aggregation inside map_batches (one row per source per
+    batch), then a tiny groupby — the at-scale combiner pattern."""
+    ds = _docs(sf_dir, ["source", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        wc = _word_counts(t["text"]).to_pandas()
+        df = pd.DataFrame({"source": t["source"].to_pandas(), "wc": wc})
+        g = df.groupby("source", as_index=False).agg(
+            total_tokens=("wc", "sum"), n_docs=("wc", "size")
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(
+            Sum("total_tokens", alias_name="total_tokens"),
+            Sum("n_docs", alias_name="n_docs"),
+        )
+        .to_pandas()
+    )
+    out["total_tokens"] = out["total_tokens"].astype("int64")
+    out["n_docs"] = out["n_docs"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------
+# dedup / filter / scrub / sort
+# ------------------------------------------------------------------
+
+def q_exact_dedup_docs(sf_dir: str) -> Dataset:
+    ds = q_doc_fingerprint(sf_dir)
+    out = exact_dedup(ds, key="fp", order_col="doc_id")
+    return out.select_columns(["doc_id", "fp"])
+
+
+def q_quality_filter_docs(sf_dir: str) -> Dataset:
+    """SQL-expressible keep rule over whitespace-word stats."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        wc = _word_counts(t["text"])
+        nonws = pc.utf8_length(
+            pc.replace_substring_regex(t["text"], r"\s", "")
+        )
+        wc_f = pc.cast(wc, pa.float64())
+        mwl = pc.divide(
+            pc.cast(nonws, pa.float64()),
+            pc.if_else(pc.equal(wc_f, 0.0), None, wc_f),
+        )
+        keep = pc.and_kleene(
+            pc.and_(pc.greater_equal(wc, 20), pc.less_equal(wc, 10_000)),
+            pc.and_kleene(
+                pc.greater_equal(mwl, 2.0), pc.less_equal(mwl, 12.0)
+            ),
+        )
+        mask = pc.fill_null(keep, False)
+        return pa.table({"doc_id": pc.filter(t["doc_id"], mask)})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_pii_scrub_docs(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        scrubbed = [scrub_text(x)[0] for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "scrubbed": pa.array(scrubbed, pa.string()),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_top_docs_by_chars(sf_dir: str) -> "pa.Table":
+    ds = _docs(sf_dir, ["doc_id", "n_chars"])
+    out = (
+        ds.sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(20)
+        .to_pandas()
+    )
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------
+# joins
+# ------------------------------------------------------------------
+
+def q_embedding_label_stats(sf_dir: str) -> "pa.Table":
+    """Broadcast join embeddings->documents on vec_id == doc_id."""
+    docs = _docs(sf_dir, ["doc_id", "n_chars"]).to_pandas()
+    lookup = ray.put(dict(zip(docs.doc_id, docs.n_chars)))
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup)
+        chars = [lk.get(v) for v in t["vec_id"].to_pylist()]
+        return pa.table(
+            {
+                "label": pc.cast(t["label"], pa.int64()),
+                "n_chars": pa.array(chars, pa.int64()),
+            }
+        )
+
+    out = (
+        emb.map_batches(join, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(
+            Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars")
+        )
+        .to_pandas()
+    )
+    out["avg_chars"] = out["avg_chars"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_orders_by_mktsegment(sf_dir: str) -> "pa.Table":
+    """orders |><| customer broadcast join + groupby (J-family op)."""
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    lookup = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup)
+        seg = [lk.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "mktsegment": pa.array(seg, pa.string()),
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    out = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Sum("o_totalprice", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["total_price"] = out["total_price"].round(2)
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_lineitem_pricing(sf_dir: str) -> "pa.Table":
+    """TPC-H Q1-style grouped aggregate over lineitem."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity",
+            "l_extendedprice", "l_discount",
+        ],
+    )
+
+    def project(t: pa.Table) -> pa.Table:
+        disc = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "l_quantity": t["l_quantity"],
+                "l_extendedprice": t["l_extendedprice"],
+                "disc_price": disc,
+            }
+        )
+
+    out = (
+        ds.map_batches(project, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Count(alias_name="count_order"),
+        )
+        .to_pandas()
+    )
+    for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
+        out[c] = out[c].round(2)
+    out["count_order"] = out["count_order"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------
+# events: windowed + sessionized aggregation
+# ------------------------------------------------------------------
+
+def q_events_hourly(sf_dir: str) -> "pa.Table":
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def window(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())  # microseconds since epoch
+        hour = pc.divide(us, 3_600_000_000)  # int division floors (>=0)
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "hour_bucket": pc.cast(hour, pa.int64()),
+                "value": t["value"],
+            }
+        )
+
+    out = (
+        ds.map_batches(window, batch_format="pyarrow")
+        .groupby(["event_type", "hour_bucket"])
+        .aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="total_value")
+        )
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_events_sessions(sf_dir: str) -> "pa.Table":
+    """Session windows (30-min gap) per user via groupby().map_groups
+    over ts-sorted groups — the streaming-shaped operator pattern."""
+    import pandas as pd
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    )
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
+        n_sessions = int(gaps.sum()) + 1
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_sessions": [n_sessions],
+                "n_events": [len(g)],
+            }
+        )
+
+    out = (
+        ds.groupby("user_id")
+        .map_groups(sessions, batch_format="pandas")
+        .to_pandas()
+    )
+    out["user_id"] = out["user_id"].astype("int64")
+    out["n_sessions"] = out["n_sessions"].astype("int64")
+    out["n_events"] = out["n_events"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------
+# similarity search
+# ------------------------------------------------------------------
+
+def q_knn_cosine_top10(sf_dir: str) -> "pa.Table":
+    """Exact cosine top-10 vs the vec_id=0 embedding (self excluded)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(lambda r: r["vec_id"] == 0)
+        .to_pandas()
+    )
+    qvec = np.array(q.embedding.iloc[0], dtype=np.float64)
+    out = brute_force_knn(emb, qvec, k=10, exclude_ids=[0])
+    import pandas as pd
+
+    df = out.to_pandas()[["vec_id", "score"]]
+    df["score"] = df["score"].round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+# ------------------------------------------------------------------
+# DuckDB oracle SQL (column names/types match the Ray outputs above)
+# ------------------------------------------------------------------
+
+_WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
+
+ORACLE_SQL: Dict[str, str] = {
+    "doc_word_count": f"""
+        select doc_id, cast(length({_WORDS}) as bigint) as word_count
+        from documents
+    """,
+    "doc_mean_word_length": f"""
+        select doc_id,
+               round(cast(length(regexp_replace(text, '\\s', '', 'g')) as double)
+                     / nullif(length({_WORDS}), 0), 6) as mean_word_len
+        from documents
+    """,
+    "doc_frac_unique_words": f"""
+        select doc_id,
+               round(cast(length(list_distinct({_WORDS})) as double)
+                     / nullif(length({_WORDS}), 0), 6) as frac_unique
+        from documents
+    """,
+    "doc_unigram_entropy": """
+        select doc_id, round(sum(-c / t * ln(c / t)), 6) as entropy
+        from (
+            select doc_id, word, count(*)::double as c,
+                   sum(count(*)) over (partition by doc_id) as t
+            from (
+                select doc_id,
+                       unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) as word
+                from documents
+            )
+            group by doc_id, word
+        )
+        group by doc_id
+        union all
+        select doc_id, null as entropy from documents where trim(text) = ''
+    """,
+    "doc_stopword_frac": f"""
+        select doc_id,
+               round(cast(length(list_filter({_WORDS},
+                         x -> x in ('the','a','and','of','to','in','is','it')))
+                     as double) / nullif(length({_WORDS}), 0), 6) as stop_frac
+        from documents
+    """,
+    "doc_num_sentences": r"""
+        select doc_id,
+               cast(length(regexp_extract_all(text, '\b[^.!?]+[.!?]*'))
+                    as bigint) as num_sentences
+        from documents
+    """,
+    "doc_char_classes": r"""
+        select doc_id,
+               round(cast(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                     as double) / nullif(length(text), 0), 6) as frac_numeric,
+               round(cast(length(regexp_replace(text, '[^A-Z]', '', 'g'))
+                     as double) / nullif(length(text), 0), 6) as frac_upper
+        from documents
+    """,
+    "doc_fingerprint": """
+        select doc_id, md5(text) as fp from documents
+    """,
+    "doc_stats_by_lang": """
+        select lang, count(*) as n_docs,
+               cast(sum(n_chars) as bigint) as total_chars,
+               round(avg(n_chars), 6) as avg_chars
+        from documents group by lang
+    """,
+    "token_totals_by_source": f"""
+        select source,
+               cast(sum(length({_WORDS})) as bigint) as total_tokens,
+               count(*) as n_docs
+        from documents group by source
+    """,
+    "exact_dedup_docs": """
+        select cast(min(doc_id) as bigint) as doc_id, md5(text) as fp
+        from documents group by text
+    """,
+    "quality_filter_docs": f"""
+        select doc_id from (
+            select doc_id, length({_WORDS}) as wc,
+                   cast(length(regexp_replace(text, '\\s', '', 'g')) as double)
+                     / nullif(length({_WORDS}), 0) as mwl
+            from documents
+        ) where wc >= 20 and wc <= 10000 and mwl >= 2.0 and mwl <= 12.0
+    """,
+    "pii_scrub_docs": f"""
+        select doc_id, {duckdb_scrub_expression('text')} as scrubbed
+        from documents
+    """,
+    "top_docs_by_chars": """
+        select doc_id, n_chars from documents
+        order by n_chars desc, doc_id asc limit 20
+    """,
+    "embedding_label_stats": """
+        select cast(e.label as bigint) as label, count(*) as n,
+               round(avg(d.n_chars), 6) as avg_chars
+        from embeddings e join documents d on d.doc_id = e.vec_id
+        group by 1
+    """,
+    "orders_by_mktsegment": """
+        select c.c_mktsegment as mktsegment, count(*) as n_orders,
+               round(sum(o.o_totalprice), 2) as total_price
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by 1
+    """,
+    "lineitem_pricing": """
+        select l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) as sum_qty,
+               round(sum(l_extendedprice), 2) as sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   as sum_disc_price,
+               count(*) as count_order
+        from lineitem group by 1, 2
+    """,
+    "events_hourly": """
+        select event_type,
+               cast(epoch_us(ts) // 3600000000 as bigint) as hour_bucket,
+               count(*) as n, round(sum(value), 6) as total_value
+        from events group by 1, 2
+    """,
+    "events_sessions": """
+        with marked as (
+            select user_id, ts,
+                   case when lag(ts) over w is null
+                             or ts - lag(ts) over w > interval 30 minute
+                        then 1 else 0 end as new_session
+            from events
+            window w as (partition by user_id order by ts, event_id)
+        )
+        select user_id, cast(sum(new_session) as bigint) as n_sessions,
+               count(*) as n_events
+        from marked group by user_id
+    """,
+    "knn_cosine_top10": """
+        select vec_id, round(score, 6) as score from (
+            select a.vec_id,
+                   list_cosine_similarity(cast(a.embedding as double[]),
+                                          cast(b.embedding as double[]))
+                       as score
+            from embeddings a,
+                 (select embedding from embeddings where vec_id = 0) b
+            where a.vec_id <> 0
+            order by score desc, a.vec_id asc limit 10
+        )
+    """,
+}
+
+QUERIES = {
+    "doc_word_count": q_doc_word_count,
+    "doc_mean_word_length": q_doc_mean_word_length,
+    "doc_frac_unique_words": q_doc_frac_unique_words,
+    "doc_unigram_entropy": q_doc_unigram_entropy,
+    "doc_stopword_frac": q_doc_stopword_frac,
+    "doc_num_sentences": q_doc_num_sentences,
+    "doc_char_classes": q_doc_char_classes,
+    "doc_fingerprint": q_doc_fingerprint,
+    "doc_stats_by_lang": q_doc_stats_by_lang,
+    "token_totals_by_source": q_token_totals_by_source,
+    "exact_dedup_docs": q_exact_dedup_docs,
+    "quality_filter_docs": q_quality_filter_docs,
+    "pii_scrub_docs": q_pii_scrub_docs,
+    "top_docs_by_chars": q_top_docs_by_chars,
+    "embedding_label_stats": q_embedding_label_stats,
+    "orders_by_mktsegment": q_orders_by_mktsegment,
+    "lineitem_pricing": q_lineitem_pricing,
+    "events_hourly": q_events_hourly,
+    "events_sessions": q_events_sessions,
+    "knn_cosine_top10": q_knn_cosine_top10,
+}

@@ -1,0 +1,189 @@
+"""Rows-only (non-SQL-expressible) driver queries: model inference,
+minhash/fuzzy dedup, simhash, ANN, multimodal plumbing, and the
+flagship code-corpus pipeline. The driver records a rows-only check for
+these; exact semantics are covered by the pytest oracle suite instead.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Count, Mean
+
+from ..dedupe.lsh import fuzzy_dedup
+from ..dedupe.simhash import add_simhash, simhash_near_dup_pairs
+from ..pipelines.quality import QualityConfig, annotate, read_corpus
+from ..similarity.knn import add_lsh_bucket
+from ..stages import MinHashStage, assign_ids
+from ..stages.langid import LangIdStage
+from ..stages.perplexity import PerplexityStage
+
+
+def q_langid_distribution(sf_dir: str) -> "pa.Table":
+    """Predicted-language distribution over documents.text (actor-pool
+    model stage; not SQL-expressible)."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        LangIdStage,
+        fn_constructor_kwargs=dict(text_column="text"),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+    out = (
+        ds.groupby("lang_pred")
+        .aggregate(Count(alias_name="n"), Mean("lang_score", alias_name="avg_score"))
+        .to_pandas()
+    )
+    out["avg_score"] = out["avg_score"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_perplexity_buckets(sf_dir: str) -> "pa.Table":
+    """Perplexity bucket distribution over documents.text."""
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        PerplexityStage,
+        fn_constructor_kwargs=dict(text_column="text"),
+        batch_format="pyarrow",
+        batch_size=512,
+        concurrency=(1, 4),
+    )
+    out = (
+        ds.groupby("ppl_bucket")
+        .aggregate(Count(alias_name="n"), Mean("ppl", alias_name="avg_ppl"))
+        .to_pandas()
+    )
+    out["avg_ppl"] = out["avg_ppl"].round(4)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def _docs_with_ids(sf_dir: str) -> Dataset:
+    """documents table adapted to the corpus id/minhash schema."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+
+    def adapt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "repo": t["source"],
+                "path": pa.compute.cast(t["doc_id"], pa.string()),
+                "commit": pa.compute.cast(t["doc_id"], pa.string()),
+                "lang": pa.array(["en"] * t.num_rows, pa.string()),
+                "content": t["text"],
+            }
+        )
+
+    return ds.map_batches(adapt, batch_format="pyarrow").map_batches(
+        assign_ids, batch_format="pyarrow"
+    )
+
+
+def q_minhash_signatures(sf_dir: str) -> Dataset:
+    """Banded minhash signatures over documents (hex of first 0.8 band)."""
+    ds = _docs_with_ids(sf_dir).map_batches(
+        MinHashStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    )
+
+    def summarize(t: pa.Table) -> pa.Table:
+        sigs = t["signature_sim0.8"].to_pylist()
+        first_band = [
+            bytes(s[0]).hex() if s is not None else None for s in sigs
+        ]
+        return pa.table(
+            {
+                "doc_id": t["path"],
+                "band0_sim08": pa.array(first_band, pa.string()),
+            }
+        )
+
+    return ds.map_batches(summarize, batch_format="pyarrow")
+
+
+def q_fuzzy_dedup_docs(sf_dir: str) -> "pa.Table":
+    """MinHash-LSH fuzzy dedup over documents; returns surviving ids."""
+    ds = _docs_with_ids(sf_dir).map_batches(
+        MinHashStage, batch_format="pyarrow", batch_size=256,
+        concurrency=(1, 4),
+    ).materialize()
+    deduped, _ = fuzzy_dedup(ds, "signature_sim0.8")
+    out = deduped.select_columns(["path"]).to_pandas()
+    out = out.rename(columns={"path": "doc_id"})
+    out["doc_id"] = out["doc_id"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_simhash_near_dups(sf_dir: str) -> "pa.Table":
+    """SimHash near-dup pair count over documents."""
+    ds = _docs_with_ids(sf_dir).map_batches(
+        add_simhash, batch_format="pyarrow"
+    ).materialize()
+    pairs = simhash_near_dup_pairs(ds, max_hamming=3)
+    return pa.table(
+        {
+            "a": pa.array([p[0] for p in pairs], pa.uint64()),
+            "b": pa.array([p[1] for p in pairs], pa.uint64()),
+        }
+    )
+
+
+def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
+    """LSH-bucketed ANN index stats over embeddings (scale path)."""
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    bucketed = add_lsh_bucket(emb, dim=64, bits=10, seed=42)
+    out = (
+        bucketed.groupby("bucket")
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    out["bucket"] = out["bucket"].astype("int64")
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_corpus_flagship(sf_dir: str) -> Dataset:
+    """Full quality pipeline over the synthetic code corpus: id, keep,
+    scrubbed-content sha256, and headline signals."""
+    ds = annotate(read_corpus(sf_dir), QualityConfig(max_actors=8))
+    return ds.select_columns(
+        [
+            "doc_id", "lang_pred", "lang_score", "ppl", "ppl_bucket",
+            "rps_doc_word_count", "rps_doc_frac_unique_words",
+            "rps_doc_ldnoobw_words", "keep", "content_scrubbed_sha256",
+        ]
+    )
+
+
+def q_media_decode(sf_dir: str) -> "pa.Table":
+    """Multimodal plumbing: binary payload column through the decode
+    actor stage (stub kernel, real schema/actor path)."""
+    from ..multimodal.stages import DecodeImageStage, make_media_table
+
+    media = rd.from_arrow(make_media_table(200))
+    out = media.map_batches(
+        DecodeImageStage,
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=(1, 2),
+    )
+    df = out.select_columns(["media_id", "pixel_mean", "pixel_std"]).to_pandas()
+    df["pixel_mean"] = df["pixel_mean"].round(6)
+    df["pixel_std"] = df["pixel_std"].round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
+EXTRA_QUERIES = {
+    "langid_distribution": q_langid_distribution,
+    "perplexity_buckets": q_perplexity_buckets,
+    "minhash_signatures": q_minhash_signatures,
+    "fuzzy_dedup_docs": q_fuzzy_dedup_docs,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "corpus_flagship": q_corpus_flagship,
+    "media_decode": q_media_decode,
+}

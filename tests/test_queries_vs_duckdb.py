@@ -1,0 +1,52 @@
+"""Mini driver-gate replica: run every queries() pipeline AND its DuckDB
+oracle at sf0.001, compare row count, column names, and order-insensitive
+values (the driver does the same at sf0.01)."""
+
+import duckdb
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from redpajama_data_ray.pipelines.analysis import ORACLE_SQL, QUERIES
+
+_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _connect(sf_dir):
+    con = duckdb.connect()
+    for t in _TABLES:
+        con.execute(
+            f"create view {t} as select * from "
+            f"read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    if isinstance(result, pa.Table):
+        return result.to_pandas()
+    if isinstance(result, pd.DataFrame):
+        return result
+    return result.to_pandas()  # ray Dataset
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns)).reset_index(drop=True)
+    return df
+
+
+@pytest.mark.parametrize("name", sorted(ORACLE_SQL))
+def test_query_matches_oracle(name, sf_dir):
+    con = _connect(sf_dir)
+    ray_df = _canon(_to_df(QUERIES[name](sf_dir)))
+    sql_df = _canon(con.execute(ORACLE_SQL[name]).fetchdf())
+    assert list(ray_df.columns) == list(sql_df.columns), name
+    assert len(ray_df) == len(sql_df), name
+    pd.testing.assert_frame_equal(
+        ray_df, sql_df, check_dtype=False, check_exact=False, rtol=0,
+        atol=1e-9,
+    )
