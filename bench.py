@@ -1,0 +1,166 @@
+"""Benchmark harness.
+
+Default: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) at ``$RAY_GRAFT_CPUS`` CPUs (default 32) and print
+ONE JSON line::
+
+    {"metric": "...", "value": <headline sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": .., "num_cpus": N, ...}
+
+``--scaling``: run the same benchmark twice in fresh processes at 8 and
+32 CPUs on the same (pre-generated, page-warm) input and report both
+throughputs plus scaling efficiency = (t_8 / t_32) / (32 / 8).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+    from redpajama_data_ray.dedupe.exact import exact_dedup
+    from redpajama_data_ray.dedupe.lsh import fuzzy_dedup
+    from redpajama_data_ray.pipelines.analysis import (
+        q_events_hourly,
+        q_knn_cosine_top10,
+        q_lineitem_pricing,
+        q_token_totals_by_source,
+    )
+    from redpajama_data_ray.pipelines.quality import (
+        QualityConfig,
+        annotate,
+        read_corpus,
+    )
+    from redpajama_data_ray.sources.corpus import (
+        corpus_rows_for_sf,
+        ensure_corpus_parquet,
+        sf_from_dir,
+    )
+
+    sf = sf_from_dir(sf_dir)
+    # untimed: synthesize (cached) + warm the page cache
+    corpus_dir = ensure_corpus_parquet(sf)
+    import ray.data as rd
+
+    rd.read_parquet(corpus_dir).count()
+    n_files = corpus_rows_for_sf(sf) + 1  # + the oversized file
+
+    timings: dict = {}
+
+    # headline: full quality pipeline -> parquet sink
+    out_dir = f"/tmp/bench_out/quality_sf{sf}_cpus{ncpu}"
+    import shutil
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    cfg = QualityConfig(max_actors=ncpu)
+    ds = annotate(read_corpus(sf_dir), cfg)
+    ds.write_parquet(out_dir)
+    headline = time.time() - t0
+    timings["flagship_quality"] = round(headline, 3)
+
+    # exact dedup over the annotated output (content_sha256 shuffle)
+    t0 = time.time()
+    ann = rd.read_parquet(
+        out_dir, columns=["doc_id", "id_int", "content_sha256"]
+    )
+    exact_dedup(ann).count()
+    timings["exact_dedup"] = round(time.time() - t0, 3)
+
+    # fuzzy dedup (minhash explode -> band groupby -> union-find)
+    t0 = time.time()
+    sig = rd.read_parquet(out_dir, columns=["id_int", "signature_sim0.8"])
+    deduped, _ = fuzzy_dedup(sig, "signature_sim0.8")
+    deduped.count()
+    timings["fuzzy_dedup"] = round(time.time() - t0, 3)
+
+    # analysis queries over driver tables
+    for name, fn in (
+        ("token_totals", q_token_totals_by_source),
+        ("events_hourly", q_events_hourly),
+        ("lineitem_pricing", q_lineitem_pricing),
+        ("knn_cosine_top10", q_knn_cosine_top10),
+    ):
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "count") and not hasattr(res, "num_rows"):
+            res.count()
+        timings[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "flagship_quality_pipeline_sec",
+        "value": round(headline, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "num_cpus": ncpu,
+        "files": n_files,
+        "files_per_sec": round(n_files / headline, 2),
+    }
+    ray.shutdown()
+    return result
+
+
+def _scaling(sf_dir: str) -> dict:
+    lo, hi = 8, 32
+
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    # warm-up generation happens inside the first run (cached for both)
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "files_per_sec_8": r_lo["files_per_sec"],
+        "files_per_sec_32": r_hi["files_per_sec"],
+        "sf": r_lo["sf"],
+        "queries_8": r_lo["queries"],
+        "queries_32": r_hi["queries"],
+    }
+
+
+def main():
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if "--scaling" in sys.argv:
+        print(json.dumps(_scaling(sf_dir)))
+        return
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    print(json.dumps(_run_benchmarks(sf_dir, ncpu)))
+
+
+if __name__ == "__main__":
+    main()

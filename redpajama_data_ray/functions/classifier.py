@@ -24,7 +24,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from .importance import text_features
+from .importance import text_features, token_hashes
 from .langid import _SEED_TEXT
 
 CCNET_LABEL = "__label__cc"
@@ -60,15 +60,33 @@ class QualityClassifier:
 
     def predict(self, text: str) -> Tuple[str, float]:
         """(label, prob) of the argmax class, fastText-style."""
-        feats = text_features(preprocess(text), _BUCKETS)
-        n = feats.sum()
+        from ..text import wordpunct_tokenize
+
+        return self.predict_from_hashes(
+            token_hashes(wordpunct_tokenize(preprocess(text)))
+        )
+
+    def predict_from_hashes(self, hashes: np.ndarray) -> Tuple[str, float]:
+        """(label, prob) from precomputed token crc32 hashes (newlines are
+        whitespace to the tokenizer, so raw-word hashes are identical to
+        hashes of the newline-stripped text)."""
+        n = len(hashes)
         if n == 0:
             return CCNET_LABEL, 0.5
-        margin = float(feats @ self.weights) / n
+        idx = (hashes % np.uint64(_BUCKETS)).astype(np.int64)
+        margin = float(self.weights[idx].sum()) / n
         p_quality = 1.0 / (1.0 + math.exp(-5.0 * margin))
         if p_quality >= 0.5:
             return QUALITY_LABEL, p_quality
         return CCNET_LABEL, 1.0 - p_quality
+
+    def score_from_hashes(self, hashes: np.ndarray) -> Optional[float]:
+        if len(hashes) == 0:
+            return None
+        label, p = self.predict_from_hashes(hashes)
+        if label == CCNET_LABEL:
+            return round(1.0 - p, 8)
+        return round(p, 8)
 
     def score(self, text: str) -> Optional[float]:
         """P(quality) in [0,1]; None for empty docs (classifiers.py:61-62

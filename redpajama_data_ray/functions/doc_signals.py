@@ -99,48 +99,6 @@ class DocView:
         self.norm_words: List[str] = self.norm.split()
 
 
-def _frac_chars_top_ngram(norm_words: Sequence[str], n: int) -> float:
-    """Chars in the most-common word n-gram x its count / total word chars;
-    0.0 when the top n-gram occurs at most once
-    (repetitions.py:37-71)."""
-    counts = Counter(form_ngrams(iter(norm_words), n))
-    if not counts:
-        return 0.0
-    ngram, count = counts.most_common(1)[0]
-    if count <= 1:
-        return 0.0
-    total_chars = sum(len(w) for w in norm_words)
-    return _round(sum(len(w) for w in ngram) * count / total_chars)
-
-
-def _frac_chars_dupe_ngrams(norm_words: Sequence[str], n: int) -> float:
-    """Fraction of word-chars covered by n-grams occurring >= 2 times;
-    overlapping positions counted once via a word-position mask
-    (repetitions.py:95-145)."""
-    if len(norm_words) < n:
-        return 0.0
-    grams = list(form_ngrams(iter(norm_words), n))
-    dupes = {g for g, c in Counter(grams).items() if c > 1}
-    if not dupes:
-        total = sum(len(w) for w in norm_words)
-        return 0.0 if total else 0.0
-    mask = [0] * len(norm_words)
-    for i, g in enumerate(grams):
-        if g in dupes:
-            for j in range(i, i + n):
-                mask[j] = 1
-    total = 0
-    duped = 0
-    for w, m in zip(norm_words, mask):
-        lw = len(w)
-        total += lw
-        if m:
-            duped += lw
-    if total == 0:
-        return 0.0
-    return _round(duped / total)
-
-
 class SignalKernel:
     """Stateful per-language tables + stateless math for all signals.
 
@@ -241,15 +199,10 @@ class SignalKernel:
             out["rps_doc_frac_all_caps_words"] = _round(
                 sum(map(str.isupper, v.raw_words)) / n_raw
             )
-        # repetitions.py
-        for n in (2, 3, 4):
-            out[f"rps_doc_frac_chars_top_{n}gram"] = _frac_chars_top_ngram(
-                v.norm_words, n
-            )
-        for n in range(5, 11):
-            out[f"rps_doc_frac_chars_dupe_{n}grams"] = (
-                _frac_chars_dupe_ngrams(v.norm_words, n)
-            )
+        # repetitions.py (vectorized; parity tested vs the naive path)
+        from .repetitions import repetition_signals
+
+        out.update(repetition_signals(v.norm_words))
         # content.py:103-126
         if len(v.norm) == 0 or "lorem ipsum" not in v.norm:
             out["rps_doc_lorem_ipsum"] = 0.0

@@ -9,14 +9,21 @@ normalized by total count, with an optional Poisson length correction.
 Deviation (documented in SURVEY.md §7.4): the reference hashes n-grams
 with Python's builtin ``hash()`` pinned by PYTHONHASHSEED=42
 (/root/reference/app/src/core/quality_signals/utils/dsir.py:5-6) — an
-interpreter-environment dependency. We use blake2b (stable everywhere);
-our oracle/artifacts use the same hash so parity holds within this repo.
+interpreter-environment dependency. We use zlib.crc32 (stable everywhere,
+C-speed); our oracle/artifacts use the same hash so parity holds within
+this repo.
+
+The hot path is two-phase so consumers can share work per document:
+``token_hashes(words)`` computes the crc32 array once, and
+``features_from_hashes(hashes, buckets)`` derives the count vector for
+any bucket count (DSIR and the quality classifier use different bucket
+sizes but the same hashes).
 """
 
 from __future__ import annotations
 
-import hashlib
 import math
+import zlib
 from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -28,11 +35,33 @@ DEFAULT_BUCKETS = 10_000  # reference: configs/rp_v2.0.conf:32
 
 def stable_ngram_hash(ngram: str, buckets: int) -> int:
     """Deterministic hash of an n-gram string into [0, buckets)."""
-    h = int.from_bytes(
-        hashlib.blake2b(ngram.encode("utf-8"), digest_size=8).digest(),
-        "little",
+    return zlib.crc32(ngram.encode("utf-8")) % buckets
+
+
+def token_hashes(words: Sequence[str]) -> np.ndarray:
+    """crc32 of every raw unigram and space-joined bigram (uint64)."""
+    n = len(words)
+    out = np.empty(max(2 * n - 1, 0), dtype=np.uint64)
+    if n == 0:
+        return out
+    crc = zlib.crc32
+    for i, w in enumerate(words):
+        out[i] = crc(w.encode("utf-8"))
+    prev = words[0]
+    for i in range(1, n):
+        cur = words[i]
+        out[n + i - 1] = crc(f"{prev} {cur}".encode("utf-8"))
+        prev = cur
+    return out
+
+
+def features_from_hashes(hashes: np.ndarray, buckets: int) -> np.ndarray:
+    """int64 count vector over hashed features (dsir.py:9-20 analog)."""
+    if len(hashes) == 0:
+        return np.zeros(buckets, dtype=np.int64)
+    return np.bincount(
+        (hashes % np.uint64(buckets)).astype(np.int64), minlength=buckets
     )
-    return h % buckets
 
 
 def hash_features(
@@ -40,8 +69,8 @@ def hash_features(
     bigrams: Iterable[Tuple[str, str]],
     buckets: int = DEFAULT_BUCKETS,
 ) -> np.ndarray:
-    """int64 count vector over hashed unigrams + joined bigrams
-    (dsir.py:9-20; bigram joined with a space before hashing)."""
+    """Count vector over hashed unigrams + joined bigrams (slow path
+    retained for API parity; prefer token_hashes + features_from_hashes)."""
     counts = np.zeros(buckets, dtype=np.int64)
     for u in unigrams:
         counts[stable_ngram_hash(u, buckets)] += 1
@@ -51,8 +80,9 @@ def hash_features(
 
 
 def text_features(text: str, buckets: int = DEFAULT_BUCKETS) -> np.ndarray:
-    words = wordpunct_tokenize(text)
-    return hash_features(words, form_ngrams(iter(words), 2), buckets)
+    return features_from_hashes(
+        token_hashes(wordpunct_tokenize(text)), buckets
+    )
 
 
 def build_hash_dist(
@@ -63,8 +93,7 @@ def build_hash_dist(
     total = np.zeros(buckets, dtype=np.int64)
     lengths: List[int] = []
     for t in texts:
-        words = wordpunct_tokenize(t)
-        total += hash_features(words, form_ngrams(iter(words), 2), buckets)
+        total += text_features(t, buckets)
         lengths.append(len(t))
     lam = float(np.mean(lengths)) if lengths else 1.0
     return total, lam
@@ -91,17 +120,23 @@ class DSIRScorer:
         self.lambda_target = lambda_target
         self.lambda_source = lambda_source
 
-    def score(self, text: str) -> Optional[float]:
-        feats = text_features(text, self.buckets)
-        n = int(feats.sum())
+    def score_from_hashes(
+        self, hashes: np.ndarray, text_len: int
+    ) -> Optional[float]:
+        n = len(hashes)
         if n == 0:
             return None
-        logratio = float(feats @ self.log_diff) / n
+        idx = (hashes % np.uint64(self.buckets)).astype(np.int64)
+        logratio = float(self.log_diff[idx].sum()) / n
         if self.length_correction and self.lambda_target:
-            ln = max(len(text), 1)
+            ln = max(text_len, 1)
             logratio += self._log_poisson(ln, self.lambda_target) - \
                 self._log_poisson(ln, self.lambda_source)
         return round(logratio, 8)
+
+    def score(self, text: str) -> Optional[float]:
+        words = wordpunct_tokenize(text)
+        return self.score_from_hashes(token_hashes(words), len(text))
 
     @staticmethod
     def _log_poisson(k: int, lam: float) -> float:

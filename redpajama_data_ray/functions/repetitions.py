@@ -1,0 +1,157 @@
+"""Vectorized repetition signals (top-ngram / dupe-ngram fractions).
+
+Numpy reimplementation of the reference's Counter-based formulas
+(/root/reference/app/src/core/quality_signals/repetitions.py:37-145) so
+multi-MB documents (10^5+ words) stay fast: words -> int ids via
+np.unique, n-gram keys via sliding windows viewed as void scalars,
+duplicate masking via a prefix-sum cover array. Semantics are
+bit-identical to the naive path (tested against it):
+
+- top-ngram tie-break = earliest first-occurrence (Counter insertion
+  order), score = chars(top) * count / total_chars, 0.0 when the top
+  count <= 1;
+- dupe-ngrams: positions covered by any n-gram occurring >= 2 times,
+  overlap counted once, char-length weighted.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from ..config import PRECISION
+
+try:
+    from numpy.lib.stride_tricks import sliding_window_view
+except ImportError:  # pragma: no cover - numpy < 1.20
+    sliding_window_view = None
+
+
+def _round(x: float) -> float:
+    return round(x, PRECISION)
+
+
+def _window_keys(ids: np.ndarray, n: int) -> np.ndarray:
+    """(m,) void-scalar keys for each length-n window of ids."""
+    w = sliding_window_view(ids, n)
+    w = np.ascontiguousarray(w)
+    return w.view(np.dtype((np.void, w.dtype.itemsize * n))).ravel()
+
+
+# below this many words the Counter path beats numpy setup overhead
+_VECTORIZE_THRESHOLD = 500
+
+
+def repetition_signals(norm_words: Sequence[str]) -> Dict[str, float]:
+    """All 9 repetition signals in one pass over the word list.
+
+    Dispatches to the Counter path for short docs and the vectorized
+    path for long ones; both are exact and produce identical values
+    (tested against each other on randomized inputs)."""
+    if len(norm_words) < _VECTORIZE_THRESHOLD:
+        return repetition_signals_naive(norm_words)
+    return _repetition_signals_vectorized(norm_words)
+
+
+def _repetition_signals_vectorized(
+    norm_words: Sequence[str],
+) -> Dict[str, float]:
+    out: Dict[str, float] = {}
+    n_words = len(norm_words)
+    if n_words == 0:
+        for n in (2, 3, 4):
+            out[f"rps_doc_frac_chars_top_{n}gram"] = 0.0
+        for n in range(5, 11):
+            out[f"rps_doc_frac_chars_dupe_{n}grams"] = 0.0
+        return out
+
+    word_lens = np.fromiter(
+        (len(w) for w in norm_words), dtype=np.int64, count=n_words
+    )
+    total_chars = int(word_lens.sum())
+    _, ids = np.unique(np.asarray(norm_words, dtype=object), return_inverse=True)
+    ids = ids.astype(np.uint32)
+    # prefix sums for O(1) window char sums
+    cum = np.concatenate(([0], np.cumsum(word_lens)))
+
+    for n in (2, 3, 4):
+        name = f"rps_doc_frac_chars_top_{n}gram"
+        if n_words < n:
+            out[name] = 0.0
+            continue
+        keys = _window_keys(ids, n)
+        _, inv, counts = np.unique(
+            keys, return_inverse=True, return_counts=True
+        )
+        per_window = counts[inv]
+        top_count = int(per_window.max())
+        if top_count <= 1:
+            out[name] = 0.0
+            continue
+        # Counter.most_common tie-break: earliest first occurrence wins
+        first_idx = int(np.argmax(per_window == top_count))
+        ngram_chars = int(cum[first_idx + n] - cum[first_idx])
+        out[name] = _round(ngram_chars * top_count / total_chars)
+
+    for n in range(5, 11):
+        name = f"rps_doc_frac_chars_dupe_{n}grams"
+        if n_words < n:
+            out[name] = 0.0
+            continue
+        keys = _window_keys(ids, n)
+        _, inv, counts = np.unique(
+            keys, return_inverse=True, return_counts=True
+        )
+        dup_starts = np.nonzero(counts[inv] > 1)[0]
+        if len(dup_starts) == 0 or total_chars == 0:
+            out[name] = 0.0
+            continue
+        cover = np.zeros(n_words + 1, dtype=np.int64)
+        np.add.at(cover, dup_starts, 1)
+        np.add.at(cover, dup_starts + n, -1)
+        mask = np.cumsum(cover[:-1]) > 0
+        duped = int(word_lens[mask].sum())
+        out[name] = _round(duped / total_chars)
+
+    return out
+
+
+# --- naive reference-shaped path, kept as the oracle for the fast path ---
+
+def repetition_signals_naive(norm_words: Sequence[str]) -> Dict[str, float]:
+    """Direct Counter-based implementation (reference formulas),
+    used only to cross-check ``repetition_signals`` in tests."""
+    from collections import Counter
+
+    from ..text import form_ngrams
+
+    out: Dict[str, float] = {}
+    total_chars = sum(len(w) for w in norm_words)
+    for n in (2, 3, 4):
+        name = f"rps_doc_frac_chars_top_{n}gram"
+        counts = Counter(form_ngrams(iter(norm_words), n))
+        if not counts:
+            out[name] = 0.0
+            continue
+        ngram, count = counts.most_common(1)[0]
+        out[name] = (
+            0.0
+            if count <= 1
+            else _round(sum(len(w) for w in ngram) * count / total_chars)
+        )
+    for n in range(5, 11):
+        name = f"rps_doc_frac_chars_dupe_{n}grams"
+        if len(norm_words) < n:
+            out[name] = 0.0
+            continue
+        grams = list(form_ngrams(iter(norm_words), n))
+        dupes = {g for g, c in Counter(grams).items() if c > 1}
+        mask = [0] * len(norm_words)
+        for i, g in enumerate(grams):
+            if g in dupes:
+                for j in range(i, i + n):
+                    mask[j] = 1
+        duped = sum(len(w) for w, m in zip(norm_words, mask) if m)
+        out[name] = 0.0 if total_chars == 0 else _round(duped / total_chars)
+    return out

@@ -94,10 +94,17 @@ class AnnotateStage:
             ppl, bucket = self.pplx.score(t)
             ppls[i], buckets[i] = ppl, bucket
             bucket_ints[i] = BUCKET_TO_INT.get(bucket)
-            if clf is not None:
-                clf[i] = self.classifier.score(t)
-            if dsir is not None:
-                dsir[i] = self.dsir.score(t)
+            if clf is not None or dsir is not None:
+                from ..functions.importance import token_hashes
+
+                hashes = token_hashes(v.raw_words)
+                if clf is not None:
+                    clf[i] = (
+                        None if not t.strip()
+                        else self.classifier.score_from_hashes(hashes)
+                    )
+                if dsir is not None:
+                    dsir[i] = self.dsir.score_from_hashes(hashes, len(t))
             if self.hasher:
                 sigs = self.hasher.banded_signatures(v.norm_words)
                 for k in sig_cols:

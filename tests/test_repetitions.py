@@ -1,0 +1,43 @@
+"""Vectorized repetition signals == naive Counter path (exact)."""
+
+import random
+
+from redpajama_data_ray.functions.repetitions import (
+    _repetition_signals_vectorized,
+    repetition_signals,
+    repetition_signals_naive,
+)
+
+
+def test_vectorized_matches_naive_randomized():
+    rng = random.Random(1234)
+    cases = [
+        [],
+        ["a"],
+        ["a"] * 50,
+        ["a", "b"] * 30,
+        [f"w{i}" for i in range(20)],
+        ["x"] * 4,  # fewer words than every ngram size
+    ]
+    for _ in range(300):
+        n = rng.randint(0, 80)
+        vocab = [f"v{i}" for i in range(rng.randint(1, 15))]
+        cases.append([rng.choice(vocab) for _ in range(n)])
+    for words in cases:
+        fast = _repetition_signals_vectorized(words)
+        naive = repetition_signals_naive(words)
+        assert fast == naive, words[:20]
+
+
+def test_tie_break_first_occurrence():
+    # (b,c) and (a,b)... construct two distinct 2-grams with equal max
+    # count but different char lengths; Counter keeps first-seen
+    words = ["aa", "b", "aa", "b", "cc", "dd", "cc", "dd"]
+    fast = _repetition_signals_vectorized(words)
+    naive = repetition_signals_naive(words)
+    assert fast == naive
+
+
+def test_dispatcher_consistency():
+    words = ["t"] * 600  # above the vectorize threshold
+    assert repetition_signals(words) == repetition_signals_naive(words)
