@@ -71,7 +71,7 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
 
     shutil.rmtree(out_dir, ignore_errors=True)
     t0 = time.time()
-    cfg = QualityConfig(max_actors=ncpu)
+    cfg = QualityConfig()  # auto-sizes the actor pool to num_cpus - 2
     ds = annotate(read_corpus(sf_dir), cfg)
     ds.write_parquet(out_dir)
     headline = time.time() - t0

@@ -53,7 +53,11 @@ class QualityConfig:
 
     batch_size: int = 256
     actor_batch_size: int = 64
-    max_actors: int = 16
+    max_actors: Optional[int] = None  # None -> num_cpus - 2 (reference
+    #   sizing: pipeline.py:334 uses cpu_count-2 worker processes)
+    min_actors: Optional[int] = None  # None -> max_actors (fixed pool:
+    #   skip autoscaler ramp-up; model init is cheap and amortized)
+    num_blocks: Optional[int] = None  # None -> 4 tasks per actor
     fused: bool = True
     include_line_signals: bool = True
     include_minhash: bool = True
@@ -62,9 +66,25 @@ class QualityConfig:
     rules: RuleConfig = RuleConfig()
 
 
+def _default_actors() -> int:
+    import ray
+
+    try:
+        total = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        total = 4
+    return max(1, total - 2)
+
+
 def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
     """corpus Dataset -> fully annotated Dataset (lazy, streaming)."""
     cfg = cfg or QualityConfig()
+    max_actors = cfg.max_actors or _default_actors()
+    min_actors = cfg.min_actors or max_actors
+    if cfg.num_blocks:
+        # explicit re-split requested (callers reading pre-split files
+        # should pass override_num_blocks at the read instead — no barrier)
+        ds = ds.repartition(cfg.num_blocks)
     ds = ds.map_batches(
         assign_ids, batch_format="pyarrow", batch_size=cfg.batch_size
     )
@@ -76,23 +96,30 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
     if cfg.fused:
         from ..stages.annotate import AnnotateStage
 
+        # scrub + decide run inside the same actor pass (they are <10%
+        # of its cost); the only task operators left are read and write,
+        # so the pool can own nearly every CPU without starving them
         ds = ds.map_batches(
             AnnotateStage,
             fn_constructor_kwargs=dict(
-                include_minhash=cfg.include_minhash, **feature_kwargs
+                include_minhash=cfg.include_minhash,
+                include_scrub=True,
+                rules=cfg.rules,
+                **feature_kwargs,
             ),
             batch_format="pyarrow",
             batch_size=cfg.actor_batch_size,
-            concurrency=(1, cfg.max_actors),
+            concurrency=(min_actors, max_actors),
             num_cpus=1,
         )
+        return ds
     else:
         # one pool per model; fractional CPUs so min-actors of all pools
         # fit small budgets without starving the executor
         pool = dict(
             batch_format="pyarrow",
             batch_size=cfg.actor_batch_size,
-            concurrency=(1, cfg.max_actors),
+            concurrency=(1, max_actors),
             num_cpus=0.5,
         )
         ds = ds.map_batches(LangIdStage, **pool)
@@ -110,18 +137,21 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         fn_constructor_kwargs=dict(config=cfg.rules),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.max_actors),
+        concurrency=(1, max_actors),
         num_cpus=0.5,
     )
     return ds
 
 
-def read_corpus(sf_dir: str) -> Dataset:
+def read_corpus(sf_dir: str, num_blocks: Optional[int] = None) -> Dataset:
     """Synthesize (cached) + read the code corpus matching a testdata
-    scale-factor directory."""
+    scale-factor directory. Blocks are split at the read (no shuffle):
+    default 4 tasks per annotate actor for load balance."""
     sf = sf_from_dir(sf_dir)
     corpus_dir = ensure_corpus_parquet(sf)
-    return ray.data.read_parquet(corpus_dir)
+    if num_blocks is None:
+        num_blocks = 4 * _default_actors()
+    return ray.data.read_parquet(corpus_dir, override_num_blocks=num_blocks)
 
 
 def run_flagship(

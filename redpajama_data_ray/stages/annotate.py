@@ -40,9 +40,13 @@ class AnnotateStage:
         include_minhash: bool = True,
         include_classifier: bool = True,
         include_dsir: bool = True,
+        include_scrub: bool = False,
+        rules=None,
         dsir_buckets: int = 10_000,
     ):
         self.text_column = text_column
+        self.include_scrub = include_scrub
+        self.rules = rules
         self.kernel = SignalKernel()
         self.langid = NGramLangId()
         self.pplx = PerplexityScorer()
@@ -139,4 +143,14 @@ class AnnotateStage:
             batch = batch.append_column(
                 k, pa.array(sig_cols[k], pa.list_(pa.binary()))
             )
+        # optional in-actor scrub + keep/drop (saves two downstream task
+        # operators when the actor pool owns nearly all CPUs)
+        if self.include_scrub:
+            from .pii import scrub_batch
+
+            batch = scrub_batch(batch, self.text_column)
+        if self.rules is not None:
+            from .decide import decide_batch
+
+            batch = decide_batch(batch, self.rules)
         return batch

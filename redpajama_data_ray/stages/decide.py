@@ -28,23 +28,30 @@ _NEEDED = [
 ]
 
 
+def decide_batch(
+    batch: pa.Table, config: RuleConfig = RuleConfig()
+) -> pa.Table:
+    """Append keep / drop_reasons columns to an annotated Arrow batch."""
+    cols = {}
+    names = set(batch.schema.names)
+    for name in _NEEDED + PII_COUNT_COLUMNS:
+        if name in names:
+            cols[name] = batch.column(name).to_pylist()
+    n = batch.num_rows
+    keeps, reasons = [], []
+    for i in range(n):
+        row = {k: v[i] for k, v in cols.items()}
+        k, r = decide(row, config)
+        keeps.append(k)
+        reasons.append(r)
+    return batch.append_column(
+        "keep", pa.array(keeps, pa.bool_())
+    ).append_column("drop_reasons", pa.array(reasons, pa.list_(pa.string())))
+
+
 class DecideStage:
     def __init__(self, config: RuleConfig = RuleConfig()):
         self.config = config
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        cols = {}
-        names = set(batch.schema.names)
-        for name in _NEEDED + PII_COUNT_COLUMNS:
-            if name in names:
-                cols[name] = batch.column(name).to_pylist()
-        n = batch.num_rows
-        keeps, reasons = [], []
-        for i in range(n):
-            row = {k: v[i] for k, v in cols.items()}
-            k, r = decide(row, self.config)
-            keeps.append(k)
-            reasons.append(r)
-        return batch.append_column(
-            "keep", pa.array(keeps, pa.bool_())
-        ).append_column("drop_reasons", pa.array(reasons, pa.list_(pa.string())))
+        return decide_batch(batch, self.config)
