@@ -98,12 +98,18 @@ class AudioFrameSampleStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch.column(self.payload_col).to_pylist()
         frames = []
+        need = self.n_frames * 8
         for p in payloads:
             p = p or b""
-            arr = np.frombuffer(
-                hashlib.blake2b(p, digest_size=self.n_frames * 8).digest(),
-                dtype=np.uint64,
-            )
+            # expand deterministically: chained 64-byte blake2b blocks
+            buf = b""
+            counter = 0
+            while len(buf) < need:
+                buf += hashlib.blake2b(
+                    p + counter.to_bytes(4, "little"), digest_size=64
+                ).digest()
+                counter += 1
+            arr = np.frombuffer(buf[:need], dtype=np.uint64)
             frames.append((arr / np.uint64(2**64 - 1)).astype(np.float64).tolist())
         return batch.append_column(
             "audio_frames", pa.array(frames, pa.list_(pa.float64()))
