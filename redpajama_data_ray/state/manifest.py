@@ -83,6 +83,11 @@ def run_partitioned(
             continue
         ds = process_fn(path)
         part_dir = manifest.partition_output_dir(shard)
+        # an uncommitted partition dir may hold partial output from a
+        # crashed run — clear it so the rewrite is exact, not additive
+        import shutil
+
+        shutil.rmtree(part_dir, ignore_errors=True)
         ds.write_parquet(part_dir)
         metrics = {"input": path, "rows": _count_rows(part_dir)}
         if metrics_fn is not None:
