@@ -485,6 +485,93 @@ def q_events_sessions(sf_dir: str) -> "pa.Table":
 
 
 # ------------------------------------------------------------------
+# UT1-style domain blacklist lookup (Q4 / J2: broadcast small side)
+# ------------------------------------------------------------------
+
+# embedded stand-in for the UT1 domain->category index (the reference
+# loads domain_to_category_id.json: content.py:153-165); sources act as
+# the "domain" of a driver document
+UT1_INDEX = {"src1": 1, "src3": 2, "src5": 1, "src7": 3}
+
+
+def q_ut1_domain_categories(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    ref = ray.put(UT1_INDEX)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        cats = [idx.get(s) for s in t["source"].to_pylist()]
+        return pa.table(
+            {"doc_id": t["doc_id"], "ut1_category": pa.array(cats, pa.int64())}
+        )
+
+    return ds.map_batches(lookup, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# stratified sampling (D5: per-stratum quotas, deterministic)
+# ------------------------------------------------------------------
+
+# lang -> per-mille threshold (doc_id % 1000 < threshold keeps the doc):
+# deterministic systematic sampling, exactly expressible in SQL
+STRATA_PERMILLE = {"en": 100, "fr": 500, "es": 300, "de": 300, "zh": 700}
+
+
+def q_stratified_sample_docs(sf_dir: str) -> Dataset:
+    ds = _docs(sf_dir, ["doc_id", "lang"])
+    ref = ray.put(STRATA_PERMILLE)
+
+    def sample(t: pa.Table) -> pa.Table:
+        quotas = ray.get(ref)
+        ids = t["doc_id"].to_pylist()
+        langs = t["lang"].to_pylist()
+        mask = [
+            (i % 1000) < quotas.get(lang, 0) for i, lang in zip(ids, langs)
+        ]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(sample, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# token counting (reference token_count.py job)
+# ------------------------------------------------------------------
+
+def q_token_counts(sf_dir: str) -> Dataset:
+    from ..functions.tokens import bpe_like_token_count
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "ws_tokens": _word_counts(t["text"]),
+                "bpe_tokens": pa.array(
+                    [bpe_like_token_count(x) for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def q_dedup_histogram(sf_dir: str) -> "pa.Table":
+    """Group-size histogram of identical-content groups (G4 analog)."""
+    ds = q_doc_fingerprint(sf_dir)
+    sizes = ds.groupby("fp").aggregate(Count(alias_name="group_size"))
+    out = (
+        sizes.groupby("group_size")
+        .aggregate(Count(alias_name="n_groups"))
+        .to_pandas()
+    )
+    out["group_size"] = out["group_size"].astype("int64")
+    out["n_groups"] = out["n_groups"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+# ------------------------------------------------------------------
 # similarity search
 # ------------------------------------------------------------------
 
@@ -641,6 +728,33 @@ ORACLE_SQL: Dict[str, str] = {
                count(*) as n_events
         from marked group by user_id
     """,
+    "ut1_domain_categories": """
+        select d.doc_id, cast(m.cat as bigint) as ut1_category
+        from documents d
+        left join (values ('src1', 1), ('src3', 2), ('src5', 1),
+                          ('src7', 3)) as m(domain, cat)
+          on d.source = m.domain
+    """,
+    "stratified_sample_docs": """
+        select doc_id, lang from documents
+        where doc_id % 1000 < case lang
+            when 'en' then 100 when 'fr' then 500 when 'es' then 300
+            when 'de' then 300 when 'zh' then 700 else 0 end
+    """,
+    "token_counts": f"""
+        select doc_id,
+               cast(length({_WORDS}) as bigint) as ws_tokens,
+               cast(length(regexp_extract_all(text,
+                    '''[sdmt]|''ll|''ve|''re| ?\\w+| ?[^\\w\\s]+|\\s+'))
+                    as bigint) as bpe_tokens
+        from documents
+    """,
+    "dedup_histogram": """
+        select cast(cnt as bigint) as group_size,
+               count(*) as n_groups
+        from (select count(*) as cnt from documents group by text)
+        group by 1
+    """,
     "knn_cosine_top10": """
         select vec_id, round(score, 6) as score from (
             select a.vec_id,
@@ -676,4 +790,8 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,
     "knn_cosine_top10": q_knn_cosine_top10,
+    "ut1_domain_categories": q_ut1_domain_categories,
+    "stratified_sample_docs": q_stratified_sample_docs,
+    "token_counts": q_token_counts,
+    "dedup_histogram": q_dedup_histogram,
 }
