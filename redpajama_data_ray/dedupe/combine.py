@@ -1,0 +1,60 @@
+"""Tree-combined per-key aggregation for dedup.
+
+Dedup needs, per key: total count and the winning (min) order value.
+A full ``ds.groupby(key)`` is the right shape when the distinct-key
+table itself exceeds node memory, but it pays a full sort/hash shuffle.
+For dedup the combine is associative and the partials are tiny (one row
+per distinct key per block, fixed width), so a two-level tree of
+vectorized pyarrow group_bys is much cheaper:
+
+    map_batches(partial)            # per-block (key, cnt, min_order)
+      -> repartition(fanin)         # tiny fixed-width rows
+      -> map_batches(combine)       # second-level partials
+      -> repartition(1)
+      -> map_batches(combine)       # final (key, cnt, min_order)
+
+Callers pass ``distributed=True`` to switch to ``ds.groupby`` when the
+distinct-key count is too large for a single reduce task (at 10^12 keys
+the tree root would not fit; the shuffle is then the correct cost).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import pyarrow as pa
+from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
+
+
+def key_stats(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    fanin: int = 8,
+    distributed: bool = False,
+) -> Dataset:
+    """Dataset of (key, min_order, cnt) — one row per distinct key."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        g = t.select([key, order_col]).group_by(key).aggregate(
+            [(order_col, "min"), (order_col, "count")]
+        )
+        return g.rename_columns([key, "min_order", "cnt"])
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([("min_order", "min"), ("cnt", "sum")])
+        return g.rename_columns([key, "min_order", "cnt"])
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    if distributed:
+        return partials.groupby(key).aggregate(
+            Min("min_order", alias_name="min_order"),
+            Sum("cnt", alias_name="cnt"),
+        )
+    return (
+        partials.repartition(fanin)
+        .map_batches(combine, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+    )

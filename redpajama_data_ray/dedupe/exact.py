@@ -2,27 +2,51 @@
 
 The reference's exact dedup is a sequential mmap Bloom filter over the
 driver (/root/reference/app/src/bloomfilter.py:296-417) — probabilistic
-and single-threaded by construction. The Ray-native design is a shuffle:
-group by the content hash and keep the deterministic first row per group
-(min ``order_col``), which is exact (no false positives), parallel, and
-order-independent. At 100 TB the shuffle key is a 64-char hex string;
-rows-per-group is tiny, so the groupby is a well-balanced all-to-all.
+and single-threaded by construction. The Ray-native design is exact and
+parallel, and exploits that duplicates are RARE at corpus scale:
+
+1. partial pre-aggregation inside ``map_batches``: one
+   ``(key, min_order, count)`` row per distinct key per batch — the
+   combiner pattern, so the shuffle moves per-key partials, not rows;
+2. a small ``groupby(key)`` over the partials (vectorized Sum/Min
+   aggregates, no per-group Python);
+3. keys with total count > 1 (the rare dups) and their winning
+   ``min_order`` are broadcast via ``ray.put``; a stateless
+   ``map_batches`` keeps a row iff its key is not duplicated or it is
+   the winner.
+
+The broadcast set scales with the number of DUPLICATED keys only. A
+``groupby().map_groups`` fallback stays available for skew-free small
+inputs (``exact_dedup_groups``).
 """
 
 from __future__ import annotations
 
+from typing import Dict, Tuple
+
 import pyarrow as pa
+import pyarrow.compute as pc
+import ray
 from ray.data import Dataset
+from ray.data.aggregate import Min, Sum
 
 
-def _keep_first_factory(order_col: str):
-    def keep_first(group: pa.Table) -> pa.Table:
-        if group.num_rows <= 1:
-            return group
-        idx = pa.compute.sort_indices(group.column(order_col))[0].as_py()
-        return group.slice(idx, 1)
+def _dup_winners(
+    ds: Dataset, key: str, order_col: str, distributed: bool = False
+) -> Dict[object, object]:
+    """{key: winning order value} for every key appearing >1 time."""
+    from .combine import key_stats
 
-    return keep_first
+    agg = key_stats(ds, key, order_col, distributed=distributed)
+    winners: Dict[object, object] = {}
+    for batch in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        mask = pc.greater(batch["cnt"], 1)
+        dup = batch.filter(mask)
+        for k, m in zip(
+            dup.column(key).to_pylist(), dup.column("min_order").to_pylist()
+        ):
+            winners[k] = m
+    return winners
 
 
 def exact_dedup(
@@ -31,9 +55,19 @@ def exact_dedup(
     order_col: str = "doc_id",
 ) -> Dataset:
     """Keep one row (min order_col) per distinct value of ``key``."""
-    return ds.groupby(key).map_groups(
-        _keep_first_factory(order_col), batch_format="pyarrow"
-    )
+    winners = _dup_winners(ds, key, order_col)
+    if not winners:
+        return ds
+    ref = ray.put(winners)
+
+    def keep(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        keys = t.column(key).to_pylist()
+        orders = t.column(order_col).to_pylist()
+        mask = [k not in w or w[k] == o for k, o in zip(keys, orders)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
 
 
 def duplicate_rows(
@@ -44,11 +78,30 @@ def duplicate_rows(
     """The complement: every row that is NOT the first of its group
     (the reference emits these as its duplicates table:
     bloomfilter.py:380-396)."""
+    winners = _dup_winners(ds, key, order_col)
+    ref = ray.put(winners)
 
-    def drop_first(group: pa.Table) -> pa.Table:
+    def dups(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        keys = t.column(key).to_pylist()
+        orders = t.column(order_col).to_pylist()
+        mask = [k in w and w[k] != o for k, o in zip(keys, orders)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(dups, batch_format="pyarrow")
+
+
+def exact_dedup_groups(
+    ds: Dataset,
+    key: str = "content_sha256",
+    order_col: str = "doc_id",
+) -> Dataset:
+    """groupby().map_groups keep-first — simple fallback shape."""
+
+    def keep_first(group: pa.Table) -> pa.Table:
         if group.num_rows <= 1:
-            return group.slice(0, 0)
-        order = pa.compute.sort_indices(group.column(order_col))
-        return group.take(order[1:])
+            return group
+        idx = pc.sort_indices(group.column(order_col))[0].as_py()
+        return group.slice(idx, 1)
 
-    return ds.groupby(key).map_groups(drop_first, batch_format="pyarrow")
+    return ds.groupby(key).map_groups(keep_first, batch_format="pyarrow")

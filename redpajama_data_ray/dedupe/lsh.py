@@ -3,55 +3,64 @@
 Ray-native rewrite of the reference's LSH job
 (/root/reference/app/src/run_lsh.py:179-372):
 
-1. explode banded signatures into ``(band_key, id_int)`` rows
-   (a ``map_batches`` flat-explode — run_lsh.py:252-268 does this with a
-   polars explode),
-2. ``groupby(band_key)`` -> per-group edges ``(id, min_id)``
-   (run_lsh.py:269-285),
-3. connected components over the collected edge list on the driver —
-   edges are orders of magnitude smaller than docs, matching the
-   reference's design point (run_lsh.py:295-322 uses networkit on the
-   driver; we use union-find, no extra dependency),
-4. cluster id = min(id_int) of the component (run_lsh.py:324-338),
-5. duplicates = rows whose cluster representative is another row;
-   filtering is a broadcast semi-join (``ray.put`` the dup id set, filter
-   inside ``map_batches``) — no second shuffle.
-
-At 100 TB scale steps 1-2 shuffle only (band_key, id) pairs (~100 bytes
-per doc per band), not content; step 3's edge list stays driver-sized
-because band groups are overwhelmingly singletons.
+1. explode banded signatures into ``(band_hash: uint64, id_int)`` rows —
+   band bytes are collapsed to an 8-byte blake2b so the shuffle key is a
+   fixed-width integer, not a byte blob (collision odds ~1e-8 at 1e9
+   bands, far below the LSH false-positive rate itself);
+2. find *duplicated* band hashes with a vectorized partial-count
+   aggregate (per-batch pyarrow group_by, then a tiny Ray groupby-Sum —
+   the combiner pattern; no per-group Python);
+3. broadcast the dup-band set, filter the exploded rows down to members
+   of duplicated bands (rare by construction), and build edges
+   driver-side — matching the reference's design point that edges are
+   orders of magnitude smaller than docs (run_lsh.py:295-322 holds the
+   whole graph on one node; we hold only the duplicated bands);
+4. connected components via union-find; cluster id = min(id_int)
+   (run_lsh.py:324-338);
+5. duplicates (non-representatives) are broadcast via ``ray.put`` and
+   dropped inside ``map_batches`` — a semi-join without a shuffle.
 """
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Set, Tuple
+import hashlib
+from typing import Dict, List, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+from ray.data.aggregate import Sum
 
 
-def explode_bands(
-    sig_column: str,
-) -> "callable":
+def _band_hash(band_idx: int, band_bytes: bytes) -> int:
+    return int.from_bytes(
+        hashlib.blake2b(
+            bytes([band_idx]) + band_bytes, digest_size=8
+        ).digest(),
+        "little",
+    )
+
+
+def explode_bands(sig_column: str):
     """Factory: map_batches fn exploding list<binary> signatures into
-    (band_key: string, id_int: uint64) rows."""
+    (band_hash: uint64, id_int: uint64) rows."""
 
     def _explode(batch: pa.Table) -> pa.Table:
         ids = batch.column("id_int").to_pylist()
         sigs = batch.column(sig_column).to_pylist()
-        out_keys: List[str] = []
+        out_keys: List[int] = []
         out_ids: List[int] = []
         for id_int, bands in zip(ids, sigs):
             if bands is None:
                 continue
             for b_idx, b_sig in enumerate(bands):
-                out_keys.append(f"{b_idx}:{bytes(b_sig).hex()}")
+                out_keys.append(_band_hash(b_idx, bytes(b_sig)))
                 out_ids.append(id_int)
         return pa.table(
             {
-                "band_key": pa.array(out_keys, pa.string()),
+                "band_hash": pa.array(out_keys, pa.uint64()),
                 "id_int": pa.array(out_ids, pa.uint64()),
             }
         )
@@ -59,25 +68,16 @@ def explode_bands(
     return _explode
 
 
-def _emit_edges(group: pa.Table) -> pa.Table:
-    """Edges (id_int, min_id) for groups with >1 member
-    (run_lsh.py:269-285; self-edges filtered)."""
-    if group.num_rows <= 1:
-        return pa.table(
-            {
-                "id_int": pa.array([], pa.uint64()),
-                "min_id": pa.array([], pa.uint64()),
-            }
-        )
-    ids = group.column("id_int").to_numpy(zero_copy_only=False)
-    mn = ids.min()
-    others = ids[ids != mn]
-    return pa.table(
-        {
-            "id_int": pa.array(others, pa.uint64()),
-            "min_id": pa.array(np.full(len(others), mn), pa.uint64()),
-        }
-    )
+def _dup_band_hashes(exploded: Dataset, distributed: bool = False) -> Set[int]:
+    """Band hashes appearing more than once (tree-combined counts)."""
+    from .combine import key_stats
+
+    agg = key_stats(exploded, "band_hash", "id_int", distributed=distributed)
+    dups: Set[int] = set()
+    for batch in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        d = batch.filter(pc.greater(batch["cnt"], 1))
+        dups.update(d.column("band_hash").to_pylist())
+    return dups
 
 
 class _UnionFind:
@@ -112,26 +112,40 @@ def lsh_clusters(
 ) -> Dict[int, int]:
     """id_int -> cluster_id (min id_int of the connected component) for
     every doc that belongs to a multi-doc cluster."""
-    edges_ds = (
-        ds.select_columns(["id_int", sig_column])
-        .map_batches(explode_bands(sig_column), batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(_emit_edges, batch_format="pyarrow")
+    exploded = ds.select_columns(["id_int", sig_column]).map_batches(
+        explode_bands(sig_column), batch_format="pyarrow"
     )
+    # two consumers (count-agg, member-filter); the exploded table is 16
+    # fixed bytes per (doc, band) — pin it instead of recomputing the
+    # explode. At 100 TB this is ~1% of corpus size and spills if needed.
+    exploded = exploded.materialize()
+    dup_bands = _dup_band_hashes(exploded)
     uf = _UnionFind()
-    # edges are rare relative to docs; iterate batches on the driver
-    for batch in edges_ds.iter_batches(
-        batch_size=65536, batch_format="pyarrow"
-    ):
-        for a, b in zip(
-            batch.column("id_int").to_pylist(),
-            batch.column("min_id").to_pylist(),
-        ):
-            uf.union(a, b)
+    if dup_bands:
+        ref = ray.put(dup_bands)
+
+        def members(t: pa.Table) -> pa.Table:
+            d = ray.get(ref)
+            mask = [h in d for h in t.column("band_hash").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        # duplicated-band members are rare; stream them to the driver
+        groups: Dict[int, int] = {}
+        for batch in exploded.map_batches(
+            members, batch_format="pyarrow"
+        ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+            for h, i in zip(
+                batch.column("band_hash").to_pylist(),
+                batch.column("id_int").to_pylist(),
+            ):
+                first = groups.get(h)
+                if first is None:
+                    groups[h] = i
+                else:
+                    uf.union(first, i)
     clusters: Dict[int, int] = {}
     for node in list(uf.parent):
         clusters[node] = uf.find(node)
-    # roots map to themselves too
     for node, root in list(clusters.items()):
         clusters.setdefault(root, root)
     return clusters
