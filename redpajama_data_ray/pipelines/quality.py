@@ -99,12 +99,15 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         # scrub + decide run inside the same actor pass (they are <10%
         # of its cost); the only task operators left are read and write,
         # so the pool can own nearly every CPU without starving them
+        from ..functions.registry import registered_signals
+
         ds = ds.map_batches(
             AnnotateStage,
             fn_constructor_kwargs=dict(
                 include_minhash=cfg.include_minhash,
                 include_scrub=True,
                 rules=cfg.rules,
+                extra_signals=list(registered_signals().values()),
                 **feature_kwargs,
             ),
             batch_format="pyarrow",

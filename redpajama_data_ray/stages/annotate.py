@@ -42,11 +42,16 @@ class AnnotateStage:
         include_dsir: bool = True,
         include_scrub: bool = False,
         rules=None,
+        extra_signals=None,
         dsir_buckets: int = 10_000,
     ):
         self.text_column = text_column
         self.include_scrub = include_scrub
         self.rules = rules
+        # plugin signals are captured at pipeline-construction time and
+        # shipped by value (cloudpickle) — a module-level registry would
+        # be empty inside fresh actor processes
+        self.extra_signals = list(extra_signals or [])
         self.kernel = SignalKernel()
         self.langid = NGramLangId()
         self.pplx = PerplexityScorer()
@@ -143,6 +148,14 @@ class AnnotateStage:
             batch = batch.append_column(
                 k, pa.array(sig_cols[k], pa.list_(pa.binary()))
             )
+        # user-registered plugin signals (registry = schema source of
+        # truth, SURVEY.md §2.10)
+        if self.extra_signals:
+            safe_texts = [t if t is not None else "" for t in texts]
+            for sig in self.extra_signals:
+                batch = batch.append_column(
+                    sig.name, pa.array(sig.fn(safe_texts), sig.dtype)
+                )
         # optional in-actor scrub + keep/drop (saves two downstream task
         # operators when the actor pool owns nearly all CPUs)
         if self.include_scrub:

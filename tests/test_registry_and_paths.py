@@ -1,0 +1,88 @@
+"""Signal plugin registry (§2.10) + fused/unfused pipeline parity."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from redpajama_data_ray.functions.registry import (
+    register_signal,
+    registered_signals,
+    registry_schema,
+    unregister_signal,
+)
+from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+from redpajama_data_ray.sources.corpus import generate_corpus_table
+
+
+def test_register_signal_flows_through_pipeline():
+    @register_signal("rps_doc_exclaim_count", pa.float64())
+    def exclaim(texts):
+        return [float(t.count("!")) for t in texts]
+
+    try:
+        assert ("rps_doc_exclaim_count", pa.float64()) in registry_schema()
+        table = generate_corpus_table(40, seed=21)
+        ds = ray.data.from_arrow(table)
+        out = annotate(
+            ds,
+            QualityConfig(
+                max_actors=2, include_minhash=False,
+                include_classifier=False, include_dsir=False,
+                include_line_signals=False,
+            ),
+        ).to_pandas()
+        assert "rps_doc_exclaim_count" in out.columns
+        expected = {
+            f"{r}/{p}@{c}": float(t.count("!"))
+            for r, p, c, t in zip(
+                table["repo"].to_pylist(), table["path"].to_pylist(),
+                table["commit"].to_pylist(), table["content"].to_pylist(),
+            )
+        }
+        for _, row in out.iterrows():
+            assert row["rps_doc_exclaim_count"] == expected[row["doc_id"]]
+    finally:
+        unregister_signal("rps_doc_exclaim_count")
+    assert "rps_doc_exclaim_count" not in registered_signals()
+
+
+def test_register_rejects_bad_prefix():
+    with pytest.raises(ValueError):
+        register_signal("bad_name", pa.float64())(lambda t: t)
+
+
+def test_fused_and_unfused_paths_match():
+    table = generate_corpus_table(50, seed=9)
+    outs = {}
+    for fused in (True, False):
+        ds = ray.data.from_arrow(table)
+        cfg = QualityConfig(
+            fused=fused, max_actors=2, include_minhash=True,
+            include_classifier=True, include_dsir=True,
+            include_line_signals=False,
+        )
+        outs[fused] = (
+            annotate(ds, cfg)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+    a, b = outs[True], outs[False]
+    assert set(a.columns) == set(b.columns)
+    for col in a.columns:
+        if col.startswith("signature_"):
+            for x, y in zip(a[col], b[col]):
+                xa = None if x is None or (isinstance(x, float) and x != x) else [bytes(i) for i in x]
+                ya = None if y is None or (isinstance(y, float) and y != y) else [bytes(i) for i in y]
+                assert xa == ya, col
+        elif col == "drop_reasons":
+            assert [list(x) for x in a[col]] == [list(y) for y in b[col]]
+        elif a[col].dtype == object:
+            assert list(a[col]) == list(b[col]), col
+        else:
+            va, vb = a[col].to_numpy(), b[col].to_numpy()
+            if va.dtype.kind == "f":
+                assert np.allclose(va, vb, equal_nan=True, atol=0), col
+            else:
+                assert (va == vb).all(), col
