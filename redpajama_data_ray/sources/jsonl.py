@@ -1,0 +1,65 @@
+"""Tolerant JSONL source (reference Reader parity, S1 in SURVEY.md).
+
+The reference streams ``*.json.gz`` shards one line at a time, logging
+and skipping lines that fail to decode
+(/root/reference/app/src/utilities/io/reader.py:43-116). The Ray-native
+equivalent reads lines with ``ray.data.read_text`` (gzip handled via
+``arrow_open_stream_args``) and parses each batch vectorized, routing
+undecodable lines to a quarantine count instead of failing the task —
+poison rows must never kill a 100 TB job.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import List, Optional, Sequence
+
+import pyarrow as pa
+import ray.data
+from ray.data import Dataset
+
+
+def read_jsonl_tolerant(
+    paths,
+    columns: Optional[Sequence[str]] = None,
+    include_errors: bool = False,
+) -> Dataset:
+    """Parse JSONL files into a Dataset, skipping malformed lines.
+
+    Output columns are the union of ``columns`` (or the first valid
+    row's keys per batch); a ``_bad_line`` bool column marks quarantined
+    rows when ``include_errors`` (they carry nulls elsewhere).
+    """
+    arrow_open_stream_args = None
+    if any(str(p).endswith(".gz") for p in ([paths] if isinstance(paths, str) else paths)):
+        arrow_open_stream_args = {"compression": "gzip"}
+    ds = ray.data.read_text(
+        paths, arrow_open_stream_args=arrow_open_stream_args
+    )
+
+    def parse(batch: pa.Table) -> pa.Table:
+        rows: List[dict] = []
+        n_bad = 0
+        for line in batch.column("text").to_pylist():
+            if not line or not line.strip():
+                continue
+            try:
+                obj = json.loads(line)
+                if not isinstance(obj, dict):
+                    raise ValueError("not an object")
+                rows.append(obj)
+            except (json.JSONDecodeError, ValueError):
+                n_bad += 1
+                if include_errors:
+                    rows.append({"_bad_line": True})
+        if not rows:
+            return pa.table({})
+        keys = list(columns) if columns else sorted(
+            {k for r in rows for k in r if k != "_bad_line"}
+        )
+        data = {k: [r.get(k) for r in rows] for k in keys}
+        if include_errors:
+            data["_bad_line"] = [bool(r.get("_bad_line")) for r in rows]
+        return pa.table(data)
+
+    return ds.map_batches(parse, batch_format="pyarrow")

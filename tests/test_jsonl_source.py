@@ -1,0 +1,42 @@
+"""Tolerant JSONL reader: malformed lines quarantined, not fatal."""
+
+import gzip
+import json
+
+from redpajama_data_ray.sources.jsonl import read_jsonl_tolerant
+
+
+def _write(tmp_path, name, lines, gz=False):
+    p = tmp_path / name
+    data = "\n".join(lines).encode("utf-8")
+    if gz:
+        p.write_bytes(gzip.compress(data))
+    else:
+        p.write_bytes(data)
+    return str(p)
+
+
+def test_reads_valid_and_skips_malformed(tmp_path):
+    lines = [
+        json.dumps({"id": 1, "text": "hello"}),
+        "{broken json",
+        json.dumps({"id": 2, "text": "world"}),
+        "",
+        "[1,2,3]",  # valid json, not an object -> skipped
+        json.dumps({"id": 3, "text": "third", "extra": True}),
+    ]
+    path = _write(tmp_path, "shard.jsonl", lines)
+    out = (
+        read_jsonl_tolerant(path, columns=["id", "text"])
+        .to_pandas()
+        .sort_values("id")  # Ray blocks are unordered
+    )
+    assert list(out.id) == [1, 2, 3]
+    assert list(out.text) == ["hello", "world", "third"]
+
+
+def test_reads_gzip(tmp_path):
+    lines = [json.dumps({"id": i}) for i in range(5)]
+    path = _write(tmp_path, "shard.jsonl.gz", lines, gz=True)
+    out = read_jsonl_tolerant(path, columns=["id"]).to_pandas()
+    assert sorted(out.id) == [0, 1, 2, 3, 4]
