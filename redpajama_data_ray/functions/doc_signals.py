@@ -122,6 +122,11 @@ class SignalKernel:
         self._bad_gram_vals = sorted(
             {w.count(" ") + 1 for w in self.bad_words}
         )
+        # prescreen: first tokens of multi-word entries — n-gram scans
+        # run only when a first token is present in the document
+        self._bad_first_tokens = {
+            w.split(" ", 1)[0] for w in self.bad_words if " " in w
+        }
 
     # ---------------- doc-level ----------------
 
@@ -230,14 +235,24 @@ class SignalKernel:
     def _ldnoobw_count(self, v: DocView) -> float:
         if len(v.norm) == 0:
             return 0.0
+        from ..text.normalization import ngrams_zip
+
         num = 0
+        need_multi: Optional[bool] = None
         for n in self._bad_gram_vals:
             if n == 1:
                 num += sum(w in self.bad_words for w in v.norm_words)
             else:
+                if need_multi is None:
+                    need_multi = not self._bad_first_tokens.isdisjoint(
+                        v.norm_words
+                    )
+                if not need_multi:
+                    continue
+                join = " ".join
                 num += sum(
-                    " ".join(g) in self.bad_words
-                    for g in form_ngrams(iter(v.norm_words), n)
+                    join(g) in self.bad_words
+                    for g in ngrams_zip(v.norm_words, n)
                 )
         return float(num)
 

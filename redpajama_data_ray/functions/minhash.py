@@ -135,12 +135,19 @@ class MinHasher:
         docs (< ngram_size tokens)."""
         if len(tokens) < self.ngram_size:
             return None
-        shingles = {
-            " ".join(g) for g in form_ngrams(iter(tokens), self.ngram_size)
-        }
-        h = np.array(
-            [sha1_hash32(s.encode("utf-8")) for s in shingles],
+        from ..text.normalization import ngrams_zip
+
+        join = " ".join
+        shingles = set(map(join, ngrams_zip(list(tokens), self.ngram_size)))
+        sha1 = hashlib.sha1
+        unpack = struct.unpack
+        h = np.fromiter(
+            (
+                unpack("<I", sha1(s.encode("utf-8")).digest()[:4])[0]
+                for s in shingles
+            ),
             dtype=np.uint64,
+            count=len(shingles),
         )
         # (a*h + b) mod p, masked to 32 bits; column-min over shingles
         phv = np.bitwise_and(

@@ -124,13 +124,15 @@ def repetition_signals_naive(norm_words: Sequence[str]) -> Dict[str, float]:
     used only to cross-check ``repetition_signals`` in tests."""
     from collections import Counter
 
-    from ..text import form_ngrams
+    from ..text.normalization import ngrams_zip
 
+    norm_words = list(norm_words)
     out: Dict[str, float] = {}
-    total_chars = sum(len(w) for w in norm_words)
+    word_lens = [len(w) for w in norm_words]
+    total_chars = sum(word_lens)
     for n in (2, 3, 4):
         name = f"rps_doc_frac_chars_top_{n}gram"
-        counts = Counter(form_ngrams(iter(norm_words), n))
+        counts = Counter(ngrams_zip(norm_words, n))
         if not counts:
             out[name] = 0.0
             continue
@@ -145,13 +147,17 @@ def repetition_signals_naive(norm_words: Sequence[str]) -> Dict[str, float]:
         if len(norm_words) < n:
             out[name] = 0.0
             continue
-        grams = list(form_ngrams(iter(norm_words), n))
-        dupes = {g for g, c in Counter(grams).items() if c > 1}
+        grams = list(ngrams_zip(norm_words, n))
+        counts = Counter(grams)
+        if max(counts.values()) == 1:
+            out[name] = 0.0
+            continue
+        dupes = {g for g, c in counts.items() if c > 1}
         mask = [0] * len(norm_words)
         for i, g in enumerate(grams):
             if g in dupes:
                 for j in range(i, i + n):
                     mask[j] = 1
-        duped = sum(len(w) for w, m in zip(norm_words, mask) if m)
+        duped = sum(l for l, m in zip(word_lens, mask) if m)
         out[name] = 0.0 if total_chars == 0 else _round(duped / total_chars)
     return out

@@ -94,3 +94,12 @@ def form_ngrams(tokens: Iterable[str], n: int) -> Iterator[tuple]:
         if len(window) == n:
             yield tuple(window)
             del window[0]
+
+
+def ngrams_zip(tokens, n: int):
+    """C-speed n-gram iterator over a SEQUENCE (not a lazy iterable):
+    ``zip`` of shifted views — same tuples as ``form_ngrams`` without
+    per-item Python generator frames. Hot-path variant."""
+    if n == 1:
+        return zip(tokens)
+    return zip(*(tokens[i:] for i in range(n)))
