@@ -196,14 +196,20 @@ def generate_corpus_table(
         contents.append(content)
 
     # one oversized single-line file (~1 MB) in the giant repo for
-    # block-size / skew handling
+    # block-size / skew handling. It goes FIRST in file order — the
+    # standard long-job-first heuristic: the slowest row's block gets
+    # scheduled at the start of the run instead of becoming an
+    # end-of-pipeline straggler (X6 skew policy; at real scale the same
+    # is achieved by ordering input shards by descending size).
     if n_rows >= 100:
         big = _rand_words(rng, _CODE_WORDS, 150_000)
-        repos.append("repo_00")
-        paths.append("gen/bundle.min.js")
-        commits.append("".join(hexchars[j] for j in rng.integers(0, 16, 40)))
-        langs.append("js")
-        contents.append(big)
+        repos.insert(0, "repo_00")
+        paths.insert(0, "gen/bundle.min.js")
+        commits.insert(
+            0, "".join(hexchars[j] for j in rng.integers(0, 16, 40))
+        )
+        langs.insert(0, "js")
+        contents.insert(0, big)
 
     return pa.table(
         {
@@ -217,21 +223,28 @@ def generate_corpus_table(
 
 
 def corpus_rows_for_sf(sf: float) -> int:
-    """FIXTURES.md §6: ~500 rows at sf0.001, ~5k at 0.01, ~50k at 0.1."""
-    return max(50, int(round(500_000 * sf)))
+    """~1k files at sf0.001, ~10k at 0.01, ~100k at 0.1 (the bench
+    workload must dwarf per-run fixed costs — actor spawn, executor
+    start/drain — so throughput and scaling numbers measure the
+    pipeline, not the harness)."""
+    return max(100, int(round(1_000_000 * sf)))
 
 
 def ensure_corpus_parquet(
     sf: float,
     cache_dir: str = "/tmp/rpray_corpus",
     seed: int = CORPUS_SEED,
-    num_shards: int = 8,
+    num_shards: Optional[int] = None,
 ) -> str:
     """Write (once) and return the path of the corpus parquet directory
-    for a scale factor. Sharded into ``num_shards`` files so reads
-    parallelize and the manifest/resume path has real partitions."""
+    for a scale factor. Sharded into many files so the read stage can
+    produce blocks in parallel (8 shards starve a 30-actor pool for the
+    first seconds of a run) and the manifest/resume path has real
+    partitions."""
     n_rows = corpus_rows_for_sf(sf)
-    out_dir = os.path.join(cache_dir, f"sf{sf}_seed{seed}_n{n_rows}")
+    if num_shards is None:
+        num_shards = 64 if n_rows >= 5000 else 8
+    out_dir = os.path.join(cache_dir, f"sf{sf}_seed{seed}_n{n_rows}_v3")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
