@@ -1,0 +1,192 @@
+"""Distributed connected components over LSH band hypergraphs.
+
+The default fuzzy-dedup path collects (rare) duplicated-band members to
+the driver and runs union-find (``lsh.py``), matching the reference's
+single-node design point (run_lsh.py:295-322 holds the whole graph on
+one machine). When the duplicate population itself is too large for one
+node — e.g. crawling snapshots with massive boilerplate overlap — this
+module provides the scale path: iterative **min-label propagation**
+entirely in Ray Data operators.
+
+Model: the exploded table (band_hash, id_int) is a hypergraph — every
+band is a hyperedge connecting its member docs. Repeat until fixpoint:
+
+    label(band) = min(label(id))  for ids in band      # groupby(band)
+    label(id)   = min(label(band)) for bands of id,    # groupby(id)
+                  min'd with the current label
+
+Labels only decrease and are bounded by the component minimum, so the
+global label sum is a monotone convergence witness: iterate until it
+stops changing (<= hypergraph diameter iterations, typically 2-4 for
+near-dup clusters). Each iteration is two hash joins + two grouped
+mins — all shuffles, no driver state beyond the convergence scalar.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data import Dataset
+from ray.data.aggregate import Min
+
+_TOP_BIT = 1 << 63
+
+
+def _to_signed(col: "pa.ChunkedArray | pa.Array") -> "pa.Array":
+    """Order-preserving uint64 -> int64 bijection (flip the top bit and
+    reinterpret): Ray groupby/join coerce uint64 keys to int64, which
+    would corrupt min-label ordering for ids >= 2^63."""
+    flipped = pc.bit_wise_xor(col, pa.scalar(_TOP_BIT, pa.uint64()))
+    return pc.cast(flipped, pa.int64(), safe=False)
+
+
+def _to_unsigned(col) -> "pa.Array":
+    back = pc.cast(col, pa.uint64(), safe=False)
+    return pc.bit_wise_xor(back, pa.scalar(_TOP_BIT, pa.uint64()))
+
+
+def propagate_min_labels(
+    pairs: Dataset,
+    num_partitions: int = 32,
+    max_iters: int = 20,
+) -> Dataset:
+    """pairs(band_hash: uint64, id_int: uint64) ->
+    labels(id_int, cluster_id) — cluster_id = min id_int reachable
+    through shared bands. Includes every id present in ``pairs``."""
+
+    def to_signed_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band_hash": _to_signed(t["band_hash"]),
+                "id_int": _to_signed(t["id_int"]),
+            }
+        )
+
+    pairs = pairs.map_batches(
+        to_signed_pairs, batch_format="pyarrow"
+    ).materialize()
+
+    def init_labels(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"id_int": t["id_int"], "lbl": t["id_int"]}
+        )
+
+    # NOTE: every groupby output that feeds a join is repartitioned
+    # first — Ray 2.49's hash-shuffle join rejects the groupby's raw
+    # output (empty partitions lose their schema).
+    labels = (
+        pairs.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("id_int")
+        .aggregate(Min("lbl", alias_name="lbl"))
+        .repartition(num_partitions)
+        .materialize()
+    )
+
+    _P = (1 << 61) - 1
+
+    def label_sum(lbls: Dataset) -> int:
+        """Exact-modulo label checksum (labels are monotone decreasing,
+        so an unchanged checksum means fixpoint; int64 ds.sum could
+        overflow with 2^63-scale labels)."""
+
+        def partial(t: pa.Table) -> pa.Table:
+            s = sum(t.column("lbl").to_pylist()) % _P
+            return pa.table({"s": pa.array([s], pa.int64())})
+
+        total = 0
+        for b in lbls.map_batches(
+            partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            total = (total + sum(b.column("s").to_pylist())) % _P
+        return total
+
+    prev_sum = label_sum(labels)
+    for _ in range(max_iters):
+        # band label = min member label
+        with_lbl = pairs.join(
+            labels,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_int",),
+        )
+        band_min = (
+            with_lbl.groupby("band_hash")
+            .aggregate(Min("lbl", alias_name="band_lbl"))
+            .repartition(num_partitions)
+        )
+        # candidate id label = min over its bands
+        cand = (
+            pairs.join(
+                band_min,
+                join_type="inner",
+                num_partitions=num_partitions,
+                on=("band_hash",),
+            )
+            .groupby("id_int")
+            .aggregate(Min("band_lbl", alias_name="lbl"))
+        )
+        # merge with current labels (labels only decrease)
+        labels = (
+            labels.union(cand)
+            .groupby("id_int")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .repartition(num_partitions)
+            .materialize()
+        )
+        cur = label_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def back_to_unsigned(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "id_int": _to_unsigned(t["id_int"]),
+                "cluster_id": _to_unsigned(t["lbl"]),
+            }
+        )
+
+    return labels.map_batches(back_to_unsigned, batch_format="pyarrow")
+
+
+def lsh_clusters_distributed(
+    ds: Dataset,
+    sig_column: str = "signature_sim0.8",
+    num_partitions: int = 32,
+) -> Dict[int, int]:
+    """Distributed variant of ``lsh.lsh_clusters`` (same output
+    contract, returned as a dict for interchangeability; callers at
+    true scale should consume :func:`propagate_min_labels`'s Dataset
+    directly instead of collecting)."""
+    from .lsh import _dup_band_hashes, explode_bands
+
+    import ray
+
+    exploded = ds.select_columns(["id_int", sig_column]).map_batches(
+        explode_bands(sig_column), batch_format="pyarrow"
+    ).materialize()
+    dup_bands = _dup_band_hashes(exploded)
+    if not dup_bands:
+        return {}
+    ref = ray.put(dup_bands)
+
+    def dup_members(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        mask = [h in d for h in t.column("band_hash").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    dup_pairs = exploded.map_batches(dup_members, batch_format="pyarrow")
+    labels = propagate_min_labels(dup_pairs, num_partitions)
+    out: Dict[int, int] = {}
+    for batch in labels.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for i, c in zip(
+            batch.column("id_int").to_pylist(),
+            batch.column("cluster_id").to_pylist(),
+        ):
+            out[i] = c
+    # singleton members of dup bands whose label stayed themselves are
+    # still "clustered" with themselves; keep parity with lsh_clusters
+    return out

@@ -1,0 +1,69 @@
+"""Distributed label propagation == driver union-find clustering."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from redpajama_data_ray.dedupe.components import (
+    lsh_clusters_distributed,
+    propagate_min_labels,
+)
+from redpajama_data_ray.dedupe.lsh import lsh_clusters
+from redpajama_data_ray.stages import MinHashStage, assign_ids
+
+
+def test_propagate_min_labels_chain():
+    # hyperedges: {1,2}, {2,3}, {3,4}, {10,11} -> components {1..4}, {10,11}
+    pairs = pa.table(
+        {
+            "band_hash": pa.array(
+                [100, 100, 200, 200, 300, 300, 400, 400], pa.uint64()
+            ),
+            "id_int": pa.array([1, 2, 2, 3, 3, 4, 10, 11], pa.uint64()),
+        }
+    )
+    out = (
+        propagate_min_labels(ray.data.from_arrow(pairs), num_partitions=4)
+        .to_pandas()
+        .set_index("id_int")["cluster_id"]
+        .to_dict()
+    )
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_distributed_matches_union_find():
+    rng = np.random.default_rng(3)
+    rows = []
+    # several exact-duplicate groups + noise docs
+    for g in range(5):
+        base = " ".join(
+            f"g{g}w{i}" for i in range(40 + int(rng.integers(0, 20)))
+        )
+        for copy in range(int(rng.integers(2, 4))):
+            rows.append((f"r{g}", f"f{copy}.py", f"c{g}{copy}", base))
+    for n in range(20):
+        rows.append(
+            ("rx", f"n{n}.py", f"cn{n}",
+             " ".join(f"uniq{n}w{i}" for i in range(50)))
+        )
+    table = pa.table(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": [r[2] for r in rows],
+            "lang": ["python"] * len(rows),
+            "content": [r[3] for r in rows],
+        }
+    )
+    ds = (
+        ray.data.from_arrow(table)
+        .map_batches(assign_ids, batch_format="pyarrow")
+        .map_batches(MinHashStage, batch_format="pyarrow", concurrency=1)
+        .materialize()
+    )
+    uf = lsh_clusters(ds, "signature_sim0.8")
+    dist = lsh_clusters_distributed(ds, "signature_sim0.8", num_partitions=4)
+    assert uf == dist
+    # sanity: every exact-dup group collapsed to one cluster
+    n_clusters = len(set(uf.values()))
+    assert n_clusters == 5
