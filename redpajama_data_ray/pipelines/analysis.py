@@ -378,6 +378,44 @@ def q_orders_by_mktsegment(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
+    """Large x large hash join (lineitem |><| orders on l_orderkey) via
+    Dataset.join, then grouped revenue per order priority."""
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def proj(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+        )
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    li = li.map_batches(proj, batch_format="pyarrow")
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = li.join(
+        orders,
+        join_type="inner",
+        num_partitions=16,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    out = (
+        joined.groupby("o_orderpriority")
+        .aggregate(
+            Count(alias_name="n_items"), Sum("rev", alias_name="revenue")
+        )
+        .to_pandas()
+    )
+    out["revenue"] = out["revenue"].round(2)
+    out["n_items"] = out["n_items"].astype("int64")
+    out = out.rename(columns={"o_orderpriority": "orderpriority"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_lineitem_pricing(sf_dir: str) -> "pa.Table":
     """TPC-H Q1-style grouped aggregate over lineitem."""
     ds = rd.read_parquet(
@@ -700,6 +738,14 @@ ORACLE_SQL: Dict[str, str] = {
         from orders o join customer c on o.o_custkey = c.c_custkey
         group by 1
     """,
+    "order_priority_revenue": """
+        select o.o_orderpriority as orderpriority,
+               count(*) as n_items,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   as revenue
+        from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+        group by 1
+    """,
     "lineitem_pricing": """
         select l_returnflag, l_linestatus,
                round(sum(l_quantity), 2) as sum_qty,
@@ -786,6 +832,7 @@ QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "embedding_label_stats": q_embedding_label_stats,
     "orders_by_mktsegment": q_orders_by_mktsegment,
+    "order_priority_revenue": q_order_priority_revenue,
     "lineitem_pricing": q_lineitem_pricing,
     "events_hourly": q_events_hourly,
     "events_sessions": q_events_sessions,

@@ -159,6 +159,30 @@ def q_corpus_flagship(sf_dir: str) -> Dataset:
     )
 
 
+def q_ivf_knn(sf_dir: str) -> "pa.Table":
+    """IVF approximate top-10 for the vec_id=0 query (scale ANN path:
+    k-means centroids -> bucket assignment -> probe-and-rerank)."""
+    import numpy as np
+
+    from ..similarity.ivf import assign_ivf_buckets, ivf_knn, train_centroids
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    q = (
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(lambda r: r["vec_id"] == 0)
+        .to_pandas()
+    )
+    qvec = np.array(q.embedding.iloc[0], dtype=np.float64)
+    cents = train_centroids(emb, dim=64, n_centroids=16, seed=42)
+    indexed = assign_ivf_buckets(emb, cents)
+    out = ivf_knn(indexed, cents, qvec, k=10, n_probe=4, exclude_ids=[0])
+    import pandas as pd
+
+    df = out.to_pandas()[["vec_id", "score"]]
+    df["score"] = df["score"].round(6)
+    return pa.Table.from_pandas(df, preserve_index=False)
+
+
 def q_media_decode(sf_dir: str) -> "pa.Table":
     """Multimodal plumbing: binary payload column through the decode
     actor stage (stub kernel, real schema/actor path)."""
@@ -184,6 +208,7 @@ EXTRA_QUERIES = {
     "fuzzy_dedup_docs": q_fuzzy_dedup_docs,
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_buckets": q_ann_lsh_buckets,
+    "ann_ivf_knn": q_ivf_knn,
     "corpus_flagship": q_corpus_flagship,
     "media_decode": q_media_decode,
 }

@@ -1,0 +1,142 @@
+"""IVF (inverted-file) approximate nearest neighbor search.
+
+The scale path for similarity search beyond random-hyperplane LSH:
+1. train ``n_centroids`` by mini k-means on a driver-side sample
+   (deterministic: seeded sample + fixed iterations);
+2. assign every vector to its nearest centroid in a vectorized
+   ``map_batches`` (the centroid matrix is broadcast via ``ray.put``);
+3. a query probes only the ``n_probe`` nearest centroid lists and
+   reranks those candidates exactly.
+
+Recall < 1.0 by construction (benchmarked against ``brute_force_knn``
+in tests), cost drops by ~n_centroids/n_probe.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from .knn import _batch_matrix, _cosine
+
+
+def train_centroids(
+    ds: Dataset,
+    dim: int,
+    n_centroids: int = 64,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Mini k-means (cosine/normalized-L2) on a seeded sample."""
+    sample: List[np.ndarray] = []
+    for batch in ds.select_columns([vec_col]).random_sample(
+        1.0, seed=seed
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        sample.append(_batch_matrix(batch, vec_col))
+        if sum(len(s) for s in sample) >= sample_size:
+            break
+    x = np.concatenate(sample)[:sample_size]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(seed)
+    cents = x[rng.choice(len(x), size=min(n_centroids, len(x)), replace=False)]
+    for _ in range(iters):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    cents[c] = m / n
+    return cents
+
+
+def assign_ivf_buckets(
+    ds: Dataset,
+    centroids: np.ndarray,
+    vec_col: str = "embedding",
+) -> Dataset:
+    """Append ``ivf_bucket: int32`` (nearest centroid by cosine)."""
+    c_ref = ray.put(centroids)
+
+    def _assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(c_ref)
+        mat = _batch_matrix(batch, vec_col)
+        sims = _cosine(mat, cents)
+        return batch.append_column(
+            "ivf_bucket", pa.array(sims.argmax(axis=1).astype(np.int32))
+        )
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def ivf_knn(
+    indexed: Dataset,
+    centroids: np.ndarray,
+    query: np.ndarray,
+    k: int = 10,
+    n_probe: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_ids: Optional[List[int]] = None,
+) -> pa.Table:
+    """Top-k by cosine over the n_probe nearest centroid buckets.
+
+    ``indexed`` must carry ``ivf_bucket`` (see assign_ivf_buckets).
+    Returns (rank, vec_id, score) like brute_force_knn for one query.
+    """
+    query = np.asarray(query, dtype=np.float64)
+    qn = query / (np.linalg.norm(query) or 1.0)
+    probe = set(
+        np.argsort(-(centroids @ qn))[:n_probe].astype(int).tolist()
+    )
+    probe_ref = ray.put(probe)
+    q_ref = ray.put(qn)
+    excl = set(exclude_ids or [])
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        buckets = ray.get(probe_ref)
+        mask = [b in buckets for b in batch.column("ivf_bucket").to_pylist()]
+        cand = batch.filter(pa.array(mask, pa.bool_()))
+        if cand.num_rows == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        qv = ray.get(q_ref)
+        mat = _batch_matrix(cand, vec_col)
+        sims = _cosine(mat, qv[None, :])[:, 0]
+        ids = cand.column(id_col).to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, -sims))[: k + len(excl)]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order].astype(np.int64)),
+                "score": pa.array(sims[order]),
+            }
+        )
+
+    partials = indexed.map_batches(
+        _scan, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    partials = partials[~partials.vec_id.isin(excl)]
+    top = partials.sort_values(
+        ["score", "vec_id"], ascending=[False, True]
+    ).head(k)
+    return pa.table(
+        {
+            "rank": pa.array(range(len(top)), pa.int64()),
+            "vec_id": pa.array(top.vec_id.to_numpy(), pa.int64()),
+            "score": pa.array(top.score.to_numpy(), pa.float64()),
+        }
+    )

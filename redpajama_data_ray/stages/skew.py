@@ -1,0 +1,84 @@
+"""Skew handling: hot-key salting for grouped shuffles (X6).
+
+A ``groupby(key)`` sends every row of a hot key (a giant repo, a
+boilerplate-duplicated file) to one reducer. Salting splits each hot
+key into ``buckets`` sub-keys for the wide first-level aggregation;
+the tiny second-level aggregation over (key, partial) rows removes the
+salt. The reference's only skew tool is a coarse input-list shuffle
+(/root/reference/app/src/pipeline.py:373); salting is the Ray-native
+record-level fix.
+
+Hot keys are discovered with a cheap sampled count (``find_hot_keys``)
+or supplied by the caller; non-hot keys get salt 0 so their groups
+stay intact.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Dict, Iterable, List, Optional, Set
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+
+def find_hot_keys(
+    ds: Dataset,
+    key: str,
+    threshold: int,
+    sample_fraction: float = 0.1,
+    seed: int = 42,
+) -> Set[object]:
+    """Keys whose sampled count exceeds threshold * sample_fraction."""
+    sampled = ds.select_columns([key]).random_sample(
+        sample_fraction, seed=seed
+    )
+    counts: Dict[object, int] = {}
+    for batch in sampled.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k in batch.column(key).to_pylist():
+            counts[k] = counts.get(k, 0) + 1
+    cutoff = max(1, int(threshold * sample_fraction))
+    return {k for k, c in counts.items() if c >= cutoff}
+
+
+def salt_keys(
+    ds: Dataset,
+    key: str,
+    hot_keys: Iterable[object],
+    buckets: int = 16,
+    salt_col: str = "salted_key",
+    row_hash_col: Optional[str] = None,
+) -> Dataset:
+    """Append ``salt_col`` = "<key>#<salt>": salt in [0, buckets) for
+    hot keys (derived from a stable per-row hash), 0 otherwise."""
+    hot_ref = ray.put(set(hot_keys))
+
+    def _salt(t: pa.Table) -> pa.Table:
+        hot = ray.get(hot_ref)
+        keys = t.column(key).to_pylist()
+        if row_hash_col is not None:
+            rhs = t.column(row_hash_col).to_pylist()
+        else:
+            rhs = range(t.num_rows)
+        out: List[str] = []
+        for i, k in enumerate(keys):
+            if k in hot:
+                h = rhs[i] if row_hash_col is not None else i
+                salt = zlib.crc32(str(h).encode()) % buckets
+                out.append(f"{k}#{salt}")
+            else:
+                out.append(f"{k}#0")
+        return t.append_column(salt_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(_salt, batch_format="pyarrow")
+
+
+def desalt(t: pa.Table, salt_col: str = "salted_key", key_col: str = "key") -> pa.Table:
+    """Strip the '#<salt>' suffix back off (second aggregation level)."""
+    keys = [s.rsplit("#", 1)[0] for s in t.column(salt_col).to_pylist()]
+    idx = t.schema.get_field_index(salt_col)
+    return t.remove_column(idx).append_column(
+        key_col, pa.array(keys, pa.string())
+    )

@@ -1,0 +1,61 @@
+"""IVF ANN: deterministic training, assignment, and recall vs brute force."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from redpajama_data_ray.similarity.ivf import (
+    assign_ivf_buckets,
+    ivf_knn,
+    train_centroids,
+)
+from redpajama_data_ray.similarity.knn import brute_force_knn
+
+
+def _clustered_table(n_clusters=8, per=100, d=16, seed=11):
+    rng = np.random.default_rng(seed)
+    centers = rng.standard_normal((n_clusters, d)) * 4
+    vecs, ids = [], []
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((per, d)) * 0.3
+        vecs.append(pts)
+        ids.extend(range(c * per, (c + 1) * per))
+    m = np.concatenate(vecs).astype(np.float32)
+    return pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in m], pa.list_(pa.float32())
+            ),
+        }
+    ), m
+
+
+def test_ivf_recall_vs_brute_force():
+    table, vecs = _clustered_table()
+    ds = ray.data.from_arrow(table).repartition(4)
+    cents = train_centroids(ds, dim=16, n_centroids=8, seed=7)
+    assert cents.shape == (8, 16)
+    indexed = assign_ivf_buckets(ds, cents).materialize()
+
+    q = vecs[5].astype(np.float64)
+    exact = brute_force_knn(ds, q, k=10, exclude_ids=[5]).to_pandas()
+    approx = ivf_knn(
+        indexed, cents, q, k=10, n_probe=2, exclude_ids=[5]
+    ).to_pandas()
+    recall = len(set(exact.vec_id) & set(approx.vec_id)) / 10
+    assert recall >= 0.9  # clustered data, probing the right bucket
+    # scores of common hits identical (same float64 math)
+    merged = exact.merge(approx, on="vec_id", suffixes=("_e", "_a"))
+    assert np.allclose(merged.score_e, merged.score_a, atol=1e-12)
+
+
+def test_ivf_deterministic():
+    table, _ = _clustered_table()
+    ds = ray.data.from_arrow(table)
+    c1 = train_centroids(ds, dim=16, n_centroids=8, seed=7)
+    c2 = train_centroids(ds, dim=16, n_centroids=8, seed=7)
+    assert np.array_equal(c1, c2)
+    b1 = assign_ivf_buckets(ds, c1).to_pandas().ivf_bucket
+    b2 = assign_ivf_buckets(ds, c2).to_pandas().ivf_bucket
+    assert list(b1) == list(b2)

@@ -1,0 +1,64 @@
+"""Hot-key salting: salted two-level aggregation == direct aggregation."""
+
+import pyarrow as pa
+import ray.data
+from ray.data.aggregate import Count, Sum
+
+from redpajama_data_ray.stages.skew import desalt, find_hot_keys, salt_keys
+
+
+def _skewed_ds(n_hot=2000, n_cold=50):
+    rows = {"repo": [], "size": [], "row_id": []}
+    for i in range(n_hot):
+        rows["repo"].append("giant_repo")
+        rows["size"].append(1)
+        rows["row_id"].append(i)
+    for r in range(10):
+        for i in range(n_cold):
+            rows["repo"].append(f"repo_{r}")
+            rows["size"].append(2)
+            rows["row_id"].append(100_000 + r * 1000 + i)
+    return ray.data.from_arrow(pa.table(rows)).repartition(8)
+
+
+def test_find_hot_keys():
+    ds = _skewed_ds()
+    hot = find_hot_keys(ds, "repo", threshold=500, sample_fraction=0.5)
+    assert "giant_repo" in hot
+    assert not any(k.startswith("repo_") for k in hot)
+
+
+def test_salted_two_level_aggregation_matches_direct():
+    ds = _skewed_ds()
+    direct = (
+        ds.groupby("repo")
+        .aggregate(Count(alias_name="n"), Sum("size", alias_name="total"))
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+
+    salted = salt_keys(
+        ds, "repo", {"giant_repo"}, buckets=8, row_hash_col="row_id"
+    )
+    level1 = salted.groupby("salted_key").aggregate(
+        Count(alias_name="n"), Sum("size", alias_name="total")
+    )
+    # giant_repo split across up to 8 sub-groups at level 1
+    l1 = level1.to_pandas()
+    assert (l1.salted_key.str.startswith("giant_repo#")).sum() > 1
+
+    level2 = (
+        level1.map_batches(
+            lambda t: desalt(t, "salted_key", "repo"),
+            batch_format="pyarrow",
+        )
+        .groupby("repo")
+        .aggregate(Sum("n", alias_name="n"), Sum("total", alias_name="total"))
+        .to_pandas()
+        .sort_values("repo")
+        .reset_index(drop=True)
+    )
+    assert list(level2.repo) == list(direct.repo)
+    assert list(level2.n) == list(direct.n)
+    assert list(level2.total) == list(direct.total)
