@@ -1,0 +1,192 @@
+"""Command-line entry points.
+
+Mirrors the reference's job surface (quality-signal pipeline, exact
+dedup, fuzzy dedup, token counts: pipeline.py / bloomfilter.py /
+run_lsh.py / token_count.py) as one CLI::
+
+    python -m redpajama_data_ray quality --input <parquet dir|sf dir> \
+        --output /tmp/out [--max-docs N] [--shuffle-files] [--resume]
+    python -m redpajama_data_ray dedup-exact  --input <annotated> --output ...
+    python -m redpajama_data_ray dedup-fuzzy  --input <annotated> --output ...
+    python -m redpajama_data_ray token-count  --input <corpus> --output ...
+
+The CLI owns its Ray session (guarded init); library code never calls
+ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from typing import List, Optional
+
+
+def _ensure_ray(num_cpus: Optional[int]):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
+def _read_input(path: str, max_docs: Optional[int], shuffle_files: bool):
+    import ray.data as rd
+
+    from .pipelines.quality import read_corpus
+
+    if os.path.isdir(path) and os.path.basename(path.rstrip("/")).startswith(
+        "sf"
+    ):
+        return read_corpus(
+            path, shuffle_files=shuffle_files, max_docs=max_docs
+        )
+    ds = rd.read_parquet(
+        path, shuffle="files" if shuffle_files else None
+    )
+    if max_docs:
+        ds = ds.limit(max_docs)
+    return ds
+
+
+def cmd_quality(args) -> dict:
+    from .pipelines.outputs import write_outputs
+    from .pipelines.quality import QualityConfig, annotate
+    from .state.manifest import Manifest
+
+    ds = _read_input(args.input, args.max_docs, args.shuffle_files)
+    annotated = annotate(ds, QualityConfig())
+    if args.resume:
+        # partition-per-input-shard resumable mode
+        import glob
+
+        from .state.manifest import run_partitioned
+
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if files:
+            committed = run_partitioned(
+                files,
+                args.output,
+                lambda p: annotate(
+                    __import__("ray").data.read_parquet(p), QualityConfig()
+                ),
+            )
+            return {"partitions": len(committed), "output": args.output}
+    paths = write_outputs(annotated, args.output)
+    return {"outputs": paths}
+
+
+def cmd_dedup_exact(args) -> dict:
+    import ray.data as rd
+
+    from .dedupe.exact import exact_dedup
+
+    ds = rd.read_parquet(args.input)
+    out = exact_dedup(ds, key=args.key, order_col=args.order_col)
+    out.write_parquet(args.output)
+    return {"rows": out.count(), "output": args.output}
+
+
+def cmd_dedup_fuzzy(args) -> dict:
+    import ray.data as rd
+
+    from .dedupe.lsh import fuzzy_dedup
+
+    ds = rd.read_parquet(args.input)
+    out, clusters = fuzzy_dedup(ds, args.signature)
+    out.write_parquet(args.output)
+    return {
+        "rows": out.count(),
+        "clusters": len(set(clusters.values())),
+        "output": args.output,
+    }
+
+
+def cmd_token_count(args) -> dict:
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from .functions.tokens import bpe_like_token_count, whitespace_token_count
+
+    ds = rd.read_parquet(args.input, columns=[args.text_column])
+
+    def count_batch(t: pa.Table) -> pa.Table:
+        texts = t.column(args.text_column).to_pylist()
+        return pa.table(
+            {
+                "ws": pa.array(
+                    [whitespace_token_count(x or "") for x in texts],
+                    pa.int64(),
+                ),
+                "bpe": pa.array(
+                    [bpe_like_token_count(x or "") for x in texts], pa.int64()
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(count_batch, batch_format="pyarrow")
+        .aggregate(
+            Count(alias_name="n_docs"),
+            Sum("ws", alias_name="ws_tokens"),
+            Sum("bpe", alias_name="bpe_tokens"),
+        )
+    )
+    return dict(agg)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="redpajama_data_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    q = sub.add_parser("quality", help="full quality pipeline")
+    q.add_argument("--input", required=True)
+    q.add_argument("--output", required=True)
+    q.add_argument("--max-docs", type=int, default=None)
+    q.add_argument("--shuffle-files", action="store_true")
+    q.add_argument("--resume", action="store_true")
+    q.set_defaults(fn=cmd_quality)
+
+    de = sub.add_parser("dedup-exact", help="exact dedup by content hash")
+    de.add_argument("--input", required=True)
+    de.add_argument("--output", required=True)
+    de.add_argument("--key", default="content_sha256")
+    de.add_argument("--order-col", default="doc_id")
+    de.set_defaults(fn=cmd_dedup_exact)
+
+    df = sub.add_parser("dedup-fuzzy", help="minhash-LSH fuzzy dedup")
+    df.add_argument("--input", required=True)
+    df.add_argument("--output", required=True)
+    df.add_argument("--signature", default="signature_sim0.8")
+    df.set_defaults(fn=cmd_dedup_fuzzy)
+
+    tc = sub.add_parser("token-count", help="corpus token totals")
+    tc.add_argument("--input", required=True)
+    tc.add_argument("--text-column", default="content")
+    tc.set_defaults(fn=cmd_token_count)
+    return p
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    _ensure_ray(args.num_cpus)
+    result = args.fn(args)
+    print(json.dumps(result, default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,75 @@
+"""Triple-output layout for the flagship pipeline.
+
+The reference writes, per input shard, a signals file, a minhash
+parquet and (downstream) the kept corpus
+(/root/reference/app/src/core/worker.py:291-356). The Ray-native
+layout: ONE streaming pass writes the full annotated parquet
+(partitioned, manifest-friendly); the signals-only, minhash-only and
+kept-corpus views are then cheap column-pruned rewrites of that output
+— parquet column projection means each derived sink reads only the
+columns it keeps, never re-running the models.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List
+
+import pyarrow as pa
+import ray.data as rd
+from ray.data import Dataset
+
+SIGNATURE_COLUMNS = [
+    "signature_sim1.0",
+    "signature_sim0.9",
+    "signature_sim0.8",
+    "signature_sim0.7",
+]
+
+KEPT_COLUMNS = [
+    "doc_id", "id_int", "repo", "path", "commit", "lang",
+    "content", "content_scrubbed_sha256",
+]
+
+
+def write_outputs(annotated: Dataset, out_dir: str) -> Dict[str, str]:
+    """annotated -> {annotated, signals, minhash, kept} parquet dirs."""
+    paths = {
+        "annotated": os.path.join(out_dir, "annotated"),
+        "signals": os.path.join(out_dir, "signals"),
+        "minhash": os.path.join(out_dir, "minhash"),
+        "kept": os.path.join(out_dir, "kept"),
+    }
+    # single full pass (models run exactly once)
+    annotated.write_parquet(paths["annotated"])
+
+    full = rd.read_parquet(paths["annotated"])
+    all_cols: List[str] = full.schema().names
+
+    signal_cols = [
+        c
+        for c in all_cols
+        if c.startswith(("rps_", "pii_", "lang_", "ppl"))
+        or c in ("doc_id", "id_int", "keep", "drop_reasons")
+    ]
+    rd.read_parquet(paths["annotated"], columns=signal_cols).write_parquet(
+        paths["signals"]
+    )
+
+    minhash_cols = ["doc_id", "id_int"] + [
+        c for c in SIGNATURE_COLUMNS if c in all_cols
+    ]
+    rd.read_parquet(paths["annotated"], columns=minhash_cols).write_parquet(
+        paths["minhash"]
+    )
+
+    kept_cols = [c for c in KEPT_COLUMNS if c in all_cols] + ["keep"]
+    kept = rd.read_parquet(paths["annotated"], columns=kept_cols)
+    kept = kept.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["keep"], True)).drop_columns(
+            ["keep"]
+        ),
+        batch_format="pyarrow",
+    )
+    kept.write_parquet(paths["kept"])
+    return paths

@@ -146,15 +146,31 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
     return ds
 
 
-def read_corpus(sf_dir: str, num_blocks: Optional[int] = None) -> Dataset:
+def read_corpus(
+    sf_dir: str,
+    num_blocks: Optional[int] = None,
+    shuffle_files: bool = False,
+    max_docs: Optional[int] = None,
+) -> Dataset:
     """Synthesize (cached) + read the code corpus matching a testdata
     scale-factor directory. Blocks are split at the read (no shuffle):
-    default 4 tasks per annotate actor for load balance."""
+    default 4 tasks per annotate actor for load balance.
+
+    ``shuffle_files`` mirrors the reference's input-list shuffle for
+    coarse load balancing (pipeline.py:373); ``max_docs`` is the
+    dev-mode cap (pipeline.py:204-208)."""
     sf = sf_from_dir(sf_dir)
     corpus_dir = ensure_corpus_parquet(sf)
     if num_blocks is None:
         num_blocks = 4 * _default_actors()
-    return ray.data.read_parquet(corpus_dir, override_num_blocks=num_blocks)
+    ds = ray.data.read_parquet(
+        corpus_dir,
+        override_num_blocks=num_blocks,
+        shuffle="files" if shuffle_files else None,
+    )
+    if max_docs is not None:
+        ds = ds.limit(max_docs)
+    return ds
 
 
 def run_flagship(

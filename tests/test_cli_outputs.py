@@ -1,0 +1,71 @@
+"""CLI commands + triple-output layout."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from redpajama_data_ray.cli import main
+from redpajama_data_ray.pipelines.outputs import write_outputs
+from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+from redpajama_data_ray.sources.corpus import generate_corpus_table
+
+
+def _corpus_dir(tmp_path, n=80):
+    t = generate_corpus_table(n, seed=13)
+    d = tmp_path / "corpus"
+    d.mkdir()
+    half = t.num_rows // 2
+    pq.write_table(t.slice(0, half), str(d / "a.parquet"))
+    pq.write_table(t.slice(half), str(d / "b.parquet"))
+    return str(d)
+
+
+def test_write_outputs_layout(tmp_path):
+    src = _corpus_dir(tmp_path)
+    ds = annotate(
+        ray.data.read_parquet(src),
+        QualityConfig(max_actors=2, include_line_signals=False),
+    )
+    paths = write_outputs(ds, str(tmp_path / "out"))
+    assert set(paths) == {"annotated", "signals", "minhash", "kept"}
+    sig = ray.data.read_parquet(paths["signals"])
+    assert "rps_doc_word_count" in sig.schema().names
+    assert "content" not in sig.schema().names
+    mh = ray.data.read_parquet(paths["minhash"])
+    assert "signature_sim0.8" in mh.schema().names
+    kept = ray.data.read_parquet(paths["kept"]).to_pandas()
+    assert "keep" not in kept.columns
+    ann = ray.data.read_parquet(paths["annotated"]).to_pandas()
+    assert len(kept) == int(ann.keep.sum())
+    assert "content" in kept.columns
+
+
+def test_cli_quality_and_dedup(tmp_path, capsys):
+    src = _corpus_dir(tmp_path)
+    out = str(tmp_path / "cliout")
+    assert main(["quality", "--input", src, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert os.path.isdir(res["outputs"]["annotated"])
+
+    dd = str(tmp_path / "dedup")
+    assert main(
+        ["dedup-exact", "--input", res["outputs"]["annotated"],
+         "--output", dd]
+    ) == 0
+    res2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res2["rows"] > 0
+
+    fz = str(tmp_path / "fuzzy")
+    assert main(
+        ["dedup-fuzzy", "--input", res["outputs"]["minhash"],
+         "--output", fz]
+    ) == 0
+    res3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res3["rows"] > 0
+
+    assert main(["token-count", "--input", src]) == 0
+    res4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res4["n_docs"] == 80  # n < 100 -> no oversized extra row
