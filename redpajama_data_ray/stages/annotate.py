@@ -52,7 +52,14 @@ class AnnotateStage:
         # shipped by value (cloudpickle) — a module-level registry would
         # be empty inside fresh actor processes
         self.extra_signals = list(extra_signals or [])
-        self.kernel = SignalKernel()
+        # per-language signal tables (stopwords / LDNOOBW), selected per
+        # row by predicted language — the reference selects them per
+        # language job (content.py:24-45); "code"/unknown fall back to en
+        self.kernels = {
+            lang: SignalKernel(language=lang)
+            for lang in ("en", "fr", "de", "es", "it")
+        }
+        self.kernel = self.kernels["en"]
         self.langid = NGramLangId()
         self.pplx = PerplexityScorer()
         self.include_line_signals = include_line_signals
@@ -91,15 +98,16 @@ class AnnotateStage:
         for i, t in enumerate(texts):
             t = t if t is not None else ""
             v = DocView(t)
-            doc = self.kernel.doc_signals_view(v)
+            lang, ls = self.langid.predict(t)
+            langs[i], lang_scores[i] = lang, ls
+            kernel = self.kernels.get(lang, self.kernel)
+            doc = kernel.doc_signals_view(v)
             for name in DOC_SIGNAL_NAMES:
                 doc_cols[name][i] = doc[name]
             if self.include_line_signals:
-                lines = self.kernel.line_signals_view(v)
+                lines = kernel.line_signals_view(v)
                 for name in LINE_SIGNAL_NAMES:
                     line_cols[name][i] = lines[name]
-            lang, ls = self.langid.predict(t)
-            langs[i], lang_scores[i] = lang, ls
             ppl, bucket = self.pplx.score(t)
             ppls[i], buckets[i] = ppl, bucket
             bucket_ints[i] = BUCKET_TO_INT.get(bucket)

@@ -39,7 +39,16 @@ class SignalStage:
         include_dsir: bool = True,
         dsir_buckets: int = 10_000,
     ):
-        self.kernel = SignalKernel(language=language)
+        # per-language tables selected by the upstream lang_pred column
+        # when present (unfused path runs after LangIdStage); otherwise
+        # the configured default language applies to every row
+        self.kernels = {
+            lang: SignalKernel(language=lang)
+            for lang in ("en", "fr", "de", "es", "it")
+        }
+        self.kernel = self.kernels.get(language) or SignalKernel(
+            language=language
+        )
         self.text_column = text_column
         self.include_line_signals = include_line_signals
         self.classifier = QualityClassifier() if include_classifier else None
@@ -68,14 +77,20 @@ class SignalStage:
         clf_scores = [] if self.classifier else None
         dsir_scores = [] if self.dsir else None
 
-        for t in texts:
+        lang_preds = (
+            batch.column("lang_pred").to_pylist()
+            if "lang_pred" in batch.schema.names
+            else [None] * len(texts)
+        )
+        for t, lang in zip(texts, lang_preds):
             t = t if t is not None else ""
             v = DocView(t)
-            doc = self.kernel.doc_signals_view(v)
+            kernel = self.kernels.get(lang, self.kernel)
+            doc = kernel.doc_signals_view(v)
             for name in DOC_SIGNAL_NAMES:
                 doc_cols[name].append(doc[name])
             if self.include_line_signals:
-                lines = self.kernel.line_signals_view(v)
+                lines = kernel.line_signals_view(v)
                 for name in LINE_SIGNAL_NAMES:
                     line_cols[name].append(lines[name])
             if clf_scores is not None:

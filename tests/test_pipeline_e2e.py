@@ -24,9 +24,10 @@ from redpajama_data_ray.sources.corpus import generate_corpus_table
 N_ROWS = 300
 
 
-def oracle_row(content: str, kernel, langid, pplx):
-    sigs = kernel.doc_signals(content)
+def oracle_row(content: str, kernels, langid, pplx):
     lang, score = langid.predict(content)
+    kernel = kernels.get(lang, kernels["en"])
+    sigs = kernel.doc_signals(content)
     ppl, bucket = pplx.score(content)
     scrubbed, pii_counts = scrub_text(content)
     row = dict(sigs)
@@ -56,11 +57,14 @@ def pipeline_and_oracle():
         ds, QualityConfig(max_actors=2, include_minhash=False)
     ).to_pandas()
 
-    kernel = SignalKernel()
+    kernels = {
+        lang: SignalKernel(language=lang)
+        for lang in ("en", "fr", "de", "es", "it")
+    }
     langid = NGramLangId()
     pplx = PerplexityScorer()
     oracle = [
-        oracle_row(c, kernel, langid, pplx)
+        oracle_row(c, kernels, langid, pplx)
         for c in table.column("content").to_pylist()
     ]
     out = out.set_index("doc_id")
