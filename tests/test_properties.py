@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY.md §5.4): invariants over arbitrary
+text, checked with hypothesis."""
+
+from hypothesis import given, settings, strategies as st
+
+from redpajama_data_ray.functions.doc_signals import SignalKernel
+from redpajama_data_ray.functions.minhash import MinHasher
+from redpajama_data_ray.functions.pii import scrub_text
+from redpajama_data_ray.functions.rules import RULE_IDS, decide
+from redpajama_data_ray.text import normalize
+
+_K = SignalKernel()
+_M = MinHasher(ngram_size=3)
+
+_text = st.text(max_size=400)
+_tokens = st.lists(
+    st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Nd")),
+        min_size=1,
+        max_size=8,
+    ),
+    max_size=30,
+)
+
+
+@settings(max_examples=80, deadline=None)
+@given(_text)
+def test_normalize_idempotent(s):
+    once = normalize(s)
+    assert normalize(once) == once
+
+
+@settings(max_examples=60, deadline=None)
+@given(_text)
+def test_fraction_signals_in_unit_interval(s):
+    sig = _K.doc_signals(s)
+    for name in (
+        "rps_doc_frac_lines_end_with_ellipsis",
+        "rps_doc_frac_no_alph_words",
+        "rps_doc_frac_unique_words",
+        "rps_doc_frac_all_caps_words",
+        "rps_doc_stop_word_fraction",
+    ):
+        v = sig[name]
+        assert v is None or 0.0 <= v <= 1.0, (name, v, s)
+    for n in range(5, 11):
+        v = sig[f"rps_doc_frac_chars_dupe_{n}grams"]
+        assert 0.0 <= v <= 1.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(_text)
+def test_dupe_fraction_monotone_in_n(s):
+    sig = _K.doc_signals(s)
+    vals = [sig[f"rps_doc_frac_chars_dupe_{n}grams"] for n in range(5, 11)]
+    assert all(a >= b - 1e-9 for a, b in zip(vals, vals[1:]))
+
+
+@settings(max_examples=60, deadline=None)
+@given(_tokens)
+def test_minhash_depends_only_on_shingle_set(tokens):
+    s1 = _M.banded_signatures(tokens)
+    s2 = _M.banded_signatures(list(tokens))
+    assert s1 == s2
+    if len(tokens) < 3:
+        assert all(v is None for v in s1.values())
+    else:
+        assert all(v is not None for v in s1.values())
+
+
+@settings(max_examples=80, deadline=None)
+@given(_text)
+def test_pii_scrub_idempotent(s):
+    once, counts1 = scrub_text(s)
+    twice, counts2 = scrub_text(once)
+    assert twice == once
+    assert all(v == 0 for v in counts2.values())
+
+
+@settings(max_examples=60, deadline=None)
+@given(_text)
+def test_decide_total_and_deterministic(s):
+    sig = dict(_K.doc_signals(s))
+    sig["lang_score"] = 0.9
+    sig["ppl_bucket"] = "head"
+    keep1, reasons1 = decide(sig)
+    keep2, reasons2 = decide(dict(reversed(list(sig.items()))))
+    assert (keep1, reasons1) == (keep2, reasons2)
+    assert set(reasons1) <= set(RULE_IDS)
+    assert keep1 == (len(reasons1) == 0)
