@@ -490,6 +490,117 @@ def q_events_hourly(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_events_sliding_1h(sf_dir: str) -> "pa.Table":
+    """Sliding 1-hour windows advancing every 30 minutes: each event
+    lands in exactly two half-hour-grid windows (flat-explode inside
+    map_batches -> grouped aggregate; window_id = start // 1800s)."""
+    ds = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_type", "ts", "value"]
+    )
+
+    def explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"], pa.int64())
+        half = pc.divide(us, 1_800_000_000)  # half-hour grid cell
+        types = t["event_type"]
+        vals = t["value"]
+        parts = []
+        for shift in (0, 1):
+            parts.append(
+                pa.table(
+                    {
+                        "event_type": types,
+                        "window_id": pc.cast(
+                            pc.subtract(half, shift), pa.int64()
+                        ),
+                        "value": vals,
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    out = (
+        ds.map_batches(explode, batch_format="pyarrow")
+        .groupby(["event_type", "window_id"])
+        .aggregate(
+            Count(alias_name="n"), Sum("value", alias_name="total_value")
+        )
+        .to_pandas()
+    )
+    out["total_value"] = out["total_value"].round(6)
+    out["n"] = out["n"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_events_orders_asof(sf_dir: str) -> "pa.Table":
+    """As-of join: for each event, the most recent order date of the
+    same customer at or before the event time (bucket both sides by
+    key, pandas merge_asof within groups — the RD-native as-of shape).
+    Output timestamps as epoch microseconds for engine-neutral compare."""
+    import pandas as pd
+
+    events = rd.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
+    )
+
+    def tag_events(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t["user_id"], pa.int64()),
+                "when_us": pc.cast(t["ts"], pa.int64()),
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+            }
+        )
+
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    )
+
+    def tag_orders(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": pc.cast(t["o_custkey"], pa.int64()),
+                "when_us": pc.cast(t["o_orderdate"], pa.int64()),
+                "event_id": pa.array([None] * t.num_rows, pa.int64()),
+            }
+        )
+
+    both = events.map_batches(tag_events, batch_format="pyarrow").union(
+        orders.map_batches(tag_orders, batch_format="pyarrow")
+    )
+
+    def asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g.event_id.notna()].sort_values("when_us")
+        od = g[g.event_id.isna()].sort_values("when_us")
+        if ev.empty or od.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "order_date_us": pd.Series([], dtype="int64")}
+            )
+        merged = pd.merge_asof(
+            ev[["when_us", "event_id"]],
+            od[["when_us"]].rename(columns={"when_us": "order_date_us"}),
+            left_on="when_us",
+            right_on="order_date_us",
+            direction="backward",
+        )
+        merged = merged[merged.order_date_us.notna()]
+        return pd.DataFrame(
+            {
+                "event_id": merged.event_id.astype("int64"),
+                "order_date_us": merged.order_date_us.astype("int64"),
+            }
+        )
+
+    out = (
+        both.groupby("key")
+        .map_groups(asof, batch_format="pandas")
+        .to_pandas()
+    )
+    out["event_id"] = out["event_id"].astype("int64")
+    out["order_date_us"] = out["order_date_us"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_events_sessions(sf_dir: str) -> "pa.Table":
     """Session windows (30-min gap) per user via groupby().map_groups
     over ts-sorted groups — the streaming-shaped operator pattern."""
@@ -761,6 +872,24 @@ ORACLE_SQL: Dict[str, str] = {
                count(*) as n, round(sum(value), 6) as total_value
         from events group by 1, 2
     """,
+    "events_sliding_1h": """
+        select event_type, window_id, count(*) as n,
+               round(sum(value), 6) as total_value
+        from (
+            select event_type, value,
+                   epoch_us(ts) // 1800000000 - s.shift as window_id
+            from events, (values (0), (1)) s(shift)
+        )
+        group by 1, 2
+    """,
+    "events_orders_asof": """
+        select e.event_id,
+               max(epoch_us(o.o_orderdate)) as order_date_us
+        from events e
+        join orders o
+          on o.o_custkey = e.user_id and o.o_orderdate <= e.ts
+        group by e.event_id
+    """,
     "events_sessions": """
         with marked as (
             select user_id, ts,
@@ -835,6 +964,8 @@ QUERIES = {
     "order_priority_revenue": q_order_priority_revenue,
     "lineitem_pricing": q_lineitem_pricing,
     "events_hourly": q_events_hourly,
+    "events_sliding_1h": q_events_sliding_1h,
+    "events_orders_asof": q_events_orders_asof,
     "events_sessions": q_events_sessions,
     "knn_cosine_top10": q_knn_cosine_top10,
     "ut1_domain_categories": q_ut1_domain_categories,

@@ -1,0 +1,89 @@
+"""Broadcastable Bloom filter for approximate semi-/anti-joins.
+
+The reference's exact dedup is built on a driver-side mmap Bloom filter
+(/root/reference/app/src/bloomfilter.py:150-278); our exact dedup
+replaces it with a deterministic shuffle (dedupe/exact.py). This Bloom
+filter serves the remaining scale role: when a key SET is too large to
+broadcast exactly (e.g. billions of duplicate ids), broadcast the Bloom
+filter instead, prefilter inside ``map_batches`` (no false negatives:
+rows that don't hit the filter definitely aren't in the set), and send
+only the small surviving fraction through the exact join/groupby.
+
+Vectorized: membership tests run per batch as numpy ops over k derived
+hash positions; serialization is a (bit-array, params) tuple that
+``ray.put`` ships once.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from typing import Iterable, Sequence
+
+import numpy as np
+
+
+def _hash64_pair(data: bytes) -> tuple:
+    d = hashlib.blake2b(data, digest_size=16).digest()
+    return (
+        int.from_bytes(d[:8], "little"),
+        int.from_bytes(d[8:], "little"),
+    )
+
+
+class BloomFilter:
+    """Standard k-hash Bloom filter with double hashing (h1 + i*h2)."""
+
+    def __init__(self, capacity: int, error_rate: float = 0.01):
+        if capacity <= 0:
+            raise ValueError("capacity must be positive")
+        # optimal sizing: m = -n ln p / (ln 2)^2, k = m/n ln 2
+        m = int(-capacity * math.log(error_rate) / (math.log(2) ** 2))
+        self.n_bits = max(64, m)
+        self.k = max(1, int(round(self.n_bits / capacity * math.log(2))))
+        self.bits = np.zeros((self.n_bits + 63) // 64, dtype=np.uint64)
+
+    def _positions(self, item: bytes) -> np.ndarray:
+        h1, h2 = _hash64_pair(item)
+        # keep everything uint64: a bare Python int mixed with uint64
+        # arrays silently upcasts to float64 and corrupts positions
+        idx = (
+            np.uint64(h1)
+            + np.arange(self.k, dtype=np.uint64) * np.uint64(h2)
+        ) % np.uint64(self.n_bits)
+        return idx
+
+    def add(self, item: "bytes | str | int") -> None:
+        idx = self._positions(_to_bytes(item))
+        self.bits[idx >> np.uint64(6)] |= np.uint64(1) << (idx & np.uint64(63))
+
+    def update(self, items: Iterable) -> None:
+        for it in items:
+            self.add(it)
+
+    def might_contain(self, item: "bytes | str | int") -> bool:
+        idx = self._positions(_to_bytes(item))
+        word = self.bits[idx >> np.uint64(6)]
+        mask = np.uint64(1) << (idx & np.uint64(63))
+        return bool(np.all(word & mask))
+
+    def might_contain_many(self, items: Sequence) -> np.ndarray:
+        """bool[n] vectorized membership for a batch of items."""
+        if not len(items):
+            return np.zeros(0, dtype=bool)
+        pairs = np.array(
+            [_hash64_pair(_to_bytes(i)) for i in items], dtype=np.uint64
+        )
+        ks = np.arange(self.k, dtype=np.uint64)[None, :]
+        idx = (pairs[:, 0:1] + ks * pairs[:, 1:2]) % np.uint64(self.n_bits)
+        word = self.bits[idx >> np.uint64(6)]
+        mask = np.uint64(1) << (idx & np.uint64(63))
+        return np.all((word & mask) != 0, axis=1)
+
+
+def _to_bytes(item) -> bytes:
+    if isinstance(item, bytes):
+        return item
+    if isinstance(item, str):
+        return item.encode("utf-8")
+    return int(item).to_bytes(8, "little", signed=False)

@@ -1,0 +1,56 @@
+"""Bloom filter: no false negatives, bounded false positives,
+broadcast prefilter pattern."""
+
+import numpy as np
+import pyarrow as pa
+import ray
+import ray.data
+
+from redpajama_data_ray.state.bloom import BloomFilter
+
+
+def test_no_false_negatives_and_fp_bound():
+    bf = BloomFilter(capacity=10_000, error_rate=0.01)
+    members = [f"key_{i}" for i in range(10_000)]
+    bf.update(members)
+    assert all(bf.might_contain(m) for m in members[::97])
+    mask = bf.might_contain_many(members[:500])
+    assert mask.all()
+    non = [f"other_{i}" for i in range(10_000)]
+    fp = bf.might_contain_many(non).mean()
+    assert fp < 0.03  # ~1% design rate with slack
+
+
+def test_int_and_bytes_items():
+    bf = BloomFilter(capacity=100)
+    bf.add(12345)
+    bf.add(b"\x01\x02")
+    assert bf.might_contain(12345)
+    assert bf.might_contain(b"\x01\x02")
+    assert not bf.might_contain(54321)
+
+
+def test_broadcast_prefilter_pattern():
+    """Anti-join via broadcast bloom prefilter + exact verify."""
+    dup_ids = set(range(0, 1000, 10))
+    bf = BloomFilter(capacity=len(dup_ids), error_rate=0.01)
+    bf.update(dup_ids)
+    bf_ref = ray.put(bf)
+    exact_ref = ray.put(dup_ids)
+
+    ds = ray.data.from_arrow(
+        pa.table({"id": pa.array(range(1000), pa.int64())})
+    ).repartition(4)
+
+    def anti(t: pa.Table) -> pa.Table:
+        f = ray.get(bf_ref)
+        ids = t.column("id").to_pylist()
+        maybe = f.might_contain_many(ids)
+        if not maybe.any():
+            return t  # fast path: no candidate hits, keep everything
+        exact = ray.get(exact_ref)  # only fetched when candidates exist
+        keep = [not (m and i in exact) for i, m in zip(ids, maybe)]
+        return t.filter(pa.array(keep, pa.bool_()))
+
+    out = ds.map_batches(anti, batch_format="pyarrow").to_pandas()
+    assert set(out.id) == set(range(1000)) - dup_ids
