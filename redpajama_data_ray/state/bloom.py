@@ -55,7 +55,13 @@ class BloomFilter:
 
     def add(self, item: "bytes | str | int") -> None:
         idx = self._positions(_to_bytes(item))
-        self.bits[idx >> np.uint64(6)] |= np.uint64(1) << (idx & np.uint64(63))
+        # bitwise_or.at handles duplicate word indices (plain fancy
+        # `|=` would apply only one OR per repeated index)
+        np.bitwise_or.at(
+            self.bits,
+            (idx >> np.uint64(6)).astype(np.int64),
+            np.uint64(1) << (idx & np.uint64(63)),
+        )
 
     def update(self, items: Iterable) -> None:
         for it in items:
