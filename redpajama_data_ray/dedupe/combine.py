@@ -20,7 +20,7 @@ the tree root would not fit; the shuffle is then the correct cost).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import pyarrow as pa
 from ray.data import Dataset

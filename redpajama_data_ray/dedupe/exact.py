@@ -22,7 +22,7 @@ inputs (``exact_dedup_groups``).
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import pyarrow as pa
 import pyarrow.compute as pc

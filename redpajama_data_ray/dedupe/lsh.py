@@ -26,7 +26,6 @@ from __future__ import annotations
 import hashlib
 from typing import Dict, List, Set, Tuple
 
-import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray

@@ -23,7 +23,7 @@ from collections import Counter
 from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from ..config import PRECISION
-from ..text import TextSlice, form_ngrams, normalize, split_lines, wordpunct_tokenize
+from ..text import TextSlice, normalize, split_lines, wordpunct_tokenize
 from .wordlists import get_bad_words, get_stop_words
 
 _SENT_RE = re.compile(r"\b[^.!?]+[.!?]*", re.UNICODE)

@@ -17,7 +17,7 @@
 from __future__ import annotations
 
 import hashlib
-from typing import Iterable, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
 

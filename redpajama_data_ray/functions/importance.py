@@ -28,7 +28,7 @@ from typing import Iterable, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..text import form_ngrams, wordpunct_tokenize
+from ..text import wordpunct_tokenize
 
 DEFAULT_BUCKETS = 10_000  # reference: configs/rp_v2.0.conf:32
 

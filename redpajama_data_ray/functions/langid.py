@@ -23,7 +23,6 @@ profiles offline for production accuracy.
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Tuple
 
 import numpy as np

@@ -16,7 +16,7 @@ bit-identical to the naive path (tested against it):
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

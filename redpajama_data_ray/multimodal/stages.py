@@ -17,7 +17,6 @@ the object store (batch_format="pyarrow"; pandas would copy).
 from __future__ import annotations
 
 import hashlib
-from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa

@@ -14,7 +14,7 @@ in tests), cost drops by ~n_centroids/n_probe.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa

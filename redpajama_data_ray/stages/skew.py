@@ -19,7 +19,6 @@ import zlib
 from typing import Dict, Iterable, List, Optional, Set
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
 
