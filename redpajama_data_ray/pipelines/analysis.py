@@ -720,6 +720,75 @@ def q_dedup_histogram(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_distinct_langs(sf_dir: str) -> "pa.Table":
+    """Distinct values (ds.unique — a shuffle-backed set op)."""
+    langs = _docs(sf_dir, ["lang"]).unique("lang")
+    return pa.table({"lang": pa.array(sorted(langs), pa.string())})
+
+
+def q_supplier_region_stats(sf_dir: str) -> "pa.Table":
+    """Three-way broadcast join supplier -> nation -> region (both dim
+    tables are tiny: composed driver-side into one lookup, shipped via
+    ray.put) + grouped stats per region."""
+    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
+    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
+    nation_to_region = dict(
+        zip(
+            nation.n_nationkey,
+            nation.n_regionkey.map(
+                dict(zip(region.r_regionkey, region.r_name))
+            ),
+        )
+    )
+    ref = ray.put(nation_to_region)
+    supp = rd.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        lk = ray.get(ref)
+        names = [lk.get(k) for k in t["s_nationkey"].to_pylist()]
+        return pa.table(
+            {
+                "region": pa.array(names, pa.string()),
+                "s_acctbal": t["s_acctbal"],
+            }
+        )
+
+    out = (
+        supp.map_batches(join, batch_format="pyarrow")
+        .groupby("region")
+        .aggregate(
+            Count(alias_name="n_suppliers"),
+            Mean("s_acctbal", alias_name="avg_acctbal"),
+        )
+        .to_pandas()
+    )
+    out["avg_acctbal"] = out["avg_acctbal"].round(4)
+    out["n_suppliers"] = out["n_suppliers"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_part_brand_stats(sf_dir: str) -> "pa.Table":
+    ds = rd.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    )
+    out = (
+        ds.groupby("p_brand")
+        .aggregate(
+            Count(alias_name="n_parts"),
+            Mean("p_size", alias_name="avg_size"),
+            Sum("p_retailprice", alias_name="total_price"),
+        )
+        .to_pandas()
+    )
+    out["avg_size"] = out["avg_size"].round(6)
+    out["total_price"] = out["total_price"].round(2)
+    out["n_parts"] = out["n_parts"].astype("int64")
+    out = out.rename(columns={"p_brand": "brand"})
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 # ------------------------------------------------------------------
 # similarity search
 # ------------------------------------------------------------------
@@ -903,6 +972,23 @@ ORACLE_SQL: Dict[str, str] = {
                count(*) as n_events
         from marked group by user_id
     """,
+    "distinct_langs": """
+        select distinct lang from documents order by lang
+    """,
+    "supplier_region_stats": """
+        select r.r_name as region, count(*) as n_suppliers,
+               round(avg(s.s_acctbal), 4) as avg_acctbal
+        from supplier s
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        group by 1
+    """,
+    "part_brand_stats": """
+        select p_brand as brand, count(*) as n_parts,
+               round(avg(p_size), 6) as avg_size,
+               round(sum(p_retailprice), 2) as total_price
+        from part group by 1
+    """,
     "ut1_domain_categories": """
         select d.doc_id, cast(m.cat as bigint) as ut1_category
         from documents d
@@ -968,6 +1054,9 @@ QUERIES = {
     "events_orders_asof": q_events_orders_asof,
     "events_sessions": q_events_sessions,
     "knn_cosine_top10": q_knn_cosine_top10,
+    "distinct_langs": q_distinct_langs,
+    "supplier_region_stats": q_supplier_region_stats,
+    "part_brand_stats": q_part_brand_stats,
     "ut1_domain_categories": q_ut1_domain_categories,
     "stratified_sample_docs": q_stratified_sample_docs,
     "token_counts": q_token_counts,
