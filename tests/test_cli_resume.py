@@ -1,0 +1,42 @@
+"""CLI --resume: partition-per-shard processing with manifest skip."""
+
+import json
+import os
+
+import pyarrow.parquet as pq
+
+from redpajama_data_ray.cli import main
+from redpajama_data_ray.sources.corpus import generate_corpus_table
+from redpajama_data_ray.state.manifest import Manifest
+
+
+def test_cli_quality_resume(tmp_path, capsys):
+    t = generate_corpus_table(60, seed=17)
+    src = tmp_path / "corpus"
+    src.mkdir()
+    third = t.num_rows // 3
+    for i in range(3):
+        pq.write_table(
+            t.slice(i * third, third if i < 2 else t.num_rows - 2 * third),
+            str(src / f"shard_{i}.parquet"),
+        )
+    out = str(tmp_path / "out")
+
+    assert main(
+        ["quality", "--input", str(src), "--output", out, "--resume"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["partitions"] == 3
+
+    m = Manifest(out)
+    assert set(m.committed()) == {"shard_0", "shard_1", "shard_2"}
+
+    # drop one manifest entry; rerun resumes only that shard
+    os.remove(os.path.join(m.manifest_dir, "shard_2.json"))
+    mtime0 = os.path.getmtime(m.partition_output_dir("shard_0"))
+    assert main(
+        ["quality", "--input", str(src), "--output", out, "--resume"]
+    ) == 0
+    capsys.readouterr()
+    assert set(m.committed()) == {"shard_0", "shard_1", "shard_2"}
+    assert os.path.getmtime(m.partition_output_dir("shard_0")) == mtime0

@@ -1,0 +1,42 @@
+"""Robustness: poison rows (nulls, odd unicode, huge tokens) must flow
+through the full pipeline without failing any stage."""
+
+import pyarrow as pa
+import ray.data
+
+from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+
+
+def test_poison_rows_survive_full_pipeline():
+    rows = [
+        ("r", "null.py", "c0", None),                      # null content
+        ("r", "empty.py", "c1", ""),
+        ("r", "nul_byte.py", "c2", "a\x00b\x00c"),
+        ("r", "emoji.py", "c3", "🎉🎊 unicode 🚀 " * 20),
+        ("r", "rtl.py", "c4", "مرحبا بالعالم " * 30),
+        ("r", "cjk.py", "c5", "你好世界。这是一个测试。" * 40),
+        ("r", "huge_token.py", "c6", "x" * 100_000),       # one giant word
+        ("r", "newlines.py", "c7", "\n" * 500),
+        ("r", "surrogateish.py", "c8", "a�￾-ish b"),
+        ("r", "normal.py", "c9", "def f():\n    return 42\n"),
+    ]
+    t = pa.table(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": [r[2] for r in rows],
+            "lang": ["python"] * len(rows),
+            "content": pa.array([r[3] for r in rows], pa.string()),
+        }
+    )
+    out = annotate(
+        ray.data.from_arrow(t),
+        QualityConfig(max_actors=2),
+    ).to_pandas()
+    assert len(out) == len(rows)
+    # every row got a decision and a scrubbed hash
+    assert out.keep.notna().all()
+    assert out.content_scrubbed_sha256.str.len().eq(64).all()
+    # null/empty/degenerate rows are dropped, the normal row's signals exist
+    normal = out[out.path == "normal.py"].iloc[0]
+    assert normal.rps_doc_word_count > 0
