@@ -170,40 +170,41 @@ class SignalKernel:
             out["rps_doc_frac_lines_end_with_ellipsis"] = _round(
                 n_ell / n_lines
             )
-        # natural_language.py:118-138
+        # natural_language.py:118-138, 184-197, content.py:168-188 —
+        # three per-raw-word scans fused into one pass (same results)
         if n_raw == 0:
             out["rps_doc_frac_no_alph_words"] = None
+            out["rps_doc_frac_all_caps_words"] = None
+            n_stop = 0
         else:
-            n_alpha = float(
-                sum(_ALPHA_RE.search(w) is not None for w in v.raw_words)
-            )
+            n_alpha = 0
+            n_upper = 0
+            n_stop = 0
+            alpha_search = _ALPHA_RE.search
+            stop = self.stop_words
+            for w in v.raw_words:
+                if alpha_search(w) is not None:
+                    n_alpha += 1
+                if w.isupper():
+                    n_upper += 1
+                if w in stop:
+                    n_stop += 1
             out["rps_doc_frac_no_alph_words"] = _round(1.0 - n_alpha / n_raw)
-        # natural_language.py:141-155
+            out["rps_doc_frac_all_caps_words"] = _round(n_upper / n_raw)
+        # natural_language.py:141-155, 158-181 — one Counter serves both
+        # the unique fraction (distinct count) and the entropy
         if n_norm == 0:
             out["rps_doc_frac_unique_words"] = None
-        else:
-            out["rps_doc_frac_unique_words"] = _round(
-                len(set(v.norm_words)) / n_norm
-            )
-        # natural_language.py:158-181
-        if n_norm == 0:
             out["rps_doc_unigram_entropy"] = None
         else:
             counter = Counter(v.norm_words)
-            total = sum(counter.values())
+            out["rps_doc_frac_unique_words"] = _round(len(counter) / n_norm)
+            total = n_norm
+            log = math.log
             entropy = sum(
-                -c / total * math.log(c / total)
-                for c in counter.values()
-                if c > 0
+                -c / total * log(c / total) for c in counter.values()
             )
             out["rps_doc_unigram_entropy"] = _round(entropy)
-        # natural_language.py:184-197
-        if n_raw == 0:
-            out["rps_doc_frac_all_caps_words"] = None
-        else:
-            out["rps_doc_frac_all_caps_words"] = _round(
-                sum(map(str.isupper, v.raw_words)) / n_raw
-            )
         # repetitions.py (vectorized; parity tested vs the naive path)
         from .repetitions import repetition_signals
 
@@ -224,11 +225,12 @@ class SignalKernel:
             )
         # content.py:49-100
         out["rps_doc_ldnoobw_words"] = self._ldnoobw_count(v)
-        # content.py:168-188
+        # content.py:168-188 (n_stop counted in the fused raw-word pass;
+        # guard is on NORMALIZED words, ratio over RAW words, as in the
+        # reference)
         if n_norm == 0:
             out["rps_doc_stop_word_fraction"] = 0.0
         else:
-            n_stop = sum(w in self.stop_words for w in v.raw_words)
             out["rps_doc_stop_word_fraction"] = _round(n_stop / n_raw)
         return out
 

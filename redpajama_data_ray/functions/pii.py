@@ -54,9 +54,17 @@ _COMPILED = [
 
 PII_COUNT_COLUMNS = [f"pii_{name}_count" for name, _, _ in PII_PATTERNS]
 
+# cheap prefilter: most documents are clean, and none of the patterns
+# can match without one of these substrings present
+_PREFILTER = re.compile(r"[@:=]|AKIA|[Bb]earer|\d+\.\d+\.\d+\.\d+")
+
+_ZERO_COUNTS: Dict[str, int] = {c: 0 for c in PII_COUNT_COLUMNS}
+
 
 def scrub_text(text: str) -> Tuple[str, Dict[str, int]]:
     """Scrub one string; returns (scrubbed, {pii_<name>_count: n})."""
+    if _PREFILTER.search(text) is None:
+        return text, dict(_ZERO_COUNTS)
     counts: Dict[str, int] = {}
     for name, rx, repl in _COMPILED:
         text, n = rx.subn(repl, text)
