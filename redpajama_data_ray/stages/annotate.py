@@ -74,6 +74,14 @@ class AnnotateStage:
             self.dsir = DSIRScorer(tgt, src, lam_t, lam_s)
         else:
             self.dsir = None
+        # the per-doc kernels churn small acyclic objects (tuples, str
+        # slices); cyclic-GC passes add pure overhead in a long-lived
+        # actor, so freeze the model state and relax the thresholds
+        import gc
+
+        gc.collect()
+        gc.freeze()
+        gc.set_threshold(200_000, 100, 100)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column(self.text_column).to_pylist()
