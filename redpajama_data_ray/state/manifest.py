@@ -90,6 +90,7 @@ def run_partitioned(
         shutil.rmtree(part_dir, ignore_errors=True)
         ds.write_parquet(part_dir)
         metrics = {"input": path, "rows": _count_rows(part_dir)}
+        metrics.update(partition_quality_metrics(part_dir))
         if metrics_fn is not None:
             metrics.update(metrics_fn(ds))
         manifest.commit(shard, metrics)
@@ -105,3 +106,43 @@ def _count_rows(part_dir: str) -> int:
         if name.endswith(".parquet"):
             total += pq.ParquetFile(os.path.join(part_dir, name)).metadata.num_rows
     return total
+
+
+def partition_quality_metrics(part_dir: str) -> dict:
+    """Per-partition lineage metrics from a written annotated partition:
+    kept/dropped counts, per-drop-reason counts, language distribution.
+    Reads only the three needed columns from the parquet footprint."""
+    import pyarrow.parquet as pq
+
+    kept = dropped = 0
+    reasons: Dict[str, int] = {}
+    langs: Dict[str, int] = {}
+    for name in sorted(os.listdir(part_dir)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(part_dir, name))
+        cols = [
+            c
+            for c in ("keep", "drop_reasons", "lang_pred")
+            if c in pf.schema_arrow.names
+        ]
+        if not cols:
+            continue
+        t = pf.read(columns=cols)
+        if "keep" in cols:
+            flags = t.column("keep").to_pylist()
+            kept += sum(1 for k in flags if k)
+            dropped += sum(1 for k in flags if not k)
+        if "drop_reasons" in cols:
+            for rs in t.column("drop_reasons").to_pylist():
+                for r in rs or []:
+                    reasons[r] = reasons.get(r, 0) + 1
+        if "lang_pred" in cols:
+            for lang in t.column("lang_pred").to_pylist():
+                langs[lang] = langs.get(lang, 0) + 1
+    return {
+        "kept": kept,
+        "dropped": dropped,
+        "drop_reasons": reasons,
+        "languages": langs,
+    }

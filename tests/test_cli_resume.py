@@ -30,6 +30,11 @@ def test_cli_quality_resume(tmp_path, capsys):
 
     m = Manifest(out)
     assert set(m.committed()) == {"shard_0", "shard_1", "shard_2"}
+    # lineage metrics recorded per partition (G7)
+    rec = m.committed()["shard_0"]["metrics"]
+    assert rec["kept"] + rec["dropped"] == rec["rows"]
+    assert isinstance(rec["drop_reasons"], dict)
+    assert sum(rec["languages"].values()) == rec["rows"]
 
     # drop one manifest entry; rerun resumes only that shard
     os.remove(os.path.join(m.manifest_dir, "shard_2.json"))
