@@ -136,15 +136,17 @@ class MinHasher:
             return None
         from ..text.normalization import ngrams_zip
 
-        join = " ".join
-        shingles = set(map(join, ngrams_zip(list(tokens), self.ngram_size)))
+        # encode each token once; a bytes-join of encoded tokens equals
+        # the utf-8 encoding of the space-joined shingle string, so the
+        # sha1 inputs are identical to the reference's
+        # (dedupe/utils.py:104-108) without re-encoding per shingle
+        token_bytes = [t.encode("utf-8") for t in tokens]
+        join = b" ".join
+        shingles = set(map(join, ngrams_zip(token_bytes, self.ngram_size)))
         sha1 = hashlib.sha1
         unpack = struct.unpack
         h = np.fromiter(
-            (
-                unpack("<I", sha1(s.encode("utf-8")).digest()[:4])[0]
-                for s in shingles
-            ),
+            (unpack("<I", sha1(s).digest()[:4])[0] for s in shingles),
             dtype=np.uint64,
             count=len(shingles),
         )
