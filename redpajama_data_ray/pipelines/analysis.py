@@ -416,6 +416,47 @@ def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_top_orders_per_segment(sf_dir: str) -> "pa.Table":
+    """Grouped top-k (window-function shape): the 3 highest-value orders
+    per market segment via broadcast join + groupby().map_groups."""
+    import pandas as pd
+
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).to_pandas()
+    lookup = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def join(t: pa.Table) -> pa.Table:
+        lk = ray.get(lookup)
+        seg = [lk.get(k) for k in t["o_custkey"].to_pylist()]
+        return pa.table(
+            {
+                "mktsegment": pa.array(seg, pa.string()),
+                "o_orderkey": t["o_orderkey"],
+                "o_totalprice": t["o_totalprice"],
+            }
+        )
+
+    def top3(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(
+            ["o_totalprice", "o_orderkey"], ascending=[False, True]
+        ).head(3)
+
+    out = (
+        orders.map_batches(join, batch_format="pyarrow")
+        .groupby("mktsegment")
+        .map_groups(top3, batch_format="pandas")
+        .to_pandas()
+    )
+    out["o_totalprice"] = out["o_totalprice"].round(2)
+    out["o_orderkey"] = out["o_orderkey"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_lineitem_pricing(sf_dir: str) -> "pa.Table":
     """TPC-H Q1-style grouped aggregate over lineitem."""
     ds = rd.read_parquet(
@@ -918,6 +959,19 @@ ORACLE_SQL: Dict[str, str] = {
         from orders o join customer c on o.o_custkey = c.c_custkey
         group by 1
     """,
+    "top_orders_per_segment": """
+        select mktsegment, o_orderkey, round(o_totalprice, 2) as o_totalprice
+        from (
+            select c.c_mktsegment as mktsegment, o.o_orderkey,
+                   o.o_totalprice,
+                   row_number() over (
+                       partition by c.c_mktsegment
+                       order by o.o_totalprice desc, o.o_orderkey asc
+                   ) as rn
+            from orders o join customer c on o.o_custkey = c.c_custkey
+        )
+        where rn <= 3
+    """,
     "order_priority_revenue": """
         select o.o_orderpriority as orderpriority,
                count(*) as n_items,
@@ -1047,6 +1101,7 @@ QUERIES = {
     "top_docs_by_chars": q_top_docs_by_chars,
     "embedding_label_stats": q_embedding_label_stats,
     "orders_by_mktsegment": q_orders_by_mktsegment,
+    "top_orders_per_segment": q_top_orders_per_segment,
     "order_priority_revenue": q_order_priority_revenue,
     "lineitem_pricing": q_lineitem_pricing,
     "events_hourly": q_events_hourly,
