@@ -73,7 +73,14 @@ _SEED_TEXT: Dict[str, str] = {
         "public static void main(string[] args) { system.out.println(); } "
         "const x = () => { let y = 0; }; #include <stdio.h> int main() "
         "{ printf(); return 0; } fn main() { println!(); } self.value = "
-        "value @staticmethod class foo: pass lambda x: x"
+        "value @staticmethod class foo: pass lambda x: x "
+        # common programming identifiers / operators (generic across
+        # languages — they dominate real-world source token streams)
+        "function fn(batch, merge, value) { stream handle; return result "
+        "config; } int float string list dict map array index buffer "
+        "cache lock thread queue batch shard merge split filter reduce "
+        "apply compute update delete parse token // generated module "
+        "; ; ; } { } { ) ( := == != <= >= -> => "
     ),
 }
 
