@@ -1,0 +1,82 @@
+"""Statistical LSH validation: planted near-duplicate pairs are
+recovered at (at least) the theoretical banding probability.
+
+For the 0.8-threshold table (9 bands x 13 rows, seed-42 permutations),
+a pair with shingle Jaccard J collides in at least one band with
+probability 1 - (1 - J^13)^9: ~0.99 at J=0.95, ~0.72 at J=0.85. We
+plant pairs at J >= 0.93 (one word changed in 400) and require >= 90%
+recall, and verify NO false merges between unrelated docs.
+"""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from redpajama_data_ray.dedupe.jaccard import jaccard, shingle_set
+from redpajama_data_ray.dedupe.lsh import lsh_clusters
+from redpajama_data_ray.stages import MinHashStage, assign_ids
+
+N_PAIRS = 40
+
+
+def _planted_corpus():
+    rng = np.random.default_rng(99)
+    rows = []
+    for p in range(N_PAIRS):
+        base_words = [f"p{p}w{i}" for i in range(400)]
+        near = list(base_words)
+        near[int(rng.integers(0, 400))] = "mutated"
+        rows.append((f"pair{p}", "a.txt", f"ca{p}", " ".join(base_words)))
+        rows.append((f"pair{p}", "b.txt", f"cb{p}", " ".join(near)))
+    for u in range(50):
+        rows.append(
+            (f"uniq{u}", "u.txt", f"cu{u}",
+             " ".join(f"u{u}w{i}" for i in range(300)))
+        )
+    return pa.table(
+        {
+            "repo": [r[0] for r in rows],
+            "path": [r[1] for r in rows],
+            "commit": [r[2] for r in rows],
+            "lang": ["txt"] * len(rows),
+            "content": [r[3] for r in rows],
+        }
+    )
+
+
+def test_lsh_recall_and_precision():
+    table = _planted_corpus()
+    # sanity: planted pairs really are high-Jaccard
+    j = jaccard(
+        shingle_set(table["content"][0].as_py()),
+        shingle_set(table["content"][1].as_py()),
+    )
+    assert j >= 0.9
+
+    ds = (
+        ray.data.from_arrow(table)
+        .repartition(4)
+        .map_batches(assign_ids, batch_format="pyarrow")
+        .map_batches(MinHashStage, batch_format="pyarrow", concurrency=2)
+        .materialize()
+    )
+    ids = {
+        r["doc_id"]: r["id_int"]
+        for r in ds.select_columns(["doc_id", "id_int"]).take_all()
+    }
+    clusters = lsh_clusters(ds, "signature_sim0.8")
+
+    recovered = 0
+    for p in range(N_PAIRS):
+        a = ids[f"pair{p}/a.txt@ca{p}"]
+        b = ids[f"pair{p}/b.txt@cb{p}"]
+        if clusters.get(a) is not None and clusters.get(a) == clusters.get(b):
+            recovered += 1
+    assert recovered >= int(0.9 * N_PAIRS), f"recall {recovered}/{N_PAIRS}"
+
+    # precision: unrelated docs never merge with planted pairs
+    uniq_ids = {ids[f"uniq{u}/u.txt@cu{u}"] for u in range(50)}
+    clustered_uniq = {i for i in uniq_ids if i in clusters}
+    for i in clustered_uniq:
+        # a unique doc may appear only as its own singleton root
+        assert clusters[i] == i
