@@ -37,8 +37,15 @@ def key_stats(
     """Dataset of (key, min_order, cnt) — one row per distinct key."""
 
     def partial(t: pa.Table) -> pa.Table:
-        g = t.select([key, order_col]).group_by(key).aggregate(
-            [(order_col, "min"), (order_col, "count")]
+        if key == order_col:
+            # counting by the key itself: duplicate under an alias
+            t = pa.table({key: t.column(key), "__ord": t.column(key)})
+            ocol = "__ord"
+        else:
+            t = t.select([key, order_col])
+            ocol = order_col
+        g = t.group_by(key).aggregate(
+            [(ocol, "min"), (ocol, "count")]
         )
         return g.rename_columns([key, "min_order", "cnt"])
 

@@ -761,6 +761,18 @@ def q_dedup_histogram(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_jaccard_near_dup_pairs(sf_dir: str) -> "pa.Table":
+    """Exact 3-gram-shingle Jaccard near-dup pairs (J >= 0.5) over
+    documents — the verification-grade fuzzy-dedup operator, checked
+    against a full SQL self-join oracle."""
+    from ..dedupe.jaccard import distributed_jaccard_pairs
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return distributed_jaccard_pairs(
+        ds, text_col="text", id_col="doc_id", n=3, threshold=0.5
+    )
+
+
 def q_distinct_langs(sf_dir: str) -> "pa.Table":
     """Distinct values (ds.unique — a shuffle-backed set op)."""
     langs = _docs(sf_dir, ["lang"]).unique("lang")
@@ -1026,6 +1038,31 @@ ORACLE_SQL: Dict[str, str] = {
                count(*) as n_events
         from marked group by user_id
     """,
+    "jaccard_near_dup_pairs": """
+        with words as (
+            select doc_id,
+                   list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '') as w
+            from documents
+        ),
+        sh as (
+            select distinct doc_id,
+                   w[i] || ' ' || w[i+1] || ' ' || w[i+2] as s
+            from words, unnest(generate_series(1, len(w) - 2)) as t(i)
+        ),
+        ds as (select doc_id, count(*) as n from sh group by doc_id),
+        inter as (
+            select a.doc_id as doc_a, b.doc_id as doc_b, count(*) as i
+            from sh a join sh b on a.s = b.s and a.doc_id < b.doc_id
+            group by 1, 2
+        )
+        select doc_a, doc_b,
+               round(i * 1.0 / (x.n + y.n - i), 6) as jaccard
+        from inter
+        join ds x on x.doc_id = doc_a
+        join ds y on y.doc_id = doc_b
+        where i * 1.0 / (x.n + y.n - i) >= 0.5
+    """,
     "distinct_langs": """
         select distinct lang from documents order by lang
     """,
@@ -1109,6 +1146,7 @@ QUERIES = {
     "events_orders_asof": q_events_orders_asof,
     "events_sessions": q_events_sessions,
     "knn_cosine_top10": q_knn_cosine_top10,
+    "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
     "distinct_langs": q_distinct_langs,
     "supplier_region_stats": q_supplier_region_stats,
     "part_brand_stats": q_part_brand_stats,
