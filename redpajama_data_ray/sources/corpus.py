@@ -137,7 +137,7 @@ def _edge_file(rng: np.random.Generator, kind: int) -> str:
 
 
 def generate_corpus_table(
-    n_rows: int, seed: int = CORPUS_SEED
+    n_rows: int, seed: int = CORPUS_SEED, include_big_file: bool = True
 ) -> pa.Table:
     """Build the corpus as one Arrow table (deterministic in seed)."""
     rng = np.random.default_rng(seed)
@@ -201,7 +201,7 @@ def generate_corpus_table(
     # scheduled at the start of the run instead of becoming an
     # end-of-pipeline straggler (X6 skew policy; at real scale the same
     # is achieved by ordering input shards by descending size).
-    if n_rows >= 100:
+    if n_rows >= 100 and include_big_file:
         big = _rand_words(rng, _CODE_WORDS, 150_000)
         repos.insert(0, "repo_00")
         paths.insert(0, "gen/bundle.min.js")
@@ -240,22 +240,42 @@ def ensure_corpus_parquet(
     for a scale factor. Sharded into many files so the read stage can
     produce blocks in parallel (8 shards starve a 30-actor pool for the
     first seconds of a run) and the manifest/resume path has real
-    partitions."""
+    partitions.
+
+    Generation parallelizes across shards with Ray tasks when a Ray
+    session exists (each shard is an independent seeded stream, so the
+    output is deterministic either way); serial fallback otherwise."""
+    import ray
+
     n_rows = corpus_rows_for_sf(sf)
     if num_shards is None:
         num_shards = 64 if n_rows >= 5000 else 8
-    out_dir = os.path.join(cache_dir, f"sf{sf}_seed{seed}_n{n_rows}_v3")
+    out_dir = os.path.join(cache_dir, f"sf{sf}_seed{seed}_n{n_rows}_v4")
     done = os.path.join(out_dir, "_DONE")
     if os.path.exists(done):
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    table = generate_corpus_table(n_rows, seed)
-    shard_size = (table.num_rows + num_shards - 1) // num_shards
-    for s in range(num_shards):
-        shard = table.slice(s * shard_size, shard_size)
-        if shard.num_rows == 0:
-            continue
-        pq.write_table(shard, os.path.join(out_dir, f"shard_{s:04d}.parquet"))
+    per_shard = (n_rows + num_shards - 1) // num_shards
+
+    def _write_shard(s: int) -> None:
+        rows = min(per_shard, n_rows - s * per_shard)
+        if rows <= 0:
+            return
+        # independent deterministic stream per shard; the oversized
+        # skew file goes first in shard 0 (long-job-first)
+        table = generate_corpus_table(
+            rows, seed=seed + 7919 * s, include_big_file=(s == 0)
+        )
+        pq.write_table(
+            table, os.path.join(out_dir, f"shard_{s:04d}.parquet")
+        )
+
+    if ray.is_initialized():
+        remote = ray.remote(num_cpus=1)(_write_shard)
+        ray.get([remote.remote(s) for s in range(num_shards)])
+    else:
+        for s in range(num_shards):
+            _write_shard(s)
     with open(done, "w") as f:
         f.write("ok")
     return out_dir
