@@ -2,6 +2,12 @@ import os
 
 import pytest
 import ray
+from hypothesis import settings
+
+# deterministic property tests: the driver's gate must not flake on a
+# freshly-drawn example
+settings.register_profile("ci", derandomize=True)
+settings.load_profile("ci")
 
 
 @pytest.fixture(scope="session", autouse=True)
