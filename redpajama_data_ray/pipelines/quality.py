@@ -1,13 +1,19 @@
 """The flagship quality pipeline (SURVEY.md §7.1 architecture).
 
-    read_parquet(corpus)                      # (repo,path,commit,lang,content)
-      -> map_batches(assign_ids)              # doc_id, id_int, content_sha256
-      -> map_batches(LangIdStage,  actor pool)
-      -> map_batches(PerplexityStage, actor pool)
-      -> map_batches(SignalStage,  actor pool)   # all rps_doc_*/rps_lines_*
-      -> map_batches(MinHashStage, actor pool)   # banded signatures
-      -> map_batches(scrub_batch)             # PII scrub + counts
-      -> map_batches(DecideStage)             # keep / drop_reasons
+Default (fused) plan — one actor pool holds every model:
+
+    read_parquet(corpus, override_num_blocks=4*actors)
+      -> map_batches(assign_ids)                  # task op, fused into pool
+      -> map_batches(AnnotateStage,               # ONE actor pool:
+             concurrency=(N, N), num_cpus=1)      #  langid + perplexity +
+                                                  #  signals + minhash +
+                                                  #  PII scrub + keep/drop
+      -> write_parquet / dedup branches (caller)
+
+``fused=False`` expands into one pool per model (LangIdStage ->
+PerplexityStage -> SignalStage -> MinHashStage -> scrub -> decide) for
+heterogeneous per-stage scaling; both paths emit identical columns
+(tests/test_registry_and_paths.py::test_fused_and_unfused_paths_match).
 
 Everything streams; nothing materializes the corpus. Filtering
 (``keep``) and dedup branches are applied by the caller so the annotated
