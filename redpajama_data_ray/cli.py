@@ -99,18 +99,27 @@ def cmd_dedup_exact(args) -> dict:
 
 
 def cmd_dedup_fuzzy(args) -> dict:
+    import pyarrow.parquet as pq
     import ray.data as rd
 
-    from .dedupe.lsh import fuzzy_dedup
+    from .dedupe.lsh import clusters_table, fuzzy_dedup
 
     ds = rd.read_parquet(args.input)
     out, clusters = fuzzy_dedup(ds, args.signature)
     out.write_parquet(args.output)
-    return {
+    result = {
         "rows": out.count(),
         "clusters": len(set(clusters.values())),
         "output": args.output,
     }
+    if args.clusters_output:
+        os.makedirs(args.clusters_output, exist_ok=True)
+        pq.write_table(
+            clusters_table(clusters),
+            os.path.join(args.clusters_output, "clusters.parquet"),
+        )
+        result["clusters_output"] = args.clusters_output
+    return result
 
 
 def cmd_token_count(args) -> dict:
@@ -171,6 +180,7 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--input", required=True)
     df.add_argument("--output", required=True)
     df.add_argument("--signature", default="signature_sim0.8")
+    df.add_argument("--clusters-output", default=None)
     df.set_defaults(fn=cmd_dedup_fuzzy)
 
     tc = sub.add_parser("token-count", help="corpus token totals")

@@ -150,6 +150,19 @@ def lsh_clusters(
     return clusters
 
 
+def clusters_table(clusters: Dict[int, int]) -> pa.Table:
+    """(id_int, cluster_id) Arrow table — the reference's cluster output
+    artifact (run_lsh.py:340-372 writes (id, id_int, cluster_id,
+    shard_id) parquet per shard; join back on id_int for the rest)."""
+    items = sorted(clusters.items())
+    return pa.table(
+        {
+            "id_int": pa.array([i for i, _ in items], pa.uint64()),
+            "cluster_id": pa.array([c for _, c in items], pa.uint64()),
+        }
+    )
+
+
 def fuzzy_dedup(
     ds: Dataset,
     sig_column: str = "signature_sim0.8",

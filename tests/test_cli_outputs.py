@@ -59,12 +59,17 @@ def test_cli_quality_and_dedup(tmp_path, capsys):
     assert res2["rows"] > 0
 
     fz = str(tmp_path / "fuzzy")
+    cl = str(tmp_path / "clusters")
     assert main(
         ["dedup-fuzzy", "--input", res["outputs"]["minhash"],
-         "--output", fz]
+         "--output", fz, "--clusters-output", cl]
     ) == 0
     res3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res3["rows"] > 0
+    import pyarrow.parquet as pq
+
+    ct = pq.read_table(os.path.join(cl, "clusters.parquet"))
+    assert ct.schema.names == ["id_int", "cluster_id"]
 
     assert main(["token-count", "--input", src]) == 0
     res4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
