@@ -103,6 +103,24 @@ class AnnotateStage:
             else {}
         )
 
+        # in-actor scrub + keep/drop state (the per-row loop computes
+        # everything so the output table is built exactly once)
+        do_scrub = self.include_scrub
+        do_decide = self.rules is not None
+        if do_scrub:
+            import hashlib
+
+            from ..functions.pii import PII_COUNT_COLUMNS, scrub_text
+
+            scrubbed = [None] * n
+            scrub_sha = [None] * n
+            pii_counts = {k: [0] * n for k in PII_COUNT_COLUMNS}
+        if do_decide:
+            from ..functions.rules import decide
+
+            keeps = [None] * n
+            reasons = [None] * n
+
         for i, t in enumerate(texts):
             t = t if t is not None else ""
             v = DocView(t)
@@ -134,52 +152,51 @@ class AnnotateStage:
                 sigs = self.hasher.banded_signatures(v.norm_words)
                 for k in sig_cols:
                     sig_cols[k][i] = sigs[k]
+            row_pii = None
+            if do_scrub:
+                s, c = scrub_text(t)
+                scrubbed[i] = s
+                scrub_sha[i] = hashlib.sha256(s.encode("utf-8")).hexdigest()
+                for k in PII_COUNT_COLUMNS:
+                    pii_counts[k][i] = c[k]
+                row_pii = c
+            if do_decide:
+                row = {name: doc_cols[name][i] for name in DOC_SIGNAL_NAMES}
+                row["lang_score"] = ls
+                row["ppl_bucket"] = bucket
+                if row_pii:
+                    row.update(row_pii)
+                keeps[i], reasons[i] = decide(row, self.rules)
 
-        batch = (
-            batch.append_column("lang_pred", pa.array(langs, pa.string()))
-            .append_column("lang_score", pa.array(lang_scores, pa.float64()))
-            .append_column("ppl", pa.array(ppls, pa.float64()))
-            .append_column("ppl_bucket", pa.array(buckets, pa.string()))
-            .append_column(
-                "ppl_bucket_int", pa.array(bucket_ints, pa.float64())
-            )
-        )
+        cols = {name: batch.column(name) for name in batch.schema.names}
+        if do_scrub:
+            cols[self.text_column] = pa.array(scrubbed, pa.string())
+        cols["lang_pred"] = pa.array(langs, pa.string())
+        cols["lang_score"] = pa.array(lang_scores, pa.float64())
+        cols["ppl"] = pa.array(ppls, pa.float64())
+        cols["ppl_bucket"] = pa.array(buckets, pa.string())
+        cols["ppl_bucket_int"] = pa.array(bucket_ints, pa.float64())
         for name in DOC_SIGNAL_NAMES:
-            batch = batch.append_column(
-                name, pa.array(doc_cols[name], pa.float64())
-            )
+            cols[name] = pa.array(doc_cols[name], pa.float64())
         for name in line_cols:
-            batch = batch.append_column(
-                name, pa.array(line_cols[name], pa.list_(pa.float64()))
-            )
+            cols[name] = pa.array(line_cols[name], pa.list_(pa.float64()))
         if clf is not None:
-            batch = batch.append_column(
-                "rps_doc_ml_quality_score", pa.array(clf, pa.float64())
-            )
+            cols["rps_doc_ml_quality_score"] = pa.array(clf, pa.float64())
         if dsir is not None:
-            batch = batch.append_column(
-                "rps_doc_importance_weight", pa.array(dsir, pa.float64())
-            )
+            cols["rps_doc_importance_weight"] = pa.array(dsir, pa.float64())
         for k in sig_cols:
-            batch = batch.append_column(
-                k, pa.array(sig_cols[k], pa.list_(pa.binary()))
-            )
+            cols[k] = pa.array(sig_cols[k], pa.list_(pa.binary()))
         # user-registered plugin signals (registry = schema source of
         # truth, SURVEY.md §2.10)
         if self.extra_signals:
             safe_texts = [t if t is not None else "" for t in texts]
             for sig in self.extra_signals:
-                batch = batch.append_column(
-                    sig.name, pa.array(sig.fn(safe_texts), sig.dtype)
-                )
-        # optional in-actor scrub + keep/drop (saves two downstream task
-        # operators when the actor pool owns nearly all CPUs)
-        if self.include_scrub:
-            from .pii import scrub_batch
-
-            batch = scrub_batch(batch, self.text_column)
-        if self.rules is not None:
-            from .decide import decide_batch
-
-            batch = decide_batch(batch, self.rules)
-        return batch
+                cols[sig.name] = pa.array(sig.fn(safe_texts), sig.dtype)
+        if do_scrub:
+            for k in PII_COUNT_COLUMNS:
+                cols[k] = pa.array(pii_counts[k], pa.int64())
+            cols["content_scrubbed_sha256"] = pa.array(scrub_sha, pa.string())
+        if do_decide:
+            cols["keep"] = pa.array(keeps, pa.bool_())
+            cols["drop_reasons"] = pa.array(reasons, pa.list_(pa.string()))
+        return pa.table(cols)
