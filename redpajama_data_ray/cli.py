@@ -156,6 +156,35 @@ def cmd_token_count(args) -> dict:
     return dict(agg)
 
 
+def cmd_query(args) -> dict:
+    import pandas as pd
+    import pyarrow as pa
+
+    from .pipelines.analysis import ORACLE_SQL, QUERIES
+    from .pipelines.extras import EXTRA_QUERIES
+
+    registry = {**QUERIES, **EXTRA_QUERIES}
+    if args.list or not args.name:
+        return {
+            "queries": sorted(registry),
+            "with_sql_oracle": sorted(ORACLE_SQL),
+        }
+    if args.name not in registry:
+        raise SystemExit(f"unknown query {args.name!r}; try --list")
+    res = registry[args.name](args.sf_dir)
+    if isinstance(res, pa.Table):
+        df = res.to_pandas()
+    elif isinstance(res, pd.DataFrame):
+        df = res
+    else:
+        df = res.to_pandas()
+    return {
+        "query": args.name,
+        "rows": len(df),
+        "head": df.head(args.head).to_dict(orient="records"),
+    }
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="redpajama_data_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -187,6 +216,13 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--input", required=True)
     tc.add_argument("--text-column", default="content")
     tc.set_defaults(fn=cmd_token_count)
+
+    q2 = sub.add_parser("query", help="run a named analysis query")
+    q2.add_argument("name", nargs="?", default=None)
+    q2.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    q2.add_argument("--head", type=int, default=10)
+    q2.add_argument("--list", action="store_true")
+    q2.set_defaults(fn=cmd_query)
     return p
 
 
