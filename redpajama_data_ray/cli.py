@@ -156,6 +156,19 @@ def cmd_token_count(args) -> dict:
     return dict(agg)
 
 
+def cmd_prep_artifacts(args) -> dict:
+    from .pipelines.artifacts import build_dsir_artifacts
+
+    ds = _read_input(args.input, args.max_docs, False)
+    meta = build_dsir_artifacts(
+        ds,
+        args.output,
+        sample_fraction=args.sample_fraction,
+        text_column=args.text_column,
+    )
+    return {"artifacts": args.output, **meta}
+
+
 def cmd_query(args) -> dict:
     import pandas as pd
     import pyarrow as pa
@@ -216,6 +229,16 @@ def build_parser() -> argparse.ArgumentParser:
     tc.add_argument("--input", required=True)
     tc.add_argument("--text-column", default="content")
     tc.set_defaults(fn=cmd_token_count)
+
+    pp = sub.add_parser(
+        "prep-artifacts", help="build offline DSIR artifacts from a corpus"
+    )
+    pp.add_argument("--input", required=True)
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--sample-fraction", type=float, default=0.25)
+    pp.add_argument("--text-column", default="content")
+    pp.add_argument("--max-docs", type=int, default=None)
+    pp.set_defaults(fn=cmd_prep_artifacts)
 
     q2 = sub.add_parser("query", help="run a named analysis query")
     q2.add_argument("name", nargs="?", default=None)

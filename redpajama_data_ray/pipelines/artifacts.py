@@ -1,0 +1,151 @@
+"""Offline artifact preparation (reference prep_artifacts.py lifecycle).
+
+The reference builds serving artifacts offline — DSIR hash
+distributions from corpus samples and fastText classifiers —
+(/root/reference/app/src/prep_artifacts.py:83-184, artifacts/hash_dist.py)
+and the quality-signal job loads them from an artifacts directory.
+
+Ray-native equivalent: sample the corpus with ``random_sample`` (seeded),
+aggregate per-batch DSIR count vectors with the combiner pattern
+(partial vectors summed per batch, tiny final reduce), and write
+``.npy`` + metadata to an artifacts dir. The annotation stages load
+these files when ``artifacts_dir`` is supplied, otherwise fall back to
+the embedded seed-text distributions.
+
+The "target" distribution is built from prose-like documents and the
+"source" from code-like documents, selected by the deterministic
+language-ID model — mirroring DSIR's target-vs-raw-corpus construction.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.importance import DEFAULT_BUCKETS, token_hashes
+from ..functions.langid import NGramLangId
+from ..text import wordpunct_tokenize
+
+TARGET_FILE = "dsir_target.npy"
+SOURCE_FILE = "dsir_source.npy"
+META_FILE = "dsir_meta.json"
+
+
+def build_dsir_artifacts(
+    corpus: Dataset,
+    out_dir: str,
+    buckets: int = DEFAULT_BUCKETS,
+    sample_fraction: float = 0.25,
+    seed: int = 42,
+    text_column: str = "content",
+) -> dict:
+    """Aggregate target (prose) / source (code) hash distributions from
+    a seeded corpus sample and write them as artifacts."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        lid = _lid()
+        tgt = np.zeros(buckets, dtype=np.int64)
+        src = np.zeros(buckets, dtype=np.int64)
+        tgt_len = src_len = 0.0
+        tgt_n = src_n = 0
+        for text in t.column(text_column).to_pylist():
+            text = text or ""
+            hashes = token_hashes(wordpunct_tokenize(text))
+            feats = np.bincount(
+                (hashes % np.uint64(buckets)).astype(np.int64),
+                minlength=buckets,
+            )
+            lang, _ = lid.predict(text)
+            if lang == "code":
+                src += feats
+                src_len += len(text)
+                src_n += 1
+            else:
+                tgt += feats
+                tgt_len += len(text)
+                tgt_n += 1
+        return pa.table(
+            {
+                "tgt": pa.array([tgt.tobytes()], pa.binary()),
+                "src": pa.array([src.tobytes()], pa.binary()),
+                "stats": pa.array(
+                    [json.dumps([tgt_len, tgt_n, src_len, src_n])],
+                    pa.string(),
+                ),
+            }
+        )
+
+    sampled = corpus.random_sample(sample_fraction, seed=seed)
+    tgt = np.zeros(buckets, dtype=np.int64)
+    src = np.zeros(buckets, dtype=np.int64)
+    tgt_len = src_len = 0.0
+    tgt_n = src_n = 0
+    for b in sampled.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=256, batch_format="pyarrow"):
+        for tb, sb, st in zip(
+            b.column("tgt").to_pylist(),
+            b.column("src").to_pylist(),
+            b.column("stats").to_pylist(),
+        ):
+            tgt += np.frombuffer(tb, dtype=np.int64)
+            src += np.frombuffer(sb, dtype=np.int64)
+            tl, tn, sl, sn = json.loads(st)
+            tgt_len += tl
+            tgt_n += tn
+            src_len += sl
+            src_n += sn
+
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, TARGET_FILE), tgt)
+    np.save(os.path.join(out_dir, SOURCE_FILE), src)
+    meta = {
+        "buckets": buckets,
+        "lambda_target": (tgt_len / tgt_n) if tgt_n else 1.0,
+        "lambda_source": (src_len / src_n) if src_n else 1.0,
+        "n_target_docs": tgt_n,
+        "n_source_docs": src_n,
+        "sample_fraction": sample_fraction,
+        "seed": seed,
+    }
+    with open(os.path.join(out_dir, META_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_dsir_artifacts(
+    artifacts_dir: str,
+) -> Optional[Tuple[np.ndarray, np.ndarray, float, float]]:
+    """(target_counts, source_counts, lambda_t, lambda_s) or None."""
+    t_path = os.path.join(artifacts_dir, TARGET_FILE)
+    s_path = os.path.join(artifacts_dir, SOURCE_FILE)
+    m_path = os.path.join(artifacts_dir, META_FILE)
+    if not (
+        os.path.exists(t_path)
+        and os.path.exists(s_path)
+        and os.path.exists(m_path)
+    ):
+        return None
+    with open(m_path) as f:
+        meta = json.load(f)
+    return (
+        np.load(t_path),
+        np.load(s_path),
+        meta["lambda_target"],
+        meta["lambda_source"],
+    )
+
+
+_LID_SINGLETON = None
+
+
+def _lid() -> "NGramLangId":
+    global _LID_SINGLETON
+    if _LID_SINGLETON is None:
+        _LID_SINGLETON = NGramLangId()
+    return _LID_SINGLETON

@@ -44,7 +44,9 @@ class AnnotateStage:
         rules=None,
         extra_signals=None,
         dsir_buckets: int = 10_000,
+        artifacts_dir=None,
     ):
+        self.artifacts_dir = artifacts_dir
         self.text_column = text_column
         self.include_scrub = include_scrub
         self.rules = rules
@@ -66,11 +68,23 @@ class AnnotateStage:
         self.hasher = MinHasher() if include_minhash else None
         self.classifier = QualityClassifier() if include_classifier else None
         if include_dsir:
-            tgt, lam_t = build_hash_dist(
-                [_SEED_TEXT[k] for k in ("en", "fr", "de", "es", "it")],
-                dsir_buckets,
-            )
-            src, lam_s = build_hash_dist([_SEED_TEXT["code"]], dsir_buckets)
+            loaded = None
+            if artifacts_dir:
+                # offline-prepared corpus distributions (the reference's
+                # artifacts lifecycle: prep_artifacts.py -> serving load)
+                from ..pipelines.artifacts import load_dsir_artifacts
+
+                loaded = load_dsir_artifacts(artifacts_dir)
+            if loaded is not None:
+                tgt, src, lam_t, lam_s = loaded
+            else:
+                tgt, lam_t = build_hash_dist(
+                    [_SEED_TEXT[k] for k in ("en", "fr", "de", "es", "it")],
+                    dsir_buckets,
+                )
+                src, lam_s = build_hash_dist(
+                    [_SEED_TEXT["code"]], dsir_buckets
+                )
             self.dsir = DSIRScorer(tgt, src, lam_t, lam_s)
         else:
             self.dsir = None
