@@ -157,7 +157,10 @@ def cmd_token_count(args) -> dict:
 
 
 def cmd_prep_artifacts(args) -> dict:
-    from .pipelines.artifacts import build_dsir_artifacts
+    from .pipelines.artifacts import (
+        build_classifier_artifact,
+        build_dsir_artifacts,
+    )
 
     ds = _read_input(args.input, args.max_docs, False)
     meta = build_dsir_artifacts(
@@ -166,7 +169,13 @@ def cmd_prep_artifacts(args) -> dict:
         sample_fraction=args.sample_fraction,
         text_column=args.text_column,
     )
-    return {"artifacts": args.output, **meta}
+    clf_meta = build_classifier_artifact(
+        ds,
+        args.output,
+        sample_fraction=args.sample_fraction,
+        text_column=args.text_column,
+    )
+    return {"artifacts": args.output, **meta, "classifier": clf_meta}
 
 
 def cmd_query(args) -> dict:

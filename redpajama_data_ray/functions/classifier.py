@@ -48,9 +48,20 @@ def preprocess(text: str) -> str:
 
 
 class QualityClassifier:
-    """Naive-Bayes linear scorer over hashed word uni+bigrams."""
+    """Naive-Bayes linear scorer over hashed word uni+bigrams.
 
-    def __init__(self, smoothing: float = 1.0):
+    ``weights`` may be supplied directly (offline-trained artifact, see
+    pipelines/artifacts.py:build_classifier_artifact); the default is
+    trained from embedded seed text."""
+
+    def __init__(self, smoothing: float = 1.0, weights=None):
+        if weights is not None:
+            self.weights = np.asarray(weights, dtype=np.float64)
+            if self.weights.shape != (_BUCKETS,):
+                raise ValueError(
+                    f"classifier weights must be shape ({_BUCKETS},)"
+                )
+            return
         quality_text = " ".join(_SEED_TEXT[k] for k in sorted(_SEED_TEXT))
         q = text_features(quality_text, _BUCKETS).astype(np.float64)
         c = text_features(_CC_SEED, _BUCKETS).astype(np.float64)

@@ -141,6 +141,82 @@ def load_dsir_artifacts(
     )
 
 
+CLASSIFIER_FILE = "classifier_weights.npy"
+
+
+def build_classifier_artifact(
+    corpus: Dataset,
+    out_dir: str,
+    sample_fraction: float = 0.25,
+    seed: int = 42,
+    text_column: str = "content",
+    smoothing: float = 1.0,
+) -> dict:
+    """Train the NB quality classifier on a corpus sample (prose docs =
+    quality class, code docs = cc class, labels from the deterministic
+    language-ID model) and save its log-odds weights — the counterpart
+    of the reference's offline fastText training
+    (prep_artifacts.py:83-184, 75k samples/class in
+    configs/rp_v2.0.conf:36)."""
+    from ..functions.classifier import _BUCKETS
+
+    def partial(t: pa.Table) -> pa.Table:
+        lid = _lid()
+        q = np.zeros(_BUCKETS, dtype=np.int64)
+        c = np.zeros(_BUCKETS, dtype=np.int64)
+        qn = cn = 0
+        for text in t.column(text_column).to_pylist():
+            text = text or ""
+            hashes = token_hashes(wordpunct_tokenize(text))
+            feats = np.bincount(
+                (hashes % np.uint64(_BUCKETS)).astype(np.int64),
+                minlength=_BUCKETS,
+            )
+            lang, _ = lid.predict(text)
+            if lang == "code":
+                c += feats
+                cn += 1
+            else:
+                q += feats
+                qn += 1
+        return pa.table(
+            {
+                "q": pa.array([q.tobytes()], pa.binary()),
+                "c": pa.array([c.tobytes()], pa.binary()),
+                "n": pa.array([json.dumps([qn, cn])], pa.string()),
+            }
+        )
+
+    q = np.zeros(_BUCKETS, dtype=np.int64)
+    c = np.zeros(_BUCKETS, dtype=np.int64)
+    qn = cn = 0
+    for b in corpus.random_sample(sample_fraction, seed=seed).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=256, batch_format="pyarrow"):
+        for qb, cb, nn in zip(
+            b.column("q").to_pylist(),
+            b.column("c").to_pylist(),
+            b.column("n").to_pylist(),
+        ):
+            q += np.frombuffer(qb, dtype=np.int64)
+            c += np.frombuffer(cb, dtype=np.int64)
+            a, z = json.loads(nn)
+            qn += a
+            cn += z
+    qf = q.astype(np.float64)
+    cf = c.astype(np.float64)
+    lq = np.log((qf + smoothing) / (qf.sum() + smoothing * _BUCKETS))
+    lc = np.log((cf + smoothing) / (cf.sum() + smoothing * _BUCKETS))
+    os.makedirs(out_dir, exist_ok=True)
+    np.save(os.path.join(out_dir, CLASSIFIER_FILE), lq - lc)
+    return {"n_quality_docs": qn, "n_cc_docs": cn, "buckets": _BUCKETS}
+
+
+def load_classifier_weights(artifacts_dir: str) -> Optional[np.ndarray]:
+    p = os.path.join(artifacts_dir, CLASSIFIER_FILE)
+    return np.load(p) if os.path.exists(p) else None
+
+
 _LID_SINGLETON = None
 
 

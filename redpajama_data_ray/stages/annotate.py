@@ -66,7 +66,15 @@ class AnnotateStage:
         self.pplx = PerplexityScorer()
         self.include_line_signals = include_line_signals
         self.hasher = MinHasher() if include_minhash else None
-        self.classifier = QualityClassifier() if include_classifier else None
+        if include_classifier:
+            clf_weights = None
+            if artifacts_dir:
+                from ..pipelines.artifacts import load_classifier_weights
+
+                clf_weights = load_classifier_weights(artifacts_dir)
+            self.classifier = QualityClassifier(weights=clf_weights)
+        else:
+            self.classifier = None
         if include_dsir:
             loaded = None
             if artifacts_dir:

@@ -60,6 +60,25 @@ def test_annotate_serves_from_artifacts(tmp_path):
     assert a != b
 
 
+def test_classifier_artifact(tmp_path):
+    from redpajama_data_ray.functions.classifier import QualityClassifier
+    from redpajama_data_ray.pipelines.artifacts import (
+        build_classifier_artifact,
+        load_classifier_weights,
+    )
+
+    t = generate_corpus_table(120, seed=34)
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "clf")
+    meta = build_classifier_artifact(ds, out, sample_fraction=1.0)
+    assert meta["n_quality_docs"] + meta["n_cc_docs"] > 0
+    w = load_classifier_weights(out)
+    assert w is not None and w.shape == (4096,)
+    clf = QualityClassifier(weights=w)
+    s = clf.score("the quick brown fox jumps over the lazy dog again")
+    assert s is not None and 0.0 <= s <= 1.0
+
+
 def test_cli_prep_artifacts(tmp_path, capsys):
     t = generate_corpus_table(80, seed=33)
     src = tmp_path / "corpus"
