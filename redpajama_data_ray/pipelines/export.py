@@ -1,0 +1,106 @@
+"""Reference-format signal export.
+
+Downstream consumers of RedPajama-V2 parse one JSON object per document
+with span-shaped signals:
+
+    {"id": ..., "id_int": ..., "metadata": {...},
+     "quality_signals": {name: [[start, end, score], ...]}}
+
+(OutputSpec: /root/reference/app/src/core/data_types.py:38-42, assembled
+at core/worker.py:246-289; doc-level signals emit the single span
+[0, len(doc), score], line-level signals one [start, end, score] per
+line with real char offsets, lines.py:38-49.)
+
+``to_reference_records`` converts an annotated batch back into that
+exact shape — line offsets are recomputed from the content with the
+same split regex, so spans match the reference's. ``write_signals_json``
+sinks it as JSONL via ``Dataset.write_json`` (gzip at scale is a writer
+``arrow_open_stream_args`` option away).
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..functions.doc_signals import DOC_SIGNAL_NAMES, LINE_SIGNAL_NAMES
+from ..text import split_lines
+
+_META_COLS = ("repo", "path", "commit", "lang")
+
+
+def to_reference_records(batch: pa.Table) -> pa.Table:
+    """Annotated Arrow batch -> reference OutputSpec rows."""
+    names = set(batch.schema.names)
+    n = batch.num_rows
+    contents = batch.column("content").to_pylist()
+    ids = batch.column("doc_id").to_pylist()
+    id_ints = batch.column("id_int").to_pylist()
+    meta_cols = {
+        c: batch.column(c).to_pylist() for c in _META_COLS if c in names
+    }
+    doc_sigs = {
+        name: batch.column(name).to_pylist()
+        for name in DOC_SIGNAL_NAMES
+        if name in names
+    }
+    line_sigs = {
+        name: batch.column(name).to_pylist()
+        for name in LINE_SIGNAL_NAMES
+        if name in names
+    }
+    extra_doc = {
+        name: batch.column(name).to_pylist()
+        for name in ("lang_score", "ppl", "ppl_bucket_int",
+                     "rps_doc_ml_quality_score",
+                     "rps_doc_importance_weight")
+        if name in names
+    }
+
+    out_ids: List[str] = []
+    out_id_ints: List[int] = []
+    out_meta: List[str] = []
+    out_sigs: List[str] = []
+    for i in range(n):
+        content = contents[i] or ""
+        length = len(content)
+        signals: Dict[str, list] = {}
+        for name, vals in doc_sigs.items():
+            signals[name] = [[0, length, vals[i]]]
+        for name, vals in extra_doc.items():
+            signals[name] = [[0, length, vals[i]]]
+        if line_sigs:
+            slices = split_lines(content)
+            for name, vals in line_sigs.items():
+                scores = vals[i]
+                if scores is None:
+                    signals[name] = [[0, length, None]]
+                else:
+                    signals[name] = [
+                        [s.start, s.end, sc]
+                        for s, sc in zip(slices, scores)
+                    ]
+        out_ids.append(ids[i])
+        out_id_ints.append(id_ints[i])
+        out_meta.append(
+            json.dumps({c: meta_cols[c][i] for c in meta_cols})
+        )
+        out_sigs.append(json.dumps(signals))
+    return pa.table(
+        {
+            "id": pa.array(out_ids, pa.string()),
+            "id_int": pa.array(out_id_ints, pa.uint64()),
+            "metadata": pa.array(out_meta, pa.string()),
+            "quality_signals": pa.array(out_sigs, pa.string()),
+        }
+    )
+
+
+def write_signals_json(annotated: Dataset, out_dir: str) -> None:
+    """Sink the annotated dataset as reference-shaped JSONL."""
+    annotated.map_batches(
+        to_reference_records, batch_format="pyarrow"
+    ).write_json(out_dir)

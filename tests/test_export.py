@@ -1,0 +1,58 @@
+"""Reference-format export: span shapes and offsets match the
+reference's OutputSpec conventions."""
+
+import glob
+import json
+
+import ray.data
+
+from redpajama_data_ray.pipelines.export import (
+    to_reference_records,
+    write_signals_json,
+)
+from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+from redpajama_data_ray.sources.corpus import generate_corpus_table
+from redpajama_data_ray.text import split_lines
+
+
+def test_reference_records_shape(tmp_path):
+    table = generate_corpus_table(40, seed=55)
+    annotated = annotate(
+        ray.data.from_arrow(table),
+        QualityConfig(max_actors=2, include_minhash=False),
+    )
+    out = str(tmp_path / "signals")
+    write_signals_json(annotated, out)
+
+    rows = []
+    for f in glob.glob(out + "/*.json"):
+        with open(f) as fh:
+            for line in fh:
+                rows.append(json.loads(line))
+    assert len(rows) == 40
+
+    by_id = {r["id"]: r for r in rows}
+    contents = {
+        f"{a}/{b}@{c}": t
+        for a, b, c, t in zip(
+            table["repo"].to_pylist(), table["path"].to_pylist(),
+            table["commit"].to_pylist(), table["content"].to_pylist(),
+        )
+    }
+    from redpajama_data_ray.functions.pii import scrub_text
+
+    for doc_id, rec in by_id.items():
+        # annotated content is the scrubbed serving content
+        content = scrub_text(contents[doc_id])[0]
+        sigs = json.loads(rec["quality_signals"])
+        # doc-level: single [0, len, score] span (worker.py conventions)
+        span = sigs["rps_doc_word_count"][0]
+        assert span[0] == 0 and span[1] == len(content)
+        assert isinstance(rec["id_int"], int)
+        # line-level spans carry real char offsets of the split regex
+        if content:
+            slices = split_lines(content)
+            line_spans = sigs["rps_lines_num_words"]
+            assert len(line_spans) == len(slices)
+            for (s, e, _), sl in zip(line_spans, slices):
+                assert (s, e) == (sl.start, sl.end)
