@@ -11,13 +11,13 @@ from redpajama_data_ray.state.manifest import Manifest
 
 
 def test_cli_quality_resume(tmp_path, capsys):
-    t = generate_corpus_table(60, seed=17)
+    t = generate_corpus_table(40, seed=17)
     src = tmp_path / "corpus"
     src.mkdir()
-    third = t.num_rows // 3
-    for i in range(3):
+    half = t.num_rows // 2
+    for i in range(2):
         pq.write_table(
-            t.slice(i * third, third if i < 2 else t.num_rows - 2 * third),
+            t.slice(i * half, half if i < 1 else t.num_rows - half),
             str(src / f"shard_{i}.parquet"),
         )
     out = str(tmp_path / "out")
@@ -26,10 +26,10 @@ def test_cli_quality_resume(tmp_path, capsys):
         ["quality", "--input", str(src), "--output", out, "--resume"]
     ) == 0
     res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert res["partitions"] == 3
+    assert res["partitions"] == 2
 
     m = Manifest(out)
-    assert set(m.committed()) == {"shard_0", "shard_1", "shard_2"}
+    assert set(m.committed()) == {"shard_0", "shard_1"}
     # lineage metrics recorded per partition (G7)
     rec = m.committed()["shard_0"]["metrics"]
     assert rec["kept"] + rec["dropped"] == rec["rows"]
@@ -37,11 +37,11 @@ def test_cli_quality_resume(tmp_path, capsys):
     assert sum(rec["languages"].values()) == rec["rows"]
 
     # drop one manifest entry; rerun resumes only that shard
-    os.remove(os.path.join(m.manifest_dir, "shard_2.json"))
+    os.remove(os.path.join(m.manifest_dir, "shard_1.json"))
     mtime0 = os.path.getmtime(m.partition_output_dir("shard_0"))
     assert main(
         ["quality", "--input", str(src), "--output", out, "--resume"]
     ) == 0
     capsys.readouterr()
-    assert set(m.committed()) == {"shard_0", "shard_1", "shard_2"}
+    assert set(m.committed()) == {"shard_0", "shard_1"}
     assert os.path.getmtime(m.partition_output_dir("shard_0")) == mtime0
