@@ -846,6 +846,44 @@ def q_part_brand_stats(sf_dir: str) -> "pa.Table":
 # similarity search
 # ------------------------------------------------------------------
 
+def q_embedding_near_dups(sf_dir: str) -> "pa.Table":
+    """Exact embedding near-duplicate pairs (cosine >= 0.45): the small
+    side (the full normalized matrix at this scale) is broadcast via
+    ray.put and each batch computes its rows-vs-all block — the exact
+    counterpart of the LSH-bucketed scale path in similarity/knn.py."""
+    from ..similarity.knn import _batch_matrix, _cosine
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    full = emb.to_pandas().sort_values("vec_id")
+    mat = np.array(full.embedding.tolist(), dtype=np.float64)
+    all_ids = full.vec_id.to_numpy()
+    ref = ray.put((mat, all_ids))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        m, ids_all = ray.get(ref)
+        rows = _batch_matrix(t, "embedding")
+        row_ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        sims = _cosine(rows, m)  # (batch, all)
+        a_out, b_out, c_out = [], [], []
+        for r in range(sims.shape[0]):
+            hits = np.nonzero(sims[r] >= 0.45)[0]
+            for h in hits:
+                a, b = int(row_ids[r]), int(ids_all[h])
+                if a < b:
+                    a_out.append(a)
+                    b_out.append(b)
+                    c_out.append(round(float(sims[r, h]), 6))
+        return pa.table(
+            {
+                "vec_a": pa.array(a_out, pa.int64()),
+                "vec_b": pa.array(b_out, pa.int64()),
+                "cos": pa.array(c_out, pa.float64()),
+            }
+        )
+
+    return emb.map_batches(pairs, batch_format="pyarrow", batch_size=256)
+
+
 def q_knn_cosine_top10(sf_dir: str) -> "pa.Table":
     """Exact cosine top-10 vs the vec_id=0 embedding (self excluded)."""
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1107,6 +1145,15 @@ ORACLE_SQL: Dict[str, str] = {
         from (select count(*) as cnt from documents group by text)
         group by 1
     """,
+    "embedding_near_dups": """
+        select a.vec_id as vec_a, b.vec_id as vec_b,
+               round(list_cosine_similarity(cast(a.embedding as double[]),
+                                            cast(b.embedding as double[])),
+                     6) as cos
+        from embeddings a join embeddings b on a.vec_id < b.vec_id
+        where list_cosine_similarity(cast(a.embedding as double[]),
+                                     cast(b.embedding as double[])) >= 0.45
+    """,
     "knn_cosine_top10": """
         select vec_id, round(score, 6) as score from (
             select a.vec_id,
@@ -1145,6 +1192,7 @@ QUERIES = {
     "events_sliding_1h": q_events_sliding_1h,
     "events_orders_asof": q_events_orders_asof,
     "events_sessions": q_events_sessions,
+    "embedding_near_dups": q_embedding_near_dups,
     "knn_cosine_top10": q_knn_cosine_top10,
     "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
     "distinct_langs": q_distinct_langs,
