@@ -1,0 +1,130 @@
+"""Mergeable sketches: HyperLogLog distinct counting.
+
+The at-scale replacement for ``groupby().count_distinct`` when the
+distinct-key table itself is too large to shuffle: each ``map_batches``
+task emits one fixed-size register array (the sketch), and merging is
+an elementwise max — the canonical "emit one serialized sketch per
+batch, merge in a tiny second stage" pattern.
+
+Standard HLL (Flajolet et al. 2007): 2^p registers, register j keeps
+the max leading-zero rank of hashes routed to it; estimate =
+alpha * m^2 / sum(2^-reg) with the usual small-range (linear counting)
+correction. Hashing is blake2b-64 so sketches are deterministic across
+processes and machines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Optional
+
+import numpy as np
+
+
+class HyperLogLog:
+    def __init__(self, p: int = 12, registers: Optional[np.ndarray] = None):
+        if not 4 <= p <= 18:
+            raise ValueError("p must be in [4, 18]")
+        self.p = p
+        self.m = 1 << p
+        self.registers = (
+            registers.copy()
+            if registers is not None
+            else np.zeros(self.m, dtype=np.uint8)
+        )
+
+    # ---- building ----
+
+    def add(self, item: "bytes | str | int") -> None:
+        self.update([item])
+
+    def update(self, items: Iterable) -> None:
+        hs = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(_to_bytes(i), digest_size=8).digest(),
+                    "little",
+                )
+                for i in items
+            ),
+            dtype=np.uint64,
+        )
+        if len(hs) == 0:
+            return
+        idx = (hs >> np.uint64(64 - self.p)).astype(np.int64)
+        rest = hs << np.uint64(self.p)
+        # rank = leading zeros of the remaining 64-p bits, +1; all-zero
+        # rest maps to the max rank
+        nbits = 64 - self.p
+        ranks = np.zeros(len(hs), dtype=np.uint8)
+        nonzero = rest != 0
+        if nonzero.any():
+            # leading zeros via float trick is lossy; do it exactly with
+            # a bit-length computation on the top 64 bits
+            r = rest[nonzero]
+            # np doesn't have clz; compute via bit_length on python ints
+            ranks[nonzero] = np.fromiter(
+                (64 - int(v).bit_length() + 1 for v in r),
+                dtype=np.uint8,
+                count=int(nonzero.sum()),
+            )
+        ranks[~nonzero] = nbits + 1
+        np.maximum.at(self.registers, idx, ranks)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        if other.p != self.p:
+            raise ValueError("cannot merge sketches of different precision")
+        return HyperLogLog(
+            self.p, np.maximum(self.registers, other.registers)
+        )
+
+    # ---- estimating ----
+
+    def estimate(self) -> float:
+        m = self.m
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = np.power(2.0, -self.registers.astype(np.float64))
+        raw = alpha * m * m / inv.sum()
+        if raw <= 2.5 * m:
+            zeros = int((self.registers == 0).sum())
+            if zeros:
+                return m * np.log(m / zeros)  # linear counting
+        return float(raw)
+
+    # ---- serialization (for shipping through Arrow) ----
+
+    def to_bytes(self) -> bytes:
+        return bytes([self.p]) + self.registers.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "HyperLogLog":
+        p = data[0]
+        regs = np.frombuffer(data[1:], dtype=np.uint8)
+        return cls(p, regs.copy())
+
+
+def _to_bytes(item) -> bytes:
+    if isinstance(item, bytes):
+        return item
+    if isinstance(item, str):
+        return item.encode("utf-8")
+    return int(item).to_bytes(8, "little", signed=True)
+
+
+def approx_distinct(ds, column: str, p: int = 12) -> float:
+    """Distinct-count estimate for a Dataset column: one sketch per
+    batch, merged on the driver (sketches are 4 KiB each)."""
+    import pyarrow as pa
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        h = HyperLogLog(p)
+        h.update(x for x in t.column(column).to_pylist() if x is not None)
+        return pa.table({"sketch": pa.array([h.to_bytes()], pa.binary())})
+
+    merged = HyperLogLog(p)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=1024, batch_format="pyarrow"
+    ):
+        for blob in b.column("sketch").to_pylist():
+            merged = merged.merge(HyperLogLog.from_bytes(blob))
+    return merged.estimate()

@@ -183,6 +183,22 @@ def q_ivf_knn(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def q_approx_distinct_texts(sf_dir: str) -> "pa.Table":
+    """HyperLogLog distinct-text estimate (mergeable-sketch operator;
+    approximate by design, so rows-only checked — accuracy bounds are
+    asserted in tests/test_sketches.py)."""
+    from ..functions.sketches import approx_distinct
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    est = approx_distinct(ds, "text", p=12)
+    return pa.table(
+        {
+            "metric": pa.array(["approx_distinct_texts"], pa.string()),
+            "estimate": pa.array([round(est, 1)], pa.float64()),
+        }
+    )
+
+
 def q_media_decode(sf_dir: str) -> "pa.Table":
     """Multimodal plumbing: binary payload column through the decode
     actor stage (stub kernel, real schema/actor path)."""
@@ -209,6 +225,7 @@ EXTRA_QUERIES = {
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_buckets": q_ann_lsh_buckets,
     "ann_ivf_knn": q_ivf_knn,
+    "approx_distinct_texts": q_approx_distinct_texts,
     "corpus_flagship": q_corpus_flagship,
     "media_decode": q_media_decode,
 }

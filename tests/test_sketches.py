@@ -1,0 +1,50 @@
+"""HyperLogLog: accuracy bounds, mergeability, Dataset integration."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from redpajama_data_ray.functions.sketches import HyperLogLog, approx_distinct
+
+
+def test_accuracy_within_bound():
+    for true_n in (100, 5_000, 50_000):
+        h = HyperLogLog(p=12)
+        h.update(f"item_{i}" for i in range(true_n))
+        est = h.estimate()
+        # standard error ~1.04/sqrt(m) ~ 1.6% at p=12; allow 5%
+        assert abs(est - true_n) / true_n < 0.05, (true_n, est)
+
+
+def test_merge_equals_union():
+    a, b = HyperLogLog(p=12), HyperLogLog(p=12)
+    a.update(f"x{i}" for i in range(10_000))
+    b.update(f"x{i}" for i in range(5_000, 15_000))  # overlap 5k
+    merged = a.merge(b)
+    full = HyperLogLog(p=12)
+    full.update(f"x{i}" for i in range(15_000))
+    assert np.array_equal(merged.registers, full.registers)
+    assert abs(merged.estimate() - 15_000) / 15_000 < 0.05
+
+
+def test_serialization_roundtrip():
+    h = HyperLogLog(p=10)
+    h.update(range(1000))
+    h2 = HyperLogLog.from_bytes(h.to_bytes())
+    assert h2.p == 10
+    assert np.array_equal(h.registers, h2.registers)
+
+
+def test_approx_distinct_dataset():
+    n = 20_000
+    dup_every = 4  # 5,000 distinct values
+    t = pa.table(
+        {"k": pa.array([f"v{i % (n // dup_every)}" for i in range(n)])}
+    )
+    ds = ray.data.from_arrow(t).repartition(8)
+    est = approx_distinct(ds, "k", p=12)
+    true = n // dup_every
+    assert abs(est - true) / true < 0.05
+    # batch-structure independence: same estimate from different layout
+    est2 = approx_distinct(ray.data.from_arrow(t).repartition(3), "k", p=12)
+    assert est == est2
