@@ -175,7 +175,20 @@ def cmd_prep_artifacts(args) -> dict:
         sample_fraction=args.sample_fraction,
         text_column=args.text_column,
     )
-    return {"artifacts": args.output, **meta, "classifier": clf_meta}
+    from .pipelines.artifacts import build_ppl_thresholds
+
+    ppl_meta = build_ppl_thresholds(
+        ds,
+        args.output,
+        sample_fraction=args.sample_fraction,
+        text_column=args.text_column,
+    )
+    return {
+        "artifacts": args.output,
+        **meta,
+        "classifier": clf_meta,
+        "ppl": ppl_meta,
+    }
 
 
 def cmd_query(args) -> dict:

@@ -141,6 +141,73 @@ def load_dsir_artifacts(
     )
 
 
+PPL_FILE = "ppl_thresholds.json"
+
+
+def build_ppl_thresholds(
+    corpus: Dataset,
+    out_dir: str,
+    head_quantile: float = 0.30,
+    middle_quantile: float = 0.70,
+    sample_fraction: float = 0.25,
+    seed: int = 42,
+    text_column: str = "content",
+) -> dict:
+    """Calibrate head/middle/tail perplexity cut points as corpus
+    percentiles — CCNet's buckets are Wikipedia-perplexity percentiles
+    of the crawl (consumed by the reference at core/worker.py:40-49);
+    this reproduces that calibration against our LM on a seeded sample."""
+    from ..functions.perplexity import PerplexityScorer
+
+    def partial(t: pa.Table) -> pa.Table:
+        scorer = _pplx()
+        vals = [
+            scorer.perplexity(x or "")
+            for x in t.column(text_column).to_pylist()
+        ]
+        vals = [v for v in vals if v == v]  # drop NaN
+        return pa.table({"ppl": pa.array(vals, pa.float64())})
+
+    ppls = []
+    for b in corpus.random_sample(sample_fraction, seed=seed).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        ppls.extend(b.column("ppl").to_pylist())
+    arr = np.asarray(ppls, dtype=np.float64)
+    meta = {
+        "head_threshold": float(np.quantile(arr, head_quantile)),
+        "middle_threshold": float(np.quantile(arr, middle_quantile)),
+        "n_samples": len(arr),
+        "head_quantile": head_quantile,
+        "middle_quantile": middle_quantile,
+    }
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, PPL_FILE), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_ppl_thresholds(artifacts_dir: str) -> Optional[Tuple[float, float]]:
+    p = os.path.join(artifacts_dir, PPL_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        meta = json.load(f)
+    return meta["head_threshold"], meta["middle_threshold"]
+
+
+_PPLX_SINGLETON = None
+
+
+def _pplx():
+    global _PPLX_SINGLETON
+    if _PPLX_SINGLETON is None:
+        from ..functions.perplexity import PerplexityScorer
+
+        _PPLX_SINGLETON = PerplexityScorer()
+    return _PPLX_SINGLETON
+
+
 CLASSIFIER_FILE = "classifier_weights.npy"
 
 

@@ -63,7 +63,18 @@ class AnnotateStage:
         }
         self.kernel = self.kernels["en"]
         self.langid = NGramLangId()
-        self.pplx = PerplexityScorer()
+        ppl_thresholds = None
+        if artifacts_dir:
+            from ..pipelines.artifacts import load_ppl_thresholds
+
+            ppl_thresholds = load_ppl_thresholds(artifacts_dir)
+        if ppl_thresholds is not None:
+            self.pplx = PerplexityScorer(
+                head_threshold=ppl_thresholds[0],
+                middle_threshold=ppl_thresholds[1],
+            )
+        else:
+            self.pplx = PerplexityScorer()
         self.include_line_signals = include_line_signals
         self.hasher = MinHasher() if include_minhash else None
         if include_classifier:

@@ -79,6 +79,33 @@ def test_classifier_artifact(tmp_path):
     assert s is not None and 0.0 <= s <= 1.0
 
 
+def test_ppl_threshold_calibration(tmp_path):
+    from redpajama_data_ray.pipelines.artifacts import (
+        build_ppl_thresholds,
+        load_ppl_thresholds,
+    )
+
+    t = generate_corpus_table(120, seed=35)
+    ds = ray.data.from_arrow(t)
+    out = str(tmp_path / "ppl")
+    meta = build_ppl_thresholds(ds, out, sample_fraction=1.0)
+    head, middle = load_ppl_thresholds(out)
+    assert 0 < head < middle
+    assert meta["n_samples"] > 100
+
+    # calibrated thresholds flow into bucket assignment
+    batch = assign_ids(t.slice(0, 30))
+    stage = AnnotateStage(
+        include_line_signals=False, include_minhash=False,
+        include_classifier=False, include_dsir=False,
+        artifacts_dir=out,
+    )
+    out_batch = stage(batch)
+    buckets = set(out_batch.column("ppl_bucket").to_pylist())
+    assert buckets <= {"head", "middle", "tail"}
+    assert stage.pplx.head_threshold == head
+
+
 def test_cli_prep_artifacts(tmp_path, capsys):
     t = generate_corpus_table(80, seed=33)
     src = tmp_path / "corpus"
