@@ -15,6 +15,29 @@ from redpajama_data_ray.sources.corpus import generate_corpus_table
 from redpajama_data_ray.text import split_lines
 
 
+def test_export_roundtrip_through_jsonl_reader(tmp_path):
+    """Exported reference-format JSONL reads back through the tolerant
+    jsonl source (S1 + S2 interop)."""
+    from redpajama_data_ray.sources.jsonl import read_jsonl_tolerant
+
+    table = generate_corpus_table(20, seed=56)
+    annotated = annotate(
+        ray.data.from_arrow(table),
+        QualityConfig(
+            max_actors=2, include_minhash=False,
+            include_line_signals=False, include_classifier=False,
+            include_dsir=False,
+        ),
+    )
+    out = str(tmp_path / "sig")
+    write_signals_json(annotated, out)
+    back = read_jsonl_tolerant(
+        glob.glob(out + "/*.json"), columns=["id", "id_int"]
+    ).to_pandas()
+    assert len(back) == 20
+    assert back.id.str.contains("@").all()
+
+
 def test_reference_records_shape(tmp_path):
     table = generate_corpus_table(40, seed=55)
     annotated = annotate(
