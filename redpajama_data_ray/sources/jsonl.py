@@ -19,6 +19,21 @@ import ray.data
 from ray.data import Dataset
 
 
+def _safe_array(vals) -> "pa.Array":
+    """Arrow array with tolerant inference: ints beyond int64 fall back
+    to uint64, then to strings (JSON has arbitrary-precision ints)."""
+    try:
+        return pa.array(vals)
+    except (OverflowError, pa.ArrowInvalid):
+        pass
+    try:
+        return pa.array(vals, pa.uint64())
+    except (OverflowError, pa.ArrowInvalid, pa.ArrowTypeError):
+        return pa.array(
+            [None if v is None else str(v) for v in vals], pa.string()
+        )
+
+
 def read_jsonl_tolerant(
     paths,
     columns: Optional[Sequence[str]] = None,
@@ -57,9 +72,14 @@ def read_jsonl_tolerant(
         keys = list(columns) if columns else sorted(
             {k for r in rows for k in r if k != "_bad_line"}
         )
-        data = {k: [r.get(k) for r in rows] for k in keys}
+        data = {}
+        for k in keys:
+            vals = [r.get(k) for r in rows]
+            data[k] = _safe_array(vals)
         if include_errors:
-            data["_bad_line"] = [bool(r.get("_bad_line")) for r in rows]
+            data["_bad_line"] = pa.array(
+                [bool(r.get("_bad_line")) for r in rows], pa.bool_()
+            )
         return pa.table(data)
 
     return ds.map_batches(parse, batch_format="pyarrow")
