@@ -161,12 +161,47 @@ def _scaling(sf_dir: str) -> dict:
     }
 
 
+def _stats(sf_dir: str, ncpu: int) -> None:
+    """Print the flagship plan + per-operator ds.stats() breakdown."""
+    import ray
+
+    ray.init(
+        address="local", num_cpus=ncpu,
+        include_dashboard=False, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+    import shutil
+
+    import ray.data as rd
+
+    from redpajama_data_ray.pipelines.quality import (
+        QualityConfig, annotate, read_corpus,
+    )
+    from redpajama_data_ray.sources.corpus import ensure_corpus_parquet
+
+    rd.read_parquet(ensure_corpus_parquet(0.01)).count()  # warm
+    sink = "/dev/shm/bench_stats" if os.path.isdir("/dev/shm") else "/tmp/bench_stats"
+    shutil.rmtree(sink, ignore_errors=True)
+    ds = annotate(read_corpus(sf_dir), QualityConfig())
+    ds.write_parquet(sink)
+    print(ds.stats())
+    shutil.rmtree(sink, ignore_errors=True)
+    ray.shutdown()
+
+
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         print(json.dumps(_scaling(sf_dir)))
         return
-    ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--stats" in sys.argv:
+        _stats(sf_dir, ncpu)
+        return
     print(json.dumps(_run_benchmarks(sf_dir, ncpu)))
 
 
