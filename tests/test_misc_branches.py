@@ -1,0 +1,65 @@
+"""Branch coverage for smaller utilities."""
+
+import json
+
+import pyarrow as pa
+import pytest
+
+from redpajama_data_ray.cli import main
+from redpajama_data_ray.functions.sketches import HyperLogLog
+from redpajama_data_ray.stages.skew import desalt
+
+
+def test_jsonl_include_errors(tmp_path):
+    from redpajama_data_ray.sources.jsonl import read_jsonl_tolerant
+
+    p = tmp_path / "x.jsonl"
+    p.write_text('{"id": 1}\n{bad\n{"id": 2}\n')
+    out = (
+        read_jsonl_tolerant(str(p), columns=["id"], include_errors=True)
+        .to_pandas()
+        .sort_values("id", na_position="first")
+    )
+    assert out._bad_line.sum() == 1
+    assert sorted(out.id.dropna()) == [1, 2]
+
+
+def test_desalt_roundtrip():
+    t = pa.table(
+        {
+            "salted_key": pa.array(["a#0", "a#3", "b#0", "x#y#2"]),
+            "n": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    out = desalt(t, "salted_key", "key")
+    assert out.column("key").to_pylist() == ["a", "a", "b", "x#y"]
+    assert "salted_key" not in out.schema.names
+
+
+def test_hll_bounds():
+    with pytest.raises(ValueError):
+        HyperLogLog(p=3)
+    with pytest.raises(ValueError):
+        HyperLogLog(p=12).merge(HyperLogLog(p=10))
+    assert HyperLogLog(p=12).estimate() == 0.0  # empty -> linear count 0
+
+
+def test_cli_query_list(capsys):
+    assert main(["query", "--list"]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "doc_word_count" in res["queries"]
+    assert "doc_word_count" in res["with_sql_oracle"]
+    assert "corpus_flagship" in res["queries"]
+    assert "corpus_flagship" not in res["with_sql_oracle"]
+
+
+def test_cli_unknown_query():
+    with pytest.raises(SystemExit):
+        main(["query", "nope_not_a_query"])
+
+
+def test_bloom_bad_capacity():
+    from redpajama_data_ray.state.bloom import BloomFilter
+
+    with pytest.raises(ValueError):
+        BloomFilter(capacity=0)
