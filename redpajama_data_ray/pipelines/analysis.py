@@ -183,6 +183,30 @@ def q_doc_char_classes(sf_dir: str) -> Dataset:
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+def q_doc_top_word(sf_dir: str) -> Dataset:
+    """Per-doc mode: most frequent whitespace word (ties -> smallest
+    word lexicographically; null for empty docs)."""
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        tops = []
+        for text in t["text"].to_pylist():
+            words = text.split()
+            if not words:
+                tops.append(None)
+                continue
+            counts = Counter(words)
+            top_count = max(counts.values())
+            tops.append(
+                min(w for w, c in counts.items() if c == top_count)
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "top_word": pa.array(tops, pa.string())}
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_doc_fingerprint(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
@@ -965,6 +989,15 @@ ORACLE_SQL: Dict[str, str] = {
     "doc_fingerprint": """
         select doc_id, md5(text) as fp from documents
     """,
+    "doc_top_word": f"""
+        select doc_id, (
+            select w from (
+                select unnest({_WORDS}) as w
+            ) group by w
+            order by count(*) desc, w asc limit 1
+        ) as top_word
+        from documents
+    """,
     "doc_stats_by_lang": """
         select lang, count(*) as n_docs,
                cast(sum(n_chars) as bigint) as total_chars,
@@ -1176,6 +1209,7 @@ QUERIES = {
     "doc_stopword_frac": q_doc_stopword_frac,
     "doc_num_sentences": q_doc_num_sentences,
     "doc_char_classes": q_doc_char_classes,
+    "doc_top_word": q_doc_top_word,
     "doc_fingerprint": q_doc_fingerprint,
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "token_totals_by_source": q_token_totals_by_source,
