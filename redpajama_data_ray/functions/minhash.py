@@ -139,24 +139,55 @@ class MinHasher:
         # encode each token once; a bytes-join of encoded tokens equals
         # the utf-8 encoding of the space-joined shingle string, so the
         # sha1 inputs are identical to the reference's
-        # (dedupe/utils.py:104-108) without re-encoding per shingle
+        # (dedupe/utils.py:104-108) without re-encoding per shingle.
+        # The reference de-duplicates shingles in a set first
+        # (utils.py:104); we hash every window instead — the column-min
+        # is invariant under duplicate rows, so signatures are identical
+        # while skipping the per-shingle set hashing (~15% of the stage).
         token_bytes = [t.encode("utf-8") for t in tokens]
-        join = b" ".join
-        shingles = set(map(join, ngrams_zip(token_bytes, self.ngram_size)))
         sha1 = hashlib.sha1
-        unpack = struct.unpack
-        h = np.fromiter(
-            (unpack("<I", sha1(s).digest()[:4])[0] for s in shingles),
-            dtype=np.uint64,
-            count=len(shingles),
+        buf = b"".join(
+            [
+                sha1(s).digest()
+                for s in map(b" ".join, ngrams_zip(token_bytes, self.ngram_size))
+            ]
         )
-        # (a*h + b) mod p, masked to 32 bits; column-min over shingles
-        phv = np.bitwise_and(
-            (h[:, None] * self._a[None, :] + self._b[None, :])
-            % _MERSENNE_PRIME,
-            _MAX_HASH,
-        )
-        return phv.min(axis=0).astype(np.uint32)
+        # first 4 little-endian bytes of each 20-byte digest as uint32
+        # (== struct.unpack("<I", digest[:4]), batched)
+        h = np.frombuffer(buf, dtype=np.uint32).reshape(-1, 5)[:, 0]
+        h = h.astype(np.uint64)
+        return self._sig_from_hashes(h)
+
+    def _sig_from_hashes(self, h: np.ndarray) -> np.ndarray:
+        """Column-min of ``(a*h + b) mod p & max32`` over hashed shingles.
+
+        Computes the Mersenne modulo with shifts/adds instead of integer
+        division (p = 2^61 - 1: x mod p == (x & p) + (x >> 61), one
+        conditional subtract), chunked over shingles with reused buffers
+        so temporaries stay in L2 — exact-equal to the plain ``%`` path
+        (tested) at ~2/3 the cost."""
+        a, b = self._a, self._b
+        k = len(a)
+        chunk = 128
+        X = np.empty((min(chunk, len(h)), k), dtype=np.uint64)
+        Y = np.empty_like(X)
+        sig = np.full(k, np.iinfo(np.uint64).max, dtype=np.uint64)
+        s61 = np.uint64(61)
+        for i in range(0, len(h), chunk):
+            hc = h[i : i + chunk]
+            m = len(hc)
+            Xm, Ym = X[:m], Y[:m]
+            np.multiply(hc[:, None], a[None, :], out=Xm)
+            Xm += b
+            np.right_shift(Xm, s61, out=Ym)
+            np.bitwise_and(Xm, _MERSENNE_PRIME, out=Xm)
+            Xm += Ym
+            np.subtract(
+                Xm, _MERSENNE_PRIME, out=Xm, where=Xm >= _MERSENNE_PRIME
+            )
+            np.bitwise_and(Xm, _MAX_HASH, out=Xm)
+            np.minimum(sig, Xm.min(axis=0), out=sig)
+        return sig.astype(np.uint32)
 
     def banded_signatures(
         self, tokens: Sequence[str]

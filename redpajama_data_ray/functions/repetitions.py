@@ -1,10 +1,10 @@
 """Vectorized repetition signals (top-ngram / dupe-ngram fractions).
 
 Numpy reimplementation of the reference's Counter-based formulas
-(/root/reference/app/src/core/quality_signals/repetitions.py:37-145) so
-multi-MB documents (10^5+ words) stay fast: words -> int ids via
-np.unique, n-gram keys via sliding windows viewed as void scalars,
-duplicate masking via a prefix-sum cover array. Semantics are
+(/root/reference/app/src/core/quality_signals/repetitions.py:37-145):
+words -> dense int ids via a dict, n-gram keys via recursive uint64
+pairing (exact, collision-free), duplicate masking via a prefix-sum
+cover array, early exit once a level has no repeats. Semantics are
 bit-identical to the naive path (tested against it):
 
 - top-ngram tie-break = earliest first-occurrence (Counter insertion
@@ -22,99 +22,95 @@ import numpy as np
 
 from ..config import PRECISION
 
-try:
-    from numpy.lib.stride_tricks import sliding_window_view
-except ImportError:  # pragma: no cover - numpy < 1.20
-    sliding_window_view = None
-
-
 def _round(x: float) -> float:
     return round(x, PRECISION)
 
 
-def _window_keys(ids: np.ndarray, n: int) -> np.ndarray:
-    """(m,) void-scalar keys for each length-n window of ids."""
-    w = sliding_window_view(ids, n)
-    w = np.ascontiguousarray(w)
-    return w.view(np.dtype((np.void, w.dtype.itemsize * n))).ravel()
-
-
-# below this many words the Counter path beats numpy setup overhead
-_VECTORIZE_THRESHOLD = 500
+_TOP_NAMES = tuple(f"rps_doc_frac_chars_top_{n}gram" for n in (2, 3, 4))
+_DUPE_NAMES = tuple(
+    f"rps_doc_frac_chars_dupe_{n}grams" for n in range(5, 11)
+)
 
 
 def repetition_signals(norm_words: Sequence[str]) -> Dict[str, float]:
-    """All 9 repetition signals in one pass over the word list.
+    """All 9 repetition signals via recursive n-gram pairing.
 
-    Dispatches to the Counter path for short docs and the vectorized
-    path for long ones; both are exact and produce identical values
-    (tested against each other on randomized inputs)."""
-    if len(norm_words) < _VECTORIZE_THRESHOLD:
-        return repetition_signals_naive(norm_words)
-    return _repetition_signals_vectorized(norm_words)
-
-
-def _repetition_signals_vectorized(
-    norm_words: Sequence[str],
-) -> Dict[str, float]:
+    Level-n n-gram keys are built from level-(n-1) keys packed with the
+    next word id into one uint64 (both halves < 2^32, so packing is a
+    bijection — no hash collisions); ``np.unique`` relabels each level
+    back to dense ids and yields exact window counts. Two properties
+    make this fast: every level is pure uint64 numpy (no tuple hashing),
+    and a level with no repeated n-gram proves all longer levels have
+    none either (a repeated (n+1)-gram contains a repeated n-gram), so
+    the loop early-exits — on natural text that skips most levels.
+    Values are bit-identical to :func:`repetition_signals_naive`
+    (tested on randomized inputs and the synthetic corpus)."""
     out: Dict[str, float] = {}
     n_words = len(norm_words)
     if n_words == 0:
-        for n in (2, 3, 4):
-            out[f"rps_doc_frac_chars_top_{n}gram"] = 0.0
-        for n in range(5, 11):
-            out[f"rps_doc_frac_chars_dupe_{n}grams"] = 0.0
+        for nm in _TOP_NAMES + _DUPE_NAMES:
+            out[nm] = 0.0
         return out
-
-    word_lens = np.fromiter(
-        (len(w) for w in norm_words), dtype=np.int64, count=n_words
-    )
+    word_to_id: Dict[str, int] = {}
+    ids_list = []
+    word_lens = np.empty(n_words, dtype=np.int64)
+    for i, w in enumerate(norm_words):
+        j = word_to_id.get(w)
+        if j is None:
+            j = len(word_to_id)
+            word_to_id[w] = j
+        ids_list.append(j)
+        word_lens[i] = len(w)
     total_chars = int(word_lens.sum())
-    _, ids = np.unique(np.asarray(norm_words, dtype=object), return_inverse=True)
-    ids = ids.astype(np.uint32)
-    # prefix sums for O(1) window char sums
     cum = np.concatenate(([0], np.cumsum(word_lens)))
+    ids = np.array(ids_list, dtype=np.uint64)
 
-    for n in (2, 3, 4):
-        name = f"rps_doc_frac_chars_top_{n}gram"
-        if n_words < n:
+    cur = ids  # level-(n-1) dense keys, values < 2^32
+    s32 = np.uint64(32)
+    done = False
+    for n in range(2, 11):
+        name = _TOP_NAMES[n - 2] if n <= 4 else _DUPE_NAMES[n - 5]
+        if n_words < n or done:
             out[name] = 0.0
             continue
-        keys = _window_keys(ids, n)
+        keys = (cur[:-1] << s32) | ids[n - 1 :]
         _, inv, counts = np.unique(
             keys, return_inverse=True, return_counts=True
         )
         per_window = counts[inv]
-        top_count = int(per_window.max())
-        if top_count <= 1:
-            out[name] = 0.0
-            continue
-        # Counter.most_common tie-break: earliest first occurrence wins
-        first_idx = int(np.argmax(per_window == top_count))
-        ngram_chars = int(cum[first_idx + n] - cum[first_idx])
-        out[name] = _round(ngram_chars * top_count / total_chars)
-
-    for n in range(5, 11):
-        name = f"rps_doc_frac_chars_dupe_{n}grams"
-        if n_words < n:
-            out[name] = 0.0
-            continue
-        keys = _window_keys(ids, n)
-        _, inv, counts = np.unique(
-            keys, return_inverse=True, return_counts=True
-        )
-        dup_starts = np.nonzero(counts[inv] > 1)[0]
-        if len(dup_starts) == 0 or total_chars == 0:
-            out[name] = 0.0
-            continue
-        cover = np.zeros(n_words + 1, dtype=np.int64)
-        np.add.at(cover, dup_starts, 1)
-        np.add.at(cover, dup_starts + n, -1)
-        mask = np.cumsum(cover[:-1]) > 0
-        duped = int(word_lens[mask].sum())
-        out[name] = _round(duped / total_chars)
-
+        top = int(per_window.max())
+        if n <= 4:
+            if top <= 1:
+                out[name] = 0.0
+            else:
+                # Counter.most_common tie-break: earliest first
+                # occurrence wins
+                fi = int(np.argmax(per_window == top))
+                out[name] = _round(
+                    int(cum[fi + n] - cum[fi]) * top / total_chars
+                )
+        else:
+            if top <= 1 or total_chars == 0:
+                out[name] = 0.0
+            else:
+                dup_starts = np.nonzero(per_window > 1)[0]
+                cover = np.zeros(n_words + 1, dtype=np.int64)
+                np.add.at(cover, dup_starts, 1)
+                np.add.at(cover, dup_starts + n, -1)
+                mask = np.cumsum(cover[:-1]) > 0
+                out[name] = _round(
+                    int(word_lens[mask].sum()) / total_chars
+                )
+        if top <= 1:
+            done = True
+        else:
+            cur = inv.astype(np.uint64)
     return out
+
+
+# back-compat alias (the old split fast path was merged into
+# repetition_signals; parity tests exercise this name)
+_repetition_signals_vectorized = repetition_signals
 
 
 # --- naive reference-shaped path, kept as the oracle for the fast path ---

@@ -338,25 +338,32 @@ def q_top_docs_by_chars(sf_dir: str) -> "pa.Table":
 # ------------------------------------------------------------------
 
 def q_embedding_label_stats(sf_dir: str) -> "pa.Table":
-    """Broadcast join embeddings->documents on vec_id == doc_id."""
-    docs = _docs(sf_dir, ["doc_id", "n_chars"]).to_pandas()
-    lookup = ray.put(dict(zip(docs.doc_id, docs.n_chars)))
+    """Hash join embeddings |><| documents on vec_id == doc_id via
+    Dataset.join — documents is the BIG side of this join, so it is
+    never materialized driver-side (a broadcast dict here would pull the
+    whole doc table through the driver at scale)."""
+    docs = _docs(sf_dir, ["doc_id", "n_chars"])
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
+    joined = emb.join(
+        docs,
+        join_type="inner",
+        num_partitions=16,
+        on=("vec_id",),
+        right_on=("doc_id",),
+    )
 
-    def join(t: pa.Table) -> pa.Table:
-        lk = ray.get(lookup)
-        chars = [lk.get(v) for v in t["vec_id"].to_pylist()]
+    def proj(t: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "label": pc.cast(t["label"], pa.int64()),
-                "n_chars": pa.array(chars, pa.int64()),
+                "n_chars": pc.cast(t["n_chars"], pa.int64()),
             }
         )
 
     out = (
-        emb.map_batches(join, batch_format="pyarrow")
+        joined.map_batches(proj, batch_format="pyarrow")
         .groupby("label")
         .aggregate(
             Count(alias_name="n"), Mean("n_chars", alias_name="avg_chars")

@@ -52,8 +52,10 @@ def normalize(
     if lowercase:
         text = text.lower()
     if white_space:
-        text = text.strip()
-        text = _WS_RE.sub(" ", text)
+        # equivalent to strip() + _WS_RE.sub(" ", ...): str.split() with
+        # no args splits on exactly the characters `\s` matches (fuzzed
+        # over all isspace codepoints) and is ~2x faster in CPython
+        text = " ".join(text.split())
     if nfd_unicode:
         text = unicodedata.normalize("NFD", text)
     return text
