@@ -95,6 +95,20 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     deduped.count()
     timings["fuzzy_dedup"] = round(time.time() - t0, 3)
 
+    # forced distributed paths (dataset-side joins / min-label
+    # propagation — the dup-heavy scale fallbacks) on the same inputs
+    t0 = time.time()
+    ann = rd.read_parquet(
+        out_dir, columns=["doc_id", "id_int", "content_sha256"]
+    )
+    exact_dedup(ann, distributed=True).count()
+    timings["exact_dedup_join"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    sig = rd.read_parquet(out_dir, columns=["id_int", "signature_sim0.8"])
+    deduped, _ = fuzzy_dedup(sig, "signature_sim0.8", distributed=True)
+    deduped.count()
+    timings["fuzzy_dedup_dist"] = round(time.time() - t0, 3)
+
     # analysis queries over driver tables
     for name, fn in (
         ("token_totals", q_token_totals_by_source),

@@ -75,12 +75,20 @@ def cmd_quality(args) -> dict:
 
         files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
         if files:
+            import ray
+
+            workers = max(1, args.resume_workers)
+            # split the actor budget across concurrent shard pipelines —
+            # each shard execution gets its own (smaller) strict pool so
+            # two pipelines never contend for the same actor slots
+            total = int(ray.cluster_resources().get("CPU", 4))
+            per_shard = max(1, (total - 2) // workers)
+            cfg = QualityConfig(max_actors=per_shard)
             committed = run_partitioned(
                 files,
                 args.output,
-                lambda p: annotate(
-                    __import__("ray").data.read_parquet(p), QualityConfig()
-                ),
+                lambda p: annotate(ray.data.read_parquet(p), cfg),
+                max_concurrent=workers,
             )
             return {"partitions": len(committed), "output": args.output}
     paths = write_outputs(annotated, args.output)
@@ -107,9 +115,13 @@ def cmd_dedup_fuzzy(args) -> dict:
     ds = rd.read_parquet(args.input)
     out, clusters = fuzzy_dedup(ds, args.signature)
     out.write_parquet(args.output)
+    if isinstance(clusters, dict):
+        n_clusters = len(set(clusters.values()))
+    else:  # distributed path returns the labels Dataset
+        n_clusters = len(clusters.unique("cluster_id"))
     result = {
         "rows": out.count(),
-        "clusters": len(set(clusters.values())),
+        "clusters": n_clusters,
         "output": args.output,
     }
     if args.clusters_output:
@@ -119,6 +131,18 @@ def cmd_dedup_fuzzy(args) -> dict:
             os.path.join(args.clusters_output, "clusters.parquet"),
         )
         result["clusters_output"] = args.clusters_output
+        if getattr(args, "thresholds", None):
+            from .dedupe.lsh import write_cluster_outputs
+
+            id_col = (
+                "doc_id" if "doc_id" in ds.schema().names else "id_int"
+            )
+            result["threshold_outputs"] = write_cluster_outputs(
+                ds,
+                args.clusters_output,
+                thresholds=args.thresholds,
+                id_column=id_col,
+            )
     return result
 
 
@@ -231,6 +255,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--max-docs", type=int, default=None)
     q.add_argument("--shuffle-files", action="store_true")
     q.add_argument("--resume", action="store_true")
+    q.add_argument(
+        "--resume-workers", type=int, default=2,
+        help="shards processed concurrently in --resume mode "
+        "(per-shard commit stays atomic)",
+    )
     q.set_defaults(fn=cmd_quality)
 
     de = sub.add_parser("dedup-exact", help="exact dedup by content hash")
@@ -245,6 +274,16 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--output", required=True)
     df.add_argument("--signature", default="signature_sim0.8")
     df.add_argument("--clusters-output", default=None)
+    df.add_argument(
+        "--thresholds",
+        nargs="*",
+        type=float,
+        default=None,
+        help="write per-threshold (id, id_int, cluster_id, shard_id) "
+        "cluster parquet dirs under --clusters-output "
+        "(run_lsh.py:340-372 parity); default: only --signature's "
+        "threshold",
+    )
     df.set_defaults(fn=cmd_dedup_fuzzy)
 
     tc = sub.add_parser("token-count", help="corpus token totals")

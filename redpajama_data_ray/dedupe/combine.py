@@ -65,3 +65,60 @@ def key_stats(
         .repartition(1)
         .map_batches(combine, batch_format="pyarrow")
     )
+
+
+def auto_partitions(cap: int = 256) -> int:
+    """Shuffle partition count sized to the cluster: one per CPU,
+    bounded. Ray's hash-shuffle join/aggregate spins up aggregator
+    actors proportional to ``num_partitions``; asking for many more
+    partitions than CPUs starves the pool (observed: a 32-partition
+    join on a 4-CPU local cluster stalls for minutes). At real scale
+    callers pass an explicit count sized to data volume instead."""
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        cpus = 4
+    return max(2, min(cap, cpus))
+
+
+# tree-combine root capacity: the root task holds one row per distinct
+# key; 50M x ~24 B fixed-width rows ~= 1.2 GB — a comfortable single
+# task. Above this, pay the hash-shuffle groupby instead.
+TREE_STATS_LIMIT = 50_000_000
+
+
+def tune_shuffle_context() -> None:
+    """Make Ray's hash-shuffle join/aggregate operators schedulable on
+    small CPU budgets: by default every aggregator actor reserves a
+    full CPU and the operator waits up to
+    ``min_hash_shuffle_aggregator_wait_time_in_s`` (300 s!) for the
+    pool — a 32-partition join on a 4-CPU cluster stalls for minutes.
+    Halving the per-partition CPU reservation lets
+    ``num_partitions ~= cluster CPUs`` schedule immediately. Only sets
+    overrides that are still unset, so user configuration wins."""
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    # 0.25 CPU x (num_partitions ~= cluster CPUs) = a quarter of the
+    # cluster per shuffle pool: multi-stage plans (join -> aggregate ->
+    # repartition) keep 2-3 pools alive simultaneously and still leave
+    # CPUs for task operators. 0.5 deadlocks a 4-CPU cluster (two
+    # 2-CPU pools starve every task; observed wedge in the propagation
+    # loop), and the un-overridden local-mode default (0.0625-0.125)
+    # under-provisions big aggregations on 32 CPUs.
+    per_partition = 0.25
+    if ctx.join_operator_actor_num_cpus_per_partition_override is None:
+        ctx.join_operator_actor_num_cpus_per_partition_override = per_partition
+    if (
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override
+        is None
+    ):
+        ctx.hash_aggregate_operator_actor_num_cpus_per_partition_override = (
+            per_partition
+        )
+    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+            per_partition
+        )

@@ -52,10 +52,14 @@ def propagate_min_labels(
     pairs: Dataset,
     num_partitions: int = 32,
     max_iters: int = 20,
+    pre_signed: bool = False,
 ) -> Dataset:
     """pairs(band_hash: uint64, id_int: uint64) ->
     labels(id_int, cluster_id) — cluster_id = min id_int reachable
-    through shared bands. Includes every id present in ``pairs``."""
+    through shared bands. Includes every id present in ``pairs``.
+    ``pre_signed=True`` skips the input bijection when the caller
+    already mapped both columns with ``_to_signed`` (the output is
+    always unsigned uint64)."""
 
     def to_signed_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
@@ -65,9 +69,9 @@ def propagate_min_labels(
             }
         )
 
-    pairs = pairs.map_batches(
-        to_signed_pairs, batch_format="pyarrow"
-    ).materialize()
+    if not pre_signed:
+        pairs = pairs.map_batches(to_signed_pairs, batch_format="pyarrow")
+    pairs = pairs.materialize()
 
     def init_labels(t: pa.Table) -> pa.Table:
         return pa.table(

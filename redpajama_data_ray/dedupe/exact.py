@@ -3,92 +3,222 @@
 The reference's exact dedup is a sequential mmap Bloom filter over the
 driver (/root/reference/app/src/bloomfilter.py:296-417) — probabilistic
 and single-threaded by construction. The Ray-native design is exact and
-parallel, and exploits that duplicates are RARE at corpus scale:
+parallel, with a size-adaptive delivery of the duplicate set:
 
 1. partial pre-aggregation inside ``map_batches``: one
    ``(key, min_order, count)`` row per distinct key per batch — the
    combiner pattern, so the shuffle moves per-key partials, not rows;
-2. a small ``groupby(key)`` over the partials (vectorized Sum/Min
-   aggregates, no per-group Python);
-3. keys with total count > 1 (the rare dups) and their winning
-   ``min_order`` are broadcast via ``ray.put``; a stateless
-   ``map_batches`` keeps a row iff its key is not duplicated or it is
-   the winner.
+2. a ``groupby(key)`` over the partials (vectorized Sum/Min
+   aggregates, no per-group Python) keeps only keys with count > 1 —
+   the duplicate table, materialized in the OBJECT STORE (never the
+   driver heap);
+3. delivery is chosen by the measured duplicate count:
+   - **broadcast** (dup set <= ``broadcast_limit``): winners collected
+     into a driver dict, ``ray.put`` once, filtered inside
+     ``map_batches`` — a semi-join without shuffling the corpus;
+   - **join** (dup-heavy corpora — boilerplate, mirrored repos): a
+     ``Dataset.join(left_outer)`` of the corpus against the dup table;
+     no driver-side state at all, at the cost of one corpus shuffle.
 
-The broadcast set scales with the number of DUPLICATED keys only. A
-``groupby().map_groups`` fallback stays available for skew-free small
-inputs (``exact_dedup_groups``).
+``distributed=None`` (default) auto-switches on the measured count;
+``False`` forces the legacy tree-combine + broadcast path (cheapest
+when dups are known-rare); ``True`` forces the join path.
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from typing import Dict, Optional
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Min, Sum
+
+# above this many duplicated keys the winners dict stops being a
+# reasonable driver/broadcast object (~100 B/entry -> ~200 MB)
+DEFAULT_BROADCAST_LIMIT = 2_000_000
+
+_MIN_ORDER_COL = "__dedup_min_order"
+
+
+def dup_key_stats(
+    ds: Dataset, key: str, order_col: str, use_groupby: bool = True
+) -> Dataset:
+    """Dataset of (key, min_order, cnt) for keys appearing > 1 time.
+
+    ``use_groupby=True`` is the scale path (hash-shuffled aggregate of
+    per-block partials); ``False`` uses the small-input tree combine
+    whose root is a single reduce task (``combine.key_stats``)."""
+    from .combine import key_stats
+
+    stats = key_stats(ds, key, order_col, distributed=use_groupby)
+
+    def only_dups(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["cnt"], 1))
+
+    return stats.map_batches(only_dups, batch_format="pyarrow")
+
+
+def _collect_winners(dup: Dataset, key: str) -> Dict[object, object]:
+    winners: Dict[object, object] = {}
+    for batch in dup.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for k, m in zip(
+            batch.column(key).to_pylist(),
+            batch.column("min_order").to_pylist(),
+        ):
+            winners[k] = m
+    return winners
 
 
 def _dup_winners(
     ds: Dataset, key: str, order_col: str, distributed: bool = False
 ) -> Dict[object, object]:
     """{key: winning order value} for every key appearing >1 time."""
-    from .combine import key_stats
+    return _collect_winners(
+        dup_key_stats(ds, key, order_col, use_groupby=distributed), key
+    )
 
-    agg = key_stats(ds, key, order_col, distributed=distributed)
-    winners: Dict[object, object] = {}
-    for batch in agg.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        mask = pc.greater(batch["cnt"], 1)
-        dup = batch.filter(mask)
-        for k, m in zip(
-            dup.column(key).to_pylist(), dup.column("min_order").to_pylist()
-        ):
-            winners[k] = m
-    return winners
+
+def _broadcast_filter(
+    ds: Dataset,
+    winners: Dict[object, object],
+    key: str,
+    order_col: str,
+    keep_winners: bool,
+) -> Dataset:
+    ref = ray.put(winners)
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        keys = t.column(key).to_pylist()
+        orders = t.column(order_col).to_pylist()
+        if keep_winners:
+            mask = [k not in w or w[k] == o for k, o in zip(keys, orders)]
+        else:
+            mask = [k in w and w[k] != o for k, o in zip(keys, orders)]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _join_filter(
+    ds: Dataset,
+    dup: Dataset,
+    key: str,
+    order_col: str,
+    keep_winners: bool,
+    num_partitions: int,
+) -> Dataset:
+    """Dataset-side filter against the dup table — zero driver state."""
+
+    def proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {key: t.column(key), _MIN_ORDER_COL: t.column("min_order")}
+        )
+
+    dup_small = dup.map_batches(proj, batch_format="pyarrow")
+    if keep_winners:
+        joined = ds.join(
+            dup_small,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(key,),
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            mo = t.column(_MIN_ORDER_COL)
+            # null min_order -> key not duplicated -> keep;
+            # else keep only the winner
+            mask = pc.or_kleene(
+                pc.is_null(mo), pc.equal(mo, t.column(order_col))
+            )
+            return t.filter(mask).drop_columns([_MIN_ORDER_COL])
+
+        return joined.map_batches(keep, batch_format="pyarrow")
+
+    joined = ds.join(
+        dup_small,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+    )
+
+    def dups(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t.column(_MIN_ORDER_COL), t.column(order_col))
+        return t.filter(mask).drop_columns([_MIN_ORDER_COL])
+
+    return joined.map_batches(dups, batch_format="pyarrow")
+
+
+def _dedup_impl(
+    ds: Dataset,
+    key: str,
+    order_col: str,
+    distributed: Optional[bool],
+    broadcast_limit: int,
+    num_partitions: Optional[int],
+    keep_winners: bool,
+) -> Dataset:
+    if num_partitions is None:
+        from .combine import auto_partitions
+
+        num_partitions = auto_partitions()
+    from .combine import tune_shuffle_context
+
+    tune_shuffle_context()
+    if distributed is False:
+        # legacy small-input path: tree-combined stats, driver dict
+        winners = _dup_winners(ds, key, order_col, distributed=False)
+        if keep_winners and not winners:
+            return ds
+        return _broadcast_filter(ds, winners, key, order_col, keep_winners)
+
+    dup = dup_key_stats(ds, key, order_col, use_groupby=True).materialize()
+    n_dup = dup.count()
+    if distributed is None and n_dup <= broadcast_limit:
+        if keep_winners and n_dup == 0:
+            return ds
+        winners = _collect_winners(dup, key)
+        return _broadcast_filter(ds, winners, key, order_col, keep_winners)
+    return _join_filter(
+        ds, dup, key, order_col, keep_winners, num_partitions
+    )
 
 
 def exact_dedup(
     ds: Dataset,
     key: str = "content_sha256",
     order_col: str = "doc_id",
+    distributed: Optional[bool] = None,
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
-    """Keep one row (min order_col) per distinct value of ``key``."""
-    winners = _dup_winners(ds, key, order_col)
-    if not winners:
-        return ds
-    ref = ray.put(winners)
+    """Keep one row (min order_col) per distinct value of ``key``.
 
-    def keep(t: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        keys = t.column(key).to_pylist()
-        orders = t.column(order_col).to_pylist()
-        mask = [k not in w or w[k] == o for k, o in zip(keys, orders)]
-        return t.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(keep, batch_format="pyarrow")
+    ``distributed``: None = auto (measure the dup count, broadcast when
+    small, join when large); False = legacy tree+broadcast; True =
+    always the dataset-side join."""
+    return _dedup_impl(
+        ds, key, order_col, distributed, broadcast_limit,
+        num_partitions, keep_winners=True,
+    )
 
 
 def duplicate_rows(
     ds: Dataset,
     key: str = "content_sha256",
     order_col: str = "doc_id",
+    distributed: Optional[bool] = None,
+    broadcast_limit: int = DEFAULT_BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
 ) -> Dataset:
     """The complement: every row that is NOT the first of its group
     (the reference emits these as its duplicates table:
     bloomfilter.py:380-396)."""
-    winners = _dup_winners(ds, key, order_col)
-    ref = ray.put(winners)
-
-    def dups(t: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        keys = t.column(key).to_pylist()
-        orders = t.column(order_col).to_pylist()
-        mask = [k in w and w[k] != o for k, o in zip(keys, orders)]
-        return t.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(dups, batch_format="pyarrow")
+    return _dedup_impl(
+        ds, key, order_col, distributed, broadcast_limit,
+        num_partitions, keep_winners=False,
+    )
 
 
 def exact_dedup_groups(

@@ -150,10 +150,21 @@ def lsh_clusters(
     return clusters
 
 
-def clusters_table(clusters: Dict[int, int]) -> pa.Table:
+def clusters_table(clusters: "Dict[int, int] | Dataset") -> pa.Table:
     """(id_int, cluster_id) Arrow table — the reference's cluster output
     artifact (run_lsh.py:340-372 writes (id, id_int, cluster_id,
-    shard_id) parquet per shard; join back on id_int for the rest)."""
+    shard_id) parquet per shard; join back on id_int for the rest).
+    Accepts either the driver-path dict or the distributed-path labels
+    Dataset (collected — for large label sets write the Dataset with
+    ``write_parquet`` instead)."""
+    if isinstance(clusters, Dataset):
+        clusters = {
+            r["id_int"]: r["cluster_id"]
+            for b in clusters.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+            for r in b.to_pylist()
+        }
     items = sorted(clusters.items())
     return pa.table(
         {
@@ -163,28 +174,300 @@ def clusters_table(clusters: Dict[int, int]) -> pa.Table:
     )
 
 
+# above this many duplicated-band member rows, streaming them through
+# the driver union-find stops scaling — switch to distributed min-label
+# propagation (all-shuffle, no driver state)
+DEFAULT_DRIVER_LIMIT = 5_000_000
+
+
 def fuzzy_dedup(
     ds: Dataset,
     sig_column: str = "signature_sim0.8",
     id_column: str = "id_int",
-) -> Tuple[Dataset, Dict[int, int]]:
+    distributed: "bool | None" = None,
+    driver_limit: int = DEFAULT_DRIVER_LIMIT,
+    num_partitions: "int | None" = None,
+) -> "Tuple[Dataset, Dict[int, int] | Dataset]":
     """Drop every row whose cluster representative is another row.
 
-    Returns (deduped dataset, id_int -> cluster_id map). The duplicate
-    id set is broadcast via ``ray.put`` and filtered inside
-    ``map_batches`` — a semi-join without a shuffle (J3 in SURVEY.md).
-    """
-    clusters = lsh_clusters(ds, sig_column)
-    dupes: Set[int] = {i for i, c in clusters.items() if i != c}
-    if not dupes:
-        return ds, clusters
-    dupes_ref = ray.put(dupes)
+    Returns ``(deduped dataset, clusters)``. The execution path is
+    chosen by the MEASURED duplicated-band member count:
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        dset = ray.get(dupes_ref)
-        mask = [
-            i not in dset for i in batch.column(id_column).to_pylist()
-        ]
-        return batch.filter(pa.array(mask, pa.bool_()))
+    - **driver** (members <= ``driver_limit``, the reference's design
+      point — run_lsh.py:295-322 holds the whole edge graph on one
+      node): stream duplicated-band members to the driver, union-find,
+      broadcast the duplicate id set, filter inside ``map_batches``
+      (a semi-join without a shuffle). ``clusters`` is a dict
+      ``id_int -> cluster_id``.
+    - **distributed** (dup-heavy corpora): duplicated-band pairs are
+      ``left_semi``-joined in the object store, clustered by
+      ``components.propagate_min_labels`` (iterative min-label
+      propagation — all shuffles, no driver state), and duplicates are
+      removed with a ``left_anti`` join. ``clusters`` is the labels
+      Dataset ``(id_int, cluster_id)``.
 
-    return ds.map_batches(_filter, batch_format="pyarrow"), clusters
+    ``distributed=None`` auto-switches on the measured count; ``False``
+    / ``True`` force a path. Both produce identical surviving rows
+    (tested on dup-heavy fixtures)."""
+    from .combine import auto_partitions, key_stats
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    narrow = ds.select_columns([id_column, sig_column])
+    if id_column != "id_int":
+        # explode_bands contract: id column is named id_int
+        narrow = narrow.rename_columns({id_column: "id_int"})
+    exploded = narrow.map_batches(
+        explode_bands(sig_column), batch_format="pyarrow"
+    )
+    # two consumers (count-agg, member-filter); the exploded table is 16
+    # fixed bytes per (doc, band) — pin it instead of recomputing the
+    # explode. At 100 TB this is ~1% of corpus size and spills if needed.
+    exploded = exploded.materialize()
+
+    # Ray's hash-shuffle groupby/join pickle uint64 values above
+    # int64-max into python-object extension columns (which then cannot
+    # join against uint64); run the wide ops on the order-preserving
+    # signed bijection and map back at the boundaries.
+    from .combine import TREE_STATS_LIMIT, tune_shuffle_context
+    from .components import _to_signed, _to_unsigned
+
+    tune_shuffle_context()
+
+    def sign_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band_hash": _to_signed(t["band_hash"]),
+                "id_int": _to_signed(t["id_int"]),
+            }
+        )
+
+    exploded_signed = exploded.map_batches(
+        sign_pairs, batch_format="pyarrow"
+    )
+
+    # per-band counts, then keep only duplicated bands (object store).
+    # Stats path is size-adaptive: the tree combine (vectorized pyarrow
+    # group_bys, single-task root) is ~30x faster than Ray's shuffle
+    # aggregate at 10^6-row scale but its root must hold every distinct
+    # band hash in one task — above TREE_STATS_LIMIT exploded rows,
+    # switch to the hash-shuffle groupby (the correct all-to-all cost).
+    if exploded.count() <= TREE_STATS_LIMIT:
+        stats = key_stats(
+            exploded_signed, "band_hash", "id_int", distributed=False
+        )
+    else:
+        stats = key_stats(
+            exploded_signed, "band_hash", "id_int", distributed=True
+        )
+    dup = stats.map_batches(
+        lambda t: t.filter(pc.greater(t["cnt"], 1)),
+        batch_format="pyarrow",
+    ).materialize()
+    n_dup_bands = dup.count()
+    if n_dup_bands == 0:
+        return ds, {}
+    members = int(dup.sum("cnt"))
+
+    use_driver = distributed is False or (
+        distributed is None and members <= driver_limit
+    )
+    if use_driver:
+        dup_bands: Set[int] = set()
+        for batch in dup.iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            dup_bands.update(
+                _to_unsigned(batch.column("band_hash")).to_pylist()
+            )
+        clusters = _clusters_from_members(exploded, dup_bands)
+        dupes: Set[int] = {i for i, c in clusters.items() if i != c}
+        if not dupes:
+            return ds, clusters
+        dupes_ref = ray.put(dupes)
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            dset = ray.get(dupes_ref)
+            mask = [
+                i not in dset for i in batch.column(id_column).to_pylist()
+            ]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+        return ds.map_batches(_filter, batch_format="pyarrow"), clusters
+
+    # ---- distributed path: no driver state ----
+    from .components import propagate_min_labels
+
+    dup_keys = dup.select_columns(["band_hash"])
+    dup_pairs = exploded_signed.join(
+        dup_keys,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("band_hash",),
+    )
+    labels = propagate_min_labels(
+        dup_pairs, num_partitions, pre_signed=True
+    ).materialize()
+
+    def non_reps(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["id_int"], t["cluster_id"])
+        return pa.table({id_column: t.filter(mask)["id_int"]})
+
+    # repartition before the join: Ray 2.49's hash-shuffle join rejects
+    # inputs whose empty partitions lost their schema (same workaround
+    # as components.propagate_min_labels)
+    dupes_ds = labels.map_batches(
+        non_reps, batch_format="pyarrow"
+    ).repartition(num_partitions)
+    # Acero (the per-partition join kernel) rejects nested payload
+    # columns ("list<binary> is not supported in join non-key field"):
+    # pack nested columns to binary for the anti join and unpack after.
+    # Types are captured driver-side so unpacking never relies on
+    # per-batch inference.
+    schema = ds.schema().base_schema
+    nested = {
+        f.name: f.type
+        for f in schema
+        if pa.types.is_nested(f.type) and f.name != id_column
+    }
+    packed = ds.map_batches(_pack_nested(nested), batch_format="pyarrow")
+    deduped = packed.join(
+        dupes_ds,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(id_column,),
+    )
+    deduped = deduped.map_batches(
+        _unpack_nested(nested), batch_format="pyarrow"
+    )
+    return deduped, labels
+
+
+def _pack_nested(nested: Dict[str, "pa.DataType"]):
+    import pickle
+
+    def pack(t: pa.Table) -> pa.Table:
+        if not nested:
+            return t
+        for name in nested:
+            idx = t.schema.get_field_index(name)
+            col = pa.array(
+                [pickle.dumps(v) for v in t.column(name).to_pylist()],
+                pa.binary(),
+            )
+            t = t.set_column(idx, name, col)
+        return t
+
+    return pack
+
+
+def _unpack_nested(nested: Dict[str, "pa.DataType"]):
+    import pickle
+
+    def unpack(t: pa.Table) -> pa.Table:
+        for name, typ in nested.items():
+            idx = t.schema.get_field_index(name)
+            vals = [pickle.loads(v) for v in t.column(name).to_pylist()]
+            t = t.set_column(idx, name, pa.array(vals, typ))
+        return t
+
+    return unpack
+
+
+def _clusters_from_members(
+    exploded: Dataset, dup_bands: Set[int]
+) -> Dict[int, int]:
+    """Driver union-find over members of duplicated bands (the
+    reference's single-node edge-graph design point)."""
+    uf = _UnionFind()
+    ref = ray.put(dup_bands)
+
+    def members(t: pa.Table) -> pa.Table:
+        d = ray.get(ref)
+        mask = [h in d for h in t.column("band_hash").to_pylist()]
+        return t.filter(pa.array(mask, pa.bool_()))
+
+    groups: Dict[int, int] = {}
+    for batch in exploded.map_batches(
+        members, batch_format="pyarrow"
+    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+        for h, i in zip(
+            batch.column("band_hash").to_pylist(),
+            batch.column("id_int").to_pylist(),
+        ):
+            first = groups.get(h)
+            if first is None:
+                groups[h] = i
+            else:
+                uf.union(first, i)
+    clusters: Dict[int, int] = {}
+    for node in list(uf.parent):
+        clusters[node] = uf.find(node)
+    for node, root in list(clusters.items()):
+        clusters.setdefault(root, root)
+    return clusters
+
+
+def write_cluster_outputs(
+    ds: Dataset,
+    out_dir: str,
+    thresholds=(0.7, 0.8, 0.9, 1.0),
+    id_column: str = "doc_id",
+    shard_column: "str | None" = None,
+) -> Dict[str, str]:
+    """Per-threshold cluster parquet sinks.
+
+    The reference writes one ``(id, id_int, cluster_id, shard_id)``
+    parquet per shard, per similarity threshold
+    (/root/reference/app/src/run_lsh.py:340-372). This sink mirrors
+    that: for every threshold whose ``signature_sim{t}`` column exists
+    in ``ds``, it clusters and writes
+    ``{out_dir}/sim{t}/*.parquet`` with columns
+    (id, id_int, cluster_id, shard_id) — one row per document that
+    belongs to a multi-doc cluster. ``shard_id`` comes from
+    ``shard_column`` when given, else 0 (single-shard inputs).
+    Membership rows are emitted inside ``map_batches`` against the
+    broadcast cluster map, so the corpus streams; only the cluster map
+    itself is collected (reference design point)."""
+    import os
+
+    out: Dict[str, str] = {}
+    for t in thresholds:
+        sig_col = f"signature_sim{t}"
+        if sig_col not in ds.schema().names:
+            continue
+        clusters = lsh_clusters(ds, sig_col)
+        tdir = os.path.join(out_dir, f"sim{t}")
+        if not clusters:
+            os.makedirs(tdir, exist_ok=True)
+            out[str(t)] = tdir
+            continue
+        ref = ray.put(clusters)
+
+        def member_rows(batch: pa.Table, _ref=ref) -> pa.Table:
+            cl = ray.get(_ref)
+            ids = batch.column("id_int").to_pylist()
+            mask = [i in cl for i in ids]
+            kept = batch.filter(pa.array(mask, pa.bool_()))
+            kept_ids = kept.column("id_int").to_pylist()
+            shard = (
+                kept.column(shard_column)
+                if shard_column
+                else pa.array([0] * kept.num_rows, pa.int64())
+            )
+            return pa.table(
+                {
+                    "id": pc.cast(kept.column(id_column), pa.string()),
+                    "id_int": kept.column("id_int"),
+                    "cluster_id": pa.array(
+                        [cl[i] for i in kept_ids], pa.uint64()
+                    ),
+                    "shard_id": shard,
+                }
+            )
+
+        ds.map_batches(member_rows, batch_format="pyarrow").write_parquet(
+            tdir
+        )
+        out[str(t)] = tdir
+    return out

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from typing import Dict, List, Set, Tuple
 
+import numpy as np
 import pyarrow as pa
 import ray
 from ray.data import Dataset
@@ -53,21 +54,100 @@ def _explode_simhash_bands(batch: pa.Table) -> pa.Table:
     )
 
 
-def _pairs_factory(max_hamming: int):
+_M1 = np.uint64(0x5555555555555555)
+_M2 = np.uint64(0x3333333333333333)
+_M4 = np.uint64(0x0F0F0F0F0F0F0F0F)
+_H01 = np.uint64(0x0101010101010101)
+
+
+def _popcount64(x: "np.ndarray") -> "np.ndarray":
+    """Vectorized SWAR popcount over uint64 (numpy<2 lacks
+    ``np.bitwise_count``)."""
+    x = x - ((x >> np.uint64(1)) & _M1)
+    x = (x & _M2) + ((x >> np.uint64(2)) & _M2)
+    x = (x + (x >> np.uint64(4))) & _M4
+    return (x * _H01) >> np.uint64(56)
+
+
+# verify this many unique fingerprints per chunk: 2048^2 uint64
+# temporaries = 32 MiB, bounded regardless of band skew
+_VERIFY_CHUNK = 2048
+
+
+def _pairs_factory(max_hamming: int, spanning: bool = False):
+    """Per-band candidate verification, robust to hot bands.
+
+    A templated corpus can put thousands of rows in one 16-bit band
+    (the classic all-zero fingerprint) — the naive all-rows O(n^2)
+    Python loop melts there. Instead:
+
+    1. group members by IDENTICAL fingerprint first (np.unique): equal
+       fingerprints are near-dups by definition, no verification;
+    2. verify Hamming distance only across UNIQUE fingerprints, with a
+       chunked ``xor`` + SWAR-popcount matrix (bounded temporaries);
+    3. ``spanning=True`` emits a connectivity-equivalent spanning edge
+       set (chain within an identical-fingerprint group, one rep-to-rep
+       edge per matching fingerprint pair) — O(n + matches) output, the
+       shape ``simhash_dedup`` consumes (union-find only needs
+       connectivity). ``spanning=False`` expands the full verified pair
+       list (quadratic in group size by definition of the output).
+
+    Salting the band key (``stages/skew.py``) is deliberately NOT used
+    here: splitting a band across salted keys would drop candidate
+    pairs that land in different salt groups — wrong results, not just
+    skew. Bounding the in-band work is the correct mitigation."""
+
+    def _empty() -> pa.Table:
+        return pa.table(
+            {"a": pa.array([], pa.uint64()), "b": pa.array([], pa.uint64())}
+        )
+
     def _pairs(group: pa.Table) -> pa.Table:
         n = group.num_rows
         if n <= 1:
-            return pa.table(
-                {"a": pa.array([], pa.uint64()), "b": pa.array([], pa.uint64())}
-            )
-        ids = group.column("id_int").to_pylist()
-        hs = group.column("simhash64").to_pylist()
-        a_out, b_out = [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if hamming64(hs[i], hs[j]) <= max_hamming:
-                    a_out.append(ids[i])
-                    b_out.append(ids[j])
+            return _empty()
+        ids = group.column("id_int").to_numpy(zero_copy_only=False)
+        hs = group.column("simhash64").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(hs, return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(len(uniq) + 1))
+        a_out: List[int] = []
+        b_out: List[int] = []
+        members = [
+            ids[order[bounds[k] : bounds[k + 1]]] for k in range(len(uniq))
+        ]
+        # 1) identical fingerprints
+        for m in members:
+            if len(m) <= 1:
+                continue
+            if spanning:
+                a_out.extend([int(m[0])] * (len(m) - 1))
+                b_out.extend(int(x) for x in m[1:])
+            else:
+                for i in range(len(m)):
+                    for j in range(i + 1, len(m)):
+                        a_out.append(int(m[i]))
+                        b_out.append(int(m[j]))
+        # 2) cross-fingerprint verification, chunked
+        u = len(uniq)
+        for s in range(0, u, _VERIFY_CHUNK):
+            chunk = uniq[s : s + _VERIFY_CHUNK]
+            d = _popcount64(chunk[:, None] ^ uniq[None, :])
+            ii, jj = np.nonzero(d <= max_hamming)
+            ii = ii + s
+            keep = ii < jj  # upper triangle only
+            for fi, fj in zip(ii[keep], jj[keep]):
+                mi, mj = members[fi], members[fj]
+                if spanning:
+                    a_out.append(int(mi[0]))
+                    b_out.append(int(mj[0]))
+                else:
+                    for x in mi:
+                        for y in mj:
+                            a_out.append(int(x))
+                            b_out.append(int(y))
+        if not a_out:
+            return _empty()
         return pa.table(
             {"a": pa.array(a_out, pa.uint64()), "b": pa.array(b_out, pa.uint64())}
         )
@@ -76,15 +156,20 @@ def _pairs_factory(max_hamming: int):
 
 
 def simhash_near_dup_pairs(
-    ds: Dataset, max_hamming: int = 3
+    ds: Dataset, max_hamming: int = 3, spanning: bool = False
 ) -> List[Tuple[int, int]]:
     """Verified near-dup id pairs (Hamming <= max_hamming). ``ds`` must
-    already carry ``id_int`` and ``simhash64`` columns."""
+    already carry ``id_int`` and ``simhash64`` columns.
+    ``spanning=True`` returns a connectivity-equivalent spanning edge
+    set instead of every pair (use for dedup; O(n) on identical-
+    fingerprint floods)."""
     pairs_ds = (
         ds.select_columns(["id_int", "simhash64"])
         .map_batches(_explode_simhash_bands, batch_format="pyarrow")
         .groupby("band_key")
-        .map_groups(_pairs_factory(max_hamming), batch_format="pyarrow")
+        .map_groups(
+            _pairs_factory(max_hamming, spanning), batch_format="pyarrow"
+        )
     )
     seen: Set[Tuple[int, int]] = set()
     for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
@@ -96,7 +181,7 @@ def simhash_near_dup_pairs(
 def simhash_dedup(ds: Dataset, max_hamming: int = 3) -> Dataset:
     """Drop the higher-id member of every near-dup pair (transitively,
     via union-find on the pair list)."""
-    pairs = simhash_near_dup_pairs(ds, max_hamming)
+    pairs = simhash_near_dup_pairs(ds, max_hamming, spanning=True)
     parent: Dict[int, int] = {}
 
     def find(x: int) -> int:

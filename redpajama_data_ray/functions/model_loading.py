@@ -1,0 +1,253 @@
+"""User-supplied model artifact loading (fastText / KenLM / HF
+tokenizer hooks).
+
+The reference discovers and loads real model binaries at job start —
+fastText classifiers (`/root/reference/app/src/pipeline.py:286-297`,
+`core/quality_signals/classifiers.py:58`) and the HF BPE tokenizer
+(`token_count.py:236-240`). Those packages are not installed in this
+container, so every loader here is a TRY-IMPORT hook: given a real
+artifact it returns a wrapper with the same interface as the
+deterministic stand-ins; without the package it raises a clear error
+naming the missing dependency. The ``.npz`` / ``.npy`` branches load
+this repo's own offline-trained artifacts (saved with the paired
+``save_*`` helpers) and need no extra packages — they exercise the
+full file->actor path in tests.
+
+Every wrapper is constructed inside actor ``__init__`` (state loaded
+once per actor, never per batch).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Tuple
+
+import numpy as np
+
+
+# ------------------------------------------------------------------
+# language ID
+# ------------------------------------------------------------------
+
+class _FastTextLangId:
+    """fastText lid.176 wrapper with the NGramLangId predict API."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def predict(self, text: str) -> Tuple[str, float]:
+        if not text or not text.strip():
+            return "unknown", 0.0
+        labels, probs = self.model.predict(" ".join(text.splitlines()))
+        # "__label__en" -> "en" (classifiers.py:63-66 label handling)
+        return labels[0].replace("__label__", ""), float(probs[0])
+
+    def predict_batch(self, texts):
+        langs, probs = [], []
+        for t in texts:
+            lang, p = self.predict(t)
+            langs.append(lang)
+            probs.append(p)
+        return langs, probs
+
+
+def save_langid_model(model, path: str) -> str:
+    """Persist an NGramLangId's profiles to .npz (offline artifact)."""
+    np.savez_compressed(
+        path,
+        matrix=model._matrix,
+        labels=np.array(model.labels),
+        temperature=np.array([model.temperature]),
+    )
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def load_langid_model(path: str):
+    """``.bin`` -> fastText (try-import); ``.npz`` -> saved profile
+    matrix (no dependencies)."""
+    if path.endswith(".npz"):
+        from .langid import NGramLangId
+
+        data = np.load(path, allow_pickle=False)
+        model = NGramLangId.__new__(NGramLangId)
+        model._matrix = data["matrix"]
+        model.labels = [str(x) for x in data["labels"]]
+        model.temperature = float(data["temperature"][0])
+        return model
+    try:
+        import fasttext  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "loading a fastText model requires the 'fasttext' package "
+            f"(not installed); cannot load {path!r}. The engine's "
+            "deterministic stand-in (NGramLangId) is used when no "
+            "model path is given."
+        ) from e
+    return _FastTextLangId(fasttext.load_model(path))
+
+
+# ------------------------------------------------------------------
+# perplexity
+# ------------------------------------------------------------------
+
+class _KenLMScorer:
+    """KenLM wrapper with the PerplexityScorer interface (score ->
+    (ppl, bucket))."""
+
+    def __init__(self, model, head_threshold: float, middle_threshold: float):
+        self.model = model
+        self.head_threshold = head_threshold
+        self.middle_threshold = middle_threshold
+
+    def perplexity(self, text: str, max_chars: int = 4096) -> float:
+        import math
+
+        text = text[:max_chars]
+        if not text:
+            return float("nan")
+        # kenlm.Model.score returns log10 prob over tokens
+        words = text.split()
+        if not words:
+            return float("nan")
+        log10 = self.model.score(" ".join(words))
+        return round(10.0 ** (-log10 / max(len(words), 1)), 4)
+
+    def bucket(self, ppl: float) -> str:
+        if not (ppl == ppl):
+            return "tail"
+        if ppl < self.head_threshold:
+            return "head"
+        if ppl < self.middle_threshold:
+            return "middle"
+        return "tail"
+
+    def score(self, text: str) -> Tuple[float, str]:
+        ppl = self.perplexity(text)
+        return ppl, self.bucket(ppl)
+
+
+def save_perplexity_model(scorer, path: str) -> str:
+    """Persist a PerplexityScorer's LM tables to .npz."""
+    lm = scorer.lm
+    np.savez_compressed(
+        path,
+        lookup=lm._lookup,
+        p1=lm.p1,
+        p2=lm.p2,
+        p3=lm.p3,
+        v=np.array([lm.v]),
+        thresholds=np.array(
+            [scorer.head_threshold, scorer.middle_threshold]
+        ),
+    )
+    return path if path.endswith(".npz") else path + ".npz"
+
+
+def load_perplexity_model(path: str):
+    """``.arpa``/``.klm`` -> KenLM (try-import); ``.npz`` -> saved
+    char-LM tables."""
+    if path.endswith(".npz"):
+        from .perplexity import CharNgramLM, PerplexityScorer
+
+        data = np.load(path, allow_pickle=False)
+        lm = CharNgramLM.__new__(CharNgramLM)
+        lm._lookup = data["lookup"]
+        lm.p1, lm.p2, lm.p3 = data["p1"], data["p2"], data["p3"]
+        lm.v = int(data["v"][0])
+        scorer = PerplexityScorer.__new__(PerplexityScorer)
+        scorer.lm = lm
+        scorer.head_threshold = float(data["thresholds"][0])
+        scorer.middle_threshold = float(data["thresholds"][1])
+        return scorer
+    try:
+        import kenlm  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "loading a KenLM model requires the 'kenlm' package (not "
+            f"installed); cannot load {path!r}. The deterministic "
+            "char-trigram stand-in is used when no model path is given."
+        ) from e
+    from .perplexity import (
+        DEFAULT_HEAD_THRESHOLD,
+        DEFAULT_MIDDLE_THRESHOLD,
+    )
+
+    return _KenLMScorer(
+        kenlm.Model(path), DEFAULT_HEAD_THRESHOLD, DEFAULT_MIDDLE_THRESHOLD
+    )
+
+
+# ------------------------------------------------------------------
+# quality classifier
+# ------------------------------------------------------------------
+
+class _FastTextClassifier:
+    """fastText supervised wrapper with the QualityClassifier score API
+    (classifiers.py:63-77: argmax label __label__cc -> 1 - p)."""
+
+    def __init__(self, model):
+        self.model = model
+
+    def score(self, text: str) -> float:
+        from .classifier import CCNET_LABEL, preprocess
+
+        labels, probs = self.model.predict(preprocess(text))
+        p = float(probs[0])
+        return round(1.0 - p if labels[0] == CCNET_LABEL else p, 8)
+
+
+def save_classifier_model(clf, path: str) -> str:
+    """Persist QualityClassifier log-odds weights to .npy."""
+    np.save(path, clf.weights)
+    return path if path.endswith(".npy") else path + ".npy"
+
+
+def load_classifier_model(path: str):
+    """``.bin`` -> fastText supervised (try-import); ``.npy`` -> saved
+    log-odds weights."""
+    if path.endswith(".npy"):
+        from .classifier import QualityClassifier
+
+        return QualityClassifier(weights=np.load(path))
+    try:
+        import fasttext  # noqa: F401
+    except ImportError as e:
+        raise RuntimeError(
+            "loading a fastText classifier requires the 'fasttext' "
+            f"package (not installed); cannot load {path!r}."
+        ) from e
+    return _FastTextClassifier(fasttext.load_model(path))
+
+
+# ------------------------------------------------------------------
+# tokenizer
+# ------------------------------------------------------------------
+
+def load_token_counter(name_or_path: str) -> Callable[[str], int]:
+    """HF tokenizer token counter (token_count.py:46,236-240 role).
+
+    Tries ``tokenizers`` then ``transformers``; raises a clear error if
+    neither is installed. Use ``tokens.bpe_like_token_count`` (regex
+    pre-tokenizer proxy) when no real tokenizer is available."""
+    try:
+        from tokenizers import Tokenizer  # type: ignore
+
+        tok = (
+            Tokenizer.from_file(name_or_path)
+            if name_or_path.endswith(".json")
+            else Tokenizer.from_pretrained(name_or_path)
+        )
+        return lambda text: len(tok.encode(text).ids)
+    except ImportError:
+        pass
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+
+        tok = AutoTokenizer.from_pretrained(name_or_path)
+        return lambda text: len(tok(text)["input_ids"])
+    except ImportError as e:
+        raise RuntimeError(
+            "a real BPE token count requires the 'tokenizers' or "
+            f"'transformers' package (not installed); cannot load "
+            f"{name_or_path!r}. Use tokens.bpe_like_token_count as the "
+            "offline proxy."
+        ) from e

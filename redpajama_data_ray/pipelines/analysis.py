@@ -1021,6 +1021,20 @@ ORACLE_SQL: Dict[str, str] = {
         select cast(min(doc_id) as bigint) as doc_id, md5(text) as fp
         from documents group by text
     """,
+    # the expected tables for the two minhash queries are precomputed
+    # into /tmp parquet by an INDEPENDENT sequential reference-shaped
+    # kernel (pipelines/extras.py: write_minhash_oracle /
+    # write_fuzzy_dedup_oracle — plain-% modulo, set-deduped shingles,
+    # raw-band-bytes grouping, pure-python union-find) when the paired
+    # query runs; DuckDB then mediates the three-way compare.
+    "minhash_signatures": """
+        select doc_id, band0_sim08
+        from read_parquet('/tmp/rpray_oracle/minhash_signatures.parquet')
+    """,
+    "fuzzy_dedup_docs": """
+        select doc_id
+        from read_parquet('/tmp/rpray_oracle/fuzzy_dedup_docs.parquet')
+    """,
     "quality_filter_docs": f"""
         select doc_id from (
             select doc_id, length({_WORDS}) as wc,

@@ -83,8 +83,194 @@ def _docs_with_ids(sf_dir: str) -> Dataset:
     )
 
 
+# ------------------------------------------------------------------
+# Sequential DuckDB oracle tables (VERDICT r1 item 5): an INDEPENDENT
+# reference-shaped kernel (plain `%` modulo, set-deduped shingles,
+# per-shingle struct.unpack, pure-python union-find) precomputes the
+# expected minhash / fuzzy-dedup results into /tmp parquet; the
+# oracle_sql entries read those tables, so the driver's three-way
+# check (rows+schema+hash) now covers these formerly rows-only queries.
+# ------------------------------------------------------------------
+
+_ORACLE_DIR = "/tmp/rpray_oracle"
+
+
+def _seq_banded_signatures(text: str, perms_a, perms_b, hashranges):
+    """Sequential minhash (reference semantics, independent of the
+    engine's chunked/Mersenne fast path)."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    from ..text import normalize
+    from ..text.normalization import ngrams_zip
+
+    P = np.uint64((1 << 61) - 1)
+    M32 = np.uint64((1 << 32) - 1)
+    tokens = normalize(text if text is not None else "").split()
+    if len(tokens) < 13:
+        return None
+    shingles = set(
+        " ".join(g).encode("utf-8") for g in ngrams_zip(tokens, 13)
+    )
+    h = np.fromiter(
+        (
+            struct.unpack("<I", hashlib.sha1(s).digest()[:4])[0]
+            for s in shingles
+        ),
+        dtype=np.uint64,
+        count=len(shingles),
+    )
+    phv = np.bitwise_and(
+        (h[:, None] * perms_a[None, :] + perms_b[None, :]) % P, M32
+    )
+    be = phv.min(axis=0).astype(np.uint32).byteswap()
+    return {
+        key: [be[s:e].tobytes() for s, e in ranges]
+        for key, ranges in hashranges.items()
+    }
+
+
+def _seq_perms():
+    """Re-draw the permutation pairs from the pinned seed (independent
+    of MinHasher's internals; dedupe/minhash.py:35-57 semantics)."""
+    import numpy as np
+
+    from ..config import MINHASH_NUM_PERMUTATIONS, MINHASH_SEED
+
+    P = np.uint64((1 << 61) - 1)
+    rng = np.random.RandomState(MINHASH_SEED)
+    a, b = [], []
+    for _ in range(MINHASH_NUM_PERMUTATIONS):
+        a.append(rng.randint(1, P, dtype=np.uint64))
+        b.append(rng.randint(0, P, dtype=np.uint64))
+    return np.array(a, dtype=np.uint64), np.array(b, dtype=np.uint64)
+
+
+def _oracle_docs(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
+    )
+    return (
+        t.column("doc_id").to_pylist(),
+        t.column("text").to_pylist(),
+        t.column("source").to_pylist(),
+    )
+
+
+def _oracle_path(sf_dir: str, name: str) -> str:
+    # fixed path (no sf suffix): the paired query writes it immediately
+    # before the oracle SQL reads it, so it always reflects the sf
+    # under comparison
+    import os
+
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    return f"{_ORACLE_DIR}/{name}.parquet"
+
+
+def write_minhash_oracle(sf_dir: str) -> str:
+    """Expected (doc_id, band0_sim08) via the sequential kernel."""
+    import pyarrow.parquet as pq
+
+    from ..functions.minhash import MinHasher
+
+    a, b = _seq_perms()
+    ranges = {"signature_sim0.8": MinHasher().hashranges["signature_sim0.8"]}
+    doc_ids, texts, _ = _oracle_docs(sf_dir)
+    band0 = []
+    for text in texts:
+        sigs = _seq_banded_signatures(text, a, b, ranges)
+        band0.append(
+            None if sigs is None else sigs["signature_sim0.8"][0].hex()
+        )
+    out = _oracle_path(sf_dir, "minhash_signatures")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([str(d) for d in doc_ids], pa.string()),
+                "band0_sim08": pa.array(band0, pa.string()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_fuzzy_dedup_oracle(sf_dir: str) -> str:
+    """Expected surviving doc ids: sequential signatures, exact band
+    grouping on the raw band bytes (no 8-byte band hashing), pure-python
+    connected components, representative = min id_int."""
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..functions.minhash import MinHasher
+
+    a, b = _seq_perms()
+    ranges = {"signature_sim0.8": MinHasher().hashranges["signature_sim0.8"]}
+    doc_ids, texts, sources = _oracle_docs(sf_dir)
+    id_ints, bands_per_doc = [], []
+    for d, text, src in zip(doc_ids, texts, sources):
+        doc_key = f"{src}/{d}@{d}"
+        id_ints.append(
+            int.from_bytes(
+                hashlib.sha1(doc_key.encode("utf-8")).digest()[:8], "little"
+            )
+        )
+        sigs = _seq_banded_signatures(text, a, b, ranges)
+        bands_per_doc.append(
+            None if sigs is None else sigs["signature_sim0.8"]
+        )
+    # group docs by identical (band_idx, band_bytes)
+    band_members = {}
+    for doc_i, bands in enumerate(bands_per_doc):
+        if bands is None:
+            continue
+        for b_idx, b_bytes in enumerate(bands):
+            band_members.setdefault((b_idx, b_bytes), []).append(doc_i)
+    # connected components (plain union-find, then explicit min rep)
+    parent = list(range(len(doc_ids)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for members in band_members.values():
+        for m in members[1:]:
+            ra, rb = find(members[0]), find(m)
+            if ra != rb:
+                parent[rb] = ra
+    comps = {}
+    for i in range(len(doc_ids)):
+        comps.setdefault(find(i), []).append(i)
+    survivors = []
+    for members in comps.values():
+        rep = min(members, key=lambda i: id_ints[i])
+        survivors.append(rep)
+    out = _oracle_path(sf_dir, "fuzzy_dedup_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    sorted(int(doc_ids[i]) for i in survivors), pa.int64()
+                )
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def q_minhash_signatures(sf_dir: str) -> Dataset:
-    """Banded minhash signatures over documents (hex of first 0.8 band)."""
+    """Banded minhash signatures over documents (hex of first 0.8 band).
+    SQL-oracled: the sequential kernel writes the expected table for
+    DuckDB (see write_minhash_oracle)."""
+    write_minhash_oracle(sf_dir)
     ds = _docs_with_ids(sf_dir).map_batches(
         MinHashStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4),
@@ -106,7 +292,10 @@ def q_minhash_signatures(sf_dir: str) -> Dataset:
 
 
 def q_fuzzy_dedup_docs(sf_dir: str) -> "pa.Table":
-    """MinHash-LSH fuzzy dedup over documents; returns surviving ids."""
+    """MinHash-LSH fuzzy dedup over documents; returns surviving ids.
+    SQL-oracled against the sequential union-find oracle
+    (write_fuzzy_dedup_oracle)."""
+    write_fuzzy_dedup_oracle(sf_dir)
     ds = _docs_with_ids(sf_dir).map_batches(
         MinHashStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4),

@@ -38,18 +38,32 @@ def read_jsonl_tolerant(
     paths,
     columns: Optional[Sequence[str]] = None,
     include_errors: bool = False,
+    filesystem=None,
+    arrow_open_stream_args: Optional[dict] = None,
 ) -> Dataset:
     """Parse JSONL files into a Dataset, skipping malformed lines.
 
     Output columns are the union of ``columns`` (or the first valid
     row's keys per batch); a ``_bad_line`` bool column marks quarantined
     rows when ``include_errors`` (they carry nulls elsewhere).
+
+    Remote storage (the reference's boto3 reader role,
+    utilities/io/reader.py:62-83): pass ``s3://bucket/key`` paths
+    directly (Ray resolves the S3 filesystem from the URI), or an
+    explicit ``pyarrow.fs.FileSystem`` via ``filesystem`` for custom
+    credentials/endpoints; ``arrow_open_stream_args`` is forwarded to
+    ``pyarrow`` (e.g. {"compression": "gzip"} — inferred from a .gz
+    suffix when not given).
     """
-    arrow_open_stream_args = None
-    if any(str(p).endswith(".gz") for p in ([paths] if isinstance(paths, str) else paths)):
+    if arrow_open_stream_args is None and any(
+        str(p).endswith(".gz")
+        for p in ([paths] if isinstance(paths, str) else paths)
+    ):
         arrow_open_stream_args = {"compression": "gzip"}
     ds = ray.data.read_text(
-        paths, arrow_open_stream_args=arrow_open_stream_args
+        paths,
+        arrow_open_stream_args=arrow_open_stream_args,
+        filesystem=filesystem,
     )
 
     def parse(batch: pa.Table) -> pa.Table:

@@ -45,7 +45,15 @@ class AnnotateStage:
         extra_signals=None,
         dsir_buckets: int = 10_000,
         artifacts_dir=None,
+        langid_model_path=None,
+        ppl_model_path=None,
+        classifier_model_path=None,
     ):
+        """``*_model_path``: optional user-supplied model artifacts
+        (fastText ``.bin`` / KenLM binary via try-import hooks, or this
+        repo's ``.npz``/``.npy`` offline formats — see
+        functions/model_loading.py). They override both the embedded
+        stand-ins and any ``artifacts_dir`` equivalents."""
         self.artifacts_dir = artifacts_dir
         self.text_column = text_column
         self.include_scrub = include_scrub
@@ -62,28 +70,47 @@ class AnnotateStage:
             for lang in ("en", "fr", "de", "es", "it")
         }
         self.kernel = self.kernels["en"]
-        self.langid = NGramLangId()
-        ppl_thresholds = None
-        if artifacts_dir:
-            from ..pipelines.artifacts import load_ppl_thresholds
+        if langid_model_path:
+            from ..functions.model_loading import load_langid_model
 
-            ppl_thresholds = load_ppl_thresholds(artifacts_dir)
-        if ppl_thresholds is not None:
-            self.pplx = PerplexityScorer(
-                head_threshold=ppl_thresholds[0],
-                middle_threshold=ppl_thresholds[1],
-            )
+            self.langid = load_langid_model(langid_model_path)
         else:
-            self.pplx = PerplexityScorer()
+            self.langid = NGramLangId()
+        if ppl_model_path:
+            from ..functions.model_loading import load_perplexity_model
+
+            self.pplx = load_perplexity_model(ppl_model_path)
+        else:
+            ppl_thresholds = None
+            if artifacts_dir:
+                from ..pipelines.artifacts import load_ppl_thresholds
+
+                ppl_thresholds = load_ppl_thresholds(artifacts_dir)
+            if ppl_thresholds is not None:
+                self.pplx = PerplexityScorer(
+                    head_threshold=ppl_thresholds[0],
+                    middle_threshold=ppl_thresholds[1],
+                )
+            else:
+                self.pplx = PerplexityScorer()
         self.include_line_signals = include_line_signals
         self.hasher = MinHasher() if include_minhash else None
         if include_classifier:
-            clf_weights = None
-            if artifacts_dir:
-                from ..pipelines.artifacts import load_classifier_weights
+            if classifier_model_path:
+                from ..functions.model_loading import load_classifier_model
 
-                clf_weights = load_classifier_weights(artifacts_dir)
-            self.classifier = QualityClassifier(weights=clf_weights)
+                self.classifier = load_classifier_model(
+                    classifier_model_path
+                )
+            else:
+                clf_weights = None
+                if artifacts_dir:
+                    from ..pipelines.artifacts import (
+                        load_classifier_weights,
+                    )
+
+                    clf_weights = load_classifier_weights(artifacts_dir)
+                self.classifier = QualityClassifier(weights=clf_weights)
         else:
             self.classifier = None
         if include_dsir:
@@ -175,10 +202,12 @@ class AnnotateStage:
 
                 hashes = token_hashes(v.raw_words)
                 if clf is not None:
-                    clf[i] = (
-                        None if not t.strip()
-                        else self.classifier.score_from_hashes(hashes)
-                    )
+                    if not t.strip():
+                        clf[i] = None
+                    elif hasattr(self.classifier, "score_from_hashes"):
+                        clf[i] = self.classifier.score_from_hashes(hashes)
+                    else:  # user-supplied model (fastText hook)
+                        clf[i] = self.classifier.score(t)
                 if dsir is not None:
                     dsir[i] = self.dsir.score_from_hashes(hashes, len(t))
             if self.hasher:

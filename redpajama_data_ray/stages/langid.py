@@ -19,8 +19,17 @@ from ..functions.langid import NGramLangId
 
 
 class LangIdStage:
-    def __init__(self, text_column: str = "content"):
-        self.model = NGramLangId()
+    def __init__(self, text_column: str = "content", model_path=None):
+        """``model_path``: optional user-supplied model artifact — a
+        fastText ``.bin`` (try-import hook) or a saved ``.npz`` profile
+        matrix (functions/model_loading.py); default = deterministic
+        stand-in."""
+        if model_path:
+            from ..functions.model_loading import load_langid_model
+
+            self.model = load_langid_model(model_path)
+        else:
+            self.model = NGramLangId()
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -14,8 +14,15 @@ from ..functions.perplexity import PerplexityScorer
 
 
 class PerplexityStage:
-    def __init__(self, text_column: str = "content"):
-        self.scorer = PerplexityScorer()
+    def __init__(self, text_column: str = "content", model_path=None):
+        """``model_path``: optional KenLM binary (try-import hook) or a
+        saved ``.npz`` char-LM (functions/model_loading.py)."""
+        if model_path:
+            from ..functions.model_loading import load_perplexity_model
+
+            self.scorer = load_perplexity_model(model_path)
+        else:
+            self.scorer = PerplexityScorer()
         self.text_column = text_column
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -67,6 +67,7 @@ def run_partitioned(
     out_dir: str,
     process_fn: Callable[[str], Dataset],
     metrics_fn: Optional[Callable[[Dataset], dict]] = None,
+    max_concurrent: int = 1,
 ) -> Dict[str, dict]:
     """Process each input file into its own committed output partition,
     skipping partitions already present in the manifest (resume).
@@ -74,13 +75,17 @@ def run_partitioned(
     ``process_fn(path) -> Dataset`` builds the (lazy) pipeline for one
     input shard; the result is written to ``part=<shard>/`` and the
     partition committed. Returns the full committed map.
-    """
-    manifest = Manifest(out_dir)
-    names = {p: os.path.splitext(os.path.basename(p))[0] for p in input_files}
-    todo = manifest.pending(names.values())
-    for path, shard in names.items():
-        if shard not in todo:
-            continue
+
+    ``max_concurrent`` > 1 processes pending shards from a bounded
+    thread pool — each thread drives one independent Ray Dataset
+    execution (the streaming executor multiplexes them over the same
+    cluster CPUs), and commit stays per-shard atomic (``os.replace``
+    of the shard's own manifest record), so a crash mid-run still
+    resumes exactly at the uncommitted shards."""
+
+    _stabilize_fsspec_http_import()
+
+    def _one(path: str, shard: str, manifest: "Manifest") -> None:
         ds = process_fn(path)
         part_dir = manifest.partition_output_dir(shard)
         # an uncommitted partition dir may hold partial output from a
@@ -94,6 +99,24 @@ def run_partitioned(
         if metrics_fn is not None:
             metrics.update(metrics_fn(ds))
         manifest.commit(shard, metrics)
+
+    manifest = Manifest(out_dir)
+    names = {p: os.path.splitext(os.path.basename(p))[0] for p in input_files}
+    todo = manifest.pending(names.values())
+    pending = [(p, s) for p, s in names.items() if s in todo]
+    if max_concurrent <= 1:
+        for path, shard in pending:
+            _one(path, shard, manifest)
+    else:
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=max_concurrent) as pool:
+            futures = [
+                pool.submit(_one, path, shard, manifest)
+                for path, shard in pending
+            ]
+            for f in futures:
+                f.result()  # surface the first failure
     return manifest.committed()
 
 
@@ -146,3 +169,37 @@ def partition_quality_metrics(part_dir: str) -> dict:
         "drop_reasons": reasons,
         "languages": langs,
     }
+
+
+def _stabilize_fsspec_http_import() -> None:
+    """Make Ray's filesystem resolution thread-safe in this container.
+
+    ``ray.data`` path resolution imports ``fsspec.implementations.http``
+    on every read/write; with ``aiohttp`` absent that import FAILS each
+    time (and is normally caught as ModuleNotFoundError). Under
+    concurrent dataset construction/writes from a thread pool, two
+    threads can race the failing import and one observes a
+    partially-initialized module — crashing with a bare ImportError
+    Ray does not catch. When the real module is unimportable, register
+    a minimal sentinel module once so every later import succeeds
+    trivially (the sentinel class never matches a real filesystem, so
+    behavior is identical to the handled-failure path)."""
+    import sys
+    import types
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+        return
+    except ImportError:
+        pass
+    try:
+        import fsspec  # noqa: F401
+    except ImportError:
+        return
+    mod = types.ModuleType("fsspec.implementations.http")
+
+    class HTTPFileSystem:  # sentinel: isinstance() is always False
+        pass
+
+    mod.HTTPFileSystem = HTTPFileSystem
+    sys.modules["fsspec.implementations.http"] = mod

@@ -45,3 +45,57 @@ def test_cli_quality_resume(tmp_path, capsys):
     capsys.readouterr()
     assert set(m.committed()) == {"shard_0", "shard_1"}
     assert os.path.getmtime(m.partition_output_dir("shard_0")) == mtime0
+
+
+def test_parallel_resume_four_shards_two_precommitted(tmp_path, capsys):
+    """VERDICT r1 item 10: bounded-concurrency shard processing skips
+    the two committed shards and processes the remaining two in
+    parallel, with per-shard atomic commits."""
+    t = generate_corpus_table(48, seed=23)
+    src = tmp_path / "corpus"
+    src.mkdir()
+    q = t.num_rows // 4
+    for i in range(4):
+        pq.write_table(
+            t.slice(i * q, q if i < 3 else t.num_rows - 3 * q),
+            str(src / f"shard_{i}.parquet"),
+        )
+    out = str(tmp_path / "out")
+
+    # pre-commit shards 0 and 1 by running them alone
+    for i in (2, 3):
+        os.rename(src / f"shard_{i}.parquet", tmp_path / f"hold_{i}")
+    assert main(
+        ["quality", "--input", str(src), "--output", out, "--resume"]
+    ) == 0
+    capsys.readouterr()
+    m = Manifest(out)
+    assert set(m.committed()) == {"shard_0", "shard_1"}
+    stamps = {
+        s: os.path.getmtime(os.path.join(m.manifest_dir, f"{s}.json"))
+        for s in ("shard_0", "shard_1")
+    }
+
+    # restore all shards, rerun with 2 workers
+    for i in (2, 3):
+        os.rename(tmp_path / f"hold_{i}", src / f"shard_{i}.parquet")
+    assert main(
+        [
+            "quality", "--input", str(src), "--output", out,
+            "--resume", "--resume-workers", "2",
+        ]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["partitions"] == 4
+    m2 = Manifest(out)
+    assert set(m2.committed()) == {f"shard_{i}" for i in range(4)}
+    # the pre-committed shards were SKIPPED (manifest records untouched)
+    for s, old in stamps.items():
+        assert os.path.getmtime(
+            os.path.join(m2.manifest_dir, f"{s}.json")
+        ) == old
+    # row totals add up across all four partitions
+    total = sum(
+        rec["metrics"]["rows"] for rec in m2.committed().values()
+    )
+    assert total == t.num_rows

@@ -40,3 +40,42 @@ def test_reads_gzip(tmp_path):
     path = _write(tmp_path, "shard.jsonl.gz", lines, gz=True)
     out = read_jsonl_tolerant(path, columns=["id"]).to_pandas()
     assert sorted(out.id) == [0, 1, 2, 3, 4]
+
+
+def test_filesystem_passthrough(tmp_path):
+    """Remote-fs hook (VERDICT r1 item 9): an explicit pyarrow
+    FileSystem (here a SubTreeFileSystem standing in for S3FileSystem)
+    flows through read_jsonl_tolerant; s3:// URIs take the same path."""
+    import pyarrow.fs as pafs
+
+    from redpajama_data_ray.sources.jsonl import read_jsonl_tolerant
+
+    p = tmp_path / "part.jsonl"
+    p.write_text('{"a": 1}\n{"a": 2}\nnot json\n{"a": 3}\n')
+    fs = pafs.SubTreeFileSystem(str(tmp_path), pafs.LocalFileSystem())
+    ds = read_jsonl_tolerant("part.jsonl", filesystem=fs)
+    vals = sorted(
+        r["a"]
+        for b in ds.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    )
+    assert vals == [1, 2, 3]
+
+
+def test_explicit_open_stream_args_gzip(tmp_path):
+    import gzip
+
+    from redpajama_data_ray.sources.jsonl import read_jsonl_tolerant
+
+    p = tmp_path / "x.dat"  # no .gz suffix: inference can't kick in
+    with gzip.open(p, "wt") as f:
+        f.write('{"a": 7}\n')
+    ds = read_jsonl_tolerant(
+        str(p), arrow_open_stream_args={"compression": "gzip"}
+    )
+    rows = [
+        r
+        for b in ds.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    ]
+    assert rows == [{"a": 7}]

@@ -1,0 +1,110 @@
+"""Model artifact loading hooks (VERDICT r1 item 4): save a tiny
+artifact file, load it through the hook path, and get identical
+columns to the in-memory stand-in; real fastText/KenLM/HF branches
+raise clear errors naming the missing package."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from redpajama_data_ray.functions.classifier import QualityClassifier
+from redpajama_data_ray.functions.langid import NGramLangId
+from redpajama_data_ray.functions.model_loading import (
+    load_classifier_model,
+    load_langid_model,
+    load_perplexity_model,
+    load_token_counter,
+    save_classifier_model,
+    save_langid_model,
+    save_perplexity_model,
+)
+from redpajama_data_ray.functions.perplexity import PerplexityScorer
+
+_TEXTS = [
+    "the quick brown fox jumps over the lazy dog and reads many words",
+    "le renard brun rapide saute par dessus le chien paresseux",
+    "def main(args): return 0 } { ; == != import numpy as np",
+    "",
+]
+
+
+def test_langid_npz_roundtrip(tmp_path):
+    model = NGramLangId()
+    path = save_langid_model(model, str(tmp_path / "langid.npz"))
+    loaded = load_langid_model(path)
+    for t in _TEXTS:
+        assert loaded.predict(t) == model.predict(t)
+
+
+def test_perplexity_npz_roundtrip(tmp_path):
+    scorer = PerplexityScorer()
+    path = save_perplexity_model(scorer, str(tmp_path / "ppl.npz"))
+    loaded = load_perplexity_model(path)
+    for t in _TEXTS:
+        (p1, b1), (p2, b2) = loaded.score(t), scorer.score(t)
+        assert b1 == b2
+        assert p1 == p2 or (np.isnan(p1) and np.isnan(p2))
+
+
+def test_classifier_npy_roundtrip(tmp_path):
+    clf = QualityClassifier()
+    path = save_classifier_model(clf, str(tmp_path / "clf.npy"))
+    loaded = load_classifier_model(path)
+    for t in _TEXTS[:3]:
+        assert loaded.score(t) == clf.score(t)
+
+
+def test_stage_with_model_path_identical_columns(tmp_path):
+    """The full file -> actor path: a LangIdStage constructed with a
+    model_path produces byte-identical columns to the default stage."""
+    from redpajama_data_ray.stages.langid import LangIdStage
+
+    path = save_langid_model(NGramLangId(), str(tmp_path / "m.npz"))
+    t = pa.table({"content": _TEXTS})
+    default = LangIdStage()(t)
+    via_file = LangIdStage(model_path=path)(t)
+    assert default.equals(via_file)
+
+    # through an actual Ray actor pool
+    ds = ray.data.from_arrow(t).map_batches(
+        LangIdStage,
+        fn_constructor_kwargs=dict(model_path=path),
+        batch_format="pyarrow",
+        concurrency=(1, 1),
+    )
+    out = pa.concat_tables(
+        list(ds.iter_batches(batch_format="pyarrow"))
+    )
+    assert out.column("lang_pred").to_pylist() == default.column(
+        "lang_pred"
+    ).to_pylist()
+
+
+def test_annotate_stage_model_paths(tmp_path):
+    from redpajama_data_ray.stages.annotate import AnnotateStage
+
+    lid = save_langid_model(NGramLangId(), str(tmp_path / "lid.npz"))
+    ppl = save_perplexity_model(PerplexityScorer(), str(tmp_path / "p.npz"))
+    clf = save_classifier_model(QualityClassifier(), str(tmp_path / "c.npy"))
+    # non-empty texts only: empty docs produce NaN ppl, and
+    # pa.Table.equals treats NaN != NaN
+    t = pa.table({"content": _TEXTS[:3]})
+    a = AnnotateStage()(t)
+    b = AnnotateStage(
+        langid_model_path=lid,
+        ppl_model_path=ppl,
+        classifier_model_path=clf,
+    )(t)
+    assert a.equals(b)
+
+
+def test_missing_packages_raise_named_errors(tmp_path):
+    with pytest.raises(RuntimeError, match="fasttext"):
+        load_langid_model(str(tmp_path / "lid.176.bin"))
+    with pytest.raises(RuntimeError, match="kenlm"):
+        load_perplexity_model(str(tmp_path / "wiki.arpa"))
+    with pytest.raises(RuntimeError, match="fasttext"):
+        load_classifier_model(str(tmp_path / "quality.bin"))
+    with pytest.raises(RuntimeError, match="tokenizers"):
+        load_token_counter("mistralai/Mistral-7B-v0.1")

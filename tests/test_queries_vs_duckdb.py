@@ -8,6 +8,9 @@ import pyarrow as pa
 import pytest
 
 from redpajama_data_ray.pipelines.analysis import ORACLE_SQL, QUERIES
+from redpajama_data_ray.pipelines.extras import EXTRA_QUERIES
+
+ALL_QUERIES = {**QUERIES, **EXTRA_QUERIES}
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -42,7 +45,7 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
 @pytest.mark.parametrize("name", sorted(ORACLE_SQL))
 def test_query_matches_oracle(name, sf_dir):
     con = _connect(sf_dir)
-    ray_df = _canon(_to_df(QUERIES[name](sf_dir)))
+    ray_df = _canon(_to_df(ALL_QUERIES[name](sf_dir)))
     sql_df = _canon(con.execute(ORACLE_SQL[name]).fetchdf())
     assert list(ray_df.columns) == list(sql_df.columns), name
     assert len(ray_df) == len(sql_df), name
