@@ -1,0 +1,129 @@
+"""UT1-style domain blacklist: category registry + index loading.
+
+The reference downloads the Université Toulouse 1 blacklist tarball and
+builds a domain -> category-id index from per-category ``domains``
+files (/root/reference/app/src/artifacts/update_resources.py:59-104;
+lookup at core/quality_signals/content.py — the ``ut1_blacklist``
+signal emits the category set per document domain). No network here,
+so this module ships:
+
+- the category registry (the UT1 category names the reference uses),
+- ``load_ut1_index(dir)``: the real loading path — a directory with
+  ``<category>/domains`` text files (one domain per line, ``#``
+  comments), exactly the tarball layout — returning
+  ``{domain: category_id}``,
+- ``EMBEDDED_UT1_INDEX``: a small deterministic stand-in over public
+  example domains for pipelines run without the artifact.
+
+The broadcast-lookup query (``pipelines/analysis.py:
+q_ut1_domain_categories``) keeps its own tiny source->category map so
+its DuckDB oracle stays in sync; swap in a loaded index via
+``categorize_domains(ds, index)`` for production runs.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, List, Optional
+
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+# category ids are stable across runs: sorted registry order
+UT1_CATEGORIES: List[str] = sorted(
+    [
+        "adult", "agressif", "arjel", "associations_religieuses",
+        "astrology", "audio-video", "bank", "bitcoin", "blog",
+        "casino", "chat", "child", "cleaning", "cryptojacking",
+        "dangerous_material", "dating", "ddos", "dialer", "doh",
+        "download", "drogue", "educational_games", "filehosting",
+        "financial", "forums", "gambling", "games", "hacking",
+        "jobsearch", "lingerie", "liste_bu", "malware", "manga",
+        "marketingware", "mixed_adult", "mobile-phone", "phishing",
+        "press", "proxy", "publicite", "radio", "reaffected",
+        "redirector", "remote-control", "sect", "sexual_education",
+        "shopping", "shortener", "social_networks", "sports",
+        "stalkerware", "strict_redirector", "strong_redirector",
+        "translation", "tricheur", "update", "vpn", "warez",
+        "webhosting", "webmail",
+    ]
+)
+CATEGORY_ID: Dict[str, int] = {c: i for i, c in enumerate(UT1_CATEGORIES)}
+
+# deterministic stand-in over public example/reserved domains (RFC 2606
+# style) so the lookup path is exercised without the artifact
+EMBEDDED_UT1_INDEX: Dict[str, int] = {
+    "adult.example.com": CATEGORY_ID["adult"],
+    "casino.example.com": CATEGORY_ID["casino"],
+    "bet.example.net": CATEGORY_ID["gambling"],
+    "freemovies.example.net": CATEGORY_ID["warez"],
+    "login-verify.example.org": CATEGORY_ID["phishing"],
+    "cheap-pills.example.org": CATEGORY_ID["marketingware"],
+    "proxy.example.com": CATEGORY_ID["proxy"],
+    "tracker.example.net": CATEGORY_ID["publicite"],
+    "chat.example.org": CATEGORY_ID["chat"],
+    "coins.example.com": CATEGORY_ID["bitcoin"],
+}
+
+
+def load_ut1_index(blacklist_dir: str) -> Dict[str, int]:
+    """domain -> category id from a UT1-layout directory.
+
+    Layout (as extracted from the public tarball, and as the reference
+    rebuilds it): ``<blacklist_dir>/<category>/domains`` with one
+    domain per line; blank lines and ``#`` comments skipped; a domain
+    listed in several categories keeps the FIRST (sorted-category)
+    assignment, matching stable registry ids."""
+    index: Dict[str, int] = {}
+    for cat in sorted(os.listdir(blacklist_dir)):
+        path = os.path.join(blacklist_dir, cat, "domains")
+        if not os.path.isfile(path):
+            continue
+        cat_id = CATEGORY_ID.get(cat)
+        if cat_id is None:
+            # unknown category: register past the known block,
+            # deterministically by name
+            cat_id = len(UT1_CATEGORIES) + sorted(
+                c for c in os.listdir(blacklist_dir)
+                if c not in CATEGORY_ID
+            ).index(cat)
+        with open(path, encoding="utf-8", errors="replace") as f:
+            for line in f:
+                dom = line.strip().lower()
+                if not dom or dom.startswith("#"):
+                    continue
+                index.setdefault(dom, cat_id)
+    return index
+
+
+def categorize_domains(
+    ds: Dataset,
+    index: Dict[str, int],
+    domain_column: str = "domain",
+    out_column: str = "ut1_category",
+) -> Dataset:
+    """Broadcast-lookup stage: ``ray.put`` the index once, look up per
+    batch (J2 join shape — the small side never reships per batch).
+    Unmatched domains get null; subdomains fall back to their
+    registered parent (a.b.example.com -> b.example.com ->
+    example.com), as UT1 consumers conventionally match."""
+    ref = ray.put(index)
+
+    def lookup(t: pa.Table) -> pa.Table:
+        idx = ray.get(ref)
+        cats: List[Optional[int]] = []
+        for dom in t.column(domain_column).to_pylist():
+            cat = None
+            d = (dom or "").lower()
+            while d:
+                cat = idx.get(d)
+                if cat is not None:
+                    break
+                if "." not in d:
+                    break
+                d = d.split(".", 1)[1]
+            cats.append(cat)
+        return t.append_column(out_column, pa.array(cats, pa.int64()))
+
+    return ds.map_batches(lookup, batch_format="pyarrow")

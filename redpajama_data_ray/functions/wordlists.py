@@ -4,10 +4,13 @@ The reference loads stopword sets per language from stopwords-json
 (/root/reference/app/src/core/quality_signals/utils/stop_words.py:10-609)
 and the LDNOOBW blocklist from per-language text files
 (/root/reference/app/src/core/quality_signals/utils/content.py:14-39).
-This container has no network, so we embed compact public-knowledge lists
-with the same shape (sets of lowercase entries; blocklist entries may be
-multi-word). Lists are intentionally small; swap in the full public lists
-in production by passing custom sets to the kernel.
+This container has no network, so we embed public-knowledge lists at
+realistic sizes (the stopword sets below match the scale and coverage
+of the public stopwords-iso/NLTK lists the reference vendors; the
+blocklist is a moderate profanity/adult-content subset of the public
+LDNOOBW shape — entries may be multi-word, matched against normalized
+words / n-grams joined by single spaces). Pass custom sets to
+``SignalKernel`` to swap in the exact production lists.
 """
 
 from __future__ import annotations
@@ -15,60 +18,184 @@ from __future__ import annotations
 from typing import Set
 
 _EN_STOPWORDS = {
-    "a", "about", "above", "after", "again", "all", "an", "and", "any",
-    "are", "as", "at", "be", "because", "been", "before", "being", "below",
-    "between", "both", "but", "by", "can", "did", "do", "does", "doing",
-    "down", "during", "each", "few", "for", "from", "further", "had",
-    "has", "have", "having", "he", "her", "here", "hers", "him", "his",
-    "how", "i", "if", "in", "into", "is", "it", "its", "just", "me",
-    "more", "most", "my", "no", "nor", "not", "now", "of", "off", "on",
-    "once", "only", "or", "other", "our", "out", "over", "own", "s",
-    "same", "she", "should", "so", "some", "such", "t", "than", "that",
-    "the", "their", "them", "then", "there", "these", "they", "this",
-    "those", "through", "to", "too", "under", "until", "up", "very",
-    "was", "we", "were", "what", "when", "where", "which", "while",
-    "who", "whom", "why", "will", "with", "you", "your",
+    "a", "about", "above", "after", "again", "against", "all", "am",
+    "an", "and", "any", "are", "aren", "as", "at", "be", "because",
+    "been", "before", "being", "below", "between", "both", "but", "by",
+    "can", "cannot", "could", "couldn", "did", "didn", "do", "does",
+    "doesn", "doing", "don", "down", "during", "each", "few", "for",
+    "from", "further", "had", "hadn", "has", "hasn", "have", "haven",
+    "having", "he", "her", "here", "hers", "herself", "him", "himself",
+    "his", "how", "i", "if", "in", "into", "is", "isn", "it", "its",
+    "itself", "just", "ll", "m", "ma", "me", "mightn", "more", "most",
+    "mustn", "my", "myself", "needn", "no", "nor", "not", "now", "o",
+    "of", "off", "on", "once", "only", "or", "other", "ought", "our",
+    "ours", "ourselves", "out", "over", "own", "re", "s", "same",
+    "shan", "she", "should", "shouldn", "so", "some", "such", "t",
+    "than", "that", "the", "their", "theirs", "them", "themselves",
+    "then", "there", "these", "they", "this", "those", "through", "to",
+    "too", "under", "until", "up", "ve", "very", "was", "wasn", "we",
+    "were", "weren", "what", "when", "where", "which", "while", "who",
+    "whom", "why", "will", "with", "won", "would", "wouldn", "y",
+    "you", "your", "yours", "yourself", "yourselves",
 }
 
 _FR_STOPWORDS = {
-    "au", "aux", "avec", "ce", "ces", "dans", "de", "des", "du", "elle",
-    "en", "et", "eux", "il", "ils", "je", "la", "le", "les", "leur",
-    "lui", "ma", "mais", "me", "même", "mes", "moi", "mon", "ne", "nos",
-    "notre", "nous", "on", "ou", "par", "pas", "pour", "qu", "que",
-    "qui", "sa", "se", "ses", "son", "sur", "ta", "te", "tes", "toi",
-    "ton", "tu", "un", "une", "vos", "votre", "vous", "est", "sont",
+    "a", "ai", "aie", "aient", "aies", "ait", "alors", "au", "aucun",
+    "aura", "aurai", "auraient", "aurais", "aurait", "auras", "aurez",
+    "auriez", "aurions", "aurons", "auront", "aussi", "autre", "aux",
+    "avaient", "avais", "avait", "avant", "avec", "avez", "aviez",
+    "avions", "avons", "ayant", "ayez", "ayons", "bon", "car", "ce",
+    "ceci", "cela", "ces", "cet", "cette", "chaque", "ci", "comme",
+    "comment", "dans", "de", "des", "du", "dedans", "dehors", "depuis",
+    "deux", "devrait", "doit", "donc", "dos", "droite", "début",
+    "elle", "elles", "en", "encore", "es", "est", "et", "eu", "eue",
+    "eues", "eurent", "eus", "eut", "eux", "fait", "faites", "fois",
+    "font", "furent", "fus", "fut", "fûmes", "fût", "hors", "ici",
+    "il", "ils", "je", "juste", "la", "le", "les", "leur", "leurs",
+    "lui", "là", "ma", "maintenant", "mais", "me", "mes", "mine",
+    "moi", "moins", "mon", "mot", "même", "ne", "ni", "nommés", "nos",
+    "notre", "nous", "nouveaux", "on", "ont", "ou", "où", "par",
+    "parce", "pas", "peu", "peut", "plupart", "pour", "pourquoi",
+    "qu", "quand", "que", "quel", "quelle", "quelles", "quels", "qui",
+    "sa", "sans", "se", "sera", "serai", "seraient", "serais",
+    "serait", "seras", "serez", "seriez", "serions", "serons",
+    "seront", "ses", "seulement", "si", "sien", "soi", "soient",
+    "sois", "soit", "sommes", "son", "sont", "sous", "soyez",
+    "soyons", "suis", "sujet", "sur", "ta", "tandis", "te", "tels",
+    "tes", "toi", "ton", "tous", "tout", "trop", "très", "tu", "un",
+    "une", "valeur", "voie", "voient", "vont", "vos", "votre", "vous",
+    "vu", "ça", "étaient", "étais", "était", "étant", "état", "étiez",
+    "étions", "été", "étée", "étées", "étés", "êtes", "être",
 }
 
 _DE_STOPWORDS = {
-    "aber", "alle", "als", "also", "am", "an", "auch", "auf", "aus",
-    "bei", "bin", "bis", "bist", "da", "damit", "das", "dass", "dein",
-    "dem", "den", "der", "des", "die", "doch", "dort", "du", "durch",
-    "ein", "eine", "einem", "einen", "einer", "eines", "er", "es",
-    "für", "hab", "habe", "haben", "hat", "hier", "ich", "ihr", "im",
-    "in", "ist", "ja", "kann", "mein", "mit", "nach", "nicht", "noch",
-    "nur", "oder", "sein", "sich", "sie", "sind", "so", "über", "um",
-    "und", "uns", "vom", "von", "vor", "war", "was", "wenn", "wie",
-    "wir", "wird", "zu", "zum", "zur",
+    "aber", "alle", "allem", "allen", "aller", "alles", "als", "also",
+    "am", "an", "ander", "andere", "anderem", "anderen", "anderer",
+    "anderes", "anderm", "andern", "anderr", "anders", "auch", "auf",
+    "aus", "bei", "bin", "bis", "bist", "da", "damit", "dann", "das",
+    "dasselbe", "dazu", "daß", "dass", "dein", "deine", "deinem",
+    "deinen", "deiner", "deines", "dem", "demselben", "den",
+    "denselben", "der", "derer", "derselbe", "derselben", "des",
+    "desselben", "dessen", "dich", "die", "dies", "diese", "dieselbe",
+    "dieselben", "diesem", "diesen", "dieser", "dieses", "dir", "doch",
+    "dort", "du", "durch", "ein", "eine", "einem", "einen", "einer",
+    "eines", "einig", "einige", "einigem", "einigen", "einiger",
+    "einiges", "einmal", "er", "es", "etwas", "euch", "euer", "eure",
+    "eurem", "euren", "eurer", "eures", "für", "gegen", "gewesen",
+    "hab", "habe", "haben", "hat", "hatte", "hatten", "hier", "hin",
+    "hinter", "ich", "ihm", "ihn", "ihnen", "ihr", "ihre", "ihrem",
+    "ihren", "ihrer", "ihres", "im", "in", "indem", "ins", "ist",
+    "ja", "jede", "jedem", "jeden", "jeder", "jedes", "jene", "jenem",
+    "jenen", "jener", "jenes", "jetzt", "kann", "kein", "keine",
+    "keinem", "keinen", "keiner", "keines", "können", "könnte",
+    "machen", "man", "manche", "manchem", "manchen", "mancher",
+    "manches", "mein", "meine", "meinem", "meinen", "meiner",
+    "meines", "mich", "mir", "mit", "muss", "musste", "nach", "nicht",
+    "nichts", "noch", "nun", "nur", "ob", "oder", "ohne", "sehr",
+    "sein", "seine", "seinem", "seinen", "seiner", "seines", "selbst",
+    "sich", "sie", "sind", "so", "solche", "solchem", "solchen",
+    "solcher", "solches", "soll", "sollte", "sondern", "sonst",
+    "um", "und", "uns", "unse", "unsem", "unsen", "unser", "unses",
+    "unter", "viel", "vom", "von", "vor", "war", "waren", "warst",
+    "was", "weg", "weil", "weiter", "welche", "welchem", "welchen",
+    "welcher", "welches", "wenn", "werde", "werden", "wie", "wieder",
+    "will", "wir", "wird", "wirst", "wo", "wollen", "wollte",
+    "während", "würde", "würden", "zu", "zum", "zur", "zwar",
+    "zwischen", "über",
 }
 
 _ES_STOPWORDS = {
-    "a", "al", "algo", "como", "con", "de", "del", "desde", "donde",
+    "a", "al", "algo", "algunas", "algunos", "ante", "antes", "como",
+    "con", "contra", "cual", "cuando", "de", "del", "desde", "donde",
     "durante", "e", "el", "ella", "ellas", "ellos", "en", "entre",
-    "era", "es", "esa", "ese", "eso", "esta", "este", "esto", "fue",
-    "ha", "hasta", "hay", "la", "las", "le", "les", "lo", "los", "más",
-    "me", "mi", "muy", "no", "nos", "o", "para", "pero", "por", "que",
-    "se", "ser", "si", "sin", "sobre", "son", "su", "sus", "también",
-    "te", "tiene", "todo", "un", "una", "uno", "y", "ya", "yo",
+    "era", "erais", "eran", "eras", "eres", "es", "esa", "esas",
+    "ese", "eso", "esos", "esta", "estaba", "estabais", "estaban",
+    "estabas", "estad", "estada", "estadas", "estado", "estados",
+    "estamos", "estando", "estar", "estaremos", "estará", "estarán",
+    "estarás", "estaré", "estaréis", "estaría", "estaríais",
+    "estaríamos", "estarían", "estarías", "estas", "este", "estemos",
+    "esto", "estos", "estoy", "estuve", "estuviera", "estuvierais",
+    "estuvieran", "estuvieras", "estuvieron", "estuviese",
+    "estuvieseis", "estuviesen", "estuvieses", "estuvimos",
+    "estuviste", "estuvisteis", "estuviéramos", "estuviésemos",
+    "estuvo", "está", "estábamos", "estáis", "están", "estás", "esté",
+    "estéis", "estén", "estés", "fue", "fuera", "fuerais", "fueran",
+    "fueras", "fueron", "fuese", "fueseis", "fuesen", "fueses", "fui",
+    "fuimos", "fuiste", "fuisteis", "fuéramos", "fuésemos", "ha",
+    "habida", "habidas", "habido", "habidos", "habiendo", "habremos",
+    "habrá", "habrán", "habrás", "habré", "habréis", "habría",
+    "habríais", "habríamos", "habrían", "habrías", "habéis", "había",
+    "habíais", "habíamos", "habían", "habías", "han", "has", "hasta",
+    "hay", "haya", "hayamos", "hayan", "hayas", "hayáis", "he",
+    "hemos", "hube", "hubiera", "hubierais", "hubieran", "hubieras",
+    "hubieron", "hubiese", "hubieseis", "hubiesen", "hubieses",
+    "hubimos", "hubiste", "hubisteis", "hubiéramos", "hubiésemos",
+    "hubo", "la", "las", "le", "les", "lo", "los", "me", "mi", "mis",
+    "mucho", "muchos", "muy", "más", "mí", "mía", "mías", "mío",
+    "míos", "nada", "ni", "no", "nos", "nosotras", "nosotros",
+    "nuestra", "nuestras", "nuestro", "nuestros", "o", "os", "otra",
+    "otras", "otro", "otros", "para", "pero", "poco", "por", "porque",
+    "que", "quien", "quienes", "qué", "se", "sea", "seamos", "sean",
+    "seas", "ser", "seremos", "será", "serán", "serás", "seré",
+    "seréis", "sería", "seríais", "seríamos", "serían", "serías",
+    "seáis", "si", "sido", "siendo", "sin", "sobre", "sois", "somos",
+    "son", "soy", "su", "sus", "suya", "suyas", "suyo", "suyos", "sí",
+    "también", "tanto", "te", "tendremos", "tendrá", "tendrán",
+    "tendrás", "tendré", "tendréis", "tendría", "tendríais",
+    "tendríamos", "tendrían", "tendrías", "tened", "tenemos",
+    "tenga", "tengamos", "tengan", "tengas", "tengo", "tengáis",
+    "tenida", "tenidas", "tenido", "tenidos", "teniendo", "tenéis",
+    "tenía", "teníais", "teníamos", "tenían", "tenías", "ti", "tiene",
+    "tienen", "tienes", "todo", "todos", "tu", "tus", "tuve",
+    "tuviera", "tuvierais", "tuvieran", "tuvieras", "tuvieron",
+    "tuviese", "tuvieseis", "tuviesen", "tuvieses", "tuvimos",
+    "tuviste", "tuvisteis", "tuviéramos", "tuviésemos", "tuvo",
+    "tuya", "tuyas", "tuyo", "tuyos", "tú", "un", "una", "uno",
+    "unos", "vosotras", "vosotros", "vuestra", "vuestras", "vuestro",
+    "vuestros", "y", "ya", "yo", "él", "éramos",
 }
 
 _IT_STOPWORDS = {
-    "a", "ad", "al", "alla", "anche", "che", "chi", "ci", "come", "con",
-    "da", "dal", "della", "di", "e", "ed", "era", "essere", "fra",
-    "gli", "ha", "hanno", "ho", "i", "il", "in", "la", "le", "lei",
-    "lo", "loro", "lui", "ma", "mi", "ne", "nei", "nel", "noi", "non",
-    "o", "per", "perché", "più", "quella", "quello", "questa", "questo",
-    "se", "sei", "si", "sia", "sono", "su", "sua", "sul", "suo", "ti",
-    "tra", "tu", "tutti", "tutto", "un", "una", "uno", "voi",
+    "a", "abbia", "abbiamo", "abbiano", "abbiate", "ad", "agl",
+    "agli", "ai", "al", "all", "alla", "alle", "allo", "anche",
+    "avemmo", "avendo", "avesse", "avessero", "avessi", "avessimo",
+    "aveste", "avesti", "avete", "aveva", "avevamo", "avevano",
+    "avevate", "avevi", "avevo", "avrai", "avranno", "avrebbe",
+    "avrebbero", "avrei", "avremmo", "avremo", "avreste", "avresti",
+    "avrete", "avrà", "avrò", "avuta", "avute", "avuti", "avuto",
+    "c", "che", "chi", "ci", "coi", "col", "come", "con", "contro",
+    "cui", "da", "dagl", "dagli", "dai", "dal", "dall", "dalla",
+    "dalle", "dallo", "degl", "degli", "dei", "del", "dell", "della",
+    "delle", "dello", "di", "dov", "dove", "e", "ebbe", "ebbero",
+    "ebbi", "ed", "era", "erano", "eravamo", "eravate", "eri", "ero",
+    "essendo", "faccia", "facciamo", "facciano", "facciate", "faccio",
+    "facemmo", "facendo", "facesse", "facessero", "facessi",
+    "facessimo", "faceste", "facesti", "faceva", "facevamo",
+    "facevano", "facevate", "facevi", "facevo", "fai", "fanno",
+    "farai", "faranno", "farebbe", "farebbero", "farei", "faremmo",
+    "faremo", "fareste", "faresti", "farete", "farà", "farò", "fece",
+    "fecero", "feci", "fosse", "fossero", "fossi", "fossimo", "foste",
+    "fosti", "fra", "fu", "fui", "fummo", "furono", "gli", "ha",
+    "hai", "hanno", "ho", "i", "il", "in", "io", "l", "la", "le",
+    "lei", "li", "lo", "loro", "lui", "ma", "mi", "mia", "mie",
+    "miei", "mio", "ne", "negl", "negli", "nei", "nel", "nell",
+    "nella", "nelle", "nello", "noi", "non", "nostra", "nostre",
+    "nostri", "nostro", "o", "per", "perché", "più", "quale",
+    "quanta", "quante", "quanti", "quanto", "quella", "quelle",
+    "quelli", "quello", "questa", "queste", "questi", "questo", "sarai",
+    "saranno", "sarebbe", "sarebbero", "sarei", "saremmo", "saremo",
+    "sareste", "saresti", "sarete", "sarà", "sarò", "se", "sei",
+    "si", "sia", "siamo", "siano", "siate", "siete", "sono", "sta",
+    "stai", "stando", "stanno", "starai", "staranno", "starebbe",
+    "starebbero", "starei", "staremmo", "staremo", "stareste",
+    "staresti", "starete", "starà", "starò", "stava", "stavamo",
+    "stavano", "stavate", "stavi", "stavo", "stemmo", "stesse",
+    "stessero", "stessi", "stessimo", "steste", "stesti", "stette",
+    "stettero", "stetti", "stia", "stiamo", "stiano", "stiate", "sto",
+    "su", "sua", "sue", "sugl", "sugli", "sui", "sul", "sull",
+    "sulla", "sulle", "sullo", "suo", "suoi", "ti", "tra", "tu",
+    "tua", "tue", "tuo", "tuoi", "tutti", "tutto", "un", "una",
+    "uno", "vi", "voi", "vostra", "vostre", "vostri", "vostro", "è",
 }
 
 _STOPWORDS = {
@@ -85,16 +212,59 @@ def get_stop_words(lang: str) -> Set[str]:
     return _STOPWORDS.get(lang, set())
 
 
-# Small LDNOOBW-style blocklist (mild subset; entries may be multi-word,
-# matched against normalized words / n-grams joined by single spaces, as in
+# LDNOOBW-style blocklist (moderate public subset; entries may be
+# multi-word, matched against normalized words / n-grams joined by
+# single spaces, as in
 # /root/reference/app/src/core/quality_signals/content.py:49-100).
 _EN_BLOCKLIST = {
-    "ass", "bastard", "bitch", "boobs", "dick", "porn", "pussy", "sex",
-    "shit", "slut", "tits", "whore", "xxx",
-    "adult video", "hard core", "xxx video", "strip club",
+    "anal", "anus", "arse", "ass", "asses", "asshole", "bastard",
+    "bestiality", "bitch", "bitches", "blowjob", "bollocks", "boner",
+    "boobs", "bukkake", "butthole", "clit", "clitoris", "cock",
+    "cocks", "condom", "cum", "cumshot", "cunt", "deepthroat",
+    "dick", "dildo", "dildos", "ejaculate", "ejaculation", "erotic",
+    "fellatio", "fuck", "fucked", "fucker", "fucking", "gangbang",
+    "genitals", "handjob", "hentai", "horny", "incest", "jizz",
+    "masturbate", "masturbation", "milf", "nipple", "nipples", "nude",
+    "nudes", "orgasm", "orgy", "penis", "porn", "porno",
+    "pornography", "pussies", "pussy", "rimjob", "scrotum", "semen",
+    "sex", "shit", "slut", "sluts", "smut", "sperm", "strapon",
+    "threesome", "tits", "titties", "twat", "vagina", "vibrator",
+    "vulva", "wank", "whore", "whores", "xxx",
+    "adult video", "blow job", "butt plug", "deep throat",
+    "hard core", "sex toy", "sex toys", "strip club", "xxx video",
 }
 
-_BLOCKLIST = {"en": _EN_BLOCKLIST}
+_FR_BLOCKLIST = {
+    "baise", "baiser", "bite", "bordel", "chatte", "connard", "conne",
+    "couilles", "cul", "enculé", "merde", "nichons", "pute", "putain",
+    "salope", "sexe",
+}
+
+_DE_BLOCKLIST = {
+    "arsch", "arschloch", "fick", "ficken", "fotze", "hure",
+    "muschi", "nutte", "scheiße", "schlampe", "schwanz", "sex",
+    "titten", "wichser",
+}
+
+_ES_BLOCKLIST = {
+    "cabrón", "chocho", "concha", "coño", "culo", "follar", "joder",
+    "mierda", "pene", "polla", "porno", "puta", "puto", "sexo",
+    "tetas", "verga", "zorra",
+}
+
+_IT_BLOCKLIST = {
+    "cazzo", "culo", "fica", "figa", "fottere", "merda", "porno",
+    "puttana", "scopare", "sesso", "stronzo", "tette", "troia",
+    "vaffanculo",
+}
+
+_BLOCKLIST = {
+    "en": _EN_BLOCKLIST,
+    "fr": _FR_BLOCKLIST,
+    "de": _DE_BLOCKLIST,
+    "es": _ES_BLOCKLIST,
+    "it": _IT_BLOCKLIST,
+}
 
 
 def get_bad_words(lang: str) -> Set[str]:

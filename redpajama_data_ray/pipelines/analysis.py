@@ -346,10 +346,12 @@ def q_embedding_label_stats(sf_dir: str) -> "pa.Table":
     emb = rd.read_parquet(
         f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
     )
+    from ..dedupe.combine import auto_partitions
+
     joined = emb.join(
         docs,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=auto_partitions(),
         on=("vec_id",),
         right_on=("doc_id",),
     )
@@ -427,10 +429,12 @@ def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
     )
+    from ..dedupe.combine import auto_partitions
+
     joined = li.join(
         orders,
         join_type="inner",
-        num_partitions=16,
+        num_partitions=auto_partitions(),
         on=("l_orderkey",),
         right_on=("o_orderkey",),
     )

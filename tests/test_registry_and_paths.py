@@ -86,3 +86,80 @@ def test_fused_and_unfused_paths_match():
                 assert np.allclose(va, vb, equal_nan=True, atol=0), col
             else:
                 assert (va == vb).all(), col
+
+
+class TestUT1:
+    def test_load_ut1_index_tarball_layout(self, tmp_path):
+        """Real loading path: <category>/domains files, UT1 layout."""
+        from redpajama_data_ray.functions.ut1 import (
+            CATEGORY_ID, load_ut1_index,
+        )
+
+        for cat, doms in (
+            ("adult", ["bad.example.com", "# comment", "", "x.example.org"]),
+            ("phishing", ["bad.example.com", "scam.example.net"]),
+            ("not_a_known_category", ["weird.example.com"]),
+        ):
+            d = tmp_path / cat
+            d.mkdir()
+            (d / "domains").write_text("\n".join(doms) + "\n")
+        idx = load_ut1_index(str(tmp_path))
+        # first-sorted-category wins for dual-listed domains
+        assert idx["bad.example.com"] == CATEGORY_ID["adult"]
+        assert idx["scam.example.net"] == CATEGORY_ID["phishing"]
+        assert idx["x.example.org"] == CATEGORY_ID["adult"]
+        # unknown category registered deterministically past the block
+        assert idx["weird.example.com"] >= len(CATEGORY_ID)
+
+    def test_categorize_domains_subdomain_fallback(self):
+        import pyarrow as pa
+        import ray.data
+
+        from redpajama_data_ray.functions.ut1 import (
+            EMBEDDED_UT1_INDEX, categorize_domains,
+        )
+
+        t = pa.table(
+            {
+                "domain": [
+                    "adult.example.com",          # exact
+                    "cdn.adult.example.com",      # subdomain fallback
+                    "clean.example.com",          # no match
+                    None,                          # null domain
+                ]
+            }
+        )
+        out = categorize_domains(
+            ray.data.from_arrow(t), EMBEDDED_UT1_INDEX
+        )
+        rows = [
+            r["ut1_category"]
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ]
+        assert rows[0] == rows[1] and rows[0] is not None
+        assert rows[2] is None and rows[3] is None
+
+    def test_blocklist_hit_rate_sanity(self):
+        """Expanded wordlists: the synthetic corpus (clean code) should
+        have ~zero LDNOOBW hits, while planted profanity is counted —
+        hit-rate sanity per VERDICT r1 item 7."""
+        from redpajama_data_ray.functions.doc_signals import SignalKernel
+        from redpajama_data_ray.sources.corpus import generate_corpus_table
+
+        kern = SignalKernel("en")
+        t = generate_corpus_table(100, seed=11)
+        hits = sum(
+            kern.doc_signals(c)["rps_doc_ldnoobw_words"]
+            for c in t.column("content").to_pylist()
+        )
+        assert hits <= 2  # clean synthetic code corpus
+        planted = kern.doc_signals(
+            "this porn site has xxx video and adult video content"
+        )
+        assert planted["rps_doc_ldnoobw_words"] >= 3.0
+        # stopword fraction responds to the fuller sets
+        prose = kern.doc_signals(
+            "it was the best of times and it was the worst of times"
+        )
+        assert prose["rps_doc_stop_word_fraction"] > 0.5
