@@ -95,6 +95,12 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     deduped.count()
     timings["fuzzy_dedup"] = round(time.time() - t0, 3)
 
+    if os.environ.get("BENCH_SKIP_DIST") == "1":
+        # scaling mode measures the flagship; skip the forced
+        # distributed-fallback timings (they'd add ~2 min per leg
+        # without informing the efficiency ratio)
+        return _finish(timings, headline, sf, ncpu, n_files, out_dir)
+
     # forced distributed paths (dataset-side joins / min-label
     # propagation — the dup-heavy scale fallbacks) on the same inputs
     t0 = time.time()
@@ -122,6 +128,14 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
             res.count()
         timings[name] = round(time.time() - t0, 3)
 
+    return _finish(timings, headline, sf, ncpu, n_files, out_dir)
+
+
+def _finish(timings, headline, sf, ncpu, n_files, out_dir) -> dict:
+    import shutil
+
+    import ray
+
     shutil.rmtree(out_dir, ignore_errors=True)  # don't leak tmpfs
     result = {
         "metric": "flagship_quality_pipeline_sec",
@@ -141,7 +155,9 @@ def _scaling(sf_dir: str) -> dict:
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        env = dict(
+            os.environ, RAY_GRAFT_CPUS=str(ncpu), BENCH_SKIP_DIST="1"
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,

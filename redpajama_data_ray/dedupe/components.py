@@ -78,16 +78,49 @@ def propagate_min_labels(
             {"id_int": t["id_int"], "lbl": t["id_int"]}
         )
 
-    # NOTE: every groupby output that feeds a join is repartitioned
-    # first — Ray 2.49's hash-shuffle join rejects the groupby's raw
-    # output (empty partitions lose their schema).
-    labels = (
-        pairs.map_batches(init_labels, batch_format="pyarrow")
-        .groupby("id_int")
-        .aggregate(Min("lbl", alias_name="lbl"))
-        .repartition(num_partitions)
-        .materialize()
-    )
+    # grouped-min strategy: Ray's shuffle aggregate costs ~30x the
+    # vectorized tree combine at 10^6-row scale (measured — see
+    # combine.py); min is associative, so below TREE_STATS_LIMIT pairs
+    # the tree (per-block pyarrow group_by mins, single-task root) is
+    # used; above it, the hash-shuffle groupby is the correct cost.
+    from .combine import TREE_STATS_LIMIT
+
+    use_tree = pairs.count() <= TREE_STATS_LIMIT
+
+    def grouped_min(ds: Dataset, key: str, val: str, out: str) -> Dataset:
+        if not use_tree:
+            return (
+                ds.groupby(key)
+                .aggregate(Min(val, alias_name=out))
+                .repartition(num_partitions)
+            )
+
+        def partial(t: pa.Table) -> pa.Table:
+            g = t.select([key, val]).group_by(key).aggregate([(val, "min")])
+            return g.rename_columns([key, out])
+
+        def combine(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([(out, "min")])
+            return g.rename_columns([key, out])
+
+        return (
+            ds.map_batches(partial, batch_format="pyarrow")
+            .repartition(8)
+            .map_batches(combine, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(combine, batch_format="pyarrow")
+            .repartition(num_partitions)
+        )
+
+    # NOTE: every grouped output that feeds a join is repartitioned
+    # first — Ray 2.49's hash-shuffle join rejects inputs whose empty
+    # partitions lost their schema.
+    labels = grouped_min(
+        pairs.map_batches(init_labels, batch_format="pyarrow"),
+        "id_int",
+        "lbl",
+        "lbl",
+    ).materialize()
 
     _P = (1 << 61) - 1
 
@@ -116,30 +149,23 @@ def propagate_min_labels(
             num_partitions=num_partitions,
             on=("id_int",),
         )
-        band_min = (
-            with_lbl.groupby("band_hash")
-            .aggregate(Min("lbl", alias_name="band_lbl"))
-            .repartition(num_partitions)
-        )
+        band_min = grouped_min(with_lbl, "band_hash", "lbl", "band_lbl")
         # candidate id label = min over its bands
-        cand = (
+        cand = grouped_min(
             pairs.join(
                 band_min,
                 join_type="inner",
                 num_partitions=num_partitions,
                 on=("band_hash",),
-            )
-            .groupby("id_int")
-            .aggregate(Min("band_lbl", alias_name="lbl"))
+            ),
+            "id_int",
+            "band_lbl",
+            "lbl",
         )
         # merge with current labels (labels only decrease)
-        labels = (
-            labels.union(cand)
-            .groupby("id_int")
-            .aggregate(Min("lbl", alias_name="lbl"))
-            .repartition(num_partitions)
-            .materialize()
-        )
+        labels = grouped_min(
+            labels.union(cand), "id_int", "lbl", "lbl"
+        ).materialize()
         cur = label_sum(labels)
         if cur == prev_sum:
             break
