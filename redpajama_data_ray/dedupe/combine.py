@@ -32,9 +32,15 @@ def key_stats(
     key: str,
     order_col: str,
     fanin: int = 8,
-    distributed: bool = False,
+    distributed: "bool | None" = False,
 ) -> Dataset:
-    """Dataset of (key, min_order, cnt) — one row per distinct key."""
+    """Dataset of (key, min_order, cnt) — one row per distinct key.
+
+    ``distributed=None`` (auto): materialize the per-block partials,
+    measure them, and pick the tree when they fit a single root task
+    (``TREE_STATS_LIMIT``) — the tree is ~30x faster than the shuffle
+    aggregate at 10^6-row scale (measured; see ``tune_shuffle_context``
+    notes)."""
 
     def partial(t: pa.Table) -> pa.Table:
         if key == order_col:
@@ -54,6 +60,9 @@ def key_stats(
         return g.rename_columns([key, "min_order", "cnt"])
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
+    if distributed is None:
+        partials = partials.materialize()
+        distributed = partials.count() > TREE_STATS_LIMIT
     if distributed:
         return partials.groupby(key).aggregate(
             Min("min_order", alias_name="min_order"),

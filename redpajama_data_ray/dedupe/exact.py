@@ -42,7 +42,7 @@ _MIN_ORDER_COL = "__dedup_min_order"
 
 
 def dup_key_stats(
-    ds: Dataset, key: str, order_col: str, use_groupby: bool = True
+    ds: Dataset, key: str, order_col: str, use_groupby: "bool | None" = None
 ) -> Dataset:
     """Dataset of (key, min_order, cnt) for keys appearing > 1 time.
 
@@ -173,7 +173,7 @@ def _dedup_impl(
             return ds
         return _broadcast_filter(ds, winners, key, order_col, keep_winners)
 
-    dup = dup_key_stats(ds, key, order_col, use_groupby=True).materialize()
+    dup = dup_key_stats(ds, key, order_col, use_groupby=None).materialize()
     n_dup = dup.count()
     if distributed is None and n_dup <= broadcast_limit:
         if keep_winners and n_dup == 0:
