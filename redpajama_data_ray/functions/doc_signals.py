@@ -24,6 +24,7 @@ from typing import Dict, List, Optional, Sequence, Set, Tuple
 
 from ..config import PRECISION
 from ..text import TextSlice, normalize, split_lines, wordpunct_tokenize
+from ..text.normalization import _PUNCT_TABLE as _PUNCT_TABLE_
 from .wordlists import get_bad_words, get_stop_words
 
 _SENT_RE = re.compile(r"\b[^.!?]+[.!?]*", re.UNICODE)
@@ -90,10 +91,26 @@ class DocView:
 
     def __init__(self, content: str):
         self.raw = content
-        self.norm = normalize(content)
+        # punct-strip + lowercase ONCE over the whole doc, shared by the
+        # doc-level normalize and every per-line normalize. Safe because
+        # str.translate(punct) and str.lower() never touch "\n" (line
+        # structure is preserved) and NFD is concatenation-safe at "\n"
+        # boundaries (a starter char blocks canonical reordering), so
+        # per-line ws-collapse + NFD over the batched transform is
+        # byte-identical to normalize() per line (fuzz-tested).
+        from unicodedata import normalize as _nfd
+
+        stripped = content.translate(_PUNCT_TABLE_).lower()
+        self.norm = _nfd("NFD", " ".join(stripped.split()))
         self.raw_lines: Tuple[TextSlice, ...] = split_lines(content)
-        self.norm_lines: Tuple[TextSlice, ...] = split_lines(
-            content, normalizer=normalize
+        pieces = stripped.split("\n")
+        # _LINE_RE yields no trailing empty line for "...\n" while
+        # str.split does; zip truncates to the raw line count
+        self.norm_lines: Tuple[TextSlice, ...] = tuple(
+            TextSlice(
+                _nfd("NFD", " ".join(piece.split())), s.start, s.end
+            )
+            for s, piece in zip(self.raw_lines, pieces)
         )
         self.raw_words: List[str] = wordpunct_tokenize(content)
         self.norm_words: List[str] = self.norm.split()
@@ -177,18 +194,21 @@ class SignalKernel:
             out["rps_doc_frac_all_caps_words"] = None
             n_stop = 0
         else:
+            # run the three per-word predicates over UNIQUE words and
+            # weight by count — identical totals, ~3x fewer regex/str
+            # calls on repetitive (code) corpora
             n_alpha = 0
             n_upper = 0
             n_stop = 0
             alpha_search = _ALPHA_RE.search
             stop = self.stop_words
-            for w in v.raw_words:
+            for w, c in Counter(v.raw_words).items():
                 if alpha_search(w) is not None:
-                    n_alpha += 1
+                    n_alpha += c
                 if w.isupper():
-                    n_upper += 1
+                    n_upper += c
                 if w in stop:
-                    n_stop += 1
+                    n_stop += c
             out["rps_doc_frac_no_alph_words"] = _round(1.0 - n_alpha / n_raw)
             out["rps_doc_frac_all_caps_words"] = _round(n_upper / n_raw)
         # natural_language.py:141-155, 158-181 — one Counter serves both
