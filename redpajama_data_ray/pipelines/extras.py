@@ -338,7 +338,15 @@ def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
 def q_corpus_flagship(sf_dir: str) -> Dataset:
     """Full quality pipeline over the synthetic code corpus: id, keep,
     scrubbed-content sha256, and headline signals."""
-    ds = annotate(read_corpus(sf_dir), QualityConfig(max_actors=8))
+    from .quality import _default_actors
+
+    # cap at 8 actors but never take the whole cluster: a strict pool
+    # equal to num_cpus starves the read/write task operators (observed
+    # wedge at num_cpus=8)
+    ds = annotate(
+        read_corpus(sf_dir),
+        QualityConfig(max_actors=max(1, min(8, _default_actors()))),
+    )
     return ds.select_columns(
         [
             "doc_id", "lang_pred", "lang_score", "ppl", "ppl_bucket",
