@@ -1,13 +1,20 @@
 """Multimodal actor-pool stages: opaque binary payload columns with typed
 metadata, processed by ``map_batches`` actor stages.
 
-Real image/audio codecs are not installed in this container, so the
-decode kernels are STUBBED: ``decode_fn="fake"`` (default) produces a
-deterministic pseudo-decode from the payload bytes (hash-seeded), and
-``decode_fn="real"`` raises ``NotImplementedError`` with instructions.
-Everything around the stub — schema handling, small-batch sizing for
-large binary rows, actor-pool state, output layout — is real and tested,
-so swapping in PIL/ffmpeg later only changes the kernel body.
+Decode kernels:
+
+- ``decode_fn="real"``: a genuine pure-numpy decoder for UNCOMPRESSED
+  formats — 24-bit BI_RGB BMP and binary netpbm (P5/P6) — plus
+  nearest-neighbor resize. Compressed formats (PNG/JPEG, sniffed by
+  magic bytes) raise a clear error naming the missing codec library
+  (none is installed in this container).
+- ``decode_fn="fake"`` (default for synthetic benches): deterministic
+  pseudo-decode seeded from the payload hash.
+
+Everything around the kernels — schema handling, small-batch sizing
+for large binary rows, actor-pool state, output layout — is shared, so
+plugging PIL/ffmpeg in for compressed formats only extends
+``decode_image``.
 
 Scale note: binary payload rows are large, so callers should use a small
 ``batch_size`` (e.g. 16-64) and rely on Arrow binary columns staying in
@@ -41,6 +48,118 @@ def _fake_pixels(payload: bytes, h: int, w: int, c: int = 3) -> np.ndarray:
     return rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
 
 
+# ------------------------------------------------------------------
+# real codecs for uncompressed formats (pure numpy, no libraries)
+# ------------------------------------------------------------------
+
+def encode_ppm(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 -> binary PPM (P6)."""
+    h, w, c = pixels.shape
+    assert c == 3
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.tobytes()
+
+
+def encode_bmp(pixels: "np.ndarray") -> bytes:
+    """(h, w, 3) uint8 RGB -> 24-bit BI_RGB BMP (bottom-up, BGR,
+    4-byte row padding)."""
+    import struct
+
+    h, w, c = pixels.shape
+    assert c == 3
+    row = w * 3
+    pad = (4 - row % 4) % 4
+    body = bytearray()
+    bgr = pixels[:, :, ::-1]
+    for y in range(h - 1, -1, -1):
+        body += bgr[y].tobytes() + b"\x00" * pad
+    data_off = 14 + 40
+    file_size = data_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", file_size, 0, 0, data_off)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0
+    )
+    return header + info + bytes(body)
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """payload bytes -> (h, w, 3) uint8 RGB for uncompressed formats.
+
+    Sniffs the container by magic bytes; PNG/JPEG raise with the name
+    of the codec library needed."""
+    import struct
+
+    if payload[:2] == b"BM":
+        data_off = struct.unpack("<I", payload[10:14])[0]
+        hdr_size = struct.unpack("<I", payload[14:18])[0]
+        w, h = struct.unpack("<ii", payload[18:26])
+        bpp = struct.unpack("<H", payload[28:30])[0]
+        comp = struct.unpack("<I", payload[30:34])[0]
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                f"only 24-bit BI_RGB BMP supported (got bpp={bpp}, "
+                f"compression={comp})"
+            )
+        flip = h > 0
+        h = abs(h)
+        row = w * 3
+        stride = row + (4 - row % 4) % 4
+        px = np.empty((h, w, 3), dtype=np.uint8)
+        for i in range(h):
+            off = data_off + i * stride
+            line = np.frombuffer(payload[off : off + row], dtype=np.uint8)
+            y = h - 1 - i if flip else i
+            px[y] = line.reshape(w, 3)[:, ::-1]  # BGR -> RGB
+        return px
+    if payload[:2] in (b"P6", b"P5"):
+        # binary netpbm: magic, whitespace/comments, w, h, maxval
+        pos = 2
+        vals = []
+        while len(vals) < 3:
+            while pos < len(payload) and payload[pos : pos + 1].isspace():
+                pos += 1
+            if payload[pos : pos + 1] == b"#":
+                while payload[pos : pos + 1] not in (b"\n", b""):
+                    pos += 1
+                continue
+            start = pos
+            while pos < len(payload) and not payload[pos : pos + 1].isspace():
+                pos += 1
+            vals.append(int(payload[start:pos]))
+        pos += 1  # single whitespace after maxval
+        w, h, maxval = vals
+        if maxval > 255:
+            raise NotImplementedError("16-bit netpbm not supported")
+        if payload[:2] == b"P6":
+            arr = np.frombuffer(
+                payload[pos : pos + w * h * 3], dtype=np.uint8
+            ).reshape(h, w, 3)
+            return arr.copy()
+        arr = np.frombuffer(
+            payload[pos : pos + w * h], dtype=np.uint8
+        ).reshape(h, w)
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        raise NotImplementedError(
+            "PNG decode requires zlib inflate + filter reconstruction; "
+            "install Pillow (PIL.Image.open) and route it here"
+        )
+    if payload[:2] == b"\xff\xd8":
+        raise NotImplementedError(
+            "JPEG decode requires a DCT codec; install Pillow/libjpeg "
+            "and route it here"
+        )
+    raise ValueError("unrecognized image container (magic bytes)")
+
+
+def resize_nearest(px: "np.ndarray", size: int) -> "np.ndarray":
+    """(h, w, c) -> (size, size, c) nearest-neighbor resize (numpy
+    index arithmetic — the real resize kernel, no library)."""
+    h, w = px.shape[:2]
+    ys = (np.arange(size) * h // size).clip(0, h - 1)
+    xs = (np.arange(size) * w // size).clip(0, w - 1)
+    return px[ys[:, None], xs[None, :]]
+
+
 class DecodeImageStage:
     """binary payload -> fixed-size decoded tensor + basic stats.
 
@@ -56,12 +175,7 @@ class DecodeImageStage:
     ):
         if decode_fn not in ("fake", "real"):
             raise ValueError(decode_fn)
-        if decode_fn == "real":
-            raise NotImplementedError(
-                "real image decode requires an imaging library (PIL/cv2) "
-                "not present in this container; install one and implement "
-                "_decode_real, everything else in this stage is ready"
-            )
+        self.decode_fn = decode_fn
         self.size = target_size
         self.payload_col = payload_col
 
@@ -70,7 +184,12 @@ class DecodeImageStage:
         means, stds, feats = [], [], []
         for p in payloads:
             p = p or b""
-            px = _fake_pixels(p, self.size, self.size)
+            if self.decode_fn == "real":
+                # genuine decode (BMP / netpbm) + nearest resize;
+                # compressed formats raise with the needed library
+                px = resize_nearest(decode_image(p), self.size)
+            else:
+                px = _fake_pixels(p, self.size, self.size)
             means.append(float(px.mean()))
             stds.append(float(px.std()))
             # 8-dim channel-histogram feature (deterministic)
@@ -115,14 +234,33 @@ class AudioFrameSampleStage:
         )
 
 
-def make_media_table(n: int, seed: int = 42) -> pa.Table:
-    """Deterministic synthetic media table for tests/benches."""
+def make_media_table(
+    n: int, seed: int = 42, real_formats: bool = False
+) -> pa.Table:
+    """Deterministic synthetic media table for tests/benches.
+
+    ``real_formats=True`` writes genuine BMP/PPM payloads (decodable by
+    ``decode_fn="real"``); default writes opaque random bytes for the
+    hash-seeded fake-decode path."""
     rng = np.random.default_rng(seed)
     ids, payloads, mimes, ws, hs = [], [], [], [], []
     for i in range(n):
+        ids.append(f"media_{i:06d}")
+        if real_formats:
+            w = int(rng.integers(8, 48))
+            h = int(rng.integers(8, 48))
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            if i % 2 == 0:
+                payloads.append(encode_bmp(px))
+                mimes.append("image/bmp")
+            else:
+                payloads.append(encode_ppm(px))
+                mimes.append("image/x-portable-pixmap")
+            ws.append(w)
+            hs.append(h)
+            continue
         size = int(rng.integers(64, 4096))
         payloads.append(rng.integers(0, 256, size, dtype=np.uint8).tobytes())
-        ids.append(f"media_{i:06d}")
         mimes.append("image/png" if i % 2 == 0 else "image/jpeg")
         ws.append(int(rng.integers(16, 512)))
         hs.append(int(rng.integers(16, 512)))

@@ -397,13 +397,15 @@ def q_approx_distinct_texts(sf_dir: str) -> "pa.Table":
 
 
 def q_media_decode(sf_dir: str) -> "pa.Table":
-    """Multimodal plumbing: binary payload column through the decode
-    actor stage (stub kernel, real schema/actor path)."""
+    """Multimodal: REAL image decode (pure-numpy BMP/PPM codecs +
+    nearest resize) of genuine encoded payloads through the actor
+    stage; compressed formats are gated behind named codec errors."""
     from ..multimodal.stages import DecodeImageStage, make_media_table
 
-    media = rd.from_arrow(make_media_table(200))
+    media = rd.from_arrow(make_media_table(200, real_formats=True))
     out = media.map_batches(
         DecodeImageStage,
+        fn_constructor_kwargs=dict(decode_fn="real"),
         batch_format="pyarrow",
         batch_size=32,
         concurrency=(1, 2),

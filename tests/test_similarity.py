@@ -102,6 +102,83 @@ def test_multimodal_decode_stage():
         .to_pandas()
     )
     assert list(df.pixel_mean) == list(again.pixel_mean)
-    # real decode is explicitly stubbed
-    with pytest.raises(NotImplementedError):
-        DecodeImageStage(decode_fn="real")
+    # real decode exists now (BMP/netpbm in pure numpy); unknown modes
+    # still rejected
+    with pytest.raises(ValueError):
+        DecodeImageStage(decode_fn="nope")
+
+
+class TestRealImageDecode:
+    def test_bmp_roundtrip(self):
+        import numpy as np
+
+        from redpajama_data_ray.multimodal.stages import (
+            decode_image, encode_bmp,
+        )
+
+        rng = np.random.default_rng(1)
+        px = rng.integers(0, 256, (13, 7, 3), dtype=np.uint8)  # odd width -> padding
+        assert np.array_equal(decode_image(encode_bmp(px)), px)
+
+    def test_ppm_roundtrip_and_resize(self):
+        import numpy as np
+
+        from redpajama_data_ray.multimodal.stages import (
+            decode_image, encode_ppm, resize_nearest,
+        )
+
+        rng = np.random.default_rng(2)
+        px = rng.integers(0, 256, (20, 30, 3), dtype=np.uint8)
+        out = decode_image(encode_ppm(px))
+        assert np.array_equal(out, px)
+        small = resize_nearest(out, 8)
+        assert small.shape == (8, 8, 3)
+        # nearest-neighbor: every output pixel exists in the input
+        assert small.dtype == np.uint8
+
+    def test_real_decode_through_actor_stage(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from redpajama_data_ray.multimodal.stages import (
+            DecodeImageStage, encode_bmp, encode_ppm,
+        )
+
+        rng = np.random.default_rng(3)
+        imgs = [rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(4)]
+        payloads = [encode_bmp(imgs[0]), encode_ppm(imgs[1]),
+                    encode_bmp(imgs[2]), encode_ppm(imgs[3])]
+        t = pa.table(
+            {
+                "media_id": [f"m{i}" for i in range(4)],
+                "payload": pa.array(payloads, pa.binary()),
+            }
+        )
+        out = ray.data.from_arrow(t).map_batches(
+            DecodeImageStage,
+            fn_constructor_kwargs=dict(decode_fn="real", target_size=16),
+            batch_format="pyarrow",
+            batch_size=2,
+            concurrency=(1, 1),
+        )
+        rows = [
+            r
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ]
+        by_id = {r["media_id"]: r for r in rows}
+        for i in range(4):
+            assert abs(by_id[f"m{i}"]["pixel_mean"] - imgs[i].mean()) < 1e-9
+
+    def test_compressed_formats_raise_named_errors(self):
+        import pytest as _pytest
+
+        from redpajama_data_ray.multimodal.stages import decode_image
+
+        with _pytest.raises(NotImplementedError, match="Pillow"):
+            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        with _pytest.raises(NotImplementedError, match="Pillow|libjpeg"):
+            decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+        with _pytest.raises(ValueError):
+            decode_image(b"garbage")
