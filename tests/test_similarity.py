@@ -182,3 +182,50 @@ class TestRealImageDecode:
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         with _pytest.raises(ValueError):
             decode_image(b"garbage")
+
+
+class TestRealAudioDecode:
+    def test_wav_roundtrip_and_rms_frames(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data
+
+        from redpajama_data_ray.multimodal.stages import (
+            AudioFrameSampleStage, encode_wav,
+        )
+
+        # quiet first half, loud second half -> RMS frames step up
+        t = np.concatenate([np.full(8000, 0.01), np.full(8000, 0.5)])
+        tbl = pa.table(
+            {"media_id": ["w"], "payload": pa.array([encode_wav(t)], pa.binary())}
+        )
+        out = ray.data.from_arrow(tbl).map_batches(
+            AudioFrameSampleStage,
+            fn_constructor_kwargs=dict(decode_fn="real", n_frames=4),
+            batch_format="pyarrow",
+            concurrency=(1, 1),
+        )
+        frames = [
+            r["audio_frames"]
+            for b in out.iter_batches(batch_format="pyarrow")
+            for r in b.to_pylist()
+        ][0]
+        assert len(frames) == 4
+        assert abs(frames[0] - 0.01) < 1e-3 and abs(frames[3] - 0.5) < 1e-3
+
+    def test_compressed_wav_raises(self):
+        import struct
+
+        import pytest as _pytest
+
+        from redpajama_data_ray.multimodal.stages import decode_wav
+
+        # format 85 = MP3-in-WAV
+        body = struct.pack("<HHIIHH", 85, 1, 16000, 32000, 2, 16)
+        payload = (
+            b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+            + b"fmt " + struct.pack("<I", 16) + body
+            + b"data" + struct.pack("<I", 0)
+        )
+        with _pytest.raises(NotImplementedError, match="codec"):
+            decode_wav(payload)
