@@ -298,15 +298,27 @@ def fuzzy_dedup(
     # ---- distributed path: no driver state ----
     from .components import propagate_min_labels
 
+    # partition counts track DATA size, not cluster size: every
+    # hash-shuffle operator spins up ~num_partitions aggregator actors
+    # per op, and the propagation loop runs several ops per iteration —
+    # 30 partitions for a 50k-row dup graph costs 2-5x the wall time of
+    # 8 (measured at sf0.1: 20.7 s @ 8 vs 49-123 s @ 30). The corpus-
+    # scale anti join below keeps the caller/cluster-sized count.
+    ex_partitions = max(
+        2, min(num_partitions, int(exploded.count() // 2_000_000) + 2)
+    )
+    prop_partitions = max(
+        2, min(num_partitions, int(members // 500_000) + 2)
+    )
     dup_keys = dup.select_columns(["band_hash"])
     dup_pairs = exploded_signed.join(
         dup_keys,
         join_type="left_semi",
-        num_partitions=num_partitions,
+        num_partitions=ex_partitions,
         on=("band_hash",),
     )
     labels = propagate_min_labels(
-        dup_pairs, num_partitions, pre_signed=True
+        dup_pairs, prop_partitions, pre_signed=True
     ).materialize()
 
     def non_reps(t: pa.Table) -> pa.Table:
