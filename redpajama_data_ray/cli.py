@@ -101,6 +101,30 @@ def cmd_dedup_exact(args) -> dict:
     from .dedupe.exact import exact_dedup
 
     ds = rd.read_parquet(args.input)
+    if args.state_dir:
+        from .state.incremental import (
+            commit_run_keys,
+            incremental_exact_dedup,
+            seen_key_count,
+        )
+
+        out, run_id = incremental_exact_dedup(
+            ds,
+            args.state_dir,
+            key=args.key,
+            order_col=args.order_col,
+            run_id=args.run_id,
+            approximate=args.approximate,
+        )
+        out = out.materialize()  # write data THEN commit state
+        out.write_parquet(args.output)
+        commit_run_keys(out, args.state_dir, run_id, key=args.key)
+        return {
+            "rows": out.count(),
+            "output": args.output,
+            "run_id": run_id,
+            "state_keys": seen_key_count(args.state_dir),
+        }
     out = exact_dedup(ds, key=args.key, order_col=args.order_col)
     out.write_parquet(args.output)
     return {"rows": out.count(), "output": args.output}
@@ -267,6 +291,18 @@ def build_parser() -> argparse.ArgumentParser:
     de.add_argument("--output", required=True)
     de.add_argument("--key", default="content_sha256")
     de.add_argument("--order-col", default="doc_id")
+    de.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode (reference bloomfilter.py role): also "
+        "drop keys seen by previously committed runs, then commit this "
+        "run's keys to the state dir",
+    )
+    de.add_argument("--run-id", default=None)
+    de.add_argument(
+        "--approximate", action="store_true",
+        help="probabilistic cross-run membership via a Bloom filter "
+        "(reference parity; may drop ~1%% of non-duplicates)",
+    )
     de.set_defaults(fn=cmd_dedup_exact)
 
     df = sub.add_parser("dedup-fuzzy", help="minhash-LSH fuzzy dedup")

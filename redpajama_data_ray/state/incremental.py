@@ -1,0 +1,194 @@
+"""Incremental (cross-run) exact dedup with persistent key state.
+
+The reference's Bloom-filter job exists precisely for this: dedup a NEW
+crawl snapshot against every previously processed one, carrying state
+between runs (/root/reference/app/src/bloomfilter.py:296-417 keeps an
+mmap'd filter + flushes duplicate parquet every 2^20 docs). The
+Ray-native design:
+
+1. dedup WITHIN the run (``dedupe.exact.exact_dedup`` — size-adaptive
+   broadcast/join);
+2. drop rows whose key appears in any previously COMMITTED run:
+   - exact mode (default): seen keys live as parquet under
+     ``state_dir/keys/``; small states broadcast as a frozenset,
+     large ones ``left_anti``-join in the object store — exact
+     semantics, unlike the reference's false-positive-prone filter;
+   - ``approximate=True``: reference-parity probabilistic mode — a
+     ``BloomFilter`` built once per actor from the state parquet
+     (capacity/error_rate as in bloomfilter.py:140-143); may drop a
+     ~error_rate fraction of non-duplicates, never keeps a true dup;
+3. append THIS run's surviving keys as one new parquet file, committed
+   by atomic rename — a crashed run leaves no partial state and a
+   rerun with the same ``run_id`` overwrites instead of double-adding.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+from ray.data import Dataset
+
+# above this many seen keys, stop broadcasting the frozenset and
+# anti-join against the state dataset instead
+DEFAULT_STATE_BROADCAST_LIMIT = 5_000_000
+
+
+def _keys_dir(state_dir: str) -> str:
+    d = os.path.join(state_dir, "keys")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _state_files(state_dir: str):
+    d = _keys_dir(state_dir)
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+
+
+def seen_key_count(state_dir: str) -> int:
+    """Committed key count from parquet footers (no data read)."""
+    total = 0
+    for f in _state_files(state_dir):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def incremental_exact_dedup(
+    ds: Dataset,
+    state_dir: str,
+    key: str = "content_sha256",
+    order_col: str = "doc_id",
+    run_id: Optional[str] = None,
+    approximate: bool = False,
+    error_rate: float = 0.01,
+    broadcast_limit: int = DEFAULT_STATE_BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
+) -> Tuple[Dataset, str]:
+    """Returns ``(deduped dataset, run_id)`` and commits this run's
+    surviving keys to ``state_dir`` when the dataset is consumed via
+    :func:`commit_run_keys` (kept separate so callers can write their
+    data output FIRST and only then commit state — crash-safe order).
+
+    The returned dataset contains rows unique within the run AND not
+    seen by any previously committed run."""
+    from ..dedupe.exact import exact_dedup
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+
+    within = exact_dedup(
+        ds, key=key, order_col=order_col, num_partitions=num_partitions
+    )
+
+    files = _state_files(state_dir)
+    if not files:
+        return within, run_id
+
+    n_seen = seen_key_count(state_dir)
+    if approximate:
+        # reference-parity probabilistic path: filter built ONCE PER
+        # ACTOR from the committed parquet (bloomfilter.py role)
+        class _BloomDrop:
+            def __init__(self, paths, capacity, err):
+                from .bloom import BloomFilter
+
+                self.bf = BloomFilter(max(capacity, 1024), err)
+                for p in paths:
+                    t = pq.read_table(p, columns=["key"])
+                    self.bf.update(t.column("key").to_pylist())
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                hits = self.bf.might_contain_many(
+                    t.column(key).to_pylist()
+                )
+                import numpy as np
+
+                return t.filter(pa.array(~np.asarray(hits), pa.bool_()))
+
+        return (
+            within.map_batches(
+                _BloomDrop,
+                fn_constructor_args=(files, n_seen, error_rate),
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            ),
+            run_id,
+        )
+
+    if n_seen <= broadcast_limit:
+        seen = frozenset(
+            x
+            for f in files
+            for x in pq.read_table(f, columns=["key"]).column("key").to_pylist()
+        )
+        ref = ray.put(seen)
+
+        def drop_seen(t: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            mask = [k not in s for k in t.column(key).to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return within.map_batches(drop_seen, batch_format="pyarrow"), run_id
+
+    # large state: anti join against the state dataset (object store)
+    import ray.data as rd
+
+    from ..dedupe.combine import auto_partitions, tune_shuffle_context
+
+    tune_shuffle_context()
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    state_ds = rd.read_parquet(files).map_batches(
+        lambda t: t.rename_columns([key]), batch_format="pyarrow"
+    )
+    from ..dedupe.lsh import _pack_nested
+
+    schema = within.schema().base_schema
+    nested = {
+        f.name: f.type
+        for f in schema
+        if pa.types.is_nested(f.type) and f.name != key
+    }
+    from ..dedupe.lsh import _unpack_nested
+
+    packed = within.map_batches(_pack_nested(nested), batch_format="pyarrow")
+    deduped = packed.join(
+        state_ds,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(key,),
+    ).map_batches(_unpack_nested(nested), batch_format="pyarrow")
+    return deduped, run_id
+
+
+def commit_run_keys(
+    deduped: Dataset, state_dir: str, run_id: str, key: str = "content_sha256"
+) -> str:
+    """Append the run's surviving keys to the state (atomic rename;
+    rerunning the same run_id overwrites — idempotent resume)."""
+    d = _keys_dir(state_dir)
+    tmp = os.path.join(d, f".{run_id}.parquet.tmp")
+    final = os.path.join(d, f"{run_id}.parquet")
+    tables = [
+        b
+        for b in deduped.select_columns([key]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    ]
+    if tables:
+        col = pa.concat_tables(tables).column(key)
+    else:
+        col = pa.array([], pa.string())
+    pq.write_table(pa.table({"key": col}), tmp)
+    os.replace(tmp, final)
+    return final

@@ -1,0 +1,143 @@
+"""Cross-run incremental exact dedup (the reference bloomfilter.py
+role: dedup new snapshots against persistent state)."""
+
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data
+
+from redpajama_data_ray.cli import main
+from redpajama_data_ray.state.incremental import (
+    commit_run_keys,
+    incremental_exact_dedup,
+    seen_key_count,
+)
+
+
+def _table(keys, start=0):
+    return pa.table(
+        {
+            "content_sha256": keys,
+            "doc_id": [f"d{start + i:04d}" for i in range(len(keys))],
+        }
+    )
+
+
+def _ids(ds):
+    return sorted(
+        x
+        for b in ds.iter_batches(batch_format="pyarrow")
+        for x in b.column("doc_id").to_pylist()
+    )
+
+
+def test_two_run_flow(tmp_path):
+    state = str(tmp_path / "state")
+    # run 1: within-run dup on k1
+    t1 = _table(["k1", "k1", "k2", "k3"])
+    d1, rid1 = incremental_exact_dedup(
+        ray.data.from_arrow(t1), state, run_id="run1"
+    )
+    d1 = d1.materialize()
+    assert len(_ids(d1)) == 3  # k1 deduped within run
+    commit_run_keys(d1, state, rid1)
+    assert seen_key_count(state) == 3
+
+    # run 2: k2/k3 seen before -> dropped; k4 new; k5 within-run dup
+    t2 = _table(["k2", "k3", "k4", "k5", "k5"], start=10)
+    d2, rid2 = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state, run_id="run2"
+    )
+    d2 = d2.materialize()
+    keys2 = sorted(
+        x
+        for b in d2.iter_batches(batch_format="pyarrow")
+        for x in b.column("content_sha256").to_pylist()
+    )
+    assert keys2 == ["k4", "k5"]
+    commit_run_keys(d2, state, rid2)
+    assert seen_key_count(state) == 5
+
+    # rerunning run2 (same run_id) is idempotent on state
+    d2b, _ = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state, run_id="run2"
+    )
+    d2b = d2b.materialize()
+    assert d2b.count() == 0  # everything now seen
+    commit_run_keys(d2b, state, "run2")
+    assert seen_key_count(state) == 3 + 0  # run2 file overwritten
+
+
+def test_join_path_above_broadcast_limit(tmp_path):
+    state = str(tmp_path / "state")
+    t1 = _table([f"k{i}" for i in range(50)])
+    d1, rid = incremental_exact_dedup(
+        ray.data.from_arrow(t1), state, run_id="a"
+    )
+    commit_run_keys(d1.materialize(), state, rid)
+    # force the anti-join path with a tiny broadcast limit
+    t2 = _table([f"k{i}" for i in range(40, 60)], start=100)
+    d2, _ = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state, run_id="b", broadcast_limit=1
+    )
+    keys = sorted(
+        x
+        for b in d2.iter_batches(batch_format="pyarrow")
+        for x in b.column("content_sha256").to_pylist()
+    )
+    assert keys == [f"k{i}" for i in range(50, 60)]
+
+
+def test_approximate_mode_drops_seen(tmp_path):
+    state = str(tmp_path / "state")
+    t1 = _table([f"k{i}" for i in range(30)])
+    d1, rid = incremental_exact_dedup(
+        ray.data.from_arrow(t1), state, run_id="a"
+    )
+    commit_run_keys(d1.materialize(), state, rid)
+    t2 = _table(["k0", "k1", "new1", "new2"], start=50)
+    d2, _ = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state, run_id="b", approximate=True,
+        error_rate=0.001,
+    )
+    keys = sorted(
+        x
+        for b in d2.iter_batches(batch_format="pyarrow")
+        for x in b.column("content_sha256").to_pylist()
+    )
+    # bloom never keeps a true dup; at this capacity/error rate the
+    # two new keys survive
+    assert "k0" not in keys and "k1" not in keys
+    assert keys == ["new1", "new2"]
+
+
+def test_cli_incremental(tmp_path, capsys):
+    src1 = tmp_path / "in1"
+    src1.mkdir()
+    pq.write_table(_table(["a", "b", "c"]), str(src1 / "p.parquet"))
+    src2 = tmp_path / "in2"
+    src2.mkdir()
+    pq.write_table(_table(["b", "c", "d"], start=10), str(src2 / "p.parquet"))
+    state = str(tmp_path / "state")
+
+    assert main(
+        [
+            "dedup-exact", "--input", str(src1),
+            "--output", str(tmp_path / "o1"), "--state-dir", state,
+            "--run-id", "r1",
+        ]
+    ) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["rows"] == 3 and r1["state_keys"] == 3
+
+    assert main(
+        [
+            "dedup-exact", "--input", str(src2),
+            "--output", str(tmp_path / "o2"), "--state-dir", state,
+            "--run-id", "r2",
+        ]
+    ) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows"] == 1 and r2["state_keys"] == 4  # only "d" new
