@@ -282,6 +282,38 @@ def q_exact_dedup_docs(sf_dir: str) -> Dataset:
     return out.select_columns(["doc_id", "fp"])
 
 
+def q_incremental_dedup_docs(sf_dir: str) -> "pa.Table":
+    """Cross-run incremental dedup (reference bloomfilter.py role),
+    SQL-oracled: even doc_ids are "run 1", odd doc_ids are "run 2";
+    returns run-2 survivors — odd docs whose fingerprint was neither
+    committed by run 1 nor already kept within run 2."""
+    import shutil
+    import tempfile
+
+    from ..state.incremental import (
+        commit_run_keys,
+        incremental_exact_dedup,
+    )
+
+    ds = q_doc_fingerprint(sf_dir)
+    run1 = ds.filter(lambda r: r["doc_id"] % 2 == 0)
+    run2 = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+    state = tempfile.mkdtemp(prefix="rpray_incr_")
+    try:
+        d1, rid1 = incremental_exact_dedup(
+            run1, state, key="fp", order_col="doc_id", run_id="run1"
+        )
+        commit_run_keys(d1.materialize(), state, rid1, key="fp")
+        d2, _ = incremental_exact_dedup(
+            run2, state, key="fp", order_col="doc_id", run_id="run2"
+        )
+        out = d2.select_columns(["doc_id"]).to_pandas()
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
+    out = out.sort_values("doc_id").reset_index(drop=True)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 def q_quality_filter_docs(sf_dir: str) -> Dataset:
     """SQL-expressible keep rule over whitespace-word stats."""
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1031,6 +1063,19 @@ ORACLE_SQL: Dict[str, str] = {
     # write_fuzzy_dedup_oracle — plain-% modulo, set-deduped shingles,
     # raw-band-bytes grouping, pure-python union-find) when the paired
     # query runs; DuckDB then mediates the three-way compare.
+    "incremental_dedup_docs": """
+        with h1 as (
+            select md5(text) as fp from documents where doc_id % 2 = 0
+        ), h2 as (
+            select doc_id, md5(text) as fp from documents
+            where doc_id % 2 = 1
+        )
+        select h2.doc_id from h2
+        where h2.fp not in (select fp from h1)
+          and h2.doc_id = (
+            select min(b.doc_id) from h2 b where b.fp = h2.fp
+          )
+    """,
     "minhash_signatures": """
         select doc_id, band0_sim08
         from read_parquet('/tmp/rpray_oracle/minhash_signatures.parquet')
@@ -1239,6 +1284,7 @@ QUERIES = {
     "doc_stats_by_lang": q_doc_stats_by_lang,
     "token_totals_by_source": q_token_totals_by_source,
     "exact_dedup_docs": q_exact_dedup_docs,
+    "incremental_dedup_docs": q_incremental_dedup_docs,
     "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "top_docs_by_chars": q_top_docs_by_chars,
