@@ -296,8 +296,18 @@ def q_incremental_dedup_docs(sf_dir: str) -> "pa.Table":
     )
 
     ds = q_doc_fingerprint(sf_dir)
-    run1 = ds.filter(lambda r: r["doc_id"] % 2 == 0)
-    run2 = ds.filter(lambda r: r["doc_id"] % 2 == 1)
+
+    def _parity(p: int):
+        def f(t: pa.Table) -> pa.Table:
+            mask = pc.equal(
+                pc.bit_wise_and(t["doc_id"], pa.scalar(1, pa.int64())), p
+            )
+            return t.filter(mask)
+
+        return f
+
+    run1 = ds.map_batches(_parity(0), batch_format="pyarrow")
+    run2 = ds.map_batches(_parity(1), batch_format="pyarrow")
     state = tempfile.mkdtemp(prefix="rpray_incr_")
     try:
         d1, rid1 = incremental_exact_dedup(
