@@ -1,0 +1,135 @@
+"""Dependency-free PNG codec (stdlib zlib + numpy).
+
+PNG's container is chunks; its compression is zlib DEFLATE (in the
+stdlib) and its per-scanline filters are simple byte predictors — so
+8-bit non-interlaced PNGs decode exactly with no imaging library.
+Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
+bit depth 8; palette and interlaced images raise NotImplementedError.
+
+Spec: https://www.w3.org/TR/png-3/ (public W3C standard).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunk(tag: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: "np.ndarray") -> bytes:
+    """(h, w) or (h, w, {1,2,3,4}) uint8 -> PNG (filter 0, one IDAT)."""
+    if pixels.ndim == 2:
+        pixels = pixels[:, :, None]
+    h, w, c = pixels.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = bytearray()
+    for y in range(h):
+        raw += b"\x00" + pixels[y].tobytes()  # filter 0 per scanline
+    return (
+        _SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(bytes(raw), 9))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _unfilter(raw: bytes, h: int, w: int, c: int) -> "np.ndarray":
+    """Reverse the five PNG scanline filters (spec 9.2)."""
+    stride = w * c
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).astype(
+            np.int32
+        )
+        pos += stride
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            # Sub/Average/Paeth depend on the left neighbor -> per-pixel
+            # scan, vectorized across channels
+            cur = np.zeros(stride, np.int32)
+            for x in range(0, stride, c):
+                left = cur[x - c : x] if x else np.zeros(c, np.int32)
+                up = prev[x : x + c]
+                ul = prev[x - c : x] if x else np.zeros(c, np.int32)
+                seg = line[x : x + c]
+                if ftype == 1:  # Sub
+                    cur[x : x + c] = (seg + left) & 0xFF
+                elif ftype == 3:  # Average
+                    cur[x : x + c] = (seg + ((left + up) >> 1)) & 0xFF
+                else:  # Paeth
+                    p = left + up - ul
+                    pa_ = np.abs(p - left)
+                    pb = np.abs(p - up)
+                    pc_ = np.abs(p - ul)
+                    pred = np.where(
+                        (pa_ <= pb) & (pa_ <= pc_),
+                        left,
+                        np.where(pb <= pc_, up, ul),
+                    )
+                    cur[x : x + c] = (seg + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, c)
+
+
+def decode_png(payload: bytes) -> "np.ndarray":
+    """PNG bytes -> (h, w, 3) uint8 RGB (alpha dropped, gray
+    replicated). 8-bit non-interlaced only; palette/16-bit/interlaced
+    raise NotImplementedError."""
+    if payload[:8] != _SIG:
+        raise ValueError("not a PNG")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length = struct.unpack(">I", payload[pos : pos + 4])[0]
+        tag = payload[pos + 4 : pos + 8]
+        body = payload[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat += body
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("missing IHDR")
+    w, h, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise NotImplementedError(f"bit depth {depth} (8 only)")
+    if color_type == 3:
+        raise NotImplementedError("palette PNGs not supported")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNGs not supported")
+    c = _CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    px = _unfilter(raw, h, w, c)
+    if color_type == 0:
+        return np.repeat(px, 3, axis=2)
+    if color_type == 2:
+        return px
+    if color_type == 4:
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    return px[:, :, :3]  # RGBA -> RGB

@@ -139,10 +139,11 @@ def decode_image(payload: bytes) -> "np.ndarray":
         ).reshape(h, w)
         return np.repeat(arr[:, :, None], 3, axis=2)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
-        raise NotImplementedError(
-            "PNG decode requires zlib inflate + filter reconstruction; "
-            "install Pillow (PIL.Image.open) and route it here"
-        )
+        # dependency-free: stdlib zlib inflate + filter reconstruction
+        # (multimodal/png.py; 8-bit non-interlaced, all 5 filters)
+        from .png import decode_png
+
+        return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
         raise NotImplementedError(
             "JPEG decode requires a DCT codec; install Pillow/libjpeg "
@@ -329,12 +330,18 @@ def make_media_table(
             w = int(rng.integers(8, 48))
             h = int(rng.integers(8, 48))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            if i % 2 == 0:
+            kind = i % 3
+            if kind == 0:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")
-            else:
+            elif kind == 1:
                 payloads.append(encode_ppm(px))
                 mimes.append("image/x-portable-pixmap")
+            else:
+                from .png import encode_png
+
+                payloads.append(encode_png(px))
+                mimes.append("image/png")
             ws.append(w)
             hs.append(h)
             continue

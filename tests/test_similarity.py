@@ -171,17 +171,91 @@ class TestRealImageDecode:
         for i in range(4):
             assert abs(by_id[f"m{i}"]["pixel_mean"] - imgs[i].mean()) < 1e-9
 
-    def test_compressed_formats_raise_named_errors(self):
-        import pytest as _pytest
+    def test_png_roundtrip_all_filters(self):
+        """PNG decode (stdlib zlib + unfilter) vs spec-derived FORWARD
+        filtering for every filter type — exact pixels."""
+        import struct
+        import zlib
 
+        import numpy as np
+
+        from redpajama_data_ray.multimodal.png import (
+            _SIG, _chunk, decode_png, encode_png,
+        )
         from redpajama_data_ray.multimodal.stages import decode_image
 
-        with _pytest.raises(NotImplementedError, match="Pillow"):
-            decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 16)
+        rng = np.random.default_rng(7)
+        px = rng.integers(0, 256, (9, 6, 3), dtype=np.uint8)
+        assert np.array_equal(decode_image(encode_png(px)), px)
+
+        def forward(pxa, ftype):
+            h, w, c = pxa.shape
+            stride = w * c
+            flat = pxa.reshape(h, stride).astype(np.int32)
+            raw = bytearray()
+            for y in range(h):
+                line, prev = flat[y], (
+                    flat[y - 1] if y else np.zeros(stride, np.int32)
+                )
+                out = np.zeros(stride, np.int32)
+                for x in range(stride):
+                    left = line[x - c] if x >= c else 0
+                    up = prev[x]
+                    ul = prev[x - c] if x >= c else 0
+                    v = line[x]
+                    if ftype == 1:
+                        out[x] = (v - left) & 0xFF
+                    elif ftype == 2:
+                        out[x] = (v - up) & 0xFF
+                    elif ftype == 3:
+                        out[x] = (v - ((left + up) >> 1)) & 0xFF
+                    else:
+                        p_ = left + up - ul
+                        pa_, pb, pc_ = (
+                            abs(p_ - left), abs(p_ - up), abs(p_ - ul),
+                        )
+                        pred = (
+                            left
+                            if (pa_ <= pb and pa_ <= pc_)
+                            else (up if pb <= pc_ else ul)
+                        )
+                        out[x] = (v - pred) & 0xFF
+                raw += bytes([ftype]) + out.astype(np.uint8).tobytes()
+            return bytes(raw)
+
+        ihdr = struct.pack(">IIBBBBB", 6, 9, 8, 2, 0, 0, 0)
+        for ftype in (1, 2, 3, 4):
+            payload = (
+                _SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(forward(px, ftype)))
+                + _chunk(b"IEND", b"")
+            )
+            assert np.array_equal(decode_png(payload), px)
+
+    def test_unsupported_formats_raise_named_errors(self):
+        import pytest as _pytest
+
+        from redpajama_data_ray.multimodal.png import decode_png
+        from redpajama_data_ray.multimodal.stages import decode_image
+
         with _pytest.raises(NotImplementedError, match="Pillow|libjpeg"):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         with _pytest.raises(ValueError):
             decode_image(b"garbage")
+        # palette/interlaced PNGs still gated
+        import struct as _struct
+
+        from redpajama_data_ray.multimodal.png import _SIG, _chunk
+
+        pal = (
+            _SIG
+            + _chunk(
+                b"IHDR", _struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+            )
+            + _chunk(b"IEND", b"")
+        )
+        with _pytest.raises(NotImplementedError, match="palette"):
+            decode_png(pal)
 
 
 class TestRealAudioDecode:
