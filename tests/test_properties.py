@@ -88,3 +88,61 @@ def test_decide_total_and_deterministic(s):
     assert (keep1, reasons1) == (keep2, reasons2)
     assert set(reasons1) <= set(RULE_IDS)
     assert keep1 == (len(reasons1) == 0)
+
+
+# ---------------- multimodal codec properties ----------------
+
+from hypothesis import given, settings as _settings
+from hypothesis import strategies as st
+
+
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    seed=st.integers(0, 2**32 - 1),
+)
+@_settings(max_examples=30, deadline=None)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.stages import decode_image, encode_bmp
+
+    px = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    assert np.array_equal(decode_image(encode_bmp(px)), px)
+
+
+@given(
+    h=st.integers(1, 24), w=st.integers(1, 24),
+    c=st.sampled_from([1, 2, 3, 4]), seed=st.integers(0, 2**32 - 1),
+)
+@_settings(max_examples=30, deadline=None)
+def test_png_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.png import decode_png, encode_png
+
+    shape = (h, w) if c == 1 else (h, w, c)
+    px = np.random.default_rng(seed).integers(0, 256, shape, np.uint8)
+    out = decode_png(encode_png(px))
+    assert out.shape == (h, w, 3)
+    if c == 3:
+        assert np.array_equal(out, px)
+    elif c == 4:
+        assert np.array_equal(out, px[:, :, :3])
+    elif c == 1:
+        base = px if px.ndim == 2 else px[:, :, 0]
+        assert np.array_equal(out[:, :, 0], base)
+
+
+@given(
+    n=st.integers(1, 5000), seed=st.integers(0, 2**32 - 1),
+)
+@_settings(max_examples=20, deadline=None)
+def test_wav_roundtrip_property(n, seed):
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.stages import decode_wav, encode_wav
+
+    x = np.random.default_rng(seed).uniform(-1, 1, n)
+    s, rate = decode_wav(encode_wav(x))
+    assert rate == 16000 and len(s) == n
+    assert np.abs(s - x).max() < 1.0 / 32000
