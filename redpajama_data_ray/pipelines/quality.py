@@ -59,6 +59,12 @@ class QualityConfig:
 
     batch_size: int = 256
     actor_batch_size: int = 64
+    # giant-row guard (SURVEY §4: Ray splits oversized BLOCKS, but one
+    # huge row still lands whole in an actor): when set, content longer
+    # than this is truncated before annotation and flagged in a
+    # content_truncated column. Off by default — truncation changes
+    # signal values for the affected rows.
+    max_content_chars: Optional[int] = None
     max_actors: Optional[int] = None  # None -> num_cpus - 2 (reference
     #   sizing: pipeline.py:334 uses cpu_count-2 worker processes)
     min_actors: Optional[int] = None  # None -> max_actors (fixed pool:
@@ -91,6 +97,25 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         # explicit re-split requested (callers reading pre-split files
         # should pass override_num_blocks at the read instead — no barrier)
         ds = ds.repartition(cfg.num_blocks)
+    if cfg.max_content_chars is not None:
+        cap = cfg.max_content_chars
+
+        def _truncate(t: "pa.Table") -> "pa.Table":
+            import pyarrow as pa
+            import pyarrow.compute as pc
+
+            content = t.column("content")
+            too_long = pc.greater(pc.utf8_length(content), cap)
+            clipped = pc.utf8_slice_codeunits(content, 0, cap)
+            out = pc.if_else(too_long, clipped, content)
+            idx = t.schema.get_field_index("content")
+            return t.set_column(idx, "content", out).append_column(
+                "content_truncated", pc.cast(too_long, pa.bool_())
+            )
+
+        ds = ds.map_batches(
+            _truncate, batch_format="pyarrow", batch_size=cfg.batch_size
+        )
     ds = ds.map_batches(
         assign_ids, batch_format="pyarrow", batch_size=cfg.batch_size
     )

@@ -171,3 +171,36 @@ def test_batchsize_invariance():
                 assert y is None or (isinstance(y, float) and y != y)
             else:
                 assert [bytes(i) for i in x] == [bytes(i) for i in y]
+
+
+def test_max_content_chars_guard():
+    """Giant-row guard: oversized content truncated + flagged before
+    annotation; normal rows untouched (SURVEY §4 cap/truncate policy)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+
+    t = pa.table(
+        {
+            "repo": ["r", "r"],
+            "path": ["big", "small"],
+            "commit": ["c", "c"],
+            "lang": ["python", "python"],
+            "content": ["x " * 50_000, "def f(): return 1"],
+        }
+    )
+    out = annotate(
+        rd.from_arrow(t),
+        QualityConfig(max_actors=1, max_content_chars=1000),
+    )
+    rows = {
+        r["path"]: r
+        for b in out.iter_batches(batch_format="pyarrow")
+        for r in b.to_pylist()
+    }
+    assert rows["big"]["content_truncated"] is True
+    assert len(rows["big"]["content"]) <= 1000
+    assert rows["big"]["rps_doc_word_count"] == 500.0
+    assert rows["small"]["content_truncated"] is False
+    assert rows["small"]["content"] == "def f(): return 1"
