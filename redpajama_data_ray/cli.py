@@ -137,6 +137,26 @@ def cmd_dedup_fuzzy(args) -> dict:
     from .dedupe.lsh import clusters_table, fuzzy_dedup
 
     ds = rd.read_parquet(args.input)
+    if args.state_dir:
+        from .state.incremental import (
+            commit_run_bands,
+            incremental_fuzzy_dedup,
+            seen_band_count,
+        )
+
+        out, run_id = incremental_fuzzy_dedup(
+            ds, args.state_dir, sig_column=args.signature,
+            run_id=args.run_id,
+        )
+        out = out.materialize()  # write data THEN commit state
+        out.write_parquet(args.output)
+        commit_run_bands(out, args.state_dir, run_id, args.signature)
+        return {
+            "rows": out.count(),
+            "output": args.output,
+            "run_id": run_id,
+            "state_bands": seen_band_count(args.state_dir),
+        }
     out, clusters = fuzzy_dedup(ds, args.signature)
     out.write_parquet(args.output)
     if isinstance(clusters, dict):
@@ -310,6 +330,12 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--output", required=True)
     df.add_argument("--signature", default="signature_sim0.8")
     df.add_argument("--clusters-output", default=None)
+    df.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode: also drop docs sharing an LSH band "
+        "with previously committed runs, then commit this run's bands",
+    )
+    df.add_argument("--run-id", default=None)
     df.add_argument(
         "--thresholds",
         nargs="*",

@@ -192,3 +192,202 @@ def commit_run_keys(
     pq.write_table(pa.table({"key": col}), tmp)
     os.replace(tmp, final)
     return final
+
+
+# ------------------------------------------------------------------
+# incremental FUZZY dedup: persistent minhash band state across runs
+# ------------------------------------------------------------------
+
+def _bands_dir(state_dir: str) -> str:
+    d = os.path.join(state_dir, "bands")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _band_files(state_dir: str):
+    d = _bands_dir(state_dir)
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+
+
+def seen_band_count(state_dir: str) -> int:
+    total = 0
+    for f in _band_files(state_dir):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def incremental_fuzzy_dedup(
+    ds: Dataset,
+    state_dir: str,
+    sig_column: str = "signature_sim0.8",
+    id_column: str = "id_int",
+    run_id: Optional[str] = None,
+    broadcast_limit: int = DEFAULT_STATE_BROADCAST_LIMIT,
+    num_partitions: Optional[int] = None,
+) -> Tuple[Dataset, str]:
+    """Cross-run NEAR-dup dedup: the fuzzy analog of
+    :func:`incremental_exact_dedup` (the reference runs LSH per batch
+    over all snapshots at once, run_lsh.py; this carries band state
+    forward instead so each new snapshot streams).
+
+    1. within-run ``fuzzy_dedup`` (size-adaptive driver/distributed);
+    2. drop surviving docs sharing ANY LSH band with a previously
+       committed run (an LSH hit at the configured threshold =
+       near-duplicate candidate; same FP/FN trade-off as the batch
+       LSH) — broadcast the band set when small, ``left_semi`` join
+       the exploded bands when large;
+    3. commit the survivors' band hashes via :func:`commit_run_bands`
+       AFTER writing data (atomic rename, idempotent per run_id)."""
+    from ..dedupe.lsh import explode_bands, fuzzy_dedup
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+
+    within, _ = fuzzy_dedup(
+        ds, sig_column, id_column=id_column, num_partitions=num_partitions
+    )
+    files = _band_files(state_dir)
+    if not files:
+        return within, run_id
+
+    within = within.materialize()
+    narrow = within.select_columns([id_column, sig_column])
+    if id_column != "id_int":
+        narrow = narrow.rename_columns({id_column: "id_int"})
+    exploded = narrow.map_batches(
+        explode_bands(sig_column), batch_format="pyarrow"
+    )
+
+    n_bands = seen_band_count(state_dir)
+    if n_bands <= broadcast_limit:
+        seen = frozenset(
+            x
+            for f in files
+            for x in pq.read_table(f, columns=["band_hash"])
+            .column("band_hash")
+            .to_pylist()
+        )
+        ref = ray.put(seen)
+
+        def hit_ids(t: pa.Table) -> pa.Table:
+            s = ray.get(ref)
+            mask = [h in s for h in t.column("band_hash").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_())).select(["id_int"])
+
+        hits = set(
+            x
+            for b in exploded.map_batches(hit_ids, batch_format="pyarrow")
+            .iter_batches(batch_size=65536, batch_format="pyarrow")
+            for x in b.column("id_int").to_pylist()
+        )
+        if not hits:
+            return within, run_id
+        hits_ref = ray.put(hits)
+
+        def drop_hits(t: pa.Table) -> pa.Table:
+            s = ray.get(hits_ref)
+            mask = [i not in s for i in t.column(id_column).to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+        return within.map_batches(drop_hits, batch_format="pyarrow"), run_id
+
+    # large band state: joins in the object store (signed bijection —
+    # Ray's hash shuffle pickles uint64 above int64-max)
+    import ray.data as rd
+
+    from ..dedupe.combine import auto_partitions, tune_shuffle_context
+    from ..dedupe.components import _to_signed
+    from ..dedupe.lsh import _pack_nested, _unpack_nested
+
+    tune_shuffle_context()
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def sign_bands(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "band_hash": _to_signed(t["band_hash"]),
+                "id_int": _to_signed(t["id_int"]),
+            }
+        )
+
+    def sign_state(t: pa.Table) -> pa.Table:
+        return pa.table({"band_hash": _to_signed(t["band_hash"])})
+
+    exploded_signed = exploded.map_batches(
+        sign_bands, batch_format="pyarrow"
+    )
+    state_ds = rd.read_parquet(files).map_batches(
+        sign_state, batch_format="pyarrow"
+    )
+    hit_pairs = exploded_signed.join(
+        state_ds,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("band_hash",),
+    )
+
+    def ids_only(t: pa.Table) -> pa.Table:
+        # back to unsigned so the anti join matches within's raw ids
+        from ..dedupe.components import _to_unsigned
+
+        return pa.table({id_column: _to_unsigned(t["id_int"])})
+
+    hit_ids_ds = (
+        hit_pairs.map_batches(ids_only, batch_format="pyarrow")
+        .repartition(num_partitions)
+    )
+    schema = within.schema().base_schema
+    nested = {
+        f.name: f.type
+        for f in schema
+        if pa.types.is_nested(f.type) and f.name != id_column
+    }
+    packed = within.map_batches(_pack_nested(nested), batch_format="pyarrow")
+    deduped = packed.join(
+        hit_ids_ds,
+        join_type="left_anti",
+        num_partitions=num_partitions,
+        on=(id_column,),
+    ).map_batches(_unpack_nested(nested), batch_format="pyarrow")
+    return deduped, run_id
+
+
+def commit_run_bands(
+    deduped: Dataset,
+    state_dir: str,
+    run_id: str,
+    sig_column: str = "signature_sim0.8",
+    id_column: str = "id_int",
+) -> str:
+    """Append the surviving docs' band hashes to the state (atomic)."""
+    from ..dedupe.lsh import explode_bands
+
+    d = _bands_dir(state_dir)
+    tmp = os.path.join(d, f".{run_id}.parquet.tmp")
+    final = os.path.join(d, f"{run_id}.parquet")
+    narrow = deduped.select_columns([id_column, sig_column])
+    if id_column != "id_int":
+        narrow = narrow.rename_columns({id_column: "id_int"})
+    exploded = narrow.map_batches(
+        explode_bands(sig_column), batch_format="pyarrow"
+    )
+    tables = [
+        b.select(["band_hash"])
+        for b in exploded.iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    ]
+    if tables:
+        col = pa.concat_tables(tables).column("band_hash")
+    else:
+        col = pa.array([], pa.uint64())
+    pq.write_table(pa.table({"band_hash": col}), tmp)
+    os.replace(tmp, final)
+    return final

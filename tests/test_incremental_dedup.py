@@ -141,3 +141,107 @@ def test_cli_incremental(tmp_path, capsys):
     ) == 0
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["rows"] == 1 and r2["state_keys"] == 4  # only "d" new
+
+
+# ---------------- incremental FUZZY dedup ----------------
+
+from redpajama_data_ray.state.incremental import (
+    commit_run_bands,
+    incremental_fuzzy_dedup,
+    seen_band_count,
+)
+
+
+def _sig_rows(clusters, prefix, start_id):
+    """Near-dup cluster signature rows (>=0.9 shingle Jaccard)."""
+    from redpajama_data_ray.functions.minhash import MinHasher
+
+    mh = MinHasher()
+    ids, sigs = [], []
+    nid = start_id
+    for c, size in clusters:
+        base = [f"{prefix}{c}tok{i}" for i in range(150)]
+        for m in range(size):
+            w = list(base)
+            if m:
+                w[70 + m] = f"{prefix}{c}sub{m}"
+            ids.append(nid)
+            sigs.append(mh.banded_signatures(w)["signature_sim0.8"])
+            nid += 1
+    return pa.table(
+        {
+            "id_int": pa.array(ids, pa.uint64()),
+            "signature_sim0.8": pa.array(
+                sigs, pa.list_(pa.binary())
+            ),
+        }
+    ), nid
+
+
+def test_incremental_fuzzy_two_runs(tmp_path):
+    state = str(tmp_path / "state")
+    # run 1: two clusters of 3 near-dups
+    t1, next_id = _sig_rows([("a", 3), ("b", 3)], "r1", 1)
+    d1, rid1 = incremental_fuzzy_dedup(
+        ray.data.from_arrow(t1), state, run_id="f1"
+    )
+    d1 = d1.materialize()
+    n1 = d1.count()
+    assert n1 < 6  # within-run near-dups collapsed
+    commit_run_bands(d1, state, rid1)
+    assert seen_band_count(state) > 0
+
+    # run 2: a NEAR-DUP of run-1 cluster "a" + a brand new cluster
+    from redpajama_data_ray.functions.minhash import MinHasher
+
+    mh = MinHasher()
+    base_a = [f"r1atok{i}" for i in range(150)]
+    near_a = list(base_a)
+    near_a[100] = "changed"
+    t2 = pa.table(
+        {
+            "id_int": pa.array([100, 101], pa.uint64()),
+            "signature_sim0.8": pa.array(
+                [
+                    mh.banded_signatures(near_a)["signature_sim0.8"],
+                    mh.banded_signatures(
+                        [f"fresh{i}" for i in range(150)]
+                    )["signature_sim0.8"],
+                ],
+                pa.list_(pa.binary()),
+            ),
+        }
+    )
+    d2, rid2 = incremental_fuzzy_dedup(
+        ray.data.from_arrow(t2), state, run_id="f2"
+    )
+    d2 = d2.materialize()
+    ids2 = sorted(
+        x
+        for b in d2.iter_batches(batch_format="pyarrow")
+        for x in b.column("id_int").to_pylist()
+    )
+    # near-dup of run-1 content dropped; fresh doc kept
+    assert 101 in ids2 and 100 not in ids2
+    commit_run_bands(d2, state, rid2)
+
+
+def test_incremental_fuzzy_join_path(tmp_path):
+    state = str(tmp_path / "state")
+    t1, next_id = _sig_rows([("x", 2)], "j", 1)
+    d1, rid = incremental_fuzzy_dedup(
+        ray.data.from_arrow(t1), state, run_id="a"
+    )
+    commit_run_bands(d1.materialize(), state, rid)
+    # force the join path with a tiny broadcast limit
+    t2, _ = _sig_rows([("x", 1), ("new", 1)], "j", 50)
+    d2, _ = incremental_fuzzy_dedup(
+        ray.data.from_arrow(t2), state, run_id="b", broadcast_limit=1
+    )
+    ids = sorted(
+        x
+        for b in d2.iter_batches(batch_format="pyarrow")
+        for x in b.column("id_int").to_pylist()
+    )
+    # the jx-cluster doc (id 50) matches committed bands; jnew (51) kept
+    assert ids == [51]
