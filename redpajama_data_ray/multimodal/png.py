@@ -4,7 +4,8 @@ PNG's container is chunks; its compression is zlib DEFLATE (in the
 stdlib) and its per-scanline filters are simple byte predictors — so
 8-bit non-interlaced PNGs decode exactly with no imaging library.
 Supports color types 0 (gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA) at
-bit depth 8; palette and interlaced images raise NotImplementedError.
+bit depth 8, both non-interlaced and Adam7-interlaced; palette and
+16-bit images raise NotImplementedError.
 
 Spec: https://www.w3.org/TR/png-3/ (public W3C standard).
 """
@@ -121,11 +122,14 @@ def decode_png(payload: bytes) -> "np.ndarray":
         raise NotImplementedError(f"bit depth {depth} (8 only)")
     if color_type == 3:
         raise NotImplementedError("palette PNGs not supported")
-    if interlace:
-        raise NotImplementedError("interlaced (Adam7) PNGs not supported")
     c = _CHANNELS[color_type]
     raw = zlib.decompress(bytes(idat))
-    px = _unfilter(raw, h, w, c)
+    if interlace == 1:
+        px = _deinterlace_adam7(raw, h, w, c)
+    elif interlace:
+        raise ValueError(f"unknown interlace method {interlace}")
+    else:
+        px = _unfilter(raw, h, w, c)
     if color_type == 0:
         return np.repeat(px, 3, axis=2)
     if color_type == 2:
@@ -133,3 +137,27 @@ def decode_png(payload: bytes) -> "np.ndarray":
     if color_type == 4:
         return np.repeat(px[:, :, :1], 3, axis=2)
     return px[:, :, :3]  # RGBA -> RGB
+
+
+# Adam7 pass geometry (spec 8.2): (x_start, y_start, x_step, y_step)
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _deinterlace_adam7(raw: bytes, h: int, w: int, c: int) -> "np.ndarray":
+    """Reassemble the seven Adam7 sub-images (each its own filtered
+    scanline sequence) into the full image."""
+    out = np.zeros((h, w, c), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        sub_len = ph * (1 + pw * c)
+        sub = _unfilter(raw[pos : pos + sub_len], ph, pw, c)
+        pos += sub_len
+        out[y0::dy, x0::dx] = sub
+    return out

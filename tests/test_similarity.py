@@ -257,6 +257,37 @@ class TestRealImageDecode:
         with _pytest.raises(NotImplementedError, match="palette"):
             decode_png(pal)
 
+    def test_adam7_interlaced_decode(self):
+        """Adam7 deinterlace vs spec-derived forward interlacing."""
+        import struct
+        import zlib
+
+        import numpy as np
+
+        from redpajama_data_ray.multimodal.png import (
+            _ADAM7, _SIG, _chunk, decode_png,
+        )
+
+        rng = np.random.default_rng(5)
+        for (h, w) in [(9, 7), (16, 16), (1, 1), (3, 10), (8, 1)]:
+            px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+            raw = bytearray()
+            for x0, y0, dx, dy in _ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                sub = px[y0::dy, x0::dx]
+                for y in range(ph):
+                    raw += b"\x00" + sub[y].tobytes()
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+            payload = (
+                _SIG + _chunk(b"IHDR", ihdr)
+                + _chunk(b"IDAT", zlib.compress(bytes(raw)))
+                + _chunk(b"IEND", b"")
+            )
+            assert np.array_equal(decode_png(payload), px)
+
 
 class TestRealAudioDecode:
     def test_wav_roundtrip_and_rms_frames(self):
