@@ -282,6 +282,25 @@ def q_exact_dedup_docs(sf_dir: str) -> Dataset:
     return out.select_columns(["doc_id", "fp"])
 
 
+def q_truncation_guard_docs(sf_dir: str) -> Dataset:
+    """The giant-row guard's transform (QualityConfig.max_content_chars)
+    over the documents table, SQL-checked: per-doc truncated flag +
+    bounded prefix (pyarrow utf8_slice == DuckDB substr, verified)."""
+    cap = 300
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def f(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "truncated": pc.greater(pc.utf8_length(t["text"]), cap),
+                "prefix": pc.utf8_slice_codeunits(t["text"], 0, cap),
+            }
+        )
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def q_incremental_dedup_docs(sf_dir: str) -> "pa.Table":
     """Cross-run incremental dedup (reference bloomfilter.py role),
     SQL-oracled: even doc_ids are "run 1", odd doc_ids are "run 2";
@@ -1073,6 +1092,11 @@ ORACLE_SQL: Dict[str, str] = {
     # write_fuzzy_dedup_oracle — plain-% modulo, set-deduped shingles,
     # raw-band-bytes grouping, pure-python union-find) when the paired
     # query runs; DuckDB then mediates the three-way compare.
+    "truncation_guard_docs": """
+        select doc_id, length(text) > 300 as truncated,
+               substr(text, 1, 300) as prefix
+        from documents
+    """,
     "incremental_dedup_docs": """
         with h1 as (
             select md5(text) as fp from documents where doc_id % 2 = 0
@@ -1295,6 +1319,7 @@ QUERIES = {
     "token_totals_by_source": q_token_totals_by_source,
     "exact_dedup_docs": q_exact_dedup_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
+    "truncation_guard_docs": q_truncation_guard_docs,
     "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "top_docs_by_chars": q_top_docs_by_chars,
