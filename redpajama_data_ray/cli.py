@@ -63,7 +63,6 @@ def _read_input(path: str, max_docs: Optional[int], shuffle_files: bool):
 def cmd_quality(args) -> dict:
     from .pipelines.outputs import write_outputs
     from .pipelines.quality import QualityConfig, annotate
-    from .state.manifest import Manifest
 
     ds = _read_input(args.input, args.max_docs, args.shuffle_files)
     annotated = annotate(ds, QualityConfig())

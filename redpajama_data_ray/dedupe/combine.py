@@ -20,8 +20,6 @@ the tree root would not fit; the shuffle is then the correct cost).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import pyarrow as pa
 from ray.data import Dataset
 from ray.data.aggregate import Min, Sum

@@ -24,13 +24,12 @@ Ray-native rewrite of the reference's LSH job
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Set, Tuple
+from typing import Dict, List, Set
 
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
-from ray.data.aggregate import Sum
 
 
 def _band_hash(band_idx: int, band_bytes: bytes) -> int:

@@ -17,7 +17,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from ..functions.fingerprint import hamming64, simhash64
+from ..functions.fingerprint import simhash64
 from ..text import normalize
 
 N_BANDS = 4

@@ -20,10 +20,10 @@ from __future__ import annotations
 import math
 import re
 from collections import Counter
-from typing import Dict, List, Optional, Sequence, Set, Tuple
+from typing import Dict, List, Optional, Set, Tuple
 
 from ..config import PRECISION
-from ..text import TextSlice, normalize, split_lines, wordpunct_tokenize
+from ..text import TextSlice, split_lines, wordpunct_tokenize
 from ..text.normalization import _PUNCT_TABLE as _PUNCT_TABLE_
 from .wordlists import get_bad_words, get_stop_words
 

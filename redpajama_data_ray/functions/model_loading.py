@@ -99,8 +99,6 @@ class _KenLMScorer:
         self.middle_threshold = middle_threshold
 
     def perplexity(self, text: str, max_chars: int = 4096) -> float:
-        import math
-
         text = text[:max_chars]
         if not text:
             return float("nan")

@@ -373,8 +373,6 @@ def q_ivf_knn(sf_dir: str) -> "pa.Table":
     cents = train_centroids(emb, dim=64, n_centroids=16, seed=42)
     indexed = assign_ivf_buckets(emb, cents)
     out = ivf_knn(indexed, cents, qvec, k=10, n_probe=4, exclude_ids=[0])
-    import pandas as pd
-
     df = out.to_pandas()[["vec_id", "score"]]
     df["score"] = df["score"].round(6)
     return pa.Table.from_pandas(df, preserve_index=False)

@@ -28,7 +28,6 @@ import os
 from typing import Optional, Tuple
 
 import pyarrow as pa
-import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import ray
 from ray.data import Dataset
