@@ -161,7 +161,23 @@ def cmd_dedup_fuzzy(args) -> dict:
     if isinstance(clusters, dict):
         n_clusters = len(set(clusters.values()))
     else:  # distributed path returns the labels Dataset
-        n_clusters = len(clusters.unique("cluster_id"))
+        import pyarrow as pa
+
+        from .dedupe.components import _to_signed
+
+        # distinct-count without driver state (signed bijection: Ray's
+        # hash shuffle pickles uint64 keys above int64-max)
+        n_clusters = (
+            clusters.map_batches(
+                lambda t: pa.table(
+                    {"cluster_id": _to_signed(t["cluster_id"])}
+                ),
+                batch_format="pyarrow",
+            )
+            .groupby("cluster_id")
+            .count()
+            .count()
+        )
     result = {
         "rows": out.count(),
         "clusters": n_clusters,
@@ -169,10 +185,16 @@ def cmd_dedup_fuzzy(args) -> dict:
     }
     if args.clusters_output:
         os.makedirs(args.clusters_output, exist_ok=True)
-        pq.write_table(
-            clusters_table(clusters),
-            os.path.join(args.clusters_output, "clusters.parquet"),
-        )
+        if isinstance(clusters, dict):
+            pq.write_table(
+                clusters_table(clusters),
+                os.path.join(args.clusters_output, "clusters.parquet"),
+            )
+        else:
+            # distributed-path labels: stream straight to parquet — at
+            # the scale that picked this path, collecting the label set
+            # to the driver (clusters_table) defeats its purpose
+            clusters.write_parquet(args.clusters_output)
         result["clusters_output"] = args.clusters_output
         if getattr(args, "thresholds", None):
             from .dedupe.lsh import write_cluster_outputs

@@ -1,0 +1,200 @@
+"""Size-adaptive delivery of membership filters to the full corpus.
+
+Every dedup variant ends the same way: a (possibly huge) set of keys or
+ids must be subtracted from — or intersected with — the full dataset.
+This module centralizes the two scale regimes:
+
+- **broadcast mask** (set fits one object-store object): the values are
+  sorted ONCE driver-side, ``ray.put`` once, and each batch is masked
+  with a vectorized ``np.searchsorted`` membership probe — no per-row
+  Python, no per-batch hash-table rebuild (``pc.is_in`` re-hashes the
+  value set on every kernel invocation, which at 10^6 values × 10^4
+  batches dominates; binary search against a shared sorted array is
+  O(batch × log n) with zero per-batch setup).
+- **anti/semi join** (set too large to broadcast): a Dataset join. Ray
+  2.49's per-partition join kernel (Acero) rejects nested *payload*
+  columns ("list<binary> is not supported in join non-key field"), so
+  :func:`nested_types` + :func:`pack_nested` / :func:`unpack_nested`
+  round-trip nested columns through pickled binary around the join.
+  Callers should prefer joining a NARROW projection and delivering the
+  result via the broadcast mask; packing is the fallback when the
+  surviving/dropped id set itself is too large to broadcast.
+
+String/binary keys are probed as fixed-width ``S``-dtype arrays
+(memcmp-based searchsorted); values longer than the widest member are
+rejected by a vectorized length guard before the truncating cast, and
+nulls never match (the legacy per-row ``in set`` semantics).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+# one sorted uint64 array above this many entries stops being a
+# reasonable broadcast object (~8 B/entry -> ~400 MB) — callers switch
+# to the join fallback
+DEFAULT_MASK_BROADCAST_LIMIT = 50_000_000
+
+
+# ------------------------------------------------------------------
+# broadcast membership masks
+# ------------------------------------------------------------------
+
+def as_key_array(values: "Iterable | np.ndarray") -> np.ndarray:
+    """Normalize a driver-side value collection (set / list / numpy /
+    pyarrow) to the numpy dtype the probe understands: unsigned ints to
+    uint64, strings/bytes to fixed-width ``S``."""
+    if isinstance(values, (pa.Array, pa.ChunkedArray)):
+        values = values.to_pylist()
+    if isinstance(values, np.ndarray):
+        arr = values
+    else:
+        vals = list(values)
+        if not vals:
+            return np.empty(0, np.uint64)
+        probe = vals[0]
+        if isinstance(probe, (str, bytes)):
+            arr = np.asarray(
+                [v.encode() if isinstance(v, str) else v for v in vals],
+                dtype=np.bytes_,
+            )
+        else:
+            arr = np.asarray(vals, np.uint64)
+    if arr.dtype.kind in "iu":
+        arr = arr.astype(np.uint64, copy=False)
+    elif arr.dtype.kind == "U":
+        arr = arr.astype(np.bytes_)
+    elif arr.dtype.kind != "S":
+        raise TypeError(f"unsupported membership dtype {arr.dtype}")
+    return arr
+
+
+def broadcast_sorted(values) -> "ray.ObjectRef":
+    """Sort once, put once. Workers binary-search the shared array."""
+    return ray.put(np.sort(as_key_array(values)))
+
+
+def _column_probe(col: "pa.ChunkedArray", sorted_vals: np.ndarray):
+    """(probe_array, valid_mask) for one batch column, matching the
+    sorted member array's dtype."""
+    if sorted_vals.dtype.kind == "S":
+        width = sorted_vals.dtype.itemsize
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        lst = col.to_pylist()
+        probe = np.asarray(
+            ["" if v is None else v for v in lst], dtype=f"S{width}"
+        )
+        # values longer than the widest member cannot be members; the
+        # truncating cast above would otherwise alias them onto one
+        lengths = pc.binary_length(col).to_numpy(zero_copy_only=False)
+        valid = valid & (np.nan_to_num(lengths, nan=0) <= width)
+        return probe, valid
+    valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+    # fill nulls in Arrow first: to_numpy on a nullable int column
+    # degrades to float64, which corrupts ids above 2^53
+    arr = pc.fill_null(col, 0).to_numpy(zero_copy_only=False)
+    probe = arr.astype(np.uint64, copy=False)
+    return probe, valid
+
+
+def membership_mask(
+    col: "pa.ChunkedArray", sorted_vals: np.ndarray
+) -> np.ndarray:
+    """Vectorized ``value in sorted_vals`` per element (nulls False)."""
+    n = len(sorted_vals)
+    if n == 0:
+        return np.zeros(len(col), bool)
+    probe, valid = _column_probe(col, sorted_vals)
+    idx = np.searchsorted(sorted_vals, probe)
+    idx_c = np.minimum(idx, n - 1)
+    return (sorted_vals[idx_c] == probe) & (idx < n) & valid
+
+
+def filter_members(
+    ds: Dataset, column: str, values, keep_members: bool
+) -> Dataset:
+    """Keep (or drop) the rows whose ``column`` value is in ``values``
+    — the broadcast semi/anti-join. ``values`` may be a set/list/numpy
+    array (sorted+put here) or an existing ``broadcast_sorted`` ref."""
+    ref = (
+        values
+        if isinstance(values, ray.ObjectRef)
+        else broadcast_sorted(values)
+    )
+
+    def _filter(t: pa.Table) -> pa.Table:
+        sv = ray.get(ref)
+        mask = membership_mask(t.column(column), sv)
+        if not keep_members:
+            mask = ~mask
+        return t.filter(pa.array(mask))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def collect_column(ds: Dataset, column: str) -> np.ndarray:
+    """Collect one narrow column to a driver numpy array (callers
+    gate on a measured count first)."""
+    chunks = [
+        b.column(column)
+        for b in ds.select_columns([column]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    ]
+    if not chunks:
+        return np.empty(0, np.uint64)
+    return as_key_array(pa.chunked_array(chunks).combine_chunks())
+
+
+# ------------------------------------------------------------------
+# nested-column round-trip for the join fallback
+# ------------------------------------------------------------------
+
+def nested_types(
+    schema: pa.Schema, exclude: "Iterable[str]" = ()
+) -> Dict[str, pa.DataType]:
+    """Nested (list/struct/map) columns that Acero cannot carry as join
+    payload, minus the join key columns."""
+    ex = set(exclude)
+    return {
+        f.name: f.type
+        for f in schema
+        if pa.types.is_nested(f.type) and f.name not in ex
+    }
+
+
+def pack_nested(nested: Dict[str, "pa.DataType"]):
+    import pickle
+
+    def pack(t: pa.Table) -> pa.Table:
+        if not nested:
+            return t
+        for name in nested:
+            idx = t.schema.get_field_index(name)
+            col = pa.array(
+                [pickle.dumps(v) for v in t.column(name).to_pylist()],
+                pa.binary(),
+            )
+            t = t.set_column(idx, name, col)
+        return t
+
+    return pack
+
+
+def unpack_nested(nested: Dict[str, "pa.DataType"]):
+    import pickle
+
+    def unpack(t: pa.Table) -> pa.Table:
+        for name, typ in nested.items():
+            idx = t.schema.get_field_index(name)
+            vals = [pickle.loads(v) for v in t.column(name).to_pylist()]
+            t = t.set_column(idx, name, pa.array(vals, typ))
+        return t
+
+    return unpack

@@ -191,9 +191,10 @@ def lsh_clusters_distributed(
     contract, returned as a dict for interchangeability; callers at
     true scale should consume :func:`propagate_min_labels`'s Dataset
     directly instead of collecting)."""
-    from .lsh import _dup_band_hashes, explode_bands
-
     import ray
+
+    from .apply import broadcast_sorted, membership_mask
+    from .lsh import _dup_band_hashes, explode_bands
 
     exploded = ds.select_columns(["id_int", sig_column]).map_batches(
         explode_bands(sig_column), batch_format="pyarrow"
@@ -201,12 +202,12 @@ def lsh_clusters_distributed(
     dup_bands = _dup_band_hashes(exploded)
     if not dup_bands:
         return {}
-    ref = ray.put(dup_bands)
+    ref = broadcast_sorted(dup_bands)
 
     def dup_members(t: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        mask = [h in d for h in t.column("band_hash").to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        sv = ray.get(ref)
+        mask = membership_mask(t.column("band_hash"), sv)
+        return t.filter(pa.array(mask))
 
     dup_pairs = exploded.map_batches(dup_members, batch_format="pyarrow")
     labels = propagate_min_labels(dup_pairs, num_partitions)

@@ -27,7 +27,7 @@ when dups are known-rare); ``True`` forces the join path.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Optional, Tuple
 
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -59,44 +59,49 @@ def dup_key_stats(
     return stats.map_batches(only_dups, batch_format="pyarrow")
 
 
-def _collect_winners(dup: Dataset, key: str) -> Dict[object, object]:
-    winners: Dict[object, object] = {}
-    for batch in dup.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for k, m in zip(
-            batch.column(key).to_pylist(),
-            batch.column("min_order").to_pylist(),
-        ):
-            winners[k] = m
-    return winners
-
-
-def _dup_winners(
-    ds: Dataset, key: str, order_col: str, distributed: bool = False
-) -> Dict[object, object]:
-    """{key: winning order value} for every key appearing >1 time."""
-    return _collect_winners(
-        dup_key_stats(ds, key, order_col, use_groupby=distributed), key
+def _collect_winners(
+    dup: Dataset, key: str
+) -> "Tuple[pa.Array, pa.Array]":
+    """(keys, min_orders) as flat Arrow arrays — the broadcast object
+    for the vectorized index_in/take winner mask (no driver dict, no
+    per-row Python in the filter)."""
+    batches = list(
+        dup.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    if not batches:
+        return pa.array([], pa.string()), pa.array([], pa.int64())
+    t = pa.concat_tables(batches).combine_chunks()
+    return (
+        t.column(key).combine_chunks(),
+        t.column("min_order").combine_chunks(),
     )
 
 
 def _broadcast_filter(
     ds: Dataset,
-    winners: Dict[object, object],
+    winners: "Tuple[pa.Array, pa.Array]",
     key: str,
     order_col: str,
     keep_winners: bool,
 ) -> Dataset:
+    """Vectorized semi-join against the broadcast winner table: one
+    ``index_in`` probe + ``take`` per batch (nulls -> not duplicated)."""
     ref = ray.put(winners)
 
     def fn(t: pa.Table) -> pa.Table:
-        w = ray.get(ref)
-        keys = t.column(key).to_pylist()
-        orders = t.column(order_col).to_pylist()
+        w_keys, w_orders = ray.get(ref)
+        pos = pc.index_in(t.column(key), value_set=w_keys)
+        taken = pc.take(w_orders, pos)
         if keep_winners:
-            mask = [k not in w or w[k] == o for k, o in zip(keys, orders)]
+            mask = pc.or_kleene(
+                pc.is_null(pos), pc.equal(taken, t.column(order_col))
+            )
         else:
-            mask = [k in w and w[k] != o for k, o in zip(keys, orders)]
-        return t.filter(pa.array(mask, pa.bool_()))
+            mask = pc.and_kleene(
+                pc.is_valid(pos),
+                pc.not_equal(taken, t.column(order_col)),
+            )
+        return t.filter(pc.fill_null(mask, False))
 
     return ds.map_batches(fn, batch_format="pyarrow")
 
@@ -111,12 +116,24 @@ def _join_filter(
 ) -> Dataset:
     """Dataset-side filter against the dup table — zero driver state."""
 
+    from .apply import nested_types, pack_nested, unpack_nested
+
     def proj(t: pa.Table) -> pa.Table:
         return pa.table(
             {key: t.column(key), _MIN_ORDER_COL: t.column("min_order")}
         )
 
-    dup_small = dup.map_batches(proj, batch_format="pyarrow")
+    # repartition: Ray 2.49's hash-shuffle join rejects inputs whose
+    # empty partitions lost their schema
+    dup_small = dup.map_batches(proj, batch_format="pyarrow").repartition(
+        max(2, min(num_partitions, 8))
+    )
+    # Acero rejects nested payload columns in joins — round-trip them
+    # through packed binary (rare fallback path; the broadcast mask
+    # handles every corpus whose dup table fits one object)
+    nested = nested_types(ds.schema().base_schema, exclude=(key, order_col))
+    if nested:
+        ds = ds.map_batches(pack_nested(nested), batch_format="pyarrow")
     if keep_winners:
         joined = ds.join(
             dup_small,
@@ -134,7 +151,12 @@ def _join_filter(
             )
             return t.filter(mask).drop_columns([_MIN_ORDER_COL])
 
-        return joined.map_batches(keep, batch_format="pyarrow")
+        out = joined.map_batches(keep, batch_format="pyarrow")
+        if nested:
+            out = out.map_batches(
+                unpack_nested(nested), batch_format="pyarrow"
+            )
+        return out
 
     joined = ds.join(
         dup_small,
@@ -147,7 +169,10 @@ def _join_filter(
         mask = pc.not_equal(t.column(_MIN_ORDER_COL), t.column(order_col))
         return t.filter(mask).drop_columns([_MIN_ORDER_COL])
 
-    return joined.map_batches(dups, batch_format="pyarrow")
+    out = joined.map_batches(dups, batch_format="pyarrow")
+    if nested:
+        out = out.map_batches(unpack_nested(nested), batch_format="pyarrow")
+    return out
 
 
 def _dedup_impl(
@@ -167,17 +192,22 @@ def _dedup_impl(
 
     tune_shuffle_context()
     if distributed is False:
-        # legacy small-input path: tree-combined stats, driver dict
-        winners = _dup_winners(ds, key, order_col, distributed=False)
-        if keep_winners and not winners:
-            return ds
+        # legacy small-input path: tree-combined stats, broadcast mask
+        winners = _collect_winners(
+            dup_key_stats(ds, key, order_col, use_groupby=False), key
+        )
+        if len(winners[0]) == 0:
+            return ds if keep_winners else ds.limit(0)
         return _broadcast_filter(ds, winners, key, order_col, keep_winners)
 
     dup = dup_key_stats(ds, key, order_col, use_groupby=None).materialize()
     n_dup = dup.count()
+    if n_dup == 0:
+        # nothing duplicated — applies to the FORCED join path too (an
+        # empty materialized dup table loses its schema and crashes the
+        # join with "No match for key field" otherwise)
+        return ds if keep_winners else ds.limit(0)
     if distributed is None and n_dup <= broadcast_limit:
-        if keep_winners and n_dup == 0:
-            return ds
         winners = _collect_winners(dup, key)
         return _broadcast_filter(ds, winners, key, order_col, keep_winners)
     return _join_filter(

@@ -10,26 +10,45 @@ Ray-native rewrite of the reference's LSH job
 2. find *duplicated* band hashes with a vectorized partial-count
    aggregate (per-batch pyarrow group_by, then a tiny Ray groupby-Sum —
    the combiner pattern; no per-group Python);
-3. broadcast the dup-band set, filter the exploded rows down to members
-   of duplicated bands (rare by construction), and build edges
-   driver-side — matching the reference's design point that edges are
-   orders of magnitude smaller than docs (run_lsh.py:295-322 holds the
-   whole graph on one node; we hold only the duplicated bands);
-4. connected components via union-find; cluster id = min(id_int)
+3. cluster the duplicated-band members: driver union-find below
+   ``driver_limit`` members (the reference's design point —
+   run_lsh.py:295-322 holds the whole edge graph on one node), else
+   distributed min-label propagation (``components.py`` — all shuffles,
+   no driver state);
+4. cluster id = min(id_int) of the connected component
    (run_lsh.py:324-338);
-5. duplicates (non-representatives) are broadcast via ``ray.put`` and
-   dropped inside ``map_batches`` — a semi-join without a shuffle.
+5. duplicates (non-representatives) are subtracted from the corpus with
+   a vectorized broadcast membership mask (``apply.py`` — sorted-array
+   searchsorted, no per-row Python) when the drop set fits one
+   object-store object, else a ``left_anti`` join with nested columns
+   packed around it (Acero limitation).
 """
 
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, List, Set
+from typing import Dict, List, Set, Tuple, Union
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 from ray.data import Dataset
+
+from .apply import (
+    DEFAULT_MASK_BROADCAST_LIMIT,
+    broadcast_sorted,
+    collect_column,
+    filter_members,
+    membership_mask,
+    nested_types,
+    pack_nested,
+    unpack_nested,
+)
+
+# compat aliases (state/incremental.py and older callers import these)
+_pack_nested = pack_nested
+_unpack_nested = unpack_nested
 
 
 def _band_hash(band_idx: int, band_bytes: bytes) -> int:
@@ -104,111 +123,34 @@ class _UnionFind:
             self.parent[ra] = rb
 
 
-def lsh_clusters(
-    ds: Dataset,
-    sig_column: str = "signature_sim0.8",
-) -> Dict[int, int]:
-    """id_int -> cluster_id (min id_int of the connected component) for
-    every doc that belongs to a multi-doc cluster."""
-    exploded = ds.select_columns(["id_int", sig_column]).map_batches(
-        explode_bands(sig_column), batch_format="pyarrow"
-    )
-    # two consumers (count-agg, member-filter); the exploded table is 16
-    # fixed bytes per (doc, band) — pin it instead of recomputing the
-    # explode. At 100 TB this is ~1% of corpus size and spills if needed.
-    exploded = exploded.materialize()
-    dup_bands = _dup_band_hashes(exploded)
-    uf = _UnionFind()
-    if dup_bands:
-        ref = ray.put(dup_bands)
-
-        def members(t: pa.Table) -> pa.Table:
-            d = ray.get(ref)
-            mask = [h in d for h in t.column("band_hash").to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
-
-        # duplicated-band members are rare; stream them to the driver
-        groups: Dict[int, int] = {}
-        for batch in exploded.map_batches(
-            members, batch_format="pyarrow"
-        ).iter_batches(batch_size=65536, batch_format="pyarrow"):
-            for h, i in zip(
-                batch.column("band_hash").to_pylist(),
-                batch.column("id_int").to_pylist(),
-            ):
-                first = groups.get(h)
-                if first is None:
-                    groups[h] = i
-                else:
-                    uf.union(first, i)
-    clusters: Dict[int, int] = {}
-    for node in list(uf.parent):
-        clusters[node] = uf.find(node)
-    for node, root in list(clusters.items()):
-        clusters.setdefault(root, root)
-    return clusters
-
-
-def clusters_table(clusters: "Dict[int, int] | Dataset") -> pa.Table:
-    """(id_int, cluster_id) Arrow table — the reference's cluster output
-    artifact (run_lsh.py:340-372 writes (id, id_int, cluster_id,
-    shard_id) parquet per shard; join back on id_int for the rest).
-    Accepts either the driver-path dict or the distributed-path labels
-    Dataset (collected — for large label sets write the Dataset with
-    ``write_parquet`` instead)."""
-    if isinstance(clusters, Dataset):
-        clusters = {
-            r["id_int"]: r["cluster_id"]
-            for b in clusters.iter_batches(
-                batch_size=65536, batch_format="pyarrow"
-            )
-            for r in b.to_pylist()
-        }
-    items = sorted(clusters.items())
-    return pa.table(
-        {
-            "id_int": pa.array([i for i, _ in items], pa.uint64()),
-            "cluster_id": pa.array([c for _, c in items], pa.uint64()),
-        }
-    )
-
-
 # above this many duplicated-band member rows, streaming them through
 # the driver union-find stops scaling — switch to distributed min-label
 # propagation (all-shuffle, no driver state)
 DEFAULT_DRIVER_LIMIT = 5_000_000
 
 
-def fuzzy_dedup(
+def cluster_labels(
     ds: Dataset,
     sig_column: str = "signature_sim0.8",
     id_column: str = "id_int",
     distributed: "bool | None" = None,
     driver_limit: int = DEFAULT_DRIVER_LIMIT,
     num_partitions: "int | None" = None,
-) -> "Tuple[Dataset, Dict[int, int] | Dataset]":
-    """Drop every row whose cluster representative is another row.
+) -> "Union[Dict[int, int], Dataset]":
+    """id_int -> cluster_id (min id_int of the connected component) for
+    every doc in a multi-doc cluster.
 
-    Returns ``(deduped dataset, clusters)``. The execution path is
-    chosen by the MEASURED duplicated-band member count:
-
-    - **driver** (members <= ``driver_limit``, the reference's design
-      point — run_lsh.py:295-322 holds the whole edge graph on one
-      node): stream duplicated-band members to the driver, union-find,
-      broadcast the duplicate id set, filter inside ``map_batches``
-      (a semi-join without a shuffle). ``clusters`` is a dict
-      ``id_int -> cluster_id``.
-    - **distributed** (dup-heavy corpora): duplicated-band pairs are
-      ``left_semi``-joined in the object store, clustered by
-      ``components.propagate_min_labels`` (iterative min-label
-      propagation — all shuffles, no driver state), and duplicates are
-      removed with a ``left_anti`` join. ``clusters`` is the labels
-      Dataset ``(id_int, cluster_id)``.
-
-    ``distributed=None`` auto-switches on the measured count; ``False``
-    / ``True`` force a path. Both produce identical surviving rows
-    (tested on dup-heavy fixtures)."""
-    from .combine import auto_partitions, key_stats
+    Path is chosen by the MEASURED duplicated-band member count:
+    driver union-find (dict result) below ``driver_limit``, else
+    distributed min-label propagation (``(id_int, cluster_id)`` Dataset
+    result — no driver state). ``distributed`` forces a path."""
+    from .combine import (
+        TREE_STATS_LIMIT,
+        auto_partitions,
+        key_stats,
+        tune_shuffle_context,
+    )
+    from .components import _to_signed, _to_unsigned
 
     if num_partitions is None:
         num_partitions = auto_partitions()
@@ -224,15 +166,12 @@ def fuzzy_dedup(
     # explode. At 100 TB this is ~1% of corpus size and spills if needed.
     exploded = exploded.materialize()
 
+    tune_shuffle_context()
+
     # Ray's hash-shuffle groupby/join pickle uint64 values above
     # int64-max into python-object extension columns (which then cannot
     # join against uint64); run the wide ops on the order-preserving
     # signed bijection and map back at the boundaries.
-    from .combine import TREE_STATS_LIMIT, tune_shuffle_context
-    from .components import _to_signed, _to_unsigned
-
-    tune_shuffle_context()
-
     def sign_pairs(t: pa.Table) -> pa.Table:
         return pa.table(
             {
@@ -251,48 +190,38 @@ def fuzzy_dedup(
     # aggregate at 10^6-row scale but its root must hold every distinct
     # band hash in one task — above TREE_STATS_LIMIT exploded rows,
     # switch to the hash-shuffle groupby (the correct all-to-all cost).
-    if exploded.count() <= TREE_STATS_LIMIT:
-        stats = key_stats(
-            exploded_signed, "band_hash", "id_int", distributed=False
-        )
-    else:
-        stats = key_stats(
-            exploded_signed, "band_hash", "id_int", distributed=True
-        )
+    stats = key_stats(
+        exploded_signed,
+        "band_hash",
+        "id_int",
+        distributed=exploded.count() > TREE_STATS_LIMIT,
+    )
     dup = stats.map_batches(
         lambda t: t.filter(pc.greater(t["cnt"], 1)),
         batch_format="pyarrow",
     ).materialize()
     n_dup_bands = dup.count()
     if n_dup_bands == 0:
-        return ds, {}
+        return {}
     members = int(dup.sum("cnt"))
 
     use_driver = distributed is False or (
         distributed is None and members <= driver_limit
     )
     if use_driver:
-        dup_bands: Set[int] = set()
-        for batch in dup.iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        ):
-            dup_bands.update(
-                _to_unsigned(batch.column("band_hash")).to_pylist()
-            )
-        clusters = _clusters_from_members(exploded, dup_bands)
-        dupes: Set[int] = {i for i, c in clusters.items() if i != c}
-        if not dupes:
-            return ds, clusters
-        dupes_ref = ray.put(dupes)
-
-        def _filter(batch: pa.Table) -> pa.Table:
-            dset = ray.get(dupes_ref)
-            mask = [
-                i not in dset for i in batch.column(id_column).to_pylist()
-            ]
-            return batch.filter(pa.array(mask, pa.bool_()))
-
-        return ds.map_batches(_filter, batch_format="pyarrow"), clusters
+        dup_bands = np.sort(
+            _to_unsigned(
+                pa.chunked_array(
+                    [
+                        b.column("band_hash")
+                        for b in dup.iter_batches(
+                            batch_size=65536, batch_format="pyarrow"
+                        )
+                    ]
+                ).combine_chunks()
+            ).to_numpy(zero_copy_only=False)
+        )
+        return _clusters_from_members(exploded, dup_bands)
 
     # ---- distributed path: no driver state ----
     from .components import propagate_min_labels
@@ -301,8 +230,7 @@ def fuzzy_dedup(
     # hash-shuffle operator spins up ~num_partitions aggregator actors
     # per op, and the propagation loop runs several ops per iteration —
     # 30 partitions for a 50k-row dup graph costs 2-5x the wall time of
-    # 8 (measured at sf0.1: 20.7 s @ 8 vs 49-123 s @ 30). The corpus-
-    # scale anti join below keeps the caller/cluster-sized count.
+    # 8 (measured at sf0.1: 20.7 s @ 8 vs 49-123 s @ 30).
     ex_partitions = max(
         2, min(num_partitions, int(exploded.count() // 2_000_000) + 2)
     )
@@ -316,87 +244,132 @@ def fuzzy_dedup(
         num_partitions=ex_partitions,
         on=("band_hash",),
     )
-    labels = propagate_min_labels(
+    return propagate_min_labels(
         dup_pairs, prop_partitions, pre_signed=True
     ).materialize()
 
-    def non_reps(t: pa.Table) -> pa.Table:
-        mask = pc.not_equal(t["id_int"], t["cluster_id"])
-        return pa.table({id_column: t.filter(mask)["id_int"]})
 
+def lsh_clusters(
+    ds: Dataset,
+    sig_column: str = "signature_sim0.8",
+) -> Dict[int, int]:
+    """Driver-path cluster map (legacy entry point; see
+    :func:`cluster_labels` for the size-adaptive variant)."""
+    return cluster_labels(ds, sig_column, distributed=False)
+
+
+def clusters_table(clusters: "Dict[int, int] | Dataset") -> pa.Table:
+    """(id_int, cluster_id) Arrow table — the reference's cluster output
+    artifact (run_lsh.py:340-372 writes (id, id_int, cluster_id,
+    shard_id) parquet per shard; join back on id_int for the rest).
+    Accepts either the driver-path dict or the distributed-path labels
+    Dataset (collected — for large label sets write the Dataset with
+    ``write_parquet`` instead)."""
+    if isinstance(clusters, Dataset):
+        t = pa.concat_tables(
+            clusters.select_columns(["id_int", "cluster_id"]).iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        ).combine_chunks()
+        return t.sort_by("id_int")
+    items = sorted(clusters.items())
+    return pa.table(
+        {
+            "id_int": pa.array([i for i, _ in items], pa.uint64()),
+            "cluster_id": pa.array([c for _, c in items], pa.uint64()),
+        }
+    )
+
+
+def _drop_ids(
+    ds: Dataset,
+    dupes_ds: Dataset,
+    id_column: str,
+    num_partitions: int,
+    mask_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
+) -> Dataset:
+    """Subtract the rows whose ``id_column`` appears in ``dupes_ds``
+    (single narrow column, materialized): broadcast searchsorted mask
+    when the drop set fits one object, else pack-nested ``left_anti``
+    join (Acero fallback)."""
+    n = dupes_ds.count()
+    if n == 0:
+        return ds
+    if n <= mask_limit:
+        return filter_members(
+            ds, id_column, collect_column(dupes_ds, id_column), False
+        )
     # repartition before the join: Ray 2.49's hash-shuffle join rejects
-    # inputs whose empty partitions lost their schema (same workaround
-    # as components.propagate_min_labels)
-    dupes_ds = labels.map_batches(
-        non_reps, batch_format="pyarrow"
-    ).repartition(num_partitions)
-    # Acero (the per-partition join kernel) rejects nested payload
-    # columns ("list<binary> is not supported in join non-key field"):
-    # pack nested columns to binary for the anti join and unpack after.
-    # Types are captured driver-side so unpacking never relies on
-    # per-batch inference.
-    schema = ds.schema().base_schema
-    nested = {
-        f.name: f.type
-        for f in schema
-        if pa.types.is_nested(f.type) and f.name != id_column
-    }
-    packed = ds.map_batches(_pack_nested(nested), batch_format="pyarrow")
+    # inputs whose empty partitions lost their schema
+    dupes_ds = dupes_ds.repartition(num_partitions)
+    nested = nested_types(ds.schema().base_schema, exclude=(id_column,))
+    packed = ds.map_batches(pack_nested(nested), batch_format="pyarrow")
     deduped = packed.join(
         dupes_ds,
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(id_column,),
     )
-    deduped = deduped.map_batches(
-        _unpack_nested(nested), batch_format="pyarrow"
+    return deduped.map_batches(unpack_nested(nested), batch_format="pyarrow")
+
+
+def fuzzy_dedup(
+    ds: Dataset,
+    sig_column: str = "signature_sim0.8",
+    id_column: str = "id_int",
+    distributed: "bool | None" = None,
+    driver_limit: int = DEFAULT_DRIVER_LIMIT,
+    num_partitions: "int | None" = None,
+    mask_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
+) -> "Tuple[Dataset, Union[Dict[int, int], Dataset]]":
+    """Drop every row whose cluster representative is another row.
+
+    Returns ``(deduped dataset, clusters)`` — ``clusters`` is the
+    driver-path dict or the distributed-path labels Dataset (see
+    :func:`cluster_labels` for the size-adaptive path choice). Both
+    paths produce identical surviving rows (tested on dup-heavy
+    fixtures)."""
+    from .combine import auto_partitions
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+    clusters = cluster_labels(
+        ds, sig_column, id_column, distributed, driver_limit, num_partitions
     )
-    return deduped, labels
+    if isinstance(clusters, dict):
+        dupes = {i for i, c in clusters.items() if i != c}
+        if not dupes:
+            return ds, clusters
+        return filter_members(ds, id_column, dupes, False), clusters
 
+    labels = clusters
 
-def _pack_nested(nested: Dict[str, "pa.DataType"]):
-    import pickle
+    def non_reps(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["id_int"], t["cluster_id"])
+        return pa.table({id_column: t.filter(mask)["id_int"]})
 
-    def pack(t: pa.Table) -> pa.Table:
-        if not nested:
-            return t
-        for name in nested:
-            idx = t.schema.get_field_index(name)
-            col = pa.array(
-                [pickle.dumps(v) for v in t.column(name).to_pylist()],
-                pa.binary(),
-            )
-            t = t.set_column(idx, name, col)
-        return t
-
-    return pack
-
-
-def _unpack_nested(nested: Dict[str, "pa.DataType"]):
-    import pickle
-
-    def unpack(t: pa.Table) -> pa.Table:
-        for name, typ in nested.items():
-            idx = t.schema.get_field_index(name)
-            vals = [pickle.loads(v) for v in t.column(name).to_pylist()]
-            t = t.set_column(idx, name, pa.array(vals, typ))
-        return t
-
-    return unpack
+    dupes_ds = labels.map_batches(
+        non_reps, batch_format="pyarrow"
+    ).materialize()
+    return (
+        _drop_ids(ds, dupes_ds, id_column, num_partitions, mask_limit),
+        labels,
+    )
 
 
 def _clusters_from_members(
-    exploded: Dataset, dup_bands: Set[int]
+    exploded: Dataset, dup_bands: "np.ndarray | Set[int]"
 ) -> Dict[int, int]:
     """Driver union-find over members of duplicated bands (the
-    reference's single-node edge-graph design point)."""
+    reference's single-node edge-graph design point). The band filter
+    is a vectorized broadcast membership mask; only the (rare)
+    duplicated-band members stream to the driver."""
     uf = _UnionFind()
-    ref = ray.put(dup_bands)
+    ref = broadcast_sorted(dup_bands)
 
     def members(t: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        mask = [h in d for h in t.column("band_hash").to_pylist()]
-        return t.filter(pa.array(mask, pa.bool_()))
+        sv = ray.get(ref)
+        return t.filter(pa.array(membership_mask(t.column("band_hash"), sv)))
 
     groups: Dict[int, int] = {}
     for batch in exploded.map_batches(
@@ -425,59 +398,132 @@ def write_cluster_outputs(
     thresholds=(0.7, 0.8, 0.9, 1.0),
     id_column: str = "doc_id",
     shard_column: "str | None" = None,
+    distributed: "bool | None" = None,
+    driver_limit: int = DEFAULT_DRIVER_LIMIT,
+    num_partitions: "int | None" = None,
 ) -> Dict[str, str]:
     """Per-threshold cluster parquet sinks.
 
     The reference writes one ``(id, id_int, cluster_id, shard_id)``
     parquet per shard, per similarity threshold
-    (/root/reference/app/src/run_lsh.py:340-372). This sink mirrors
-    that: for every threshold whose ``signature_sim{t}`` column exists
-    in ``ds``, it clusters and writes
-    ``{out_dir}/sim{t}/*.parquet`` with columns
+    (/root/reference/app/src/run_lsh.py:340-372). For every threshold
+    whose ``signature_sim{t}`` column exists in ``ds``, clusters and
+    writes ``{out_dir}/sim{t}/*.parquet`` with columns
     (id, id_int, cluster_id, shard_id) — one row per document that
     belongs to a multi-doc cluster. ``shard_id`` comes from
     ``shard_column`` when given, else 0 (single-shard inputs).
-    Membership rows are emitted inside ``map_batches`` against the
-    broadcast cluster map, so the corpus streams; only the cluster map
-    itself is collected (reference design point)."""
+
+    Size-adaptive like :func:`fuzzy_dedup` (same ``driver_limit``):
+    below it, the cluster map is broadcast as two aligned sorted arrays
+    and membership rows are emitted with a vectorized searchsorted
+    probe; above it, the labels Dataset from min-label propagation is
+    joined against a narrow corpus projection — the cluster map never
+    touches the driver."""
     import os
+
+    from .combine import auto_partitions
+    from .components import _to_signed, _to_unsigned
+
+    if num_partitions is None:
+        num_partitions = auto_partitions()
 
     out: Dict[str, str] = {}
     for t in thresholds:
         sig_col = f"signature_sim{t}"
         if sig_col not in ds.schema().names:
             continue
-        clusters = lsh_clusters(ds, sig_col)
         tdir = os.path.join(out_dir, f"sim{t}")
-        if not clusters:
-            os.makedirs(tdir, exist_ok=True)
+        clusters = cluster_labels(
+            ds,
+            sig_col,
+            distributed=distributed,
+            driver_limit=driver_limit,
+            num_partitions=num_partitions,
+        )
+        if isinstance(clusters, dict):
+            if not clusters:
+                os.makedirs(tdir, exist_ok=True)
+                out[str(t)] = tdir
+                continue
+            ids_np = np.fromiter(clusters, np.uint64, len(clusters))
+            order = np.argsort(ids_np)
+            ids_np = ids_np[order]
+            cl_np = np.fromiter(
+                clusters.values(), np.uint64, len(clusters)
+            )[order]
+            ref = ray.put((ids_np, cl_np))
+
+            def member_rows(batch: pa.Table, _ref=ref) -> pa.Table:
+                sorted_ids, cl = ray.get(_ref)
+                hit = membership_mask(batch.column("id_int"), sorted_ids)
+                kept = batch.filter(pa.array(hit))
+                probe = kept.column("id_int").to_numpy(
+                    zero_copy_only=False
+                )
+                pos = np.searchsorted(sorted_ids, probe)
+                shard = (
+                    kept.column(shard_column)
+                    if shard_column
+                    else pa.array([0] * kept.num_rows, pa.int64())
+                )
+                return pa.table(
+                    {
+                        "id": pc.cast(kept.column(id_column), pa.string()),
+                        "id_int": kept.column("id_int"),
+                        "cluster_id": pa.array(cl[pos], pa.uint64()),
+                        "shard_id": shard,
+                    }
+                )
+
+            ds.map_batches(
+                member_rows, batch_format="pyarrow"
+            ).write_parquet(tdir)
             out[str(t)] = tdir
             continue
-        ref = ray.put(clusters)
 
-        def member_rows(batch: pa.Table, _ref=ref) -> pa.Table:
-            cl = ray.get(_ref)
-            ids = batch.column("id_int").to_pylist()
-            mask = [i in cl for i in ids]
-            kept = batch.filter(pa.array(mask, pa.bool_()))
-            kept_ids = kept.column("id_int").to_pylist()
+        # distributed labels: join against a narrow corpus projection
+        # (signed-bijection keys — Ray pickles uint64 above int64-max)
+        def narrow_proj(batch: pa.Table) -> pa.Table:
             shard = (
-                kept.column(shard_column)
+                batch.column(shard_column)
                 if shard_column
-                else pa.array([0] * kept.num_rows, pa.int64())
+                else pa.array([0] * batch.num_rows, pa.int64())
             )
             return pa.table(
                 {
-                    "id": pc.cast(kept.column(id_column), pa.string()),
-                    "id_int": kept.column("id_int"),
-                    "cluster_id": pa.array(
-                        [cl[i] for i in kept_ids], pa.uint64()
-                    ),
+                    "id": pc.cast(batch.column(id_column), pa.string()),
+                    "id_int": _to_signed(batch.column("id_int")),
                     "shard_id": shard,
                 }
             )
 
-        ds.map_batches(member_rows, batch_format="pyarrow").write_parquet(
+        def sign_labels(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id_int": _to_signed(batch["id_int"]),
+                    "cluster_id": _to_signed(batch["cluster_id"]),
+                }
+            )
+
+        joined = ds.map_batches(narrow_proj, batch_format="pyarrow").join(
+            clusters.map_batches(sign_labels, batch_format="pyarrow")
+            .repartition(num_partitions),
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("id_int",),
+        )
+
+        def unsign(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id": batch["id"],
+                    "id_int": _to_unsigned(batch["id_int"]),
+                    "cluster_id": _to_unsigned(batch["cluster_id"]),
+                    "shard_id": batch["shard_id"],
+                }
+            )
+
+        joined.map_batches(unsign, batch_format="pyarrow").write_parquet(
             tdir
         )
         out[str(t)] = tdir

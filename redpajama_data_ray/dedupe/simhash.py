@@ -14,7 +14,6 @@ from typing import Dict, List, Set, Tuple
 
 import numpy as np
 import pyarrow as pa
-import ray
 from ray.data import Dataset
 
 from ..functions.fingerprint import simhash64
@@ -69,8 +68,9 @@ def _popcount64(x: "np.ndarray") -> "np.ndarray":
     return (x * _H01) >> np.uint64(56)
 
 
-# verify this many unique fingerprints per chunk: 2048^2 uint64
-# temporaries = 32 MiB, bounded regardless of band skew
+# verify chunk^2 unique-fingerprint pairs at a time: 2048^2 uint64
+# temporaries = 32 MiB, bounded regardless of band skew (both axes of
+# the comparison matrix are chunked)
 _VERIFY_CHUNK = 2048
 
 
@@ -128,24 +128,33 @@ def _pairs_factory(max_hamming: int, spanning: bool = False):
                     for j in range(i + 1, len(m)):
                         a_out.append(int(m[i]))
                         b_out.append(int(m[j]))
-        # 2) cross-fingerprint verification, chunked
+        # 2) cross-fingerprint verification, chunked on BOTH axes so
+        # temporaries are bounded at chunk^2 even when a hot band holds
+        # hundreds of thousands of distinct fingerprints
         u = len(uniq)
+        hits: List[Tuple[int, int]] = []
         for s in range(0, u, _VERIFY_CHUNK):
             chunk = uniq[s : s + _VERIFY_CHUNK]
-            d = _popcount64(chunk[:, None] ^ uniq[None, :])
-            ii, jj = np.nonzero(d <= max_hamming)
-            ii = ii + s
-            keep = ii < jj  # upper triangle only
-            for fi, fj in zip(ii[keep], jj[keep]):
-                mi, mj = members[fi], members[fj]
-                if spanning:
-                    a_out.append(int(mi[0]))
-                    b_out.append(int(mj[0]))
-                else:
-                    for x in mi:
-                        for y in mj:
-                            a_out.append(int(x))
-                            b_out.append(int(y))
+            # only columns past the row chunk's start contribute to the
+            # upper triangle
+            for s2 in range(s, u, _VERIFY_CHUNK):
+                chunk2 = uniq[s2 : s2 + _VERIFY_CHUNK]
+                d = _popcount64(chunk[:, None] ^ chunk2[None, :])
+                ii, jj = np.nonzero(d <= max_hamming)
+                ii = ii + s
+                jj = jj + s2
+                keep = ii < jj  # upper triangle only
+                hits.extend(zip(ii[keep], jj[keep]))
+        for fi, fj in hits:
+            mi, mj = members[fi], members[fj]
+            if spanning:
+                a_out.append(int(mi[0]))
+                b_out.append(int(mj[0]))
+            else:
+                for x in mi:
+                    for y in mj:
+                        a_out.append(int(x))
+                        b_out.append(int(y))
         if not a_out:
             return _empty()
         return pa.table(
@@ -200,11 +209,6 @@ def simhash_dedup(ds: Dataset, max_hamming: int = 3) -> Dataset:
     dupes = {x for x in parent if find(x) != x}
     if not dupes:
         return ds
-    ref = ray.put(dupes)
+    from .apply import filter_members
 
-    def _filter(batch: pa.Table) -> pa.Table:
-        d = ray.get(ref)
-        mask = [i not in d for i in batch.column("id_int").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
-
-    return ds.map_batches(_filter, batch_format="pyarrow")
+    return filter_members(ds, "id_int", dupes, False)

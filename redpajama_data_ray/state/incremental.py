@@ -125,19 +125,17 @@ def incremental_exact_dedup(
         )
 
     if n_seen <= broadcast_limit:
-        seen = frozenset(
-            x
-            for f in files
-            for x in pq.read_table(f, columns=["key"]).column("key").to_pylist()
+        from ..dedupe.apply import as_key_array, filter_members
+
+        seen = as_key_array(
+            pa.concat_arrays(
+                pq.read_table(f, columns=["key"]).column("key").combine_chunks()
+                for f in files
+            )
         )
-        ref = ray.put(seen)
-
-        def drop_seen(t: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            mask = [k not in s for k in t.column(key).to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
-
-        return within.map_batches(drop_seen, batch_format="pyarrow"), run_id
+        # vectorized anti-membership mask (sorted once, searchsorted
+        # per batch — no per-row Python, no per-batch set rebuild)
+        return filter_members(within, key, seen, False), run_id
 
     # large state: anti join against the state dataset (object store)
     import ray.data as rd
@@ -150,23 +148,16 @@ def incremental_exact_dedup(
     state_ds = rd.read_parquet(files).map_batches(
         lambda t: t.rename_columns([key]), batch_format="pyarrow"
     )
-    from ..dedupe.lsh import _pack_nested
+    from ..dedupe.apply import nested_types, pack_nested, unpack_nested
 
-    schema = within.schema().base_schema
-    nested = {
-        f.name: f.type
-        for f in schema
-        if pa.types.is_nested(f.type) and f.name != key
-    }
-    from ..dedupe.lsh import _unpack_nested
-
-    packed = within.map_batches(_pack_nested(nested), batch_format="pyarrow")
+    nested = nested_types(within.schema().base_schema, exclude=(key,))
+    packed = within.map_batches(pack_nested(nested), batch_format="pyarrow")
     deduped = packed.join(
         state_ds,
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(key,),
-    ).map_batches(_unpack_nested(nested), batch_format="pyarrow")
+    ).map_batches(unpack_nested(nested), batch_format="pyarrow")
     return deduped, run_id
 
 
@@ -265,44 +256,55 @@ def incremental_fuzzy_dedup(
 
     n_bands = seen_band_count(state_dir)
     if n_bands <= broadcast_limit:
-        seen = frozenset(
-            x
-            for f in files
-            for x in pq.read_table(f, columns=["band_hash"])
-            .column("band_hash")
-            .to_pylist()
+        import numpy as np
+
+        from ..dedupe.apply import (
+            broadcast_sorted,
+            filter_members,
+            membership_mask,
         )
-        ref = ray.put(seen)
+
+        seen = np.concatenate(
+            [
+                pq.read_table(f, columns=["band_hash"])
+                .column("band_hash")
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                for f in files
+            ]
+        )
+        ref = broadcast_sorted(seen)
 
         def hit_ids(t: pa.Table) -> pa.Table:
-            s = ray.get(ref)
-            mask = [h in s for h in t.column("band_hash").to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_())).select(["id_int"])
+            sv = ray.get(ref)
+            mask = membership_mask(t.column("band_hash"), sv)
+            return t.filter(pa.array(mask)).select(["id_int"])
 
-        hits = set(
-            x
+        hit_chunks = [
+            b.column("id_int").combine_chunks()
             for b in exploded.map_batches(hit_ids, batch_format="pyarrow")
             .iter_batches(batch_size=65536, batch_format="pyarrow")
-            for x in b.column("id_int").to_pylist()
+        ]
+        hits = (
+            np.unique(
+                pa.chunked_array(hit_chunks)
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+            )
+            if hit_chunks
+            else np.empty(0, np.uint64)
         )
-        if not hits:
+        if hits.size == 0:
             return within, run_id
-        hits_ref = ray.put(hits)
-
-        def drop_hits(t: pa.Table) -> pa.Table:
-            s = ray.get(hits_ref)
-            mask = [i not in s for i in t.column(id_column).to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
-
-        return within.map_batches(drop_hits, batch_format="pyarrow"), run_id
+        return filter_members(within, id_column, hits, False), run_id
 
     # large band state: joins in the object store (signed bijection —
     # Ray's hash shuffle pickles uint64 above int64-max)
     import ray.data as rd
 
     from ..dedupe.combine import auto_partitions, tune_shuffle_context
+    from ..dedupe.apply import nested_types, pack_nested, unpack_nested
     from ..dedupe.components import _to_signed
-    from ..dedupe.lsh import _pack_nested, _unpack_nested
 
     tune_shuffle_context()
     if num_partitions is None:
@@ -342,19 +344,14 @@ def incremental_fuzzy_dedup(
         hit_pairs.map_batches(ids_only, batch_format="pyarrow")
         .repartition(num_partitions)
     )
-    schema = within.schema().base_schema
-    nested = {
-        f.name: f.type
-        for f in schema
-        if pa.types.is_nested(f.type) and f.name != id_column
-    }
-    packed = within.map_batches(_pack_nested(nested), batch_format="pyarrow")
+    nested = nested_types(within.schema().base_schema, exclude=(id_column,))
+    packed = within.map_batches(pack_nested(nested), batch_format="pyarrow")
     deduped = packed.join(
         hit_ids_ds,
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(id_column,),
-    ).map_batches(_unpack_nested(nested), batch_format="pyarrow")
+    ).map_batches(unpack_nested(nested), batch_format="pyarrow")
     return deduped, run_id
 
 
