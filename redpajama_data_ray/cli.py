@@ -41,19 +41,41 @@ def _ensure_ray(num_cpus: Optional[int]):
     ctx.enable_tensor_extension_casting = False
 
 
-def _read_input(path: str, max_docs: Optional[int], shuffle_files: bool):
+def _read_input(
+    path: str,
+    max_docs: Optional[int],
+    shuffle_files: bool,
+    keep_patterns: Optional[List[str]] = None,
+):
     import ray.data as rd
 
-    from .pipelines.quality import read_corpus
+    from .pipelines.quality import filter_keep_patterns, read_corpus
 
     if os.path.isdir(path) and os.path.basename(path.rstrip("/")).startswith(
         "sf"
     ):
         return read_corpus(
-            path, shuffle_files=shuffle_files, max_docs=max_docs
+            path,
+            shuffle_files=shuffle_files,
+            max_docs=max_docs,
+            keep_patterns=keep_patterns,
         )
+    src: "str | List[str]" = path
+    if keep_patterns:
+        import glob
+
+        files = (
+            sorted(glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        src = filter_keep_patterns(files, keep_patterns)
+        if not src:
+            raise SystemExit(
+                f"no input files match keep patterns {keep_patterns}"
+            )
     ds = rd.read_parquet(
-        path, shuffle="files" if shuffle_files else None
+        src, shuffle="files" if shuffle_files else None
     )
     if max_docs:
         ds = ds.limit(max_docs)
@@ -64,7 +86,10 @@ def cmd_quality(args) -> dict:
     from .pipelines.outputs import write_outputs
     from .pipelines.quality import QualityConfig, annotate
 
-    ds = _read_input(args.input, args.max_docs, args.shuffle_files)
+    ds = _read_input(
+        args.input, args.max_docs, args.shuffle_files,
+        getattr(args, "keep_patterns", None),
+    )
     annotated = annotate(ds, QualityConfig())
     if args.resume:
         # partition-per-input-shard resumable mode
@@ -73,6 +98,10 @@ def cmd_quality(args) -> dict:
         from .state.manifest import run_partitioned
 
         files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if getattr(args, "keep_patterns", None):
+            from .pipelines.quality import filter_keep_patterns
+
+            files = filter_keep_patterns(files, args.keep_patterns)
         if files:
             import ray
 
@@ -319,6 +348,16 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--output", required=True)
     q.add_argument("--max-docs", type=int, default=None)
     q.add_argument("--shuffle-files", action="store_true")
+    q.add_argument(
+        "--keep-pattern",
+        action="append",
+        dest="keep_patterns",
+        default=None,
+        metavar="REGEX",
+        help="keep only input files whose name matches any REGEX "
+        "(re.match; repeatable) — reference filename_keep_patterns "
+        "parity (pipeline.py:253-284)",
+    )
     q.add_argument("--resume", action="store_true")
     q.add_argument(
         "--resume-workers", type=int, default=2,

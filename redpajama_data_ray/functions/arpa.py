@@ -1,0 +1,128 @@
+"""Dependency-free ARPA backoff language-model reader.
+
+KenLM's text interchange format (the ARPA format, public spec:
+Stolcke's SRILM ngram-format(5) / Jurafsky & Martin ch. 3) is plain
+text, so the parse-and-score path does NOT need the kenlm package —
+only the memory-mapped binary (``.klm``) does. This module gives
+``functions/model_loading.load_perplexity_model`` a real ``.arpa``
+branch (the reference loads KenLM binaries per language at
+/root/reference/app/src/core/worker.py:166-171; this is the same model
+family evaluated in pure Python).
+
+``ArpaLM.score(sentence)`` mirrors ``kenlm.Model.score`` semantics:
+total log10 probability of the sentence with BOS/EOS markers, standard
+Katz backoff — P(w | h) falls back to backoff(h) + P(w | h') when the
+full n-gram is unseen. Suitable for the small LMs that fit driver
+memory; real 100-TB jobs ship the binary + kenlm wheel.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+BOS = "<s>"
+EOS = "</s>"
+UNK = "<unk>"
+
+# log10 floor for OOV words when the model carries no <unk> entry
+# (matches SRILM's conventional -99 "impossible" less harshly; KenLM
+# always has <unk>, so this only fires on hand-built models)
+_OOV_LOG10 = -7.0
+
+
+class ArpaLM:
+    """Parsed ARPA model: ``probs[ngram_tuple] = log10 p``,
+    ``backoffs[ngram_tuple] = log10 backoff weight``."""
+
+    def __init__(
+        self,
+        order: int,
+        probs: Dict[Tuple[str, ...], float],
+        backoffs: Dict[Tuple[str, ...], float],
+    ):
+        self.order = order
+        self.probs = probs
+        self.backoffs = backoffs
+
+    @classmethod
+    def from_file(cls, path: str) -> "ArpaLM":
+        probs: Dict[Tuple[str, ...], float] = {}
+        backoffs: Dict[Tuple[str, ...], float] = {}
+        declared: Dict[int, int] = {}
+        cur_n = 0
+        section = None  # None | "data" | "ngrams"
+        with open(path, "r", encoding="utf-8") as f:
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line == "\\data\\":
+                    section = "data"
+                    continue
+                if line == "\\end\\":
+                    break
+                if line.endswith("-grams:") and line.startswith("\\"):
+                    cur_n = int(line[1:].split("-")[0])
+                    section = "ngrams"
+                    continue
+                if section == "data":
+                    # "ngram 1=4"
+                    if line.startswith("ngram"):
+                        n, cnt = line[len("ngram") :].strip().split("=")
+                        declared[int(n)] = int(cnt)
+                    continue
+                if section == "ngrams":
+                    parts = line.split()
+                    # logp w1 ... wN [backoff] — backoff present iff the
+                    # line has n+2 fields
+                    if len(parts) == cur_n + 2:
+                        logp = float(parts[0])
+                        words = tuple(parts[1 : 1 + cur_n])
+                        backoffs[words] = float(parts[-1])
+                    elif len(parts) == cur_n + 1:
+                        logp = float(parts[0])
+                        words = tuple(parts[1:])
+                    else:
+                        raise ValueError(
+                            f"malformed {cur_n}-gram line in ARPA file "
+                            f"{path!r}: {line!r}"
+                        )
+                    probs[words] = logp
+        if not declared or not probs:
+            raise ValueError(
+                f"{path!r} is not an ARPA file (no \\data\\ header or "
+                "n-gram sections)"
+            )
+        for n, cnt in declared.items():
+            have = sum(1 for k in probs if len(k) == n)
+            if have != cnt:
+                raise ValueError(
+                    f"ARPA file {path!r} declares {cnt} {n}-grams but "
+                    f"contains {have}"
+                )
+        return cls(max(declared), probs, backoffs)
+
+    def logp(self, context: Tuple[str, ...], word: str) -> float:
+        """log10 P(word | context) with Katz backoff."""
+        context = context[-(self.order - 1) :] if self.order > 1 else ()
+        while True:
+            key = context + (word,)
+            if key in self.probs:
+                return self.probs[key]
+            if not context:
+                if (word,) in self.probs:
+                    return self.probs[(word,)]
+                return self.probs.get((UNK,), _OOV_LOG10)
+            bo = self.backoffs.get(context, 0.0)
+            return bo + self.logp(context[1:], word)
+
+    def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
+        """Total log10 probability (kenlm.Model.score semantics)."""
+        words = sentence.split()
+        tokens = ([BOS] if bos else []) + words + ([EOS] if eos else [])
+        start = 1 if bos else 0
+        total = 0.0
+        for i in range(start, len(tokens)):
+            ctx = tuple(tokens[max(0, i - self.order + 1) : i])
+            total += self.logp(ctx, tokens[i])
+        return total

@@ -23,6 +23,42 @@ from typing import Callable, Tuple
 
 import numpy as np
 
+# fastText's file magic: int32 little-endian 793712314 then version
+# (src/fasttext.cc FASTTEXT_FILEFORMAT_MAGIC_INT32); KenLM binaries
+# start with the sanity string "mmap lm http://kheafield.com/code"
+_FASTTEXT_MAGIC = 793712314
+_KENLM_BINARY_PREFIX = b"mmap lm "
+
+
+def _fasttext_header_ok(path: str) -> bool:
+    """True when the file starts with fastText's format magic — lets
+    the error message distinguish 'real model, package missing' from
+    'not a fastText file at all' without the package installed."""
+    try:
+        with open(path, "rb") as f:
+            head = f.read(4)
+        return (
+            len(head) == 4
+            and int.from_bytes(head, "little", signed=True)
+            == _FASTTEXT_MAGIC
+        )
+    except OSError:
+        return False
+
+
+def _reject_fasttext(path: str, what: str) -> "RuntimeError":
+    if _fasttext_header_ok(path):
+        return RuntimeError(
+            f"{path!r} is a fastText model (magic header verified) but "
+            f"the 'fasttext' package is not installed; cannot load the "
+            f"{what}. The deterministic stand-in is used when no model "
+            "path is given."
+        )
+    return RuntimeError(
+        f"{path!r} does not start with the fastText format magic "
+        f"({_FASTTEXT_MAGIC}) — not a fastText .bin {what}."
+    )
+
 
 # ------------------------------------------------------------------
 # language ID
@@ -76,12 +112,7 @@ def load_langid_model(path: str):
     try:
         import fasttext  # noqa: F401
     except ImportError as e:
-        raise RuntimeError(
-            "loading a fastText model requires the 'fasttext' package "
-            f"(not installed); cannot load {path!r}. The engine's "
-            "deterministic stand-in (NGramLangId) is used when no "
-            "model path is given."
-        ) from e
+        raise _reject_fasttext(path, "language-ID model") from e
     return _FastTextLangId(fasttext.load_model(path))
 
 
@@ -141,8 +172,10 @@ def save_perplexity_model(scorer, path: str) -> str:
 
 
 def load_perplexity_model(path: str):
-    """``.arpa``/``.klm`` -> KenLM (try-import); ``.npz`` -> saved
-    char-LM tables."""
+    """``.arpa`` -> KenLM when installed, else the dependency-free
+    pure-Python ARPA reader (functions/arpa.py — same backoff math);
+    ``.klm`` binary -> KenLM required (header-validated error without
+    it); ``.npz`` -> saved char-LM tables."""
     if path.endswith(".npz"):
         from .perplexity import CharNgramLM, PerplexityScorer
 
@@ -156,19 +189,40 @@ def load_perplexity_model(path: str):
         scorer.head_threshold = float(data["thresholds"][0])
         scorer.middle_threshold = float(data["thresholds"][1])
         return scorer
-    try:
-        import kenlm  # noqa: F401
-    except ImportError as e:
-        raise RuntimeError(
-            "loading a KenLM model requires the 'kenlm' package (not "
-            f"installed); cannot load {path!r}. The deterministic "
-            "char-trigram stand-in is used when no model path is given."
-        ) from e
     from .perplexity import (
         DEFAULT_HEAD_THRESHOLD,
         DEFAULT_MIDDLE_THRESHOLD,
     )
 
+    try:
+        import kenlm  # noqa: F401
+    except ImportError as e:
+        if path.endswith(".arpa"):
+            # the ARPA text format is public — evaluate it in pure
+            # Python (same interface as kenlm.Model.score)
+            from .arpa import ArpaLM
+
+            return _KenLMScorer(
+                ArpaLM.from_file(path),
+                DEFAULT_HEAD_THRESHOLD,
+                DEFAULT_MIDDLE_THRESHOLD,
+            )
+        try:
+            with open(path, "rb") as f:
+                head = f.read(len(_KENLM_BINARY_PREFIX))
+        except OSError:
+            head = b""
+        if head == _KENLM_BINARY_PREFIX:
+            raise RuntimeError(
+                f"{path!r} is a KenLM binary (header verified) but the "
+                "'kenlm' package is not installed; export the model to "
+                ".arpa to use the dependency-free reader."
+            ) from e
+        raise RuntimeError(
+            f"{path!r} is neither .npz, .arpa, nor a KenLM binary "
+            "(missing 'mmap lm' header); cannot load a perplexity "
+            "model from it."
+        ) from e
     return _KenLMScorer(
         kenlm.Model(path), DEFAULT_HEAD_THRESHOLD, DEFAULT_MIDDLE_THRESHOLD
     )
@@ -209,10 +263,7 @@ def load_classifier_model(path: str):
     try:
         import fasttext  # noqa: F401
     except ImportError as e:
-        raise RuntimeError(
-            "loading a fastText classifier requires the 'fasttext' "
-            f"package (not installed); cannot load {path!r}."
-        ) from e
+        raise _reject_fasttext(path, "quality classifier") from e
     return _FastTextClassifier(fasttext.load_model(path))
 
 

@@ -1118,6 +1118,43 @@ ORACLE_SQL: Dict[str, str] = {
         select doc_id
         from read_parquet('/tmp/rpray_oracle/fuzzy_dedup_docs.parquet')
     """,
+    # round-3 additions: the same precomputed-table pattern now covers
+    # the remaining deterministic pipelines — simhash (independent
+    # brute-force all-pairs Hamming, complete by the pigeonhole band
+    # property), ANN LSH buckets / IVF top-k (sequential hyperplane and
+    # k-means kernels), langid / perplexity distributions (deterministic
+    # stand-in models run sequentially driver-side; DuckDB aggregates
+    # both sides) and the flagship corpus pipeline (sequential pass of
+    # the same kernels — proves Ray plumbing is value-neutral).
+    "simhash_near_dups": """
+        select a_hex, b_hex
+        from read_parquet('/tmp/rpray_oracle/simhash_near_dups.parquet')
+    """,
+    "ann_lsh_buckets": """
+        select bucket, n
+        from read_parquet('/tmp/rpray_oracle/ann_lsh_buckets.parquet')
+    """,
+    "ann_ivf_knn": """
+        select vec_id, score
+        from read_parquet('/tmp/rpray_oracle/ann_ivf_knn.parquet')
+    """,
+    "langid_distribution": """
+        select lang_pred, count(*) as n,
+               round(avg(lang_score), 6) as avg_score
+        from read_parquet('/tmp/rpray_oracle/langid_docs.parquet')
+        group by 1
+    """,
+    "perplexity_buckets": """
+        select ppl_bucket, count(*) as n, round(avg(ppl), 4) as avg_ppl
+        from read_parquet('/tmp/rpray_oracle/ppl_docs.parquet')
+        group by 1
+    """,
+    "corpus_flagship": """
+        select doc_id, lang_pred, lang_score, ppl, ppl_bucket,
+               rps_doc_word_count, rps_doc_frac_unique_words,
+               rps_doc_ldnoobw_words, keep, content_scrubbed_sha256
+        from read_parquet('/tmp/rpray_oracle/corpus_flagship.parquet')
+    """,
     "quality_filter_docs": f"""
         select doc_id from (
             select doc_id, length({_WORDS}) as wc,

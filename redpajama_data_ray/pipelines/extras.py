@@ -1,8 +1,13 @@
-"""Rows-only (non-SQL-expressible) driver queries: model inference,
-minhash/fuzzy dedup, simhash, ANN, multimodal plumbing, and the
-flagship code-corpus pipeline. The driver records a rows-only check for
-these; exact semantics are covered by the pytest oracle suite instead.
-"""
+"""Driver queries whose DuckDB oracles are PRECOMPUTED tables: model
+inference, minhash/fuzzy dedup, simhash, ANN, and the flagship
+code-corpus pipeline. Each ``q_*`` first runs an independent sequential
+kernel (or a sequential driver-side pass of the deterministic stand-in
+model) that writes the expected parquet under /tmp/rpray_oracle; the
+paired ``oracle_sql`` entry reads it, so the driver's three-way check
+(rows+schema+hash) covers them. Only ``approx_distinct_texts``
+(approximate by design; accuracy bounds in tests/test_sketches.py) and
+``media_decode`` (covered by property-based codec roundtrips) remain
+rows-only."""
 
 from __future__ import annotations
 
@@ -22,7 +27,10 @@ from ..stages.perplexity import PerplexityStage
 
 def q_langid_distribution(sf_dir: str) -> "pa.Table":
     """Predicted-language distribution over documents.text (actor-pool
-    model stage; not SQL-expressible)."""
+    model stage). SQL-oracled: the deterministic stand-in model runs
+    SEQUENTIALLY driver-side into a per-doc expected table and DuckDB
+    aggregates both sides (write_langid_oracle)."""
+    write_langid_oracle(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         LangIdStage,
@@ -42,7 +50,9 @@ def q_langid_distribution(sf_dir: str) -> "pa.Table":
 
 
 def q_perplexity_buckets(sf_dir: str) -> "pa.Table":
-    """Perplexity bucket distribution over documents.text."""
+    """Perplexity bucket distribution over documents.text. SQL-oracled
+    via a sequential driver-side run (write_ppl_oracle)."""
+    write_ppl_oracle(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
     ds = ds.map_batches(
         PerplexityStage,
@@ -266,6 +276,398 @@ def write_fuzzy_dedup_oracle(sf_dir: str) -> str:
     return out
 
 
+def _seq_simhash64(tokens):
+    """Independent sequential SimHash: unpackbits bit-vote (the engine
+    votes via a shift matrix — functions/fingerprint.py:54)."""
+    import hashlib
+
+    import numpy as np
+
+    if len(tokens) < 2:
+        feats = [" ".join(tokens)] if tokens else []
+    else:
+        feats = [
+            f"{a} {b}" for a, b in zip(tokens[:-1], tokens[1:])
+        ]
+    if not feats:
+        return 0
+    hs = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest(),
+                "little",
+            )
+            for f in feats
+        ),
+        dtype=np.uint64,
+        count=len(feats),
+    )
+    bits = np.unpackbits(
+        hs.view(np.uint8).reshape(len(hs), 8), axis=1, bitorder="little"
+    )
+    ones = bits.sum(axis=0)
+    set_bits = np.nonzero(2 * ones.astype(np.int64) > len(hs))[0]
+    return int(sum(1 << int(b) for b in set_bits))
+
+
+_POP_LUT = None
+
+
+def _hamming_matrix(a, b):
+    """Byte-LUT popcount of pairwise xor (independent of the engine's
+    SWAR kernel in dedupe/simhash.py)."""
+    import numpy as np
+
+    global _POP_LUT
+    if _POP_LUT is None:
+        _POP_LUT = np.array(
+            [bin(i).count("1") for i in range(256)], np.uint8
+        )
+    x = a[:, None] ^ b[None, :]
+    by = x.view(np.uint8).reshape(x.shape[0], x.shape[1], 8)
+    return _POP_LUT[by].sum(axis=2)
+
+
+def write_simhash_oracle(sf_dir: str) -> str:
+    """Expected near-dup pairs by BRUTE-FORCE all-pairs Hamming <= 3.
+
+    Within Hamming distance 3, two 64-bit fingerprints banded into
+    4 x 16 bits always share a band (pigeonhole), so the engine's
+    band-candidate + verify pipeline must find EXACTLY the brute-force
+    pair set — making the exhaustive scan a complete oracle, not a
+    recall bound."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..text import normalize
+
+    doc_ids, texts, sources = _oracle_docs(sf_dir)
+    id_ints = np.array(
+        [
+            int.from_bytes(
+                hashlib.sha1(
+                    f"{src}/{d}@{d}".encode("utf-8")
+                ).digest()[:8],
+                "little",
+            )
+            for d, src in zip(doc_ids, sources)
+        ],
+        dtype=np.uint64,
+    )
+    hashes = np.array(
+        [
+            _seq_simhash64(
+                normalize(t if t is not None else "").split()
+            )
+            for t in texts
+        ],
+        dtype=np.uint64,
+    )
+    n = len(hashes)
+    pairs = set()
+    chunk = 1024
+    for s in range(0, n, chunk):
+        d = _hamming_matrix(hashes[s : s + chunk], hashes)
+        ii, jj = np.nonzero(d <= 3)
+        ii = ii + s
+        for i, j in zip(ii[ii < jj], jj[ii < jj]):
+            a, b = int(id_ints[i]), int(id_ints[j])
+            pairs.add((min(a, b), max(a, b)))
+    out = _oracle_path(sf_dir, "simhash_near_dups")
+    rows = sorted(pairs)
+    pq.write_table(
+        pa.table(
+            {
+                "a_hex": pa.array(
+                    [f"{a:016x}" for a, _ in rows], pa.string()
+                ),
+                "b_hex": pa.array(
+                    [f"{b:016x}" for _, b in rows], pa.string()
+                ),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_ann_lsh_oracle(sf_dir: str) -> str:
+    """Expected LSH bucket histogram via a sequential kernel (same
+    seeded hyperplane draw — the only shared surface is the RNG spec)."""
+    from collections import Counter
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    h = np.random.default_rng(42).standard_normal((64, 10))
+    signs = (mat @ h) > 0
+    weights = (1 << np.arange(10)).astype(np.uint32)
+    buckets = (signs @ weights).astype(np.int64)
+    counts = Counter(buckets.tolist())
+    items = sorted(counts.items())
+    out = _oracle_path(sf_dir, "ann_lsh_buckets")
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": pa.array([b for b, _ in items], pa.int64()),
+                "n": pa.array([c for _, c in items], pa.int64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_ivf_knn_oracle(sf_dir: str) -> str:
+    """Expected IVF top-10 via a sequential reimplementation of the
+    deterministic hash-sampled k-means + probe/rerank (independent of
+    the Ray fan-out in similarity/ivf.py)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    # deterministic sample: smallest blake2b(id) keys, tie-broken by id
+    keys = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(int(i)).encode(), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for i in ids
+        ],
+        dtype=np.uint64,
+    )
+    order = np.lexsort((ids, keys))[:4096]
+    order = order[np.argsort(ids[order], kind="stable")]
+    x = mat[order]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(42)
+    cents = x[rng.choice(len(x), size=min(16, len(x)), replace=False)]
+    for _ in range(10):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[c] = m / nm
+
+    # assign all vectors; probe the 4 nearest centroid lists for vec 0.
+    # Float math mirrors similarity/knn._cosine exactly (both sides
+    # re-normalize the already-unit rows, so the last-ulp scale factors
+    # match bit for bit).
+    mn = np.linalg.norm(mat, axis=1, keepdims=True)
+    mn[mn == 0] = 1.0
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    all_assign = ((mat / mn) @ (cents / cn).T).argmax(axis=1)
+    q = mat[ids == 0][0]
+    qn = q / (np.linalg.norm(q) or 1.0)
+    probe = set(np.argsort(-(cents @ qn))[:4].astype(int).tolist())
+    cand = np.array(
+        [i for i in range(len(ids)) if int(all_assign[i]) in probe]
+    )
+    qhat = qn / (np.linalg.norm(qn) or 1.0)
+    scores = (mat[cand] / mn[cand]) @ qhat
+    keep = ids[cand] != 0
+    cand, scores = cand[keep], scores[keep]
+    top = np.lexsort((ids[cand], -scores))[:10]
+    out = _oracle_path(sf_dir, "ann_ivf_knn")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(ids[cand][top], pa.int64()),
+                "score": pa.array(
+                    np.round(scores[top], 6), pa.float64()
+                ),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_langid_oracle(sf_dir: str) -> str:
+    """Per-doc language predictions, run SEQUENTIALLY driver-side (the
+    stand-in model is deterministic); DuckDB aggregates both sides."""
+    import pyarrow.parquet as pq
+
+    from ..functions.langid import NGramLangId
+
+    model = NGramLangId()
+    doc_ids, texts, _ = _oracle_docs(sf_dir)
+    langs, scores = [], []
+    for t in texts:
+        lang, p = model.predict(t if t is not None else "")
+        langs.append(lang)
+        scores.append(p)
+    out = _oracle_path(sf_dir, "langid_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in doc_ids], pa.int64()
+                ),
+                "lang_pred": pa.array(langs, pa.string()),
+                "lang_score": pa.array(scores, pa.float64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_ppl_oracle(sf_dir: str) -> str:
+    """Per-doc perplexity, sequential driver-side run."""
+    import pyarrow.parquet as pq
+
+    from ..functions.perplexity import PerplexityScorer
+
+    scorer = PerplexityScorer()
+    doc_ids, texts, _ = _oracle_docs(sf_dir)
+    ppls, buckets = [], []
+    for t in texts:
+        ppl, bucket = scorer.score(t if t is not None else "")
+        ppls.append(ppl)
+        buckets.append(bucket)
+    out = _oracle_path(sf_dir, "ppl_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(d) for d in doc_ids], pa.int64()
+                ),
+                "ppl": pa.array(ppls, pa.float64()),
+                "ppl_bucket": pa.array(buckets, pa.string()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_flagship_oracle(sf_dir: str) -> str:
+    """Expected flagship columns by a SEQUENTIAL driver-side pass of the
+    same kernels the fused actor stage runs (langid -> per-language
+    SignalKernel -> perplexity -> scrub -> decide), over the synthesized
+    code corpus — proving the Ray plumbing (id assignment, actor fusion,
+    batch boundaries, unordered execution) changes nothing."""
+    import glob as _glob
+    import hashlib
+
+    import pyarrow.parquet as pq
+
+    from ..functions.doc_signals import DOC_SIGNAL_NAMES, DocView, SignalKernel
+    from ..functions.langid import NGramLangId
+    from ..functions.perplexity import PerplexityScorer
+    from ..functions.pii import PII_COUNT_COLUMNS, scrub_text
+    from ..functions.rules import RuleConfig, decide
+    from ..sources.corpus import ensure_corpus_parquet, sf_from_dir
+
+    corpus_dir = ensure_corpus_parquet(sf_from_dir(sf_dir))
+    files = sorted(_glob.glob(f"{corpus_dir}/*.parquet"))
+    kernels = {
+        lang: SignalKernel(language=lang)
+        for lang in ("en", "fr", "de", "es", "it")
+    }
+    langid = NGramLangId()
+    pplx = PerplexityScorer()
+    rules = RuleConfig()
+    cols = {
+        "doc_id": [],
+        "lang_pred": [],
+        "lang_score": [],
+        "ppl": [],
+        "ppl_bucket": [],
+        "rps_doc_word_count": [],
+        "rps_doc_frac_unique_words": [],
+        "rps_doc_ldnoobw_words": [],
+        "keep": [],
+        "content_scrubbed_sha256": [],
+    }
+    for f in files:
+        t = pq.read_table(
+            f, columns=["repo", "path", "commit", "content"]
+        )
+        for repo, path, commit, content in zip(
+            t.column("repo").to_pylist(),
+            t.column("path").to_pylist(),
+            t.column("commit").to_pylist(),
+            t.column("content").to_pylist(),
+        ):
+            text = content if content is not None else ""
+            v = DocView(text)
+            lang, ls = langid.predict(text)
+            kernel = kernels.get(lang, kernels["en"])
+            doc = kernel.doc_signals_view(v)
+            ppl, bucket = pplx.score(text)
+            scrubbed, pii = scrub_text(text)
+            row = dict(doc)
+            row["lang_score"] = ls
+            row["ppl_bucket"] = bucket
+            row.update(pii)
+            keep, _ = decide(row, rules)
+            cols["doc_id"].append(f"{repo}/{path}@{commit}")
+            cols["lang_pred"].append(lang)
+            cols["lang_score"].append(ls)
+            cols["ppl"].append(ppl)
+            cols["ppl_bucket"].append(bucket)
+            for name in (
+                "rps_doc_word_count",
+                "rps_doc_frac_unique_words",
+                "rps_doc_ldnoobw_words",
+            ):
+                cols[name].append(doc[name])
+            cols["keep"].append(keep)
+            cols["content_scrubbed_sha256"].append(
+                hashlib.sha256(scrubbed.encode("utf-8")).hexdigest()
+            )
+    out = _oracle_path(sf_dir, "corpus_flagship")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(cols["doc_id"], pa.string()),
+                "lang_pred": pa.array(cols["lang_pred"], pa.string()),
+                "lang_score": pa.array(cols["lang_score"], pa.float64()),
+                "ppl": pa.array(cols["ppl"], pa.float64()),
+                "ppl_bucket": pa.array(cols["ppl_bucket"], pa.string()),
+                "rps_doc_word_count": pa.array(
+                    cols["rps_doc_word_count"], pa.float64()
+                ),
+                "rps_doc_frac_unique_words": pa.array(
+                    cols["rps_doc_frac_unique_words"], pa.float64()
+                ),
+                "rps_doc_ldnoobw_words": pa.array(
+                    cols["rps_doc_ldnoobw_words"], pa.float64()
+                ),
+                "keep": pa.array(cols["keep"], pa.bool_()),
+                "content_scrubbed_sha256": pa.array(
+                    cols["content_scrubbed_sha256"], pa.string()
+                ),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def q_minhash_signatures(sf_dir: str) -> Dataset:
     """Banded minhash signatures over documents (hex of first 0.8 band).
     SQL-oracled: the sequential kernel writes the expected table for
@@ -308,21 +710,28 @@ def q_fuzzy_dedup_docs(sf_dir: str) -> "pa.Table":
 
 
 def q_simhash_near_dups(sf_dir: str) -> "pa.Table":
-    """SimHash near-dup pair count over documents."""
+    """SimHash near-dup pairs over documents. SQL-oracled against an
+    independent brute-force all-pairs Hamming scan — complete, not a
+    recall bound, because Hamming<=3 guarantees a shared band
+    (write_simhash_oracle). Ids as hex so the compare is uint64-safe."""
+    write_simhash_oracle(sf_dir)
     ds = _docs_with_ids(sf_dir).map_batches(
         add_simhash, batch_format="pyarrow"
     ).materialize()
     pairs = simhash_near_dup_pairs(ds, max_hamming=3)
     return pa.table(
         {
-            "a": pa.array([p[0] for p in pairs], pa.uint64()),
-            "b": pa.array([p[1] for p in pairs], pa.uint64()),
+            "a_hex": pa.array([f"{p[0]:016x}" for p in pairs], pa.string()),
+            "b_hex": pa.array([f"{p[1]:016x}" for p in pairs], pa.string()),
         }
     )
 
 
 def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
-    """LSH-bucketed ANN index stats over embeddings (scale path)."""
+    """LSH-bucketed ANN index stats over embeddings (scale path).
+    SQL-oracled against a sequential hyperplane kernel
+    (write_ann_lsh_oracle)."""
+    write_ann_lsh_oracle(sf_dir)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     bucketed = add_lsh_bucket(emb, dim=64, bits=10, seed=42)
     out = (
@@ -337,8 +746,13 @@ def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
 
 def q_corpus_flagship(sf_dir: str) -> Dataset:
     """Full quality pipeline over the synthetic code corpus: id, keep,
-    scrubbed-content sha256, and headline signals."""
+    scrubbed-content sha256, and headline signals. SQL-oracled against
+    a sequential driver-side pass of the same kernels
+    (write_flagship_oracle) — batch/actor/order invariance, end to
+    end."""
     from .quality import _default_actors
+
+    write_flagship_oracle(sf_dir)
 
     # cap at 8 actors but never take the whole cluster: a strict pool
     # equal to num_cpus starves the read/write task operators (observed
@@ -358,11 +772,14 @@ def q_corpus_flagship(sf_dir: str) -> Dataset:
 
 def q_ivf_knn(sf_dir: str) -> "pa.Table":
     """IVF approximate top-10 for the vec_id=0 query (scale ANN path:
-    k-means centroids -> bucket assignment -> probe-and-rerank)."""
+    k-means centroids -> bucket assignment -> probe-and-rerank).
+    SQL-oracled against a sequential reimplementation
+    (write_ivf_knn_oracle)."""
     import numpy as np
 
     from ..similarity.ivf import assign_ivf_buckets, ivf_knn, train_centroids
 
+    write_ivf_knn_oracle(sf_dir)
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
     q = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet")

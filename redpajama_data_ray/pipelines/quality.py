@@ -177,11 +177,33 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
     return ds
 
 
+def filter_keep_patterns(files, patterns) -> "list[str]":
+    """Input-listing keep-pattern filter, reference parity: a file is
+    kept when ANY of the regexes matches (``re.match`` semantics —
+    anchored at the start, mirroring
+    /root/reference/app/src/pipeline.py:253-284
+    ``filename_keep_patterns``). Patterns are tried against the
+    basename first, then the full path, since our listings are absolute
+    paths rather than the reference's relative listing lines."""
+    import os
+    import re
+
+    regs = [re.compile(p) for p in patterns]
+    return [
+        f
+        for f in files
+        if any(
+            r.match(os.path.basename(f)) or r.match(f) for r in regs
+        )
+    ]
+
+
 def read_corpus(
     sf_dir: str,
     num_blocks: Optional[int] = None,
     shuffle_files: bool = False,
     max_docs: Optional[int] = None,
+    keep_patterns: Optional[list] = None,
 ) -> Dataset:
     """Synthesize (cached) + read the code corpus matching a testdata
     scale-factor directory. Blocks are split at the read (no shuffle):
@@ -189,13 +211,27 @@ def read_corpus(
 
     ``shuffle_files`` mirrors the reference's input-list shuffle for
     coarse load balancing (pipeline.py:373); ``max_docs`` is the
-    dev-mode cap (pipeline.py:204-208)."""
+    dev-mode cap (pipeline.py:204-208); ``keep_patterns`` filters the
+    input file listing by regex (pipeline.py:253-284)."""
     sf = sf_from_dir(sf_dir)
     corpus_dir = ensure_corpus_parquet(sf)
     if num_blocks is None:
         num_blocks = 4 * _default_actors()
+    paths: "str | list" = corpus_dir
+    if keep_patterns:
+        import glob
+        import os
+
+        files = sorted(
+            glob.glob(os.path.join(corpus_dir, "*.parquet"))
+        )
+        paths = filter_keep_patterns(files, keep_patterns)
+        if not paths:
+            raise ValueError(
+                f"no input files match keep patterns {keep_patterns}"
+            )
     ds = ray.data.read_parquet(
-        corpus_dir,
+        paths,
         override_num_blocks=num_blocks,
         shuffle="files" if shuffle_files else None,
     )

@@ -32,16 +32,64 @@ def train_centroids(
     iters: int = 10,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
-    """Mini k-means (cosine/normalized-L2) on a seeded sample."""
-    sample: List[np.ndarray] = []
-    for batch in ds.select_columns([vec_col]).random_sample(
-        1.0, seed=seed
-    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        sample.append(_batch_matrix(batch, vec_col))
-        if sum(len(s) for s in sample) >= sample_size:
-            break
-    x = np.concatenate(sample)[:sample_size]
+    """Mini k-means (cosine/normalized-L2) on a deterministic sample.
+
+    The sample is the ``sample_size`` rows with the smallest
+    ``blake2b64(str(id))`` keys — selected with a per-block local top-k
+    and a driver merge (k x num_blocks rows), then ordered by id. This
+    is independent of block arrival order (Ray's streaming executor
+    does not preserve it) and of scale, so training is bit-reproducible
+    across runs and cluster sizes."""
+    import hashlib
+
+    def _local_sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column(id_col).to_numpy(zero_copy_only=False)
+        keys = np.array(
+            [
+                int.from_bytes(
+                    hashlib.blake2b(
+                        str(int(i)).encode(), digest_size=8
+                    ).digest(),
+                    "little",
+                )
+                for i in ids
+            ],
+            dtype=np.uint64,
+        )
+        mat = _batch_matrix(batch, vec_col)
+        sel = np.lexsort((ids, keys))[:sample_size]
+        return pa.table(
+            {
+                "__key": pa.array(keys[sel], pa.uint64()),
+                "__id": pa.array(ids[sel].astype(np.int64), pa.int64()),
+                "__vec": pa.array(
+                    [row.tolist() for row in mat[sel]],
+                    pa.list_(pa.float64()),
+                ),
+            }
+        )
+
+    keys_l: List[np.ndarray] = []
+    ids_l: List[np.ndarray] = []
+    mats: List[np.ndarray] = []
+    for batch in (
+        ds.select_columns([id_col, vec_col])
+        .map_batches(_local_sample, batch_format="pyarrow", batch_size=4096)
+        .iter_batches(batch_size=4096, batch_format="pyarrow")
+    ):
+        keys_l.append(
+            batch.column("__key").to_numpy(zero_copy_only=False)
+        )
+        ids_l.append(batch.column("__id").to_numpy(zero_copy_only=False))
+        mats.append(_batch_matrix(batch, "__vec"))
+    keys = np.concatenate(keys_l)
+    ids = np.concatenate(ids_l)
+    mat = np.concatenate(mats)
+    order = np.lexsort((ids, keys))[:sample_size]
+    order = order[np.argsort(ids[order], kind="stable")]
+    x = mat[order]
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms
@@ -105,8 +153,9 @@ def ivf_knn(
 
     def _scan(batch: pa.Table) -> pa.Table:
         buckets = ray.get(probe_ref)
-        mask = [b in buckets for b in batch.column("ivf_bucket").to_pylist()]
-        cand = batch.filter(pa.array(mask, pa.bool_()))
+        col = batch.column("ivf_bucket").to_numpy(zero_copy_only=False)
+        mask = np.isin(col, np.fromiter(buckets, np.int32, len(buckets)))
+        cand = batch.filter(pa.array(mask))
         if cand.num_rows == 0:
             return pa.table(
                 {

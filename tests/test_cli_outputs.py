@@ -74,3 +74,27 @@ def test_cli_quality_and_dedup(tmp_path, capsys):
     assert main(["token-count", "--input", src]) == 0
     res4 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert res4["n_docs"] == 80  # n < 100 -> no oversized extra row
+
+
+def test_cli_keep_pattern_filters_inputs(tmp_path, capsys):
+    """S4 parity: --keep-pattern restricts the input listing by regex
+    (reference pipeline.py:253-284 filename_keep_patterns)."""
+    src = _corpus_dir(tmp_path)  # writes a.parquet + b.parquet
+    out = str(tmp_path / "kp_out")
+    assert main(
+        ["quality", "--input", src, "--output", out,
+         "--keep-pattern", r"a\.parquet"]
+    ) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ann = ray.data.read_parquet(res["outputs"]["annotated"])
+    full = pq.read_table(os.path.join(src, "a.parquet"))
+    assert ann.count() == full.num_rows  # only shard a was processed
+
+    # no match -> explicit error, not an empty run
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(
+            ["quality", "--input", src, "--output",
+             str(tmp_path / "kp_none"), "--keep-pattern", r"zzz"]
+        )

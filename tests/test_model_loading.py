@@ -100,11 +100,114 @@ def test_annotate_stage_model_paths(tmp_path):
 
 
 def test_missing_packages_raise_named_errors(tmp_path):
-    with pytest.raises(RuntimeError, match="fasttext"):
+    with pytest.raises(RuntimeError, match="(?i)fasttext"):
         load_langid_model(str(tmp_path / "lid.176.bin"))
-    with pytest.raises(RuntimeError, match="kenlm"):
+    with pytest.raises(FileNotFoundError):
+        # .arpa now parses dependency-free; a missing file is a file
+        # error, not a package error
         load_perplexity_model(str(tmp_path / "wiki.arpa"))
-    with pytest.raises(RuntimeError, match="fasttext"):
+    with pytest.raises(RuntimeError, match="(?i)fasttext"):
         load_classifier_model(str(tmp_path / "quality.bin"))
     with pytest.raises(RuntimeError, match="tokenizers"):
         load_token_counter("mistralai/Mistral-7B-v0.1")
+
+
+# ------------------------------------------------------------------
+# golden realistic-bytes fixtures (VERDICT r2 item 9): exercise the
+# parse paths with real file formats, not just missing-file raises
+# ------------------------------------------------------------------
+
+_TINY_ARPA = """\
+\\data\\
+ngram 1=5
+ngram 2=3
+
+\\1-grams:
+-1.0\t<unk>
+-0.8\t<s>\t-0.30103
+-0.7\t</s>
+-0.5\tthe\t-0.30103
+-0.9\tcat
+
+\\2-grams:
+-0.2\t<s> the
+-0.3\tthe cat
+-0.4\tcat </s>
+
+\\end\\
+"""
+
+
+def test_arpa_pure_python_scoring(tmp_path):
+    """Hand-computed Katz backoff over a 5-word ARPA fixture."""
+    from redpajama_data_ray.functions.arpa import ArpaLM
+
+    p = tmp_path / "tiny.arpa"
+    p.write_text(_TINY_ARPA)
+    lm = ArpaLM.from_file(str(p))
+    assert lm.order == 2
+    # seen bigrams score directly
+    assert lm.logp(("<s>",), "the") == pytest.approx(-0.2)
+    assert lm.logp(("the",), "cat") == pytest.approx(-0.3)
+    # unseen bigram backs off: bo(the) + p(dog->unk)
+    assert lm.logp(("the",), "dog") == pytest.approx(-0.30103 + -1.0)
+    # full sentence = p(the|<s>) + p(cat|the) + p(</s>|cat)
+    assert lm.score("the cat") == pytest.approx(-0.2 + -0.3 + -0.4)
+
+
+def test_arpa_via_loader_and_bucketing(tmp_path):
+    """load_perplexity_model('.arpa') without kenlm installed returns a
+    working scorer with the (ppl, bucket) interface."""
+    p = tmp_path / "tiny.arpa"
+    p.write_text(_TINY_ARPA)
+    scorer = load_perplexity_model(str(p))
+    ppl, bucket = scorer.score("the cat")
+    # ppl = 10 ** (-total_log10 / n_words); total = -0.9 over 2 words
+    # the scorer rounds ppl to 4 decimals
+    assert ppl == pytest.approx(10 ** (0.9 / 2), abs=1e-4)
+    assert bucket in ("head", "middle", "tail")
+    # empty text -> NaN + tail, like the stand-in
+    ppl2, bucket2 = scorer.score("")
+    assert np.isnan(ppl2) and bucket2 == "tail"
+
+
+def test_arpa_malformed_rejected(tmp_path):
+    p = tmp_path / "broken.arpa"
+    p.write_text("\\data\\\nngram 1=2\n\\1-grams:\n-0.5\tonly\n\\end\\\n")
+    with pytest.raises(ValueError, match="declares 2 1-grams"):
+        load_perplexity_model(str(p))
+    p2 = tmp_path / "notarpa.arpa"
+    p2.write_text("hello world\n")
+    with pytest.raises(ValueError, match="not an ARPA file"):
+        load_perplexity_model(str(p2))
+
+
+def test_fasttext_magic_header_distinguished(tmp_path):
+    """A file carrying fastText's real magic int32 gets a 'package
+    missing' error; garbage bytes get a 'not a fastText model' error."""
+    import struct
+
+    real = tmp_path / "model.bin"
+    real.write_bytes(struct.pack("<ii", 793712314, 12) + b"\x00" * 16)
+    with pytest.raises(RuntimeError, match="magic header verified"):
+        load_langid_model(str(real))
+    with pytest.raises(RuntimeError, match="magic header verified"):
+        load_classifier_model(str(real))
+
+    junk = tmp_path / "junk.bin"
+    junk.write_bytes(b"\xde\xad\xbe\xef" * 8)
+    with pytest.raises(RuntimeError, match="not a fastText"):
+        load_langid_model(str(junk))
+
+
+def test_kenlm_binary_header_distinguished(tmp_path):
+    klm = tmp_path / "model.klm"
+    klm.write_bytes(
+        b"mmap lm http://kheafield.com/code format version 5\n\x00" * 2
+    )
+    with pytest.raises(RuntimeError, match="KenLM binary"):
+        load_perplexity_model(str(klm))
+    junk = tmp_path / "junk.klm"
+    junk.write_bytes(b"\x00\x01\x02")
+    with pytest.raises(RuntimeError, match="neither"):
+        load_perplexity_model(str(junk))
