@@ -1,0 +1,610 @@
+"""Dependency-free baseline JPEG codec (pure numpy + stdlib).
+
+Implements the public ITU-T T.81 baseline sequential DCT process:
+
+- **decode_jpeg**: SOI/APP*/DQT/SOF0/DHT/DRI/SOS marker parse, canonical
+  Huffman decode of the entropy-coded segment (byte unstuffing + RSTn
+  restart handling), dequantization, inverse zigzag, 8x8 IDCT (exact
+  orthonormal DCT-II matrix), chroma upsampling for sampling factors
+  1-2, JFIF YCbCr->RGB. Huffman/quant tables come from the FILE's own
+  DHT/DQT segments, so arbitrary baseline JPEGs decode regardless of
+  the embedded tables. Progressive (SOF2), arithmetic coding, 12-bit
+  precision and hierarchical modes raise ``NotImplementedError`` naming
+  the feature.
+- **encode_jpeg**: 4:4:4 (or single-component grayscale) baseline
+  encoder with the Annex K example quantization + Huffman tables and
+  libjpeg's quality scaling — exists so the decoder has a self-
+  contained roundtrip property test and ``make_media_table`` can emit
+  genuine JPEG payloads.
+
+This is verification-grade (per-bit Python Huffman loop): production
+100-TB media pipelines should route libjpeg-turbo through the same
+``DecodeImageStage`` actor interface.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+# ---- public constants from ITU-T T.81 Annex K ----
+
+ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+_QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+
+_QT_CHR = np.array(
+    [17, 18, 24, 47, 99, 99, 99, 99,
+     18, 21, 26, 66, 99, 99, 99, 99,
+     24, 26, 56, 99, 99, 99, 99, 99,
+     47, 66, 99, 99, 99, 99, 99, 99]
+    + [99] * 32,
+    dtype=np.int64,
+)
+
+_DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_DC_LUM_VALS = list(range(12))
+_DC_CHR_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+_DC_CHR_VALS = list(range(12))
+
+_AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+_AC_CHR_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+_AC_CHR_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+    0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+    0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+    0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+    0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+    0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+    0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+    0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+    0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+    0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+    0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# exact orthonormal 8x8 DCT-II basis
+_K = np.arange(8)
+_DCT = np.cos((2 * _K[None, :] + 1) * _K[:, None] * np.pi / 16) * np.sqrt(
+    2.0 / 8
+)
+_DCT[0] /= np.sqrt(2.0)
+
+
+def _dct2(block: np.ndarray) -> np.ndarray:
+    return _DCT @ block @ _DCT.T
+
+
+def _idct2(coef: np.ndarray) -> np.ndarray:
+    return _DCT.T @ coef @ _DCT
+
+
+def _scaled_qt(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg's quality->scale mapping."""
+    quality = min(100, max(1, quality))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+# ------------------------------------------------------------------
+# canonical Huffman
+# ------------------------------------------------------------------
+
+def _build_codes(bits: List[int], vals: List[int]) -> Dict[int, Tuple[int, int]]:
+    """symbol -> (code, length) canonical assignment."""
+    out: Dict[int, Tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _build_decoder(bits: List[int], vals: List[int]) -> Dict[Tuple[int, int], int]:
+    """(length, code) -> symbol lookup."""
+    return {
+        (ln, code): sym for sym, (code, ln) in _build_codes(bits, vals).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int):
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)  # byte stuffing
+
+    def flush(self):
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.write((1 << pad) - 1, pad)  # pad with 1s
+
+
+class _BitReader:
+    """Reads the entropy-coded segment: unstuffs FF00, stops at markers
+    (caller handles RSTn by calling ``restart``)."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self):
+        d = self.data
+        while self.nbits <= 24:
+            if self.pos >= len(d):
+                self.acc = (self.acc << 8) | 0
+                self.nbits += 8
+                continue
+            b = d[self.pos]
+            if b == 0xFF:
+                nxt = d[self.pos + 1] if self.pos + 1 < len(d) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 2
+                elif 0xD0 <= nxt <= 0xD7:
+                    # restart marker: caller consumes via skip_restart
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+                else:
+                    # EOI or next segment: feed zeros
+                    self.acc = (self.acc << 8) | 0
+                    self.nbits += 8
+                    continue
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def skip_restart(self):
+        """Align to byte boundary and consume the RSTn marker."""
+        self.nbits = 0
+        self.acc = 0
+        d = self.data
+        while self.pos + 1 < len(d):
+            if d[self.pos] == 0xFF and 0xD0 <= d[self.pos + 1] <= 0xD7:
+                self.pos += 2
+                return
+            self.pos += 1
+
+    def decode_symbol(self, table: Dict[Tuple[int, int], int]) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _extend(code: int, s: int) -> int:
+    """Magnitude-category decode (T.81 F.2.2.1 EXTEND)."""
+    if s == 0:
+        return 0
+    return code if code >= (1 << (s - 1)) else code - (1 << s) + 1
+
+
+def _category(v: int) -> Tuple[int, int]:
+    """value -> (size, code) for magnitude coding."""
+    s = int(abs(v)).bit_length()
+    code = v if v >= 0 else v + (1 << s) - 1
+    return s, code
+
+
+# ------------------------------------------------------------------
+# encoder (baseline, 4:4:4 / grayscale, Annex K tables)
+# ------------------------------------------------------------------
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    px = px.astype(np.float64)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    y, cb, cr = planes[..., 0], planes[..., 1] - 128.0, planes[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.stack([r, g, b], axis=-1).round(), 0, 255).astype(
+        np.uint8
+    )
+
+
+def _encode_plane_blocks(
+    plane: np.ndarray, qt: np.ndarray
+) -> List[np.ndarray]:
+    """Pad to 8-multiples (edge replication), DCT+quantize each block;
+    returns zigzagged int blocks in raster order."""
+    h, w = plane.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    qt2 = qt.reshape(8, 8)
+    out = []
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            block = padded[by : by + 8, bx : bx + 8] - 128.0
+            coef = np.round(_dct2(block) / qt2).astype(np.int64)
+            out.append(coef.flatten()[ZIGZAG])
+    return out
+
+
+def _u16(v: int) -> bytes:
+    return bytes([(v >> 8) & 0xFF, v & 0xFF])
+
+
+def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
+    """(h, w, 3) uint8 RGB or (h, w) grayscale -> baseline JPEG bytes
+    (4:4:4, Annex K tables scaled by ``quality``)."""
+    px = np.asarray(px)
+    gray = px.ndim == 2
+    h, w = px.shape[:2]
+    qt_l = _scaled_qt(_QT_LUM, quality)
+    qt_c = _scaled_qt(_QT_CHR, quality)
+    if gray:
+        planes = [px.astype(np.float64)]
+        qts = [qt_l]
+        comp_q = [0]
+    else:
+        ycc = _rgb_to_ycbcr(px)
+        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
+        qts = [qt_l, qt_c, qt_c]
+        comp_q = [0, 1, 1]
+
+    blocks = [_encode_plane_blocks(p, q) for p, q in zip(planes, qts)]
+
+    dc_codes = [
+        _build_codes(_DC_LUM_BITS, _DC_LUM_VALS),
+        _build_codes(_DC_CHR_BITS, _DC_CHR_VALS),
+    ]
+    ac_codes = [
+        _build_codes(_AC_LUM_BITS, _AC_LUM_VALS),
+        _build_codes(_AC_CHR_BITS, _AC_CHR_VALS),
+    ]
+
+    writer = _BitWriter()
+    preds = [0] * len(planes)
+    n_blocks = len(blocks[0])
+    for bi in range(n_blocks):
+        for ci in range(len(planes)):
+            zz = blocks[ci][bi]
+            tsel = comp_q[ci]
+            # DC
+            diff = int(zz[0]) - preds[ci]
+            preds[ci] = int(zz[0])
+            s, code = _category(diff)
+            c, ln = dc_codes[tsel][s]
+            writer.write(c, ln)
+            if s:
+                writer.write(code, s)
+            # AC
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_codes[tsel][0xF0]  # ZRL
+                    writer.write(c, ln)
+                    run -= 16
+                s, code = _category(v)
+                c, ln = ac_codes[tsel][(run << 4) | s]
+                writer.write(c, ln)
+                writer.write(code, s)
+                run = 0
+            if run:
+                c, ln = ac_codes[tsel][0x00]  # EOB
+                writer.write(c, ln)
+    writer.flush()
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    # JFIF APP0
+    app0 = b"JFIF\x00\x01\x01\x00" + _u16(1) + _u16(1) + b"\x00\x00"
+    out += b"\xff\xe0" + _u16(len(app0) + 2) + app0
+    # DQT
+    for tid, qt in enumerate([qt_l] + ([qt_c] if not gray else [])):
+        seg = bytes([tid]) + bytes(int(x) for x in qt)
+        out += b"\xff\xdb" + _u16(len(seg) + 2) + seg
+    # SOF0
+    ncomp = 1 if gray else 3
+    sof = bytes([8]) + _u16(h) + _u16(w) + bytes([ncomp])
+    for ci in range(ncomp):
+        sof += bytes([ci + 1, 0x11, comp_q[ci]])
+    out += b"\xff\xc0" + _u16(len(sof) + 2) + sof
+    # DHT
+    tables = [
+        (0x00, _DC_LUM_BITS, _DC_LUM_VALS),
+        (0x10, _AC_LUM_BITS, _AC_LUM_VALS),
+    ]
+    if not gray:
+        tables += [
+            (0x01, _DC_CHR_BITS, _DC_CHR_VALS),
+            (0x11, _AC_CHR_BITS, _AC_CHR_VALS),
+        ]
+    for tc, bits, vals in tables:
+        seg = bytes([tc]) + bytes(bits) + bytes(vals)
+        out += b"\xff\xc4" + _u16(len(seg) + 2) + seg
+    # SOS
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        td = 0 if comp_q[ci] == 0 else 1
+        sos += bytes([ci + 1, (td << 4) | td])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + _u16(len(sos) + 2) + sos
+    out += writer.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# ------------------------------------------------------------------
+# decoder (baseline sequential, tables from the file)
+# ------------------------------------------------------------------
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """baseline JPEG bytes -> (h, w, 3) uint8 RGB."""
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qts: Dict[int, np.ndarray] = {}
+    huff: Dict[Tuple[int, int], Dict[Tuple[int, int], int]] = {}
+    comps: List[dict] = []
+    h = w = 0
+    restart_interval = 0
+    scan_pos = None
+    scan_comps: List[dict] = []
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        pos += 2
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            continue
+        if marker == 0xD9:  # EOI
+            break
+        seglen = int.from_bytes(payload[pos : pos + 2], "big")
+        if seglen < 2:
+            raise ValueError(
+                f"truncated JPEG: segment 0x{marker:02x} with invalid "
+                f"length {seglen}"
+            )
+        seg = payload[pos + 2 : pos + seglen]
+        body_end = pos + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                pq, tq = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                if pq != 0:
+                    raise NotImplementedError(
+                        "16-bit quantization tables (Pq=1) not supported"
+                    )
+                qts[tq] = np.frombuffer(
+                    seg[i : i + 64], dtype=np.uint8
+                ).astype(np.int64)
+                i += 64
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(seg):
+                tc, th = seg[i] >> 4, seg[i] & 0x0F
+                i += 1
+                bits = list(seg[i : i + 16])
+                i += 16
+                nval = sum(bits)
+                vals = list(seg[i : i + nval])
+                i += nval
+                huff[(tc, th)] = _build_decoder(bits, vals)
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec = seg[0]
+            if prec != 8:
+                raise NotImplementedError(
+                    f"{prec}-bit precision not supported (baseline is 8)"
+                )
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * ci : 9 + 3 * ci]
+                comps.append(
+                    {
+                        "id": cid,
+                        "h": hv >> 4,
+                        "v": hv & 0x0F,
+                        "tq": tq,
+                    }
+                )
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) not supported; baseline only"
+            )
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD,
+                        0xCE, 0xCF):
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (non-baseline process) "
+                "not supported"
+            )
+        elif marker == 0xDD:  # DRI
+            restart_interval = int.from_bytes(seg[0:2], "big")
+        elif marker == 0xDA:  # SOS
+            ns = seg[0]
+            scan_comps = []
+            for si in range(ns):
+                cs, tdta = seg[1 + 2 * si : 3 + 2 * si]
+                comp = next(c for c in comps if c["id"] == cs)
+                comp["td"] = tdta >> 4
+                comp["ta"] = tdta & 0x0F
+                scan_comps.append(comp)
+            scan_pos = body_end
+            break
+        pos = body_end
+    if scan_pos is None or not comps:
+        raise ValueError("truncated JPEG: no SOS/SOF found")
+
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise NotImplementedError(
+            f"sampling factors above 2 not supported (got {hmax}x{vmax})"
+        )
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["plane"] = np.zeros((c["bh"] * 8, c["bw"] * 8), dtype=np.float64)
+        c["pred"] = 0
+
+    reader = _BitReader(payload, scan_pos)
+    mcu_count = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and mcu_count and (
+                mcu_count % restart_interval == 0
+            ):
+                reader.skip_restart()
+                for c in comps:
+                    c["pred"] = 0
+            mcu_count += 1
+            for c in scan_comps:
+                dct_tbl = huff.get((0, c["td"]))
+                act_tbl = huff.get((1, c["ta"]))
+                if dct_tbl is None or act_tbl is None:
+                    raise ValueError("JPEG scan references missing DHT")
+                qt = qts[c["tq"]]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = reader.decode_symbol(dct_tbl)
+                        diff = _extend(reader.read_bits(s), s)
+                        c["pred"] += diff
+                        zz[0] = c["pred"]
+                        k = 1
+                        while k < 64:
+                            rs = reader.decode_symbol(act_tbl)
+                            r, s = rs >> 4, rs & 0x0F
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                break  # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC run exceeds block"
+                                )
+                            zz[k] = _extend(reader.read_bits(s), s)
+                            k += 1
+                        coef = np.zeros(64, dtype=np.float64)
+                        coef[ZIGZAG] = zz * qt
+                        block = _idct2(coef.reshape(8, 8)) + 128.0
+                        py = (my * c["v"] + by) * 8
+                        px_ = (mx * c["h"] + bx) * 8
+                        c["plane"][py : py + 8, px_ : px_ + 8] = block
+
+    # upsample to full resolution and crop
+    planes = []
+    for c in comps:
+        p = c["plane"]
+        if c["h"] < hmax:
+            p = np.repeat(p, hmax // c["h"], axis=1)
+        if c["v"] < vmax:
+            p = np.repeat(p, vmax // c["v"], axis=0)
+        planes.append(p[:h, :w])
+    if len(planes) == 1:
+        g = np.clip(planes[0].round(), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    if len(planes) != 3:
+        raise NotImplementedError(
+            f"{len(planes)}-component JPEG not supported (expect "
+            "grayscale or YCbCr)"
+        )
+    return _ycbcr_to_rgb(np.stack(planes, axis=-1))

@@ -3,11 +3,12 @@ metadata, processed by ``map_batches`` actor stages.
 
 Decode kernels:
 
-- ``decode_fn="real"``: a genuine pure-numpy decoder for UNCOMPRESSED
-  formats — 24-bit BI_RGB BMP and binary netpbm (P5/P6) — plus
-  nearest-neighbor resize. Compressed formats (PNG/JPEG, sniffed by
-  magic bytes) raise a clear error naming the missing codec library
-  (none is installed in this container).
+- ``decode_fn="real"``: a genuine pure-numpy decoder — 24-bit BI_RGB
+  BMP, binary netpbm (P5/P6), PNG (stdlib zlib; all color types incl.
+  Adam7 — multimodal/png.py) and baseline sequential JPEG (own DCT +
+  Huffman — multimodal/jpeg.py) — plus nearest-neighbor resize.
+  Unsupported variants (progressive JPEG, 16-bit, palette PNG) raise
+  errors naming the feature.
 - ``decode_fn="fake"`` (default for synthetic benches): deterministic
   pseudo-decode seeded from the payload hash.
 
@@ -82,10 +83,8 @@ def encode_bmp(pixels: "np.ndarray") -> bytes:
 
 
 def decode_image(payload: bytes) -> "np.ndarray":
-    """payload bytes -> (h, w, 3) uint8 RGB for uncompressed formats.
-
-    Sniffs the container by magic bytes; PNG/JPEG raise with the name
-    of the codec library needed."""
+    """payload bytes -> (h, w, 3) uint8 RGB (BMP / netpbm / PNG /
+    baseline JPEG, sniffed by magic bytes)."""
     import struct
 
     if payload[:2] == b"BM":
@@ -145,10 +144,12 @@ def decode_image(payload: bytes) -> "np.ndarray":
 
         return decode_png(payload)
     if payload[:2] == b"\xff\xd8":
-        raise NotImplementedError(
-            "JPEG decode requires a DCT codec; install Pillow/libjpeg "
-            "and route it here"
-        )
+        # dependency-free baseline sequential DCT decoder (tables read
+        # from the file's own DQT/DHT segments); progressive /
+        # arithmetic / 12-bit raise named errors (multimodal/jpeg.py)
+        from .jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise ValueError("unrecognized image container (magic bytes)")
 
 
@@ -330,18 +331,23 @@ def make_media_table(
             w = int(rng.integers(8, 48))
             h = int(rng.integers(8, 48))
             px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
-            kind = i % 3
+            kind = i % 4
             if kind == 0:
                 payloads.append(encode_bmp(px))
                 mimes.append("image/bmp")
             elif kind == 1:
                 payloads.append(encode_ppm(px))
                 mimes.append("image/x-portable-pixmap")
-            else:
+            elif kind == 2:
                 from .png import encode_png
 
                 payloads.append(encode_png(px))
                 mimes.append("image/png")
+            else:
+                from .jpeg import encode_jpeg
+
+                payloads.append(encode_jpeg(px, quality=92))
+                mimes.append("image/jpeg")
             ws.append(w)
             hs.append(h)
             continue

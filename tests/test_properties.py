@@ -146,3 +146,68 @@ def test_wav_roundtrip_property(n, seed):
     s, rate = decode_wav(encode_wav(x))
     assert rate == 16000 and len(s) == n
     assert np.abs(s - x).max() < 1.0 / 32000
+
+
+@given(
+    h=st.integers(1, 32), w=st.integers(1, 32),
+    seed=st.integers(0, 2**32 - 1),
+)
+@_settings(max_examples=25, deadline=None)
+def test_jpeg_roundtrip_property(h, w, seed):
+    """Baseline JPEG is lossy; at quality 95 a smooth gradient must
+    round-trip within small quantization error, any size (odd widths,
+    single-pixel edges, MCU padding)."""
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    # bounded-slope gradient (<=3 levels/px): steeper content has
+    # genuinely unbounded JPEG quantization error, smooth content must
+    # round-trip tightly (measured worst over all sizes: max 11)
+    g = np.clip(
+        yy * 3 + xx * 2 + int(rng.integers(0, 32)), 0, 255
+    ).astype(np.uint8)
+    px = np.stack(
+        [g, 255 - g, (g // 2 + 60).astype(np.uint8)], axis=-1
+    )
+    out = decode_jpeg(encode_jpeg(px, quality=95))
+    assert out.shape == (h, w, 3)
+    err = np.abs(out.astype(int) - px.astype(int))
+    assert err.max() <= 14 and err.mean() <= 5.0
+
+
+def test_jpeg_flat_color_exact():
+    """A flat block is pure DC energy — must survive encode/decode with
+    at most rounding error."""
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    px = np.full((16, 16, 3), 137, np.uint8)
+    out = decode_jpeg(encode_jpeg(px, quality=90))
+    assert np.abs(out.astype(int) - 137).max() <= 2
+
+
+def test_jpeg_grayscale_and_dispatch():
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.jpeg import encode_jpeg
+    from redpajama_data_ray.multimodal.stages import decode_image
+
+    g = np.tile(np.arange(48, dtype=np.uint8) * 5, (24, 1))
+    out = decode_image(encode_jpeg(g, quality=95))  # magic-byte dispatch
+    assert out.shape == (24, 48, 3)
+    assert np.abs(out[:, :, 0].astype(int) - g.astype(int)).max() <= 3
+
+
+def test_jpeg_progressive_rejected():
+    import pytest
+
+    from redpajama_data_ray.multimodal.jpeg import decode_jpeg
+
+    # hand-built SOI + SOF2 marker
+    payload = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(payload)

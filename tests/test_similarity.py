@@ -238,7 +238,14 @@ class TestRealImageDecode:
         from redpajama_data_ray.multimodal.png import decode_png
         from redpajama_data_ray.multimodal.stages import decode_image
 
-        with _pytest.raises(NotImplementedError, match="Pillow|libjpeg"):
+        # JPEG baseline now decodes (multimodal/jpeg.py); progressive
+        # still gates with a named error, truncated streams error out
+        with _pytest.raises(NotImplementedError, match="progressive"):
+            decode_image(
+                b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01"
+                b"\x01\x11\x00"
+            )
+        with _pytest.raises(ValueError, match="truncated"):
             decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
         with _pytest.raises(ValueError):
             decode_image(b"garbage")
