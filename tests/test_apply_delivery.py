@@ -220,3 +220,27 @@ class TestClusterSinksSizeAdaptive:
         rows_b = self._read_sink(out_b["0.8"])
         assert rows_a == rows_b
         assert len(rows_a) >= 3  # a, b, c clustered
+
+
+class TestExactNarrowJoinDelivery:
+    def test_mask_path_equals_pack_fallback(self):
+        """Forced-join exact dedup: broadcast-mask delivery (default)
+        and the pack+anti-join fallback (mask_limit=0) agree, nested
+        column intact both ways."""
+        t = _nested_table()
+        via_mask = exact_dedup(ray.data.from_arrow(t), distributed=True)
+        via_join = exact_dedup(
+            ray.data.from_arrow(t), distributed=True, mask_limit=0
+        )
+        assert _ids(via_mask) == _ids(via_join)
+        row = via_join.take(1)[0]
+        assert [bytes(b) for b in row["signature_sim0.8"]] == [
+            b"\x00\x01",
+            b"\x02\x03",
+        ]
+        dup_mask = duplicate_rows(ray.data.from_arrow(t), distributed=True)
+        dup_join = duplicate_rows(
+            ray.data.from_arrow(t), distributed=True, mask_limit=0
+        )
+        assert _ids(dup_mask) == _ids(dup_join)
+        assert len(_ids(dup_mask)) == 10

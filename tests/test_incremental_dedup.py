@@ -245,3 +245,53 @@ def test_incremental_fuzzy_join_path(tmp_path):
     )
     # the jx-cluster doc (id 50) matches committed bands; jnew (51) kept
     assert ids == [51]
+
+
+def test_join_path_pack_fallback(tmp_path):
+    """Round 3: the large-state delivery is a narrow semi-join + mask;
+    mask_limit=0 forces the full-width pack+anti-join fallback — both
+    must drop the same rows (with a nested column present)."""
+    import pyarrow as pa
+    import ray.data
+
+    from redpajama_data_ray.state.incremental import (
+        commit_run_keys,
+        incremental_exact_dedup,
+    )
+
+    state = str(tmp_path / "st")
+    t1 = pa.table(
+        {
+            "content_sha256": [f"k{i}" for i in range(20)],
+            "doc_id": [f"a{i}" for i in range(20)],
+            "sig": pa.array([[b"x"]] * 20, pa.list_(pa.binary())),
+        }
+    )
+    d1, r1 = incremental_exact_dedup(
+        ray.data.from_arrow(t1), state, run_id="a"
+    )
+    d1 = d1.materialize()
+    commit_run_keys(d1, state, r1)
+    t2 = pa.table(
+        {
+            "content_sha256": [f"k{i}" for i in range(10, 30)],
+            "doc_id": [f"b{i}" for i in range(20)],
+            "sig": pa.array([[b"y"]] * 20, pa.list_(pa.binary())),
+        }
+    )
+
+    def _ids(ds):
+        return sorted(
+            x
+            for b in ds.iter_batches(batch_format="pyarrow")
+            for x in b.column("doc_id").to_pylist()
+        )
+
+    via_mask, _ = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state, run_id="b", broadcast_limit=1
+    )
+    via_pack, _ = incremental_exact_dedup(
+        ray.data.from_arrow(t2), state, run_id="b", broadcast_limit=1,
+        mask_limit=0,
+    )
+    assert _ids(via_mask) == _ids(via_pack) == [f"b{i}" for i in range(10, 20)]
