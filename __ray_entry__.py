@@ -6,10 +6,12 @@ keep/drop rules) over the sf0.001 synthetic code corpus.
 
 ``queries()`` exposes every implemented operator/pipeline; each entry in
 ``oracle_sql()`` is the DuckDB-equivalent SQL with identical column
-names (floats rounded identically on both sides). Queries without an
-oracle entry are non-SQL-expressible (model inference, minhash/LSH,
-ANN, multimodal) and get the driver's rows-only check; their exact
-semantics are covered by the pytest oracle suite in tests/.
+names (floats rounded identically on both sides). 44/46 queries are
+SQL-oracled — model-inference / minhash / simhash / ANN / flagship
+queries compare against precomputed expected tables written by
+independent sequential kernels (pipelines/extras.py). Only
+``approx_distinct_texts`` (approximate by design) and ``media_decode``
+(property-tested codec roundtrips) remain rows-only.
 
 Ray is initialised by the driver before import; nothing here calls
 ``ray.init()`` / ``ray.shutdown()``.

@@ -127,11 +127,22 @@ def propagate_min_labels(
     def label_sum(lbls: Dataset) -> int:
         """Exact-modulo label checksum (labels are monotone decreasing,
         so an unchanged checksum means fixpoint; int64 ds.sum could
-        overflow with 2^63-scale labels)."""
+        overflow with 2^63-scale labels). Vectorized: the signed labels
+        are viewed as uint64 two's-complement and summed as 30-bit
+        halves, so the numpy sums are exact up to 2^30 rows per block —
+        the exact per-block sum is then reduced mod P driver-side
+        (still change-detecting: any multiset change moves the total)."""
+        import numpy as np
 
         def partial(t: pa.Table) -> pa.Table:
-            s = sum(t.column("lbl").to_pylist()) % _P
-            return pa.table({"s": pa.array([s], pa.int64())})
+            u = t.column("lbl").to_numpy(zero_copy_only=False).astype(
+                np.uint64
+            )
+            lo = int((u & np.uint64((1 << 30) - 1)).sum(dtype=np.uint64))
+            hi = int((u >> np.uint64(30)).sum(dtype=np.uint64))
+            return pa.table(
+                {"s": pa.array([(lo + (hi << 30)) % _P], pa.int64())}
+            )
 
         total = 0
         for b in lbls.map_batches(

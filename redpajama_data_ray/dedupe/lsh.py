@@ -124,7 +124,13 @@ def explode_bands(sig_column: str):
         band_idx = (
             np.arange(n_bands) - np.repeat(starts, lengths)
         ).astype(np.uint64)
-        boffs = np.frombuffer(flat.buffers()[1], dtype=np.int32)[
+        off_dtype = (
+            np.int64
+            if pa.types.is_large_binary(flat.type)
+            or pa.types.is_large_string(flat.type)
+            else np.int32
+        )
+        boffs = np.frombuffer(flat.buffers()[1], dtype=off_dtype)[
             flat.offset : flat.offset + n_bands + 1
         ]
         widths = np.diff(boffs)
