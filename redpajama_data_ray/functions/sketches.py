@@ -128,3 +128,129 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
         for blob in b.column("sketch").to_pylist():
             merged = merged.merge(HyperLogLog.from_bytes(blob))
     return merged.estimate()
+
+
+# ------------------------------------------------------------------
+# mergeable quantile sketch (log-bucketed histogram)
+# ------------------------------------------------------------------
+
+class LogHistogramQuantiles:
+    """Mergeable quantile sketch over positive floats.
+
+    Fixed log-spaced bins (``bins_per_octave`` per power of two between
+    ``lo`` and ``hi``); adding is a ``bincount``, merging is an
+    elementwise add — the same one-fixed-array-per-batch shape as
+    :class:`HyperLogLog`, so a corpus-wide quantile costs one small
+    vector per block instead of materializing every value on the
+    driver. Quantiles interpolate within the hit bin; the relative
+    value error is bounded by one bin width, ``2**(1/bins_per_octave)
+    - 1`` (~1.1% at the default 64). Values outside [lo, hi] clamp to
+    the edge bins; NaNs are ignored; zeros/negatives count in the
+    lowest bin (perplexities and lengths are positive).
+
+    This is the public DDSketch/HDR-histogram construction (relative-
+    error log bucketing) in its simplest fixed-range form.
+    """
+
+    def __init__(
+        self,
+        bins_per_octave: int = 64,
+        lo: float = 1e-6,
+        hi: float = 1e12,
+        counts: Optional[np.ndarray] = None,
+    ):
+        if not (lo > 0 and hi > lo):
+            raise ValueError("need 0 < lo < hi")
+        self.k = int(bins_per_octave)
+        self.lo = float(lo)
+        self.hi = float(hi)
+        self.n_bins = int(np.ceil(np.log2(hi / lo) * self.k)) + 1
+        self.counts = (
+            np.zeros(self.n_bins, np.int64) if counts is None else counts
+        )
+
+    def _bin(self, v: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            idx = np.floor(
+                np.log2(np.maximum(v, self.lo) / self.lo) * self.k
+            )
+        return np.clip(idx, 0, self.n_bins - 1).astype(np.int64)
+
+    def add_many(self, values) -> "LogHistogramQuantiles":
+        v = np.asarray(values, np.float64)
+        v = v[v == v]  # drop NaN
+        if len(v):
+            self.counts += np.bincount(
+                self._bin(v), minlength=self.n_bins
+            )
+        return self
+
+    def merge(self, other: "LogHistogramQuantiles") -> "LogHistogramQuantiles":
+        if (other.k, other.lo, other.hi) != (self.k, self.lo, self.hi):
+            raise ValueError("cannot merge sketches with different bins")
+        self.counts += other.counts
+        return self
+
+    @property
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def quantile(self, q: float) -> float:
+        """Value at quantile ``q`` (midpoint of the hit bin in log
+        space); NaN for an empty sketch."""
+        n = self.total
+        if n == 0:
+            return float("nan")
+        target = q * (n - 1)
+        cum = np.cumsum(self.counts)
+        b = int(np.searchsorted(cum, target, side="right"))
+        b = min(b, self.n_bins - 1)
+        return float(self.lo * 2 ** ((b + 0.5) / self.k))
+
+    def quantiles(self, qs) -> "np.ndarray":
+        return np.array([self.quantile(q) for q in qs])
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        head = struct.pack("<idd", self.k, self.lo, self.hi)
+        return head + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "LogHistogramQuantiles":
+        import struct
+
+        k, lo, hi = struct.unpack("<idd", data[:20])
+        counts = np.frombuffer(data[20:], np.int64).copy()
+        return cls(k, lo, hi, counts)
+
+
+def approx_quantiles(
+    ds,
+    column: str,
+    qs,
+    bins_per_octave: int = 64,
+    lo: float = 1e-6,
+    hi: float = 1e12,
+) -> "np.ndarray":
+    """Distributed approximate quantiles of a positive float column:
+    one fixed-size log-histogram per block (map_batches), elementwise-
+    add merge on the driver — never materializes the values."""
+    import pyarrow as pa
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        sk = LogHistogramQuantiles(bins_per_octave, lo, hi)
+        sk.add_many(
+            t.column(column).to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {"sketch": pa.array([sk.to_bytes()], pa.binary())}
+        )
+
+    merged = LogHistogramQuantiles(bins_per_octave, lo, hi)
+    for b in ds.select_columns([column]).map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged.merge(LogHistogramQuantiles.from_bytes(raw))
+    return merged.quantiles(qs)

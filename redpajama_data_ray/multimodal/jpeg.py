@@ -298,21 +298,22 @@ def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
     )
 
 
-def _encode_plane_blocks(
-    plane: np.ndarray, qt: np.ndarray
-) -> List[np.ndarray]:
-    """Pad to 8-multiples (edge replication), DCT+quantize each block;
-    returns zigzagged int blocks in raster order."""
+def _quantized_blocks(
+    plane: np.ndarray, qt: np.ndarray, bh: int, bw: int
+) -> np.ndarray:
+    """Pad to a (bh x bw)-block grid (edge replication), DCT+quantize;
+    returns an (bh, bw, 64) int array of zigzagged coefficients."""
     h, w = plane.shape
-    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
-    padded = np.pad(plane, ((0, ph - h), (0, pw - w)), mode="edge")
+    padded = np.pad(
+        plane, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+    )
     qt2 = qt.reshape(8, 8)
-    out = []
-    for by in range(0, ph, 8):
-        for bx in range(0, pw, 8):
-            block = padded[by : by + 8, bx : bx + 8] - 128.0
+    out = np.empty((bh, bw, 64), dtype=np.int64)
+    for by in range(bh):
+        for bx in range(bw):
+            block = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = np.round(_dct2(block) / qt2).astype(np.int64)
-            out.append(coef.flatten()[ZIGZAG])
+            out[by, bx] = coef.flatten()[ZIGZAG]
     return out
 
 
@@ -320,25 +321,59 @@ def _u16(v: int) -> bytes:
     return bytes([(v >> 8) & 0xFF, v & 0xFF])
 
 
-def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
+def encode_jpeg(
+    px: np.ndarray, quality: int = 90, subsample: bool = False
+) -> bytes:
     """(h, w, 3) uint8 RGB or (h, w) grayscale -> baseline JPEG bytes
-    (4:4:4, Annex K tables scaled by ``quality``)."""
+    (Annex K tables scaled by ``quality``). ``subsample=True`` emits
+    4:2:0 chroma (2x2 box-averaged Cb/Cr, 2x2-Y MCUs) — the common
+    camera/web layout, exercising the decoder's multi-block MCU path;
+    default is 4:4:4."""
     px = np.asarray(px)
     gray = px.ndim == 2
     h, w = px.shape[:2]
     qt_l = _scaled_qt(_QT_LUM, quality)
     qt_c = _scaled_qt(_QT_CHR, quality)
+
     if gray:
-        planes = [px.astype(np.float64)]
-        qts = [qt_l]
-        comp_q = [0]
+        comps = [
+            {"plane": px.astype(np.float64), "qt": qt_l, "tq": 0,
+             "h": 1, "v": 1}
+        ]
     else:
         ycc = _rgb_to_ycbcr(px)
-        planes = [ycc[..., 0], ycc[..., 1], ycc[..., 2]]
-        qts = [qt_l, qt_c, qt_c]
-        comp_q = [0, 1, 1]
+        y, cb, cr = ycc[..., 0], ycc[..., 1], ycc[..., 2]
+        if subsample:
+            # 2x2 box average (pad odd edges by replication first)
+            ph, pw = h + (h % 2), w + (w % 2)
+            def down(p):
+                p = np.pad(p, ((0, ph - h), (0, pw - w)), mode="edge")
+                return (
+                    p[0::2, 0::2] + p[1::2, 0::2]
+                    + p[0::2, 1::2] + p[1::2, 1::2]
+                ) / 4.0
+            comps = [
+                {"plane": y, "qt": qt_l, "tq": 0, "h": 2, "v": 2},
+                {"plane": down(cb), "qt": qt_c, "tq": 1, "h": 1, "v": 1},
+                {"plane": down(cr), "qt": qt_c, "tq": 1, "h": 1, "v": 1},
+            ]
+        else:
+            comps = [
+                {"plane": y, "qt": qt_l, "tq": 0, "h": 1, "v": 1},
+                {"plane": cb, "qt": qt_c, "tq": 1, "h": 1, "v": 1},
+                {"plane": cr, "qt": qt_c, "tq": 1, "h": 1, "v": 1},
+            ]
 
-    blocks = [_encode_plane_blocks(p, q) for p, q in zip(planes, qts)]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    for c in comps:
+        c["bw"] = mcux * c["h"]
+        c["bh"] = mcuy * c["v"]
+        c["blocks"] = _quantized_blocks(
+            c["plane"], c["qt"], c["bh"], c["bw"]
+        )
 
     dc_codes = [
         _build_codes(_DC_LUM_BITS, _DC_LUM_VALS),
@@ -350,39 +385,41 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
     ]
 
     writer = _BitWriter()
-    preds = [0] * len(planes)
-    n_blocks = len(blocks[0])
-    for bi in range(n_blocks):
-        for ci in range(len(planes)):
-            zz = blocks[ci][bi]
-            tsel = comp_q[ci]
-            # DC
-            diff = int(zz[0]) - preds[ci]
-            preds[ci] = int(zz[0])
-            s, code = _category(diff)
-            c, ln = dc_codes[tsel][s]
-            writer.write(c, ln)
-            if s:
-                writer.write(code, s)
-            # AC
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    c, ln = ac_codes[tsel][0xF0]  # ZRL
-                    writer.write(c, ln)
-                    run -= 16
-                s, code = _category(v)
-                c, ln = ac_codes[tsel][(run << 4) | s]
-                writer.write(c, ln)
-                writer.write(code, s)
-                run = 0
-            if run:
-                c, ln = ac_codes[tsel][0x00]  # EOB
-                writer.write(c, ln)
+    preds = [0] * len(comps)
+    for my in range(mcuy):
+        for mx in range(mcux):
+            for ci, c in enumerate(comps):
+                tsel = c["tq"]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = c["blocks"][my * c["v"] + by, mx * c["h"] + bx]
+                        # DC
+                        diff = int(zz[0]) - preds[ci]
+                        preds[ci] = int(zz[0])
+                        s, code = _category(diff)
+                        cc, ln = dc_codes[tsel][s]
+                        writer.write(cc, ln)
+                        if s:
+                            writer.write(code, s)
+                        # AC
+                        run = 0
+                        for k in range(1, 64):
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                                continue
+                            while run > 15:
+                                cc, ln = ac_codes[tsel][0xF0]  # ZRL
+                                writer.write(cc, ln)
+                                run -= 16
+                            s, code = _category(v)
+                            cc, ln = ac_codes[tsel][(run << 4) | s]
+                            writer.write(cc, ln)
+                            writer.write(code, s)
+                            run = 0
+                        if run:
+                            cc, ln = ac_codes[tsel][0x00]  # EOB
+                            writer.write(cc, ln)
     writer.flush()
 
     out = bytearray(b"\xff\xd8")  # SOI
@@ -394,10 +431,10 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
         seg = bytes([tid]) + bytes(int(x) for x in qt)
         out += b"\xff\xdb" + _u16(len(seg) + 2) + seg
     # SOF0
-    ncomp = 1 if gray else 3
+    ncomp = len(comps)
     sof = bytes([8]) + _u16(h) + _u16(w) + bytes([ncomp])
-    for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, comp_q[ci]])
+    for ci, c in enumerate(comps):
+        sof += bytes([ci + 1, (c["h"] << 4) | c["v"], c["tq"]])
     out += b"\xff\xc0" + _u16(len(sof) + 2) + sof
     # DHT
     tables = [
@@ -415,7 +452,7 @@ def encode_jpeg(px: np.ndarray, quality: int = 90) -> bytes:
     # SOS
     sos = bytes([ncomp])
     for ci in range(ncomp):
-        td = 0 if comp_q[ci] == 0 else 1
+        td = comps[ci]["tq"]
         sos += bytes([ci + 1, (td << 4) | td])
     sos += bytes([0, 63, 0])
     out += b"\xff\xda" + _u16(len(sos) + 2) + sos

@@ -152,11 +152,19 @@ def build_ppl_thresholds(
     sample_fraction: float = 0.25,
     seed: int = 42,
     text_column: str = "content",
+    method: str = "exact",
 ) -> dict:
     """Calibrate head/middle/tail perplexity cut points as corpus
     percentiles — CCNet's buckets are Wikipedia-perplexity percentiles
     of the crawl (consumed by the reference at core/worker.py:40-49);
-    this reproduces that calibration against our LM on a seeded sample."""
+    this reproduces that calibration against our LM on a seeded sample.
+
+    ``method="exact"`` (default) collects the sampled values and takes
+    ``np.quantile`` — right for sample sizes that fit the driver.
+    ``method="sketch"`` streams one fixed-size mergeable log-histogram
+    per block (``functions.sketches.LogHistogramQuantiles``) — the
+    100-TB path: driver memory is one ~30 KB vector regardless of
+    corpus size, quantile relative error ~1.1%."""
     from ..functions.perplexity import PerplexityScorer
 
     def partial(t: pa.Table) -> pa.Table:
@@ -168,10 +176,41 @@ def build_ppl_thresholds(
         vals = [v for v in vals if v == v]  # drop NaN
         return pa.table({"ppl": pa.array(vals, pa.float64())})
 
-    ppls = []
-    for b in corpus.random_sample(sample_fraction, seed=seed).map_batches(
+    sampled = corpus.random_sample(sample_fraction, seed=seed).map_batches(
         partial, batch_format="pyarrow"
-    ).iter_batches(batch_size=65536, batch_format="pyarrow"):
+    )
+    if method == "sketch":
+        from ..functions.sketches import LogHistogramQuantiles
+
+        def sk_partial(t: pa.Table) -> pa.Table:
+            sk = LogHistogramQuantiles()
+            sk.add_many(t.column("ppl").to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"sketch": pa.array([sk.to_bytes()], pa.binary())}
+            )
+
+        merged = LogHistogramQuantiles()
+        for b in sampled.map_batches(
+            sk_partial, batch_format="pyarrow"
+        ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+            for raw in b.column("sketch").to_pylist():
+                merged.merge(LogHistogramQuantiles.from_bytes(raw))
+        meta = {
+            "head_threshold": float(merged.quantile(head_quantile)),
+            "middle_threshold": float(merged.quantile(middle_quantile)),
+            "n_samples": merged.total,
+            "head_quantile": head_quantile,
+            "middle_quantile": middle_quantile,
+            "method": "sketch",
+        }
+        os.makedirs(out_dir, exist_ok=True)
+        with open(os.path.join(out_dir, PPL_FILE), "w") as f:
+            json.dump(meta, f)
+        return meta
+    ppls = []
+    for b in sampled.iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
         ppls.extend(b.column("ppl").to_pylist())
     arr = np.asarray(ppls, dtype=np.float64)
     meta = {
@@ -180,6 +219,7 @@ def build_ppl_thresholds(
         "n_samples": len(arr),
         "head_quantile": head_quantile,
         "middle_quantile": middle_quantile,
+        "method": "exact",
     }
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, PPL_FILE), "w") as f:

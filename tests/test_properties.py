@@ -211,3 +211,29 @@ def test_jpeg_progressive_rejected():
     payload = b"\xff\xd8\xff\xc2\x00\x0b\x08\x00\x10\x00\x10\x01\x01\x11\x00"
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(payload)
+
+
+def test_jpeg_420_subsampled_roundtrip():
+    """4:2:0 exercises the decoder's 2x2-Y multi-block MCU path and
+    chroma upsampling. On chroma-flat content (r=g=b) subsampling
+    loses nothing, so the bound stays tight; on colored gradients the
+    loss is the (expected) half-resolution chroma."""
+    import numpy as np
+
+    from redpajama_data_ray.multimodal.jpeg import decode_jpeg, encode_jpeg
+
+    for h, w in [(16, 16), (9, 7), (33, 31), (1, 1)]:
+        yy, xx = np.mgrid[0:h, 0:w]
+        g = np.clip(yy * 3 + xx * 2 + 9, 0, 255).astype(np.uint8)
+        # chroma-flat: tight bound even subsampled
+        flat = np.repeat(g[:, :, None], 3, axis=2)
+        out = decode_jpeg(encode_jpeg(flat, quality=95, subsample=True))
+        assert out.shape == (h, w, 3)
+        assert np.abs(out.astype(int) - flat.astype(int)).max() <= 8
+        # colored: bounded mean error (chroma loss is real but small)
+        col = np.stack(
+            [g, 255 - g, (g // 2 + 60).astype(np.uint8)], axis=-1
+        )
+        out2 = decode_jpeg(encode_jpeg(col, quality=95, subsample=True))
+        err = np.abs(out2.astype(int) - col.astype(int))
+        assert err.mean() <= 10.0

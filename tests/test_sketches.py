@@ -48,3 +48,89 @@ def test_approx_distinct_dataset():
     # batch-structure independence: same estimate from different layout
     est2 = approx_distinct(ray.data.from_arrow(t).repartition(3), "k", p=12)
     assert est == est2
+
+
+class TestLogHistogramQuantiles:
+    def test_accuracy_vs_exact(self):
+        import numpy as np
+
+        from redpajama_data_ray.functions.sketches import (
+            LogHistogramQuantiles,
+        )
+
+        rng = np.random.default_rng(7)
+        vals = np.exp(rng.normal(3.0, 1.2, 50_000))  # lognormal ppl-like
+        sk = LogHistogramQuantiles().add_many(vals)
+        for q in (0.1, 0.3, 0.5, 0.7, 0.9, 0.99):
+            exact = float(np.quantile(vals, q))
+            approx = sk.quantile(q)
+            assert abs(approx - exact) / exact < 0.02, (q, exact, approx)
+
+    def test_merge_equals_single_pass_and_layout_independent(self):
+        import numpy as np
+
+        from redpajama_data_ray.functions.sketches import (
+            LogHistogramQuantiles,
+        )
+
+        rng = np.random.default_rng(11)
+        vals = np.exp(rng.normal(2.0, 1.0, 9_000))
+        whole = LogHistogramQuantiles().add_many(vals)
+        parts = LogHistogramQuantiles()
+        for chunk in np.array_split(rng.permutation(vals), 13):
+            parts.merge(LogHistogramQuantiles().add_many(chunk))
+        assert np.array_equal(whole.counts, parts.counts)
+        # serialization roundtrip
+        back = LogHistogramQuantiles.from_bytes(whole.to_bytes())
+        assert np.array_equal(back.counts, whole.counts)
+        assert back.quantile(0.5) == whole.quantile(0.5)
+
+    def test_nan_and_clamp_edges(self):
+        import numpy as np
+
+        from redpajama_data_ray.functions.sketches import (
+            LogHistogramQuantiles,
+        )
+
+        sk = LogHistogramQuantiles(lo=1.0, hi=1024.0)
+        sk.add_many([float("nan"), 0.0, 1e-9, 1e9, 2.0, 512.0])
+        assert sk.total == 5  # NaN ignored, others clamped/counted
+        assert sk.quantile(0.0) >= 1.0
+        assert sk.quantile(1.0) <= 1024.0 * 2 ** (1 / 64)
+
+    def test_distributed_approx_quantiles(self, sf_dir):
+        import numpy as np
+        import ray.data as rd
+
+        from redpajama_data_ray.functions.sketches import approx_quantiles
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["n_chars"]
+        )
+        exact = np.quantile(
+            np.asarray(ds.to_pandas().n_chars, np.float64), [0.3, 0.7]
+        )
+        approx = approx_quantiles(ds, "n_chars", [0.3, 0.7])
+        assert np.all(np.abs(approx - exact) / exact < 0.02)
+
+    def test_ppl_threshold_sketch_method(self, tmp_path, sf_dir):
+        """build_ppl_thresholds(method='sketch') matches the exact
+        method within the sketch's relative error."""
+        import ray.data as rd
+
+        from redpajama_data_ray.pipelines.artifacts import (
+            build_ppl_thresholds,
+        )
+        from redpajama_data_ray.sources.corpus import ensure_corpus_parquet
+
+        corpus = rd.read_parquet(ensure_corpus_parquet(0.001))
+        exact = build_ppl_thresholds(
+            corpus, str(tmp_path / "a"), sample_fraction=1.0
+        )
+        sk = build_ppl_thresholds(
+            corpus, str(tmp_path / "b"), sample_fraction=1.0,
+            method="sketch",
+        )
+        assert sk["n_samples"] == exact["n_samples"]
+        for k in ("head_threshold", "middle_threshold"):
+            assert abs(sk[k] - exact[k]) / exact[k] < 0.03, (k, exact, sk)
