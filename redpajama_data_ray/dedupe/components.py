@@ -28,7 +28,6 @@ from typing import Dict
 
 import pyarrow as pa
 import pyarrow.compute as pc
-import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Min
 

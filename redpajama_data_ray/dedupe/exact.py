@@ -116,17 +116,19 @@ def _join_filter(
     mask_limit: "int | None" = None,
 ) -> Dataset:
     """Dataset-side filter against the dup table — zero driver state on
-    the join itself.
+    the join itself. Delivery is payload-aware:
 
-    Only a NARROW ``(key, order_col)`` projection is joined; losing
-    rows are then subtracted from (or intersected with) the full
-    corpus by ``order_col`` membership — a broadcast searchsorted mask
-    when the loser set fits one object, else a ``left_anti``/
-    ``left_semi`` join with nested payload columns packed around it.
-    The narrow join avoids shuffling wide payloads entirely (measured
-    76.8 s -> join+mask on a 650k-row 46%-dup corpus with list
-    signature columns; the old full-width packed join pickled every
-    row).
+    - narrow fixed-width corpora (numeric payload only): one direct
+      wide join (cheapest — a second pass would double the scan);
+    - wide/variable payloads (text, binary, nested): only a NARROW
+      ``(key, order_col)`` projection is joined; losing rows are then
+      subtracted from (or intersected with) the full corpus by
+      ``order_col`` membership — a broadcast searchsorted mask when
+      the loser set fits one object, else a ``left_anti``/``left_semi``
+      join with nested payload columns packed around it. Measured
+      76.8 s -> 18.1 s on a 650k-row 46%-dup corpus with list
+      signature columns vs the old full-width packed join (pickle per
+      row).
 
     Assumes ``order_col`` values identify rows uniquely (the engine's
     doc ids are sha1-derived and unique by construction); with
@@ -155,6 +157,27 @@ def _join_filter(
     dup_small = dup.map_batches(proj, batch_format="pyarrow").repartition(
         max(2, min(num_partitions, 8))
     )
+
+    schema = ds.schema().base_schema
+    payload = [
+        f for f in schema if f.name not in (key, order_col)
+    ]
+    wide_payload = len(payload) > 4 or any(
+        pa.types.is_nested(f.type)
+        or pa.types.is_string(f.type)
+        or pa.types.is_large_string(f.type)
+        or pa.types.is_binary(f.type)
+        or pa.types.is_large_binary(f.type)
+        for f in payload
+    )
+    if not wide_payload:
+        # narrow fixed-width rows: ONE direct join beats the two-pass
+        # narrow-join + mask (measured 9.4 s vs 19.1 s on the 3-column
+        # hash table at sf0.1); wide/variable payloads take the
+        # narrow-probe path below so they never enter a shuffle
+        return _direct_join_filter(
+            ds, dup_small, key, order_col, keep_winners, num_partitions
+        )
     narrow = ds.select_columns([key, order_col])
     joined = narrow.join(
         dup_small,
@@ -193,6 +216,49 @@ def _join_filter(
     if nested:
         out = out.map_batches(unpack_nested(nested), batch_format="pyarrow")
     return out
+
+
+def _direct_join_filter(
+    ds: Dataset,
+    dup_small: Dataset,
+    key: str,
+    order_col: str,
+    keep_winners: bool,
+    num_partitions: int,
+) -> Dataset:
+    """Single-pass wide join for narrow fixed-width corpora (no nested
+    or variable-width payload — Acero carries the rows whole)."""
+    if keep_winners:
+        joined = ds.join(
+            dup_small,
+            join_type="left_outer",
+            num_partitions=num_partitions,
+            on=(key,),
+        )
+
+        def keep(t: pa.Table) -> pa.Table:
+            mo = t.column(_MIN_ORDER_COL)
+            # null min_order -> key not duplicated -> keep;
+            # else keep only the winner
+            mask = pc.or_kleene(
+                pc.is_null(mo), pc.equal(mo, t.column(order_col))
+            )
+            return t.filter(mask).drop_columns([_MIN_ORDER_COL])
+
+        return joined.map_batches(keep, batch_format="pyarrow")
+
+    joined = ds.join(
+        dup_small,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(key,),
+    )
+
+    def dups(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t.column(_MIN_ORDER_COL), t.column(order_col))
+        return t.filter(mask).drop_columns([_MIN_ORDER_COL])
+
+    return joined.map_batches(dups, batch_format="pyarrow")
 
 
 def _dedup_impl(

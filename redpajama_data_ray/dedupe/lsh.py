@@ -4,9 +4,10 @@ Ray-native rewrite of the reference's LSH job
 (/root/reference/app/src/run_lsh.py:179-372):
 
 1. explode banded signatures into ``(band_hash: uint64, id_int)`` rows —
-   band bytes are collapsed to an 8-byte blake2b so the shuffle key is a
-   fixed-width integer, not a byte blob (collision odds ~1e-8 at 1e9
-   bands, far below the LSH false-positive rate itself);
+   band bytes are collapsed to an 8-byte splitmix64 key (vectorized
+   over the Arrow buffers) so the shuffle key is a fixed-width integer,
+   not a byte blob (collision odds ~1e-8 at 1e9 bands, far below the
+   LSH false-positive rate itself);
 2. find *duplicated* band hashes with a vectorized partial-count
    aggregate (per-batch pyarrow group_by, then a tiny Ray groupby-Sum —
    the combiner pattern; no per-group Python);
@@ -26,8 +27,7 @@ Ray-native rewrite of the reference's LSH job
 
 from __future__ import annotations
 
-import hashlib
-from typing import Dict, List, Set, Tuple, Union
+from typing import Dict, Set, Tuple, Union
 
 import numpy as np
 import pyarrow as pa

@@ -574,10 +574,10 @@ def write_flagship_oracle(sf_dir: str) -> str:
 
     import pyarrow.parquet as pq
 
-    from ..functions.doc_signals import DOC_SIGNAL_NAMES, DocView, SignalKernel
+    from ..functions.doc_signals import DocView, SignalKernel
     from ..functions.langid import NGramLangId
     from ..functions.perplexity import PerplexityScorer
-    from ..functions.pii import PII_COUNT_COLUMNS, scrub_text
+    from ..functions.pii import scrub_text
     from ..functions.rules import RuleConfig, decide
     from ..sources.corpus import ensure_corpus_parquet, sf_from_dir
 
