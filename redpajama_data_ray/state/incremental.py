@@ -221,9 +221,37 @@ def commit_run_keys(
 # incremental FUZZY dedup: persistent minhash band state across runs
 # ------------------------------------------------------------------
 
+# band hashes are engine-internal (splitmix64 collapse of the band
+# bytes, dedupe/lsh.py); a state dir written by a different hash
+# version would silently under-deduplicate, so the format is stamped
+# and checked
+BAND_HASH_FORMAT = "splitmix64-v2"
+
+
 def _bands_dir(state_dir: str) -> str:
     d = os.path.join(state_dir, "bands")
     os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, "FORMAT")
+    existing = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+        if found != BAND_HASH_FORMAT:
+            raise ValueError(
+                f"fuzzy band state at {d!r} was written with band-hash "
+                f"format {found!r}; this engine uses "
+                f"{BAND_HASH_FORMAT!r} — re-run the dedup from scratch "
+                "(band hashes are not comparable across formats)"
+            )
+    elif existing:
+        raise ValueError(
+            f"fuzzy band state at {d!r} predates band-hash format "
+            f"stamping (engine < {BAND_HASH_FORMAT!r}); re-run the "
+            "dedup from scratch"
+        )
+    else:
+        with open(marker, "w") as f:
+            f.write(BAND_HASH_FORMAT)
     return d
 
 

@@ -295,3 +295,34 @@ def test_join_path_pack_fallback(tmp_path):
         mask_limit=0,
     )
     assert _ids(via_mask) == _ids(via_pack) == [f"b{i}" for i in range(10, 20)]
+
+
+def test_band_state_format_guard(tmp_path):
+    """Band state written under a different band-hash format must be
+    rejected loudly (silent under-dedup otherwise)."""
+    import os
+
+    import pytest as _pytest
+
+    from redpajama_data_ray.state.incremental import (
+        BAND_HASH_FORMAT,
+        _bands_dir,
+    )
+
+    state = str(tmp_path / "st")
+    d = _bands_dir(state)  # stamps the current format
+    assert open(os.path.join(d, "FORMAT")).read() == BAND_HASH_FORMAT
+    _bands_dir(state)  # idempotent re-open OK
+
+    with open(os.path.join(d, "FORMAT"), "w") as f:
+        f.write("blake2b-v1")
+    with _pytest.raises(ValueError, match="band-hash format"):
+        _bands_dir(state)
+
+    # unstamped legacy state with data also rejected
+    state2 = str(tmp_path / "st2")
+    d2 = os.path.join(state2, "bands")
+    os.makedirs(d2)
+    open(os.path.join(d2, "old.parquet"), "wb").close()
+    with _pytest.raises(ValueError, match="predates"):
+        _bands_dir(state2)
