@@ -6,12 +6,13 @@ keep/drop rules) over the sf0.001 synthetic code corpus.
 
 ``queries()`` exposes every implemented operator/pipeline; each entry in
 ``oracle_sql()`` is the DuckDB-equivalent SQL with identical column
-names (floats rounded identically on both sides). 44/46 queries are
-SQL-oracled — model-inference / minhash / simhash / ANN / flagship
-queries compare against precomputed expected tables written by
-independent sequential kernels (pipelines/extras.py). Only
-``approx_distinct_texts`` (approximate by design) and ``media_decode``
-(property-tested codec roundtrips) remain rows-only.
+names (floats rounded identically on both sides). All 46 queries are
+SQL-oracled — model-inference / minhash / simhash / ANN / sketch /
+multimodal / flagship queries compare against precomputed expected
+tables written by independent sequential kernels
+(pipelines/extras.py); the approximate-by-design HLL estimate and the
+media stats are still deterministic w.r.t. inputs, so sequential
+same-kernel passes oracle them exactly.
 
 Ray is initialised by the driver before import; nothing here calls
 ``ray.init()`` / ``ray.shutdown()``.

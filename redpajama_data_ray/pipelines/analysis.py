@@ -1155,6 +1155,18 @@ ORACLE_SQL: Dict[str, str] = {
                rps_doc_ldnoobw_words, keep, content_scrubbed_sha256
         from read_parquet('/tmp/rpray_oracle/corpus_flagship.parquet')
     """,
+    # the HLL estimate is approximate w.r.t. truth but DETERMINISTIC
+    # w.r.t. inputs (register max-merge is layout-independent), and the
+    # media stats come from deterministic codecs over a seed-pinned
+    # payload table — both oracle exactly via sequential kernels
+    "approx_distinct_texts": """
+        select metric, estimate
+        from read_parquet('/tmp/rpray_oracle/approx_distinct_texts.parquet')
+    """,
+    "media_decode": """
+        select media_id, pixel_mean, pixel_std
+        from read_parquet('/tmp/rpray_oracle/media_decode.parquet')
+    """,
     "quality_filter_docs": f"""
         select doc_id from (
             select doc_id, length({_WORDS}) as wc,

@@ -1,13 +1,13 @@
 """Driver queries whose DuckDB oracles are PRECOMPUTED tables: model
-inference, minhash/fuzzy dedup, simhash, ANN, and the flagship
-code-corpus pipeline. Each ``q_*`` first runs an independent sequential
-kernel (or a sequential driver-side pass of the deterministic stand-in
-model) that writes the expected parquet under /tmp/rpray_oracle; the
-paired ``oracle_sql`` entry reads it, so the driver's three-way check
-(rows+schema+hash) covers them. Only ``approx_distinct_texts``
-(approximate by design; accuracy bounds in tests/test_sketches.py) and
-``media_decode`` (covered by property-based codec roundtrips) remain
-rows-only."""
+inference, minhash/fuzzy dedup, simhash, ANN, sketches, multimodal and
+the flagship code-corpus pipeline. Each ``q_*`` first runs an
+independent sequential kernel (or a sequential driver-side pass of the
+deterministic stand-in model) that writes the expected parquet under
+/tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
+driver's three-way check (rows+schema+hash) covers every query — 46/46
+SQL-oracled (even the HLL estimate and media stats are deterministic
+w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
+their accuracy/roundtrip properties live in tests/)."""
 
 from __future__ import annotations
 
@@ -795,12 +795,81 @@ def q_ivf_knn(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def write_hll_oracle(sf_dir: str) -> str:
+    """Expected HLL estimate via a SEQUENTIAL single-sketch pass.
+
+    The estimate is approximate w.r.t. the true distinct count but
+    DETERMINISTIC w.r.t. the inputs (blake2b hashing; register merge =
+    elementwise max is associative/commutative, layout-independence
+    tested in tests/test_sketches.py), so the sequential sketch is an
+    exact oracle for the distributed merge."""
+    import pyarrow.parquet as pq
+
+    from ..functions.sketches import HyperLogLog
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["text"])
+    h = HyperLogLog(12)
+    h.update(x for x in t.column("text").to_pylist() if x is not None)
+    out = _oracle_path(sf_dir, "approx_distinct_texts")
+    pq.write_table(
+        pa.table(
+            {
+                "metric": pa.array(["approx_distinct_texts"], pa.string()),
+                "estimate": pa.array(
+                    [round(h.estimate(), 1)], pa.float64()
+                ),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def write_media_decode_oracle(sf_dir: str) -> str:
+    """Expected media stats via a sequential driver-side pass of the
+    same decode kernels (decode_image + resize_nearest are
+    deterministic; the synthetic payload table is seed-pinned)."""
+    import pyarrow.parquet as pq
+
+    from ..multimodal.stages import (
+        decode_image,
+        make_media_table,
+        resize_nearest,
+    )
+
+    media = make_media_table(200, real_formats=True)
+    ids, means, stds = [], [], []
+    for mid, payload in zip(
+        media.column("media_id").to_pylist(),
+        media.column("payload").to_pylist(),
+    ):
+        px = resize_nearest(decode_image(payload or b""), 32)
+        ids.append(mid)
+        means.append(round(float(px.mean()), 6))
+        stds.append(round(float(px.std()), 6))
+    out = _oracle_path(sf_dir, "media_decode")
+    pq.write_table(
+        pa.table(
+            {
+                "media_id": pa.array(ids, pa.string()),
+                "pixel_mean": pa.array(means, pa.float64()),
+                "pixel_std": pa.array(stds, pa.float64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
 def q_approx_distinct_texts(sf_dir: str) -> "pa.Table":
-    """HyperLogLog distinct-text estimate (mergeable-sketch operator;
-    approximate by design, so rows-only checked — accuracy bounds are
-    asserted in tests/test_sketches.py)."""
+    """HyperLogLog distinct-text estimate (mergeable-sketch operator).
+    SQL-oracled: the estimate is approximate w.r.t. truth but
+    deterministic w.r.t. inputs, so a sequential single-sketch pass is
+    an exact oracle (write_hll_oracle); accuracy bounds live in
+    tests/test_sketches.py."""
     from ..functions.sketches import approx_distinct
 
+    write_hll_oracle(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
     est = approx_distinct(ds, "text", p=12)
     return pa.table(
@@ -812,11 +881,13 @@ def q_approx_distinct_texts(sf_dir: str) -> "pa.Table":
 
 
 def q_media_decode(sf_dir: str) -> "pa.Table":
-    """Multimodal: REAL image decode (pure-numpy BMP/PPM codecs +
-    nearest resize) of genuine encoded payloads through the actor
-    stage; compressed formats are gated behind named codec errors."""
+    """Multimodal: REAL image decode (pure-numpy BMP/PPM/PNG/JPEG
+    codecs + nearest resize) of genuine encoded payloads through the
+    actor stage. SQL-oracled against a sequential pass of the same
+    decode kernels (write_media_decode_oracle)."""
     from ..multimodal.stages import DecodeImageStage, make_media_table
 
+    write_media_decode_oracle(sf_dir)
     media = rd.from_arrow(make_media_table(200, real_formats=True))
     out = media.map_batches(
         DecodeImageStage,

@@ -50,12 +50,10 @@ def test_cli_query_list(capsys):
     assert "doc_word_count" in res["queries"]
     assert "doc_word_count" in res["with_sql_oracle"]
     assert "corpus_flagship" in res["queries"]
-    # round 3: corpus_flagship gained a precomputed-table oracle; only
-    # the genuinely approximate / roundtrip-tested queries stay
-    # rows-only
-    assert "corpus_flagship" in res["with_sql_oracle"]
-    assert "approx_distinct_texts" not in res["with_sql_oracle"]
-    assert "media_decode" not in res["with_sql_oracle"]
+    # round 3: every query has a SQL oracle — the last two holdouts
+    # (HLL estimate, media decode) are deterministic w.r.t. inputs, so
+    # sequential-kernel precomputed tables oracle them exactly
+    assert set(res["queries"]) == set(res["with_sql_oracle"])
 
 
 def test_cli_unknown_query():
