@@ -240,6 +240,49 @@ def cmd_dedup_fuzzy(args) -> dict:
     return result
 
 
+def cmd_dedup_lines(args) -> dict:
+    from .dedupe.lines import line_dedup
+
+    ds = _read_input(args.input, args.max_docs, False)
+    distributed = (
+        None if args.delivery == "auto" else args.delivery == "join"
+    )
+    out = line_dedup(
+        ds,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        min_count=args.min_count,
+        distributed=distributed,
+    ).materialize()
+    out.write_parquet(args.output)
+    return {
+        "rows": out.count(),
+        "lines_removed": int(out.sum("n_lines_removed")),
+        "output": args.output,
+    }
+
+
+def cmd_decontaminate(args) -> dict:
+    import ray.data as rd
+
+    from .dedupe.decontaminate import decontaminate
+
+    ds = _read_input(args.input, args.max_docs, False)
+    bench = rd.read_parquet(args.benchmark)
+    out = decontaminate(
+        ds,
+        bench,
+        text_col=args.text_col,
+        n=args.ngram,
+        mode=args.mode,
+    ).materialize()
+    out.write_parquet(args.output)
+    result = {"rows": out.count(), "output": args.output}
+    if args.mode == "annotate":
+        result["contaminated"] = int(out.sum("contaminated") or 0)
+    return result
+
+
 def cmd_token_count(args) -> dict:
     import pyarrow as pa
     import ray.data as rd
@@ -407,6 +450,45 @@ def build_parser() -> argparse.ArgumentParser:
         "threshold",
     )
     df.set_defaults(fn=cmd_dedup_fuzzy)
+
+    dl = sub.add_parser(
+        "dedup-lines",
+        help="ccnet-style frequent-line removal (corpus-wide line "
+        "counts, then drop lines seen >= min-count times)",
+    )
+    dl.add_argument("--input", required=True)
+    dl.add_argument("--output", required=True)
+    dl.add_argument("--text-col", default="text")
+    dl.add_argument("--id-col", default="doc_id")
+    dl.add_argument("--min-count", type=int, default=2)
+    dl.add_argument("--max-docs", type=int, default=None)
+    dl.add_argument(
+        "--delivery",
+        choices=["auto", "broadcast", "join"],
+        default="auto",
+        help="frequent-set delivery: broadcast searchsorted mask vs "
+        "exploded-positions join (auto switches on the measured "
+        "frequent-line count)",
+    )
+    dl.set_defaults(fn=cmd_dedup_lines)
+
+    dc = sub.add_parser(
+        "decontaminate",
+        help="drop or flag docs sharing a token n-gram with a "
+        "benchmark parquet (GPT-3-style eval decontamination)",
+    )
+    dc.add_argument("--input", required=True)
+    dc.add_argument("--output", required=True)
+    dc.add_argument(
+        "--benchmark", required=True,
+        help="parquet of benchmark texts (same --text-col)",
+    )
+    dc.add_argument("--text-col", default="text")
+    dc.add_argument("--ngram", type=int, default=13)
+    dc.add_argument("--mode", choices=["annotate", "filter"],
+                    default="filter")
+    dc.add_argument("--max-docs", type=int, default=None)
+    dc.set_defaults(fn=cmd_decontaminate)
 
     tc = sub.add_parser("token-count", help="corpus token totals")
     tc.add_argument("--input", required=True)

@@ -74,6 +74,38 @@ def key_stats(
     )
 
 
+def combine_counts(
+    partials: Dataset,
+    key: str,
+    cnt: str = "cnt",
+    fanin: int = 8,
+    distributed: "bool | None" = None,
+) -> Dataset:
+    """Sum already-partial per-key counts into global counts — the
+    count-only sibling of :func:`key_stats`. ``partials`` holds one
+    fixed-width ``(key, cnt)`` row per distinct key per block (callers
+    pre-aggregate inside their own ``map_batches``, e.g. via
+    ``np.unique``), so the tree combine moves tiny rows; the hash
+    shuffle only pays off past ``TREE_STATS_LIMIT`` distinct keys
+    (``distributed=None`` measures and picks)."""
+
+    def combine(t: pa.Table) -> pa.Table:
+        g = t.group_by(key).aggregate([(cnt, "sum")])
+        return g.rename_columns([key, cnt])
+
+    if distributed is None:
+        partials = partials.materialize()
+        distributed = partials.count() > TREE_STATS_LIMIT
+    if distributed:
+        return partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt))
+    return (
+        partials.repartition(fanin)
+        .map_batches(combine, batch_format="pyarrow")
+        .repartition(1)
+        .map_batches(combine, batch_format="pyarrow")
+    )
+
+
 def auto_partitions(cap: int = 256) -> int:
     """Shuffle partition count sized to the cluster: one per CPU,
     bounded. Ray's hash-shuffle join/aggregate spins up aggregator

@@ -1,0 +1,188 @@
+"""Benchmark decontamination by n-gram overlap.
+
+Standard training-data hygiene (GPT-3 appendix C / PaLM-style): a
+document is *contaminated* when any of its token n-grams also occurs in
+a held-out evaluation benchmark. The benchmark side is small by
+definition (evaluation suites are a few MB of text against a 100-TB
+corpus), so this is the canonical broadcast-probe shape:
+
+- :func:`benchmark_ngram_keys` streams the benchmark Dataset once,
+  hashing every n-gram, and returns the *sorted unique* signed-int64
+  key array (driver-side — bounded by the benchmark's size, which the
+  caller vouches for; a 10M-gram suite is an ~80 MB array).
+- :func:`decontaminate` ``ray.put``s that array once and scans the
+  corpus with one streaming ``map_batches`` pass: per batch, tokens are
+  hashed once per *distinct* token (``np.unique``), n-gram keys are a
+  vectorized polynomial accumulation over the hash sequence (``n``
+  shifted adds, uint64 wraparound), and membership is one
+  ``np.searchsorted`` probe — no Python loop over grams, no shuffle.
+
+Tokenization is ``lower().split on \\S+`` — deliberately the simplest
+SQL-expressible rule so the DuckDB oracle tokenizes identically
+(``regexp_extract_all(lower(text), '\\S+')``); the reference's quality
+signals use the same whitespace-token notion for importance/token
+counts (/root/reference/app/src/core/quality_signals/natural_language.py).
+Two n-grams collide only if their 64-bit polynomial hashes collide
+(~(grams^2)/2^64 — negligible at any benchmark scale).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+_TOP_BIT = np.uint64(1 << 63)
+# odd multiplier (FNV-1a prime) — positional mixing for gram hashing
+_P = np.uint64(1099511628211)
+
+_TOKEN_RE = re.compile(r"\S+")
+
+
+def _token_hashes(texts) -> "tuple[np.ndarray, np.ndarray]":
+    """All batch tokens as uint64 hashes + per-doc token boundaries.
+
+    sha1 runs once per distinct token in the batch (web text repeats
+    tokens heavily), then fans back out through the unique-inverse."""
+    toks: "list[str]" = []
+    counts = np.empty(len(texts), np.int64)
+    for i, txt in enumerate(texts):
+        t = _TOKEN_RE.findall(txt.lower()) if txt else []
+        counts[i] = len(t)
+        toks.extend(t)
+    bounds = np.concatenate(([0], np.cumsum(counts)))
+    if not toks:
+        return np.empty(0, np.uint64), bounds
+    arr = np.asarray(toks, dtype=object)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    uh = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.sha1(s.encode("utf-8")).digest()[:8], "little"
+            )
+            for s in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return uh[inv], bounds
+
+
+def _gram_keys(hashes: np.ndarray, bounds: np.ndarray, n: int):
+    """Signed-int64 n-gram keys over the concatenated hash sequence,
+    plus the per-doc gram boundaries. Windows never straddle documents:
+    grams are computed per the flat sequence then doc-sliced, and each
+    doc contributes ``max(0, n_tokens - n + 1)`` grams."""
+    total = len(hashes)
+    if total < n:
+        flat = np.empty(0, np.int64)
+    else:
+        w = total - n + 1
+        acc = np.zeros(w, np.uint64)
+        # P^k mod 2^64 via array accumulate (scalar uint64 overflow
+        # would RuntimeWarning; array ops wrap silently by contract)
+        powers = np.full(n, _P, np.uint64)
+        powers[0] = 1
+        powers = np.multiply.accumulate(powers)
+        for k in range(n):
+            acc += hashes[k : k + w] * powers[k : k + 1]
+        flat = (acc ^ _TOP_BIT).view(np.int64)
+    n_tok = np.diff(bounds)
+    n_grams = np.maximum(n_tok - n + 1, 0)
+    gram_bounds = np.concatenate(([0], np.cumsum(n_grams)))
+    # doc d's grams start at flat position bounds[d] (windows starting
+    # inside doc d occupy bounds[d] .. bounds[d] + n_grams[d])
+    starts = bounds[:-1]
+    if len(flat):
+        idx = np.concatenate(
+            [
+                np.arange(starts[d], starts[d] + n_grams[d])
+                for d in range(len(n_grams))
+                if n_grams[d]
+            ]
+        ) if n_grams.any() else np.empty(0, np.int64)
+        flat = flat[idx]
+    return flat, gram_bounds
+
+
+def benchmark_ngram_keys(
+    bench: Dataset, text_col: str = "text", n: int = 8
+) -> np.ndarray:
+    """Sorted unique gram-key array for the (small) benchmark side."""
+
+    def grams(t: pa.Table) -> pa.Table:
+        texts = pc.fill_null(t.column(text_col), "").to_pylist()
+        hashes, bounds = _token_hashes(texts)
+        flat, _ = _gram_keys(hashes, bounds, n)
+        return pa.table({"gram_key": pa.array(np.unique(flat), pa.int64())})
+
+    chunks = [
+        b.column("gram_key").to_numpy(zero_copy_only=False)
+        for b in bench.select_columns([text_col])
+        .map_batches(grams, batch_format="pyarrow")
+        .iter_batches(batch_size=65536, batch_format="pyarrow")
+    ]
+    if not chunks:
+        return np.empty(0, np.int64)
+    return np.unique(np.concatenate(chunks))
+
+
+def decontaminate(
+    ds: Dataset,
+    benchmark: "Dataset | np.ndarray | ray.ObjectRef",
+    text_col: str = "text",
+    n: int = 8,
+    mode: str = "annotate",
+) -> Dataset:
+    """Flag (``mode="annotate"``: append ``n_grams`` / ``n_hits`` /
+    ``contaminated``) or drop (``mode="filter"``) corpus documents
+    sharing any token ``n``-gram with the benchmark. ``benchmark`` may
+    be a Dataset (gram keys built here), a prebuilt sorted key array
+    from :func:`benchmark_ngram_keys`, or an ``ObjectRef`` to one
+    (build once, reuse across corpus shards)."""
+    if mode not in ("annotate", "filter"):
+        raise ValueError(f"unknown mode {mode!r}")
+    if isinstance(benchmark, Dataset):
+        keys = benchmark_ngram_keys(benchmark, text_col=text_col, n=n)
+        ref = ray.put(keys)
+    elif isinstance(benchmark, ray.ObjectRef):
+        ref = benchmark
+    else:
+        ref = ray.put(np.asarray(benchmark, np.int64))
+
+    def scan(t: pa.Table) -> pa.Table:
+        sv = ray.get(ref)
+        texts = pc.fill_null(t.column(text_col), "").to_pylist()
+        hashes, bounds = _token_hashes(texts)
+        flat, gram_bounds = _gram_keys(hashes, bounds, n)
+        if len(sv) and len(flat):
+            pos = np.searchsorted(sv, flat)
+            pos_c = np.minimum(pos, len(sv) - 1)
+            hit = (sv[pos_c] == flat) & (pos < len(sv))
+        else:
+            hit = np.zeros(len(flat), bool)
+        n_grams = np.diff(gram_bounds)
+        if len(hit):
+            n_hits = np.add.reduceat(
+                hit.astype(np.int64),
+                np.minimum(gram_bounds[:-1], len(hit) - 1),
+            )
+            # reduceat repeats the value at equal indices (docs with 0
+            # grams); zero them out explicitly
+            n_hits[n_grams == 0] = 0
+        else:
+            n_hits = np.zeros(t.num_rows, np.int64)
+        if mode == "filter":
+            return t.filter(pa.array(n_hits == 0))
+        t = t.append_column("n_grams", pa.array(n_grams, pa.int64()))
+        t = t.append_column("n_hits", pa.array(n_hits, pa.int64()))
+        return t.append_column(
+            "contaminated", pa.array(n_hits > 0, pa.bool_())
+        )
+
+    return ds.map_batches(scan, batch_format="pyarrow")

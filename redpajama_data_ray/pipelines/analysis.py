@@ -343,6 +343,78 @@ def q_incremental_dedup_docs(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_line_dedup_docs(sf_dir: str) -> Dataset:
+    """CCNet-style frequent-line removal (dedupe/lines.py), SQL-checked.
+
+    The synthetic documents table has no naturally repeated lines, so
+    the query builds a deterministic dup-injected corpus the same way
+    q_incremental_dedup_docs builds its run split: every doc_id%3==0
+    document is cloned under doc_id+10_000_000. The clones push their
+    lines to count 2, so min_count=2 strips them from BOTH copies while
+    every other line survives — the operator's effect is observable and
+    the DuckDB oracle replays it with unnest + group-by-line. The
+    synthetic docs are also single-line, so the corpus first splits
+    each doc at ' the ' (replace with newline — deterministic on both
+    sides) to exercise multi-line counting and reassembly."""
+    from ..dedupe.lines import line_dedup
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def to_lines(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring(t.column("text"), " the ", "\n"),
+        )
+
+    ds = ds.map_batches(to_lines, batch_format="pyarrow")
+
+    def clone(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 3 == 0))
+        new_ids = sub.column("doc_id").to_numpy(zero_copy_only=False)
+        return sub.set_column(
+            sub.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(new_ids + 10_000_000, pa.int64()),
+        )
+
+    corpus = ds.union(ds.map_batches(clone, batch_format="pyarrow"))
+    out = line_dedup(corpus, min_count=2)
+    return out.select_columns(
+        ["doc_id", "text", "n_lines_kept", "n_lines_removed"]
+    )
+
+
+def q_decontaminate_docs(sf_dir: str) -> Dataset:
+    """Benchmark n-gram decontamination (dedupe/decontaminate.py),
+    SQL-checked. The "benchmark" is derived deterministically from the
+    corpus itself — the first 12 tokens of every doc_id%11==0 document
+    (an eval suite quoting corpus passages) — so those documents are
+    contaminated (their leading 8-grams hit) and everything else probes
+    clean; the oracle rebuilds both sides with lead() windows."""
+    import re as _re
+
+    from ..dedupe.decontaminate import decontaminate
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+
+    def snippet(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        sub = t.filter(pa.array(ids % 11 == 0))
+        snips = [
+            " ".join(_re.findall(r"\S+", (x or "").lower())[:12])
+            for x in sub.column("text").to_pylist()
+        ]
+        return pa.table({"text": pa.array(snips, pa.string())})
+
+    bench = ds.map_batches(snippet, batch_format="pyarrow")
+    out = decontaminate(ds, bench, n=8)
+    return out.select_columns(
+        ["doc_id", "n_grams", "n_hits", "contaminated"]
+    )
+
+
 def q_quality_filter_docs(sf_dir: str) -> Dataset:
     """SQL-expressible keep rule over whitespace-word stats."""
     ds = _docs(sf_dir, ["doc_id", "text"])
@@ -1003,6 +1075,14 @@ def q_knn_cosine_top10(sf_dir: str) -> "pa.Table":
 
 _WORDS = "list_filter(string_split_regex(text, '\\s+'), x -> x <> '')"
 
+# 8-gram as a space-joined string via 7 lead() windows (|| propagates
+# NULL, so trailing windows short of 8 tokens vanish) — tokens are \S+
+# runs, so the space join is injective and string equality == tuple
+# equality (mirrors the polynomial gram hash in dedupe/decontaminate.py)
+_GRAM8 = " || ' ' || ".join(
+    ["w"] + [f"lead(w, {k}) over win" for k in range(1, 8)]
+)
+
 ORACLE_SQL: Dict[str, str] = {
     "doc_word_count": f"""
         select doc_id, cast(length({_WORDS}) as bigint) as word_count
@@ -1096,6 +1176,75 @@ ORACLE_SQL: Dict[str, str] = {
         select doc_id, length(text) > 300 as truncated,
                substr(text, 1, 300) as prefix
         from documents
+    """,
+    "line_dedup_docs": """
+        with lined as (
+            select doc_id, replace(text, ' the ', chr(10)) as text
+            from documents
+        ), corpus as (
+            select doc_id, text from lined
+            union all
+            select doc_id + 10000000 as doc_id, text
+            from lined where doc_id % 3 = 0
+        ), split as (
+            select doc_id, string_split(text, chr(10)) as ls from corpus
+        ), l as (
+            select doc_id, unnest(ls) as line,
+                   generate_subscripts(ls, 1) as idx
+            from split
+        ), k as (
+            select doc_id, line, idx,
+                   regexp_replace(line, '^\\s+|\\s+$', '', 'g') as key
+            from l
+        ), freq as (
+            select key from k where key <> ''
+            group by key having count(*) >= 2
+        ), flag as (
+            select doc_id, line, idx,
+                   (key <> '' and key in (select key from freq)) as dropped
+            from k
+        )
+        select doc_id,
+               coalesce(string_agg(line, chr(10) order by idx)
+                        filter (where not dropped), '') as text,
+               count(*) filter (where not dropped) as n_lines_kept,
+               count(*) filter (where dropped) as n_lines_removed
+        from flag group by doc_id
+    """,
+    "decontaminate_docs": f"""
+        with tok as (
+            select doc_id,
+                   regexp_extract_all(lower(text), '\\S+') as ts
+            from documents
+        ), bf as (
+            select doc_id, unnest(ts[1:12]) as w,
+                   generate_subscripts(ts[1:12], 1) as i
+            from tok where doc_id % 11 = 0
+        ), bg as (
+            select {_GRAM8} as gram
+            from bf window win as (partition by doc_id order by i)
+        ), bench as (
+            select distinct gram from bg where gram is not null
+        ), cf as (
+            select doc_id, unnest(ts) as w,
+                   generate_subscripts(ts, 1) as i
+            from tok
+        ), cg as (
+            select doc_id, {_GRAM8} as gram
+            from cf window win as (partition by doc_id order by i)
+        ), hits as (
+            select doc_id,
+                   count(gram) as n_grams,
+                   count(*) filter (
+                       where gram in (select gram from bench)
+                   ) as n_hits
+            from cg group by doc_id
+        )
+        select d.doc_id,
+               coalesce(h.n_grams, 0) as n_grams,
+               coalesce(h.n_hits, 0) as n_hits,
+               coalesce(h.n_hits, 0) > 0 as contaminated
+        from documents d left join hits h on d.doc_id = h.doc_id
     """,
     "incremental_dedup_docs": """
         with h1 as (
@@ -1369,6 +1518,8 @@ QUERIES = {
     "exact_dedup_docs": q_exact_dedup_docs,
     "incremental_dedup_docs": q_incremental_dedup_docs,
     "truncation_guard_docs": q_truncation_guard_docs,
+    "line_dedup_docs": q_line_dedup_docs,
+    "decontaminate_docs": q_decontaminate_docs,
     "quality_filter_docs": q_quality_filter_docs,
     "pii_scrub_docs": q_pii_scrub_docs,
     "top_docs_by_chars": q_top_docs_by_chars,

@@ -1,0 +1,223 @@
+"""Frequent-line dedup (dedupe/lines.py) and benchmark decontamination
+(dedupe/decontaminate.py) against pure-Python oracles, both delivery
+paths."""
+
+import collections
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray
+import ray.data as rd
+
+from redpajama_data_ray.dedupe.decontaminate import (
+    benchmark_ngram_keys,
+    decontaminate,
+)
+from redpajama_data_ray.dedupe.lines import line_counts, line_dedup
+
+DOCS = [
+    {"doc_id": 1, "text": "keep me\nboilerplate footer\nunique one"},
+    {"doc_id": 2, "text": "boilerplate footer\n\n  boilerplate footer \nother"},
+    {"doc_id": 3, "text": "solo\nboilerplate footer\ncommon tail"},
+    {"doc_id": 4, "text": ""},
+    {"doc_id": 5, "text": "a\nb\ncommon tail"},
+    {"doc_id": 6, "text": "common tail"},
+    {"doc_id": 7, "text": "\t  \n  \n"},  # whitespace-only lines: kept
+]
+
+
+def _oracle(docs, min_count):
+    counts = collections.Counter()
+    for d in docs:
+        for ln in d["text"].split("\n"):
+            if ln.strip():
+                counts[ln.strip()] += 1
+    freq = {k for k, v in counts.items() if v >= min_count}
+    rows = []
+    for d in docs:
+        lines = d["text"].split("\n")
+        kept = [
+            ln for ln in lines if not (ln.strip() and ln.strip() in freq)
+        ]
+        rows.append(
+            {
+                "doc_id": d["doc_id"],
+                "text": "\n".join(kept),
+                "n_lines_kept": len(kept),
+                "n_lines_removed": len(lines) - len(kept),
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _run(ds, **kw):
+    out = line_dedup(ds, **kw).to_pandas()
+    return (
+        out[["doc_id", "text", "n_lines_kept", "n_lines_removed"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("min_count", [2, 3, 4])
+def test_line_dedup_broadcast_matches_oracle(min_count):
+    got = _run(rd.from_items(DOCS), min_count=min_count)
+    pd.testing.assert_frame_equal(got, _oracle(DOCS, min_count))
+
+
+def test_line_dedup_distributed_matches_broadcast():
+    ds = rd.from_items(DOCS)
+    b = _run(ds, min_count=2)
+    d = _run(ds, min_count=2, distributed=True, id_col="doc_id")
+    pd.testing.assert_frame_equal(b, d)
+
+
+def test_line_dedup_distributed_nested_payload():
+    # nested (list) payload columns must survive the left_outer join
+    docs = [dict(d, tags=["x", str(d["doc_id"])]) for d in DOCS]
+    ds = rd.from_items(docs)
+    out = (
+        line_dedup(ds, min_count=2, distributed=True, id_col="doc_id")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _oracle(DOCS, 2)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "text", "n_lines_kept", "n_lines_removed"]], exp
+    )
+    assert [list(t) for t in out["tags"]] == [
+        ["x", str(i)] for i in exp["doc_id"]
+    ]
+
+
+def test_line_dedup_no_frequent_lines_is_annotated_passthrough():
+    ds = rd.from_items(DOCS[:1])
+    out = _run(ds, min_count=2)
+    assert out.loc[0, "text"] == DOCS[0]["text"]
+    assert out.loc[0, "n_lines_removed"] == 0
+    assert out.loc[0, "n_lines_kept"] == 3
+
+
+def test_line_dedup_rejects_min_count_below_2():
+    with pytest.raises(ValueError):
+        line_dedup(rd.from_items(DOCS), min_count=1)
+
+
+def test_line_dedup_distributed_requires_id_col():
+    with pytest.raises(ValueError):
+        line_dedup(rd.from_items(DOCS), distributed=True)
+
+
+def test_line_counts_match_counter():
+    got = line_counts(rd.from_items(DOCS)).to_pandas()
+    counts = collections.Counter()
+    for d in DOCS:
+        for ln in d["text"].split("\n"):
+            if ln.strip():
+                counts[ln.strip()] += 1
+    assert sorted(got["cnt"]) == sorted(counts.values())
+    assert len(got) == len(counts)
+
+
+# ------------------------------------------------------------------
+# decontamination
+# ------------------------------------------------------------------
+
+CORPUS = [
+    {"doc_id": 1, "text": "The quick brown fox jumps over the lazy dog"},
+    {"doc_id": 2, "text": "quick  brown\tfox jumps"},  # ws-normalized hit
+    {"doc_id": 3, "text": "totally unrelated words here"},
+    {"doc_id": 4, "text": "short"},
+    {"doc_id": 5, "text": ""},
+]
+BENCH = [{"text": "the quick brown fox"}]  # 4 tokens
+
+
+def _tokens(s):
+    return re.findall(r"\S+", s.lower())
+
+
+def _contam_oracle(corpus, bench, n):
+    grams = set()
+    for b in bench:
+        t = _tokens(b["text"])
+        grams |= {tuple(t[i : i + n]) for i in range(len(t) - n + 1)}
+    rows = []
+    for d in corpus:
+        t = _tokens(d["text"])
+        doc_grams = [tuple(t[i : i + n]) for i in range(len(t) - n + 1)]
+        hits = sum(g in grams for g in doc_grams)
+        rows.append(
+            {
+                "doc_id": d["doc_id"],
+                "n_grams": len(doc_grams),
+                "n_hits": hits,
+                "contaminated": hits > 0,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("n", [2, 3, 4])
+def test_decontaminate_annotate_matches_oracle(n):
+    got = (
+        decontaminate(rd.from_items(CORPUS), rd.from_items(BENCH), n=n)
+        .to_pandas()[["doc_id", "n_grams", "n_hits", "contaminated"]]
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, _contam_oracle(CORPUS, BENCH, n))
+
+
+def test_decontaminate_filter_mode_drops_contaminated():
+    exp = _contam_oracle(CORPUS, BENCH, 3)
+    clean = set(exp[~exp.contaminated].doc_id)
+    got = decontaminate(
+        rd.from_items(CORPUS), rd.from_items(BENCH), n=3, mode="filter"
+    ).to_pandas()
+    assert set(got.doc_id) == clean
+    assert list(got.columns) == ["doc_id", "text"]  # schema untouched
+
+
+def test_decontaminate_prebuilt_keys_reused_across_shards():
+    keys = benchmark_ngram_keys(rd.from_items(BENCH), n=3)
+    assert keys.dtype == np.int64 and len(keys) == 2  # 4 tokens -> 2 grams
+    ref = ray.put(keys)
+    for shard in (CORPUS[:2], CORPUS[2:]):
+        got = (
+            decontaminate(rd.from_items(shard), ref, n=3)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        exp = _contam_oracle(shard, BENCH, 3)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "n_grams", "n_hits", "contaminated"]], exp
+        )
+
+
+def test_decontaminate_empty_benchmark_flags_nothing():
+    got = decontaminate(
+        rd.from_items(CORPUS), rd.from_items([{"text": "ab"}]), n=3
+    ).to_pandas()
+    assert not got.contaminated.any()
+    assert got.n_hits.sum() == 0
+
+
+def test_decontaminate_rejects_unknown_mode():
+    with pytest.raises(ValueError):
+        decontaminate(rd.from_items(CORPUS), rd.from_items(BENCH), mode="x")
+
+
+def test_gram_keys_no_cross_document_windows():
+    # two docs whose concatenation WOULD produce a bench gram must not hit
+    corpus = [{"doc_id": 1, "text": "the quick"}, {"doc_id": 2, "text": "brown fox"}]
+    got = decontaminate(
+        rd.from_items(corpus), rd.from_items(BENCH), n=4
+    ).to_pandas()
+    assert not got.contaminated.any()
+    assert (got.n_grams == 0).all()
