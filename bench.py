@@ -127,6 +127,33 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     deduped.count()
     timings["fuzzy_dedup_dist"] = round(time.time() - t0, 3)
 
+    # frequent-line dedup over the annotated corpus content (count
+    # pass + broadcast drop-mask delivery; ~140k frequent lines at
+    # sf0.1 — real boilerplate density in the code corpus)
+    from redpajama_data_ray.dedupe.decontaminate import (
+        benchmark_ngram_keys,
+        decontaminate,
+    )
+    from redpajama_data_ray.dedupe.lines import line_dedup
+
+    t0 = time.time()
+    corp = rd.read_parquet(out_dir, columns=["doc_id", "content"])
+    line_dedup(
+        corp, text_col="content", id_col="doc_id", min_count=2
+    ).count()
+    timings["line_dedup"] = round(time.time() - t0, 3)
+
+    # benchmark decontamination: documents table texts as the
+    # "benchmark" (gram-key build + full-corpus 13-gram probe)
+    t0 = time.time()
+    bench = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["text"]
+    )
+    keys = benchmark_ngram_keys(bench, text_col="text", n=13)
+    corp = rd.read_parquet(out_dir, columns=["doc_id", "content"])
+    decontaminate(corp, ray.put(keys), text_col="content", n=13).count()
+    timings["decontaminate"] = round(time.time() - t0, 3)
+
     # analysis queries over driver tables
     for name, fn in (
         ("token_totals", q_token_totals_by_source),

@@ -247,6 +247,34 @@ def cmd_dedup_lines(args) -> dict:
     distributed = (
         None if args.delivery == "auto" else args.delivery == "join"
     )
+    if args.state_dir:
+        from .state.incremental import (
+            commit_run_line_counts,
+            compact_line_state,
+            incremental_line_dedup,
+            seen_line_count,
+        )
+
+        out, run_id, run_counts = incremental_line_dedup(
+            ds,
+            args.state_dir,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            min_count=args.min_count,
+            run_id=args.run_id,
+            distributed=distributed,
+        )
+        out = out.materialize()  # write data THEN commit state
+        out.write_parquet(args.output)
+        commit_run_line_counts(run_counts, args.state_dir, run_id)
+        compact_line_state(args.state_dir)
+        return {
+            "rows": out.count(),
+            "lines_removed": int(out.sum("n_lines_removed")),
+            "output": args.output,
+            "run_id": run_id,
+            "state_lines": seen_line_count(args.state_dir),
+        }
     out = line_dedup(
         ds,
         text_col=args.text_col,
@@ -470,6 +498,13 @@ def build_parser() -> argparse.ArgumentParser:
         "exploded-positions join (auto switches on the measured "
         "frequent-line count)",
     )
+    dl.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode: count lines against previously "
+        "committed snapshots too (a line split across runs still "
+        "reaches min-count), then commit this run's counts",
+    )
+    dl.add_argument("--run-id", default=None)
     dl.set_defaults(fn=cmd_dedup_lines)
 
     dc = sub.add_parser(

@@ -171,14 +171,44 @@ def line_dedup(
     if min_count < 2:
         raise ValueError("min_count < 2 would drop every non-empty line")
 
-    freq = line_counts(ds, text_col, fanin=fanin)
+    freq = frequent_keys(
+        line_counts(ds, text_col, fanin=fanin), min_count
+    )
+    return drop_frequent_lines(
+        ds,
+        freq,
+        text_col=text_col,
+        id_col=id_col,
+        distributed=distributed,
+        broadcast_limit=broadcast_limit,
+        num_partitions=num_partitions,
+    )
+
+
+def frequent_keys(counts: Dataset, min_count: int) -> Dataset:
+    """Filter a ``(line_key, cnt)`` counts Dataset to keys at or above
+    the threshold."""
 
     def frequent_only(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater_equal(t.column("cnt"), min_count))
 
-    freq = freq.map_batches(
-        frequent_only, batch_format="pyarrow"
-    ).materialize()
+    return counts.map_batches(frequent_only, batch_format="pyarrow")
+
+
+def drop_frequent_lines(
+    ds: Dataset,
+    freq: Dataset,
+    text_col: str = "text",
+    id_col: "str | None" = None,
+    distributed: "bool | None" = None,
+    broadcast_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
+    num_partitions: "int | None" = None,
+) -> Dataset:
+    """Delivery stage shared by :func:`line_dedup` and the incremental
+    cross-run variant: remove every line whose key appears in ``freq``
+    (a ``line_key`` Dataset) from ``ds``, via the broadcast mask or the
+    exploded-positions join depending on the measured key count."""
+    freq = freq.materialize()
     n_freq = freq.count()
     if n_freq == 0:
         # nothing to drop: annotate counters and pass text through

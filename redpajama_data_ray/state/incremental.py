@@ -463,3 +463,171 @@ def commit_run_bands(
     pq.write_table(pa.table({"band_hash": col}), tmp)
     os.replace(tmp, final)
     return final
+
+
+# ------------------------------------------------------------------
+# incremental LINE dedup: persistent per-line counts across runs
+# ------------------------------------------------------------------
+
+# line keys are engine-internal (first 8 LE sha1 bytes of the stripped
+# line, top bit flipped — dedupe/lines.py); stamp the format so a state
+# dir from a different hashing scheme fails loudly instead of silently
+# under-counting
+LINE_KEY_FORMAT = "sha1x8le-flip-v1"
+
+
+def _lines_dir(state_dir: str) -> str:
+    d = os.path.join(state_dir, "lines")
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, "FORMAT")
+    existing = [f for f in os.listdir(d) if f.endswith(".parquet")]
+    if os.path.exists(marker):
+        with open(marker) as f:
+            found = f.read().strip()
+        if found != LINE_KEY_FORMAT:
+            raise ValueError(
+                f"line-count state at {d!r} was written with key format "
+                f"{found!r}; this engine uses {LINE_KEY_FORMAT!r} — "
+                "re-run the line dedup from scratch"
+            )
+    elif existing:
+        raise ValueError(
+            f"line-count state at {d!r} predates key-format stamping "
+            f"(engine < {LINE_KEY_FORMAT!r}); re-run from scratch"
+        )
+    else:
+        with open(marker, "w") as f:
+            f.write(LINE_KEY_FORMAT)
+    return d
+
+
+def _line_files(state_dir: str):
+    d = _lines_dir(state_dir)
+    return [
+        os.path.join(d, f)
+        for f in sorted(os.listdir(d))
+        if f.endswith(".parquet")
+    ]
+
+
+def seen_line_count(state_dir: str) -> int:
+    """Committed distinct-line rows from parquet footers (no data
+    read; the same key may appear in several run files until
+    :func:`compact_line_state` merges them)."""
+    total = 0
+    for f in _line_files(state_dir):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def incremental_line_dedup(
+    ds: Dataset,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: "str | None" = "doc_id",
+    min_count: int = 2,
+    run_id: Optional[str] = None,
+    distributed: "bool | None" = None,
+    num_partitions: Optional[int] = None,
+) -> "Tuple[Dataset, str, Dataset]":
+    """Cross-run ccnet-style line dedup: a line is frequent when its
+    count summed over THIS snapshot plus every previously committed
+    run reaches ``min_count`` — boilerplate first seen split across
+    snapshots is still caught, without ever re-reading old text.
+
+    Returns ``(deduped, run_id, run_counts)``; ``run_counts`` is this
+    run's materialized *incoming* per-line counts (pre-drop, so lines
+    this run itself removed still accumulate for future runs) — write
+    your data output FIRST, then pass it to
+    :func:`commit_run_line_counts` (crash-safe order, same contract as
+    the exact/fuzzy variants)."""
+    import ray.data as rd
+
+    from ..dedupe.combine import combine_counts
+    from ..dedupe.lines import (
+        drop_frequent_lines,
+        frequent_keys,
+        line_counts,
+    )
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+
+    run_counts = line_counts(ds, text_col).materialize()
+
+    files = _line_files(state_dir)
+    if files:
+        state_ds = rd.read_parquet(files)
+        # per-run files are already per-key partials; one more combine
+        # (tree below TREE_STATS_LIMIT, hash shuffle above) sums them
+        total = combine_counts(run_counts.union(state_ds), key="line_key")
+    else:
+        total = run_counts
+    freq = frequent_keys(total, min_count)
+    out = drop_frequent_lines(
+        ds,
+        freq,
+        text_col=text_col,
+        id_col=id_col,
+        distributed=distributed,
+        num_partitions=num_partitions,
+    )
+    return out, run_id, run_counts
+
+
+def commit_run_line_counts(
+    run_counts: Dataset, state_dir: str, run_id: str
+) -> str:
+    """Append one run's ``(line_key, cnt)`` partials to the state
+    (atomic rename; rerunning the same run_id overwrites)."""
+    d = _lines_dir(state_dir)
+    tmp = os.path.join(d, f".{run_id}.parquet.tmp")
+    final = os.path.join(d, f"{run_id}.parquet")
+    tables = list(
+        run_counts.select_columns(["line_key", "cnt"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    )
+    if tables:
+        t = pa.concat_tables(tables)
+    else:
+        t = pa.table(
+            {
+                "line_key": pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    pq.write_table(t, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def compact_line_state(state_dir: str, max_files: int = 16) -> int:
+    """Merge per-run line-count files into one once there are more
+    than ``max_files`` (same key split across many run files makes
+    every incremental combine re-sum them). Atomic: the merged file
+    lands under a fresh name before the inputs are removed. Returns
+    the file count after compaction."""
+    import ray.data as rd
+
+    from ..dedupe.combine import combine_counts
+
+    files = _line_files(state_dir)
+    if len(files) <= max_files:
+        return len(files)
+    d = _lines_dir(state_dir)
+    merged = combine_counts(rd.read_parquet(files), key="line_key")
+    tables = list(
+        merged.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(tables)
+    tmp = os.path.join(d, ".compact.parquet.tmp")
+    final = os.path.join(d, "compact-0000.parquet")
+    pq.write_table(t, tmp)
+    os.replace(tmp, final)
+    for f in files:
+        if os.path.abspath(f) != os.path.abspath(final):
+            os.remove(f)
+    return len(_line_files(state_dir))

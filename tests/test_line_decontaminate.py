@@ -221,3 +221,136 @@ def test_gram_keys_no_cross_document_windows():
     ).to_pandas()
     assert not got.contaminated.any()
     assert (got.n_grams == 0).all()
+
+
+# ------------------------------------------------------------------
+# incremental cross-run line dedup
+# ------------------------------------------------------------------
+
+from redpajama_data_ray.state.incremental import (  # noqa: E402
+    commit_run_line_counts,
+    compact_line_state,
+    incremental_line_dedup,
+    seen_line_count,
+)
+
+
+def _mk(docs):
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+
+
+def test_incremental_line_dedup_cross_run_accumulation(tmp_path):
+    state = str(tmp_path / "state")
+    # run 1: "banner" appears once — below min_count, kept
+    out1, rid1, counts1 = incremental_line_dedup(
+        _mk(["banner\nalpha", "beta"]), state, min_count=2, run_id="r1"
+    )
+    df1 = out1.to_pandas().sort_values("doc_id")
+    assert list(df1.text) == ["banner\nalpha", "beta"]
+    commit_run_line_counts(counts1, state, rid1)
+    assert seen_line_count(state) == 3  # banner, alpha, beta
+
+    # run 2: "banner" once more -> total 2 across runs -> dropped,
+    # even though run 2 alone never reaches min_count
+    out2, rid2, counts2 = incremental_line_dedup(
+        _mk(["banner\ngamma", "delta"]), state, min_count=2, run_id="r2"
+    )
+    df2 = out2.to_pandas().sort_values("doc_id")
+    assert list(df2.text) == ["gamma", "delta"]
+    assert list(df2.n_lines_removed) == [1, 0]
+    commit_run_line_counts(counts2, state, rid2)
+
+    # run 3: state remembers banner even though run 2 dropped it
+    out3, _, _ = incremental_line_dedup(
+        _mk(["banner again?\nbanner"]), state, min_count=2, run_id="r3"
+    )
+    assert out3.to_pandas().text.iloc[0] == "banner again?"
+
+
+def test_incremental_line_dedup_commits_incoming_counts(tmp_path):
+    state = str(tmp_path / "state")
+    # run 1 drops "dup" WITHIN the run; its count must still commit
+    out1, rid1, counts1 = incremental_line_dedup(
+        _mk(["dup\nkeep", "dup"]), state, min_count=2, run_id="r1"
+    )
+    assert list(out1.to_pandas().sort_values("doc_id").text) == ["keep", ""]
+    commit_run_line_counts(counts1, state, rid1)
+    got = counts1.to_pandas().set_index("line_key").cnt.to_dict()
+    assert sorted(got.values()) == [1, 2]  # dup:2, keep:1
+
+    # run 2: ONE occurrence of "dup" + committed 2 -> dropped
+    out2, _, _ = incremental_line_dedup(
+        _mk(["dup\nnew"]), state, min_count=2, run_id="r2"
+    )
+    assert out2.to_pandas().text.iloc[0] == "new"
+
+
+def test_compact_line_state_preserves_totals(tmp_path):
+    state = str(tmp_path / "state")
+    for i in range(5):
+        _, rid, counts = incremental_line_dedup(
+            _mk([f"only{i}\nshared"]), state, min_count=99,
+            run_id=f"r{i}",
+        )
+        commit_run_line_counts(counts, state, rid)
+    assert seen_line_count(state) == 10  # 5 x (only_i + shared)
+    n_files = compact_line_state(state, max_files=2)
+    assert n_files == 1
+    assert seen_line_count(state) == 6  # 5 distinct only_i + shared
+    # totals survive: shared has count 5 -> frequent at min_count=5
+    out, _, _ = incremental_line_dedup(
+        _mk(["shared\nfresh"]), state, min_count=6, run_id="r9"
+    )
+    assert out.to_pandas().text.iloc[0] == "fresh"
+
+
+def test_line_state_format_guard(tmp_path):
+    state = str(tmp_path / "state")
+    _, rid, counts = incremental_line_dedup(
+        _mk(["x"]), state, min_count=2, run_id="r1"
+    )
+    commit_run_line_counts(counts, state, rid)
+    fmt = tmp_path / "state" / "lines" / "FORMAT"
+    fmt.write_text("other-hash-v0")
+    with pytest.raises(ValueError, match="key format"):
+        incremental_line_dedup(_mk(["y"]), state, min_count=2)
+
+
+def test_cli_dedup_lines_incremental(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq_
+
+    from redpajama_data_ray.cli import main
+
+    in1 = tmp_path / "in1"
+    in2 = tmp_path / "in2"
+    for d, texts in ((in1, ["footer\na"]), (in2, ["footer\nb"])):
+        d.mkdir()
+        pq_.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(texts))),
+                    "text": texts,
+                }
+            ),
+            str(d / "docs.parquet"),
+        )
+    state = str(tmp_path / "state")
+    for i, d in enumerate((in1, in2)):
+        main(
+            [
+                "dedup-lines",
+                "--input", str(d),
+                "--output", str(tmp_path / f"out{i}"),
+                "--state-dir", state,
+                "--run-id", f"run{i}",
+                "--min-count", "2",
+            ]
+        )
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["lines_removed"] == 1  # run 2 drops footer via state
+    t = pq_.read_table(str(tmp_path / "out1"))
+    assert sorted(t.column("text").to_pylist()) == ["b"]
