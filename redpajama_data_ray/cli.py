@@ -247,6 +247,8 @@ def cmd_dedup_lines(args) -> dict:
     distributed = (
         None if args.delivery == "auto" else args.delivery == "join"
     )
+    # '\n' / '\n\n' etc. typed literally on the shell line
+    sep = args.sep.encode().decode("unicode_escape")
     if args.state_dir:
         from .state.incremental import (
             commit_run_line_counts,
@@ -263,6 +265,7 @@ def cmd_dedup_lines(args) -> dict:
             min_count=args.min_count,
             run_id=args.run_id,
             distributed=distributed,
+            sep=sep,
         )
         out = out.materialize()  # write data THEN commit state
         out.write_parquet(args.output)
@@ -281,6 +284,7 @@ def cmd_dedup_lines(args) -> dict:
         id_col=args.id_col,
         min_count=args.min_count,
         distributed=distributed,
+        sep=sep,
     ).materialize()
     out.write_parquet(args.output)
     return {
@@ -489,6 +493,11 @@ def build_parser() -> argparse.ArgumentParser:
     dl.add_argument("--text-col", default="text")
     dl.add_argument("--id-col", default="doc_id")
     dl.add_argument("--min-count", type=int, default=2)
+    dl.add_argument(
+        "--sep", default="\\n",
+        help=r"unit separator (escapes decoded: '\n' lines — the "
+        r"default — '\n\n' ccnet-style paragraphs)",
+    )
     dl.add_argument("--max-docs", type=int, default=None)
     dl.add_argument(
         "--delivery",

@@ -74,7 +74,7 @@ def hash_lines_signed(uniq: np.ndarray) -> np.ndarray:
     return (out ^ _TOP_BIT).view(np.int64)
 
 
-def _split_batch(t: pa.Table, text_col: str):
+def _split_batch(t: pa.Table, text_col: str, sep: str = "\n"):
     """Split a batch's text column on newline.
 
     Returns ``(bounds, raw, keys, empty)``: per-doc line boundaries
@@ -83,7 +83,7 @@ def _split_batch(t: pa.Table, text_col: str):
     stripped-empty mask. Hashing runs once per distinct stripped line
     in the batch (``np.unique``), not once per line."""
     col = pc.fill_null(t.column(text_col), "")
-    lists = pc.split_pattern(col, "\n")
+    lists = pc.split_pattern(col, sep)
     if isinstance(lists, pa.ChunkedArray):
         lists = lists.combine_chunks()
     counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
@@ -102,12 +102,13 @@ def line_counts(
     text_col: str = "text",
     fanin: int = 8,
     distributed: "bool | None" = None,
+    sep: str = "\n",
 ) -> Dataset:
     """Global ``(line_key, cnt)`` over the corpus' non-empty stripped
     lines — pass 1 of :func:`line_dedup`, exposed for reuse."""
 
     def partial(t: pa.Table) -> pa.Table:
-        _, _, keys, empty = _split_batch(t, text_col)
+        _, _, keys, empty = _split_batch(t, text_col, sep)
         keys = keys[~empty]
         uk, cnt = np.unique(keys, return_counts=True)
         return pa.table(
@@ -123,7 +124,9 @@ def line_counts(
     )
 
 
-def _rebuild(t: pa.Table, text_col: str, bounds, raw, drop) -> pa.Table:
+def _rebuild(
+    t: pa.Table, text_col: str, bounds, raw, drop, sep: str = "\n"
+) -> pa.Table:
     """Replace ``text_col`` with the kept lines rejoined on newline and
     append kept/removed counters. Docs with nothing dropped keep their
     original string object (no rejoin cost on the common path)."""
@@ -141,7 +144,7 @@ def _rebuild(t: pa.Table, text_col: str, bounds, raw, drop) -> pa.Table:
         if n_removed[d] == 0:
             texts.append(originals[d] if originals[d] is not None else "")
         else:
-            texts.append("\n".join(raw[s:e][~drop[s:e]]))
+            texts.append(sep.join(raw[s:e][~drop[s:e]]))
     idx = t.schema.get_field_index(text_col)
     t = t.set_column(idx, text_col, pa.array(texts, pa.string()))
     t = t.append_column(
@@ -159,6 +162,7 @@ def line_dedup(
     broadcast_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
     fanin: int = 8,
     num_partitions: "int | None" = None,
+    sep: str = "\n",
 ) -> Dataset:
     """Drop every line whose stripped form occurs >= ``min_count``
     times corpus-wide; returns the dataset with ``text_col`` rewritten
@@ -172,7 +176,7 @@ def line_dedup(
         raise ValueError("min_count < 2 would drop every non-empty line")
 
     freq = frequent_keys(
-        line_counts(ds, text_col, fanin=fanin), min_count
+        line_counts(ds, text_col, fanin=fanin, sep=sep), min_count
     )
     return drop_frequent_lines(
         ds,
@@ -182,6 +186,7 @@ def line_dedup(
         distributed=distributed,
         broadcast_limit=broadcast_limit,
         num_partitions=num_partitions,
+        sep=sep,
     )
 
 
@@ -203,6 +208,7 @@ def drop_frequent_lines(
     distributed: "bool | None" = None,
     broadcast_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
     num_partitions: "int | None" = None,
+    sep: str = "\n",
 ) -> Dataset:
     """Delivery stage shared by :func:`line_dedup` and the incremental
     cross-run variant: remove every line whose key appears in ``freq``
@@ -213,9 +219,9 @@ def drop_frequent_lines(
     if n_freq == 0:
         # nothing to drop: annotate counters and pass text through
         def annotate(t: pa.Table) -> pa.Table:
-            bounds, raw, keys, _ = _split_batch(t, text_col)
+            bounds, raw, keys, _ = _split_batch(t, text_col, sep)
             return _rebuild(
-                t, text_col, bounds, raw, np.zeros(len(keys), bool)
+                t, text_col, bounds, raw, np.zeros(len(keys), bool), sep
             )
 
         return ds.map_batches(annotate, batch_format="pyarrow")
@@ -235,11 +241,11 @@ def drop_frequent_lines(
 
         def drop_frequent(t: pa.Table) -> pa.Table:
             sv = ray.get(ref)
-            bounds, raw, keys, empty = _split_batch(t, text_col)
+            bounds, raw, keys, empty = _split_batch(t, text_col, sep)
             pos = np.searchsorted(sv, keys)
             pos_c = np.minimum(pos, len(sv) - 1)
             drop = (sv[pos_c] == keys) & (pos < len(sv)) & ~empty
-            return _rebuild(t, text_col, bounds, raw, drop)
+            return _rebuild(t, text_col, bounds, raw, drop, sep)
 
         return ds.map_batches(drop_frequent, batch_format="pyarrow")
 
@@ -253,7 +259,7 @@ def drop_frequent_lines(
         num_partitions = auto_partitions()
 
     def explode(t: pa.Table) -> pa.Table:
-        bounds, _, keys, empty = _split_batch(t, text_col)
+        bounds, _, keys, empty = _split_batch(t, text_col, sep)
         n_lines = np.diff(bounds)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         rid = np.repeat(ids, n_lines)
@@ -314,12 +320,12 @@ def drop_frequent_lines(
     def apply_drops(t: pa.Table) -> pa.Table:
         payload = t.column(_DROPPED_PAYLOAD)
         t = t.drop_columns([_DROPPED_PAYLOAD])
-        bounds, raw, keys, _ = _split_batch(t, text_col)
+        bounds, raw, keys, _ = _split_batch(t, text_col, sep)
         drop = np.zeros(len(keys), bool)
         for d, blob in enumerate(payload.to_pylist()):
             if blob:
                 pos = np.frombuffer(blob, np.int64)
                 drop[bounds[d] + pos] = True
-        return _rebuild(t, text_col, bounds, raw, drop)
+        return _rebuild(t, text_col, bounds, raw, drop, sep)
 
     return joined.map_batches(apply_drops, batch_format="pyarrow")

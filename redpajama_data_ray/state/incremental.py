@@ -529,6 +529,7 @@ def incremental_line_dedup(
     run_id: Optional[str] = None,
     distributed: "bool | None" = None,
     num_partitions: Optional[int] = None,
+    sep: str = "\n",
 ) -> "Tuple[Dataset, str, Dataset]":
     """Cross-run ccnet-style line dedup: a line is frequent when its
     count summed over THIS snapshot plus every previously committed
@@ -555,7 +556,7 @@ def incremental_line_dedup(
 
         run_id = uuid.uuid4().hex[:12]
 
-    run_counts = line_counts(ds, text_col).materialize()
+    run_counts = line_counts(ds, text_col, sep=sep).materialize()
 
     files = _line_files(state_dir)
     if files:
@@ -573,6 +574,7 @@ def incremental_line_dedup(
         id_col=id_col,
         distributed=distributed,
         num_partitions=num_partitions,
+        sep=sep,
     )
     return out, run_id, run_counts
 

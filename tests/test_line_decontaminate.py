@@ -354,3 +354,66 @@ def test_cli_dedup_lines_incremental(tmp_path, capsys):
     assert res["lines_removed"] == 1  # run 2 drops footer via state
     t = pq_.read_table(str(tmp_path / "out1"))
     assert sorted(t.column("text").to_pylist()) == ["b"]
+
+
+def test_paragraph_mode_sep():
+    # ccnet-style paragraph dedup: sep="\n\n"; inner newlines stay
+    docs = [
+        {"doc_id": 1, "text": "intro para\n\nshared\npara\n\ntail one"},
+        {"doc_id": 2, "text": "shared\npara\n\nother tail"},
+        {"doc_id": 3, "text": "standalone"},
+    ]
+    out = (
+        line_dedup(rd.from_items(docs), min_count=2, sep="\n\n")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out.text) == [
+        "intro para\n\ntail one", "other tail", "standalone",
+    ]
+    assert list(out.n_lines_removed) == [1, 1, 0]
+    # both delivery paths agree in paragraph mode too
+    d = (
+        line_dedup(
+            rd.from_items(docs), min_count=2, sep="\n\n",
+            distributed=True, id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out[sorted(out.columns)], d[sorted(d.columns)])
+
+
+def test_cli_dedup_lines_paragraph_sep(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq_
+
+    from redpajama_data_ray.cli import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pq_.write_table(
+        pa.table(
+            {
+                "doc_id": [0, 1],
+                "text": ["keep\n\nfoot\nnote", "foot\nnote\n\nend"],
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    main(
+        [
+            "dedup-lines",
+            "--input", str(d),
+            "--output", str(tmp_path / "out"),
+            "--min-count", "2",
+            "--sep", r"\n\n",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["lines_removed"] == 2
+    t = pq_.read_table(str(tmp_path / "out"))
+    assert sorted(t.column("text").to_pylist()) == ["end", "keep"]
