@@ -154,6 +154,18 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     decontaminate(corp, ray.put(keys), text_col="content", n=13).count()
     timings["decontaminate"] = round(time.time() - t0, 3)
 
+    # duplicated-substring spans (ExactSubstr-style): per-position
+    # rolling hashes + winnowing over the annotated corpus content,
+    # corpus-wide fingerprint counts, broadcast span delivery
+    from redpajama_data_ray.dedupe.spans import substring_dedup
+
+    t0 = time.time()
+    corp = rd.read_parquet(out_dir, columns=["doc_id", "content"])
+    substring_dedup(
+        corp, text_col="content", id_col="doc_id", k=50, winnow_w=8
+    ).count()
+    timings["substring_dedup"] = round(time.time() - t0, 3)
+
     # analysis queries over driver tables
     for name, fn in (
         ("token_totals", q_token_totals_by_source),

@@ -294,6 +294,31 @@ def cmd_dedup_lines(args) -> dict:
     }
 
 
+def cmd_dedup_spans(args) -> dict:
+    from .dedupe.spans import substring_dedup
+
+    ds = _read_input(args.input, args.max_docs, False)
+    distributed = (
+        None if args.delivery == "auto" else args.delivery == "join"
+    )
+    out = substring_dedup(
+        ds,
+        text_col=args.text_col,
+        id_col=args.id_col,
+        k=args.k,
+        winnow_w=args.winnow_w,
+        mode=args.mode,
+        distributed=distributed,
+    ).materialize()
+    out.write_parquet(args.output)
+    return {
+        "rows": out.count(),
+        "dup_spans_total": int(out.sum("n_dup_spans")),
+        "dup_char_frac_mean": round(float(out.mean("dup_char_frac")), 6),
+        "output": args.output,
+    }
+
+
 def cmd_decontaminate(args) -> dict:
     import ray.data as rd
 
@@ -515,6 +540,40 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dl.add_argument("--run-id", default=None)
     dl.set_defaults(fn=cmd_dedup_lines)
+
+    dsp = sub.add_parser(
+        "dedup-spans",
+        help="ExactSubstr-style duplicated-substring spans: mark or "
+        "excise character spans covered by a k-gram repeated anywhere "
+        "in the corpus (Lee et al. 2022 semantics via winnowed "
+        "rolling-hash fingerprints)",
+    )
+    dsp.add_argument("--input", required=True)
+    dsp.add_argument("--output", required=True)
+    dsp.add_argument("--text-col", default="text")
+    dsp.add_argument("--id-col", default="doc_id")
+    dsp.add_argument(
+        "--k", type=int, default=50,
+        help="fingerprint k-gram length in characters",
+    )
+    dsp.add_argument(
+        "--winnow-w", type=int, default=8,
+        help="winnowing window (0 = exact detection at length >= k; "
+        "w > 0 guarantees detection at length >= k + w - 1 while "
+        "counting ~2/(w+1) of positions)",
+    )
+    dsp.add_argument("--mode", choices=["annotate", "excise"],
+                     default="annotate")
+    dsp.add_argument("--max-docs", type=int, default=None)
+    dsp.add_argument(
+        "--delivery",
+        choices=["auto", "broadcast", "join"],
+        default="auto",
+        help="duplicated-fingerprint delivery: broadcast searchsorted "
+        "mask vs exploded-positions join (auto switches on the "
+        "measured duplicated-fingerprint count)",
+    )
+    dsp.set_defaults(fn=cmd_dedup_spans)
 
     dc = sub.add_parser(
         "decontaminate",

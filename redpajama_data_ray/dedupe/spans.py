@@ -1,0 +1,358 @@
+"""Duplicated-substring span detection (ExactSubstr-style dedup).
+
+"Deduplicating Training Data Makes Language Models Better" (Lee et
+al., 2022) removes verbatim substrings of >= ~50 tokens repeated
+anywhere in the corpus; the released tool builds a corpus-wide suffix
+array, which is a poor fit for streaming distributed execution. This
+module gets the same detection guarantee from content-defined
+fingerprinting:
+
+- every character position's ``k``-gram gets a polynomial rolling hash
+  (computed over UTF-32 code points, so spans are character offsets);
+- with ``winnow_w > 0``, only per-window minima are *selected*
+  (standard winnowing, Schleimer et al. 2003): any substring of length
+  >= ``k + winnow_w - 1`` duplicated anywhere — across documents or
+  within one — shares at least one selected fingerprint, while only
+  ~``2/(winnow_w+1)`` of positions are counted;
+- selected fingerprints are counted corpus-wide (per-batch
+  ``np.unique`` partials through the tree/shuffle-adaptive
+  :func:`~.combine.combine_counts`), and positions whose fingerprint
+  count reaches 2 mark a ``[i, i+k)`` span; overlapping spans merge.
+
+``mode="annotate"`` appends the merged spans + duplicated-character
+fraction; ``mode="excise"`` rewrites the text with the spans cut out.
+DELIBERATE DEVIATION from the paper: every occurrence of a duplicated
+substring is marked/excised (the paper keeps one copy — choosing a
+winner occurrence needs a global occurrence order, which an unordered
+distributed stream does not have; callers wanting keep-one semantics
+should run doc-level exact/fuzzy dedup first, which leaves intra-corpus
+boilerplate as this operator's target).
+
+Delivery is size-adaptive like ``dedupe/lines.py``: the duplicated
+fingerprint set broadcasts (sorted once, searchsorted per batch) while
+it fits one object-store object; above the limit only the selected
+``(id, pos)`` pairs whose fingerprint is duplicated are shuffled
+(semi-join + packed positions + ``left_outer``), never the text.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from .apply import (
+    DEFAULT_MASK_BROADCAST_LIMIT,
+    nested_types,
+    pack_nested,
+    unpack_nested,
+)
+from .combine import auto_partitions, combine_counts, tune_shuffle_context
+
+_TOP_BIT = np.uint64(1 << 63)
+# odd multiplier -> invertible mod 2^64 (same FNV prime family as the
+# n-gram hasher in dedupe/decontaminate.py)
+_P = np.uint64(1099511628211)
+
+
+def _inv_u64(p: np.uint64) -> np.uint64:
+    """Multiplicative inverse of an odd p mod 2^64 (Newton lifting;
+    python ints — numpy scalar uint64 overflow RuntimeWarns)."""
+    p = int(p)
+    x = p  # correct mod 2^3
+    for _ in range(5):
+        x = (x * (2 - p * x)) % (1 << 64)
+    return np.uint64(x)
+
+
+_PINV = _inv_u64(_P)
+
+
+def rolling_hashes(text: str, k: int) -> np.ndarray:
+    """Signed-int64 polynomial hash of every ``k``-codepoint window.
+
+    ``h(i) = sum_t cp[i+t] * P^(k-1-t)`` mod 2^64, computed for all
+    positions at once from one prefix sum: with S[j] = sum_{t<j}
+    cp[t]*Pinv^t, ``h(i) = (S[i+k]-S[i]) * P^(i+k-1)`` — every step is
+    a vectorized uint64 op (wraparound is the modulus)."""
+    cp = np.frombuffer(text.encode("utf-32-le"), np.uint32).astype(
+        np.uint64
+    )
+    n = len(cp)
+    if n < k:
+        return np.empty(0, np.int64)
+    pinv_pow = np.full(n, _PINV, np.uint64)
+    pinv_pow[0] = 1
+    pinv_pow = np.multiply.accumulate(pinv_pow)
+    s = np.zeros(n + 1, np.uint64)
+    np.cumsum(cp * pinv_pow, out=s[1:])
+    p_pow = np.full(n, _P, np.uint64)
+    p_pow[0] = 1
+    p_pow = np.multiply.accumulate(p_pow)
+    w = n - k + 1
+    h = (s[k:] - s[:w]) * p_pow[k - 1 :]
+    return (h ^ _TOP_BIT).view(np.int64)
+
+
+def winnow_positions(h: np.ndarray, w: int) -> np.ndarray:
+    """Positions selected by winnowing: the index of the minimum hash
+    in every window of ``w`` consecutive hashes (rightmost on ties,
+    deduplicated). ``w <= 1`` selects everything."""
+    if w <= 1 or len(h) <= w:
+        return np.arange(len(h), dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(h, w)
+    # rightmost minimum: argmin on the reversed window
+    rev = win[:, ::-1].argmin(axis=1)
+    idx = np.arange(len(win), dtype=np.int64) + (w - 1 - rev)
+    return np.unique(idx)
+
+
+def _doc_fingerprints(text: "str | None", k: int, w: int):
+    """(selected positions, their signed hashes) for one document."""
+    h = rolling_hashes(text or "", k)
+    if not len(h):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    pos = winnow_positions(h, w)
+    return pos, h[pos]
+
+
+def merge_spans(starts: np.ndarray, k: int):
+    """Merge overlapping/adjacent ``[s, s+k)`` spans over SORTED unique
+    starts; returns (start, end) int64 arrays."""
+    if not len(starts):
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    gaps = np.flatnonzero(np.diff(starts) > k)
+    first = np.concatenate(([0], gaps + 1))
+    last = np.concatenate((gaps, [len(starts) - 1]))
+    return starts[first], starts[last] + k
+
+
+def fingerprint_counts(
+    ds: Dataset,
+    text_col: str = "text",
+    k: int = 50,
+    winnow_w: int = 8,
+    fanin: int = 8,
+    distributed: "bool | None" = None,
+) -> Dataset:
+    """Corpus-wide ``(fp, cnt)`` over selected k-gram fingerprints."""
+
+    def partial(t: pa.Table) -> pa.Table:
+        chunks = [
+            _doc_fingerprints(x, k, winnow_w)[1]
+            for x in t.column(text_col).to_pylist()
+        ]
+        allh = (
+            np.concatenate(chunks) if chunks else np.empty(0, np.int64)
+        )
+        fp, cnt = np.unique(allh, return_counts=True)
+        return pa.table(
+            {
+                "fp": pa.array(fp, pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return combine_counts(
+        partials, key="fp", fanin=fanin, distributed=distributed
+    )
+
+
+_SPAN_COLS = ("dup_spans", "n_dup_spans", "dup_char_frac")
+_POS_PAYLOAD = "__dup_pos"
+
+
+def _annotate_batch(t, text_col, k, dup_starts_per_doc, mode):
+    """Append span columns (annotate) or cut the spans out (excise).
+    ``dup_starts_per_doc`` is a list of sorted position arrays."""
+    texts = t.column(text_col).to_pylist()
+    spans_str, n_spans, fracs = [], [], []
+    new_texts = []
+    for txt, starts in zip(texts, dup_starts_per_doc):
+        txt = txt or ""
+        s, e = merge_spans(starts, k)
+        e = np.minimum(e, len(txt))
+        covered = int((e - s).sum())
+        n = len(txt)
+        if mode == "excise":
+            if len(s):
+                parts = []
+                prev = 0
+                for a, b in zip(s, e):
+                    parts.append(txt[prev:a])
+                    prev = b
+                parts.append(txt[prev:])
+                new_texts.append("".join(parts))
+            else:
+                new_texts.append(txt)
+        spans_str.append(
+            ";".join(f"{a}-{b}" for a, b in zip(s, e))
+        )
+        n_spans.append(len(s))
+        fracs.append(covered / n if n else 0.0)
+    if mode == "excise":
+        idx = t.schema.get_field_index(text_col)
+        t = t.set_column(idx, text_col, pa.array(new_texts, pa.string()))
+    t = t.append_column("dup_spans", pa.array(spans_str, pa.string()))
+    t = t.append_column("n_dup_spans", pa.array(n_spans, pa.int64()))
+    return t.append_column(
+        "dup_char_frac",
+        pa.array(np.round(np.asarray(fracs, np.float64), 6)),
+    )
+
+
+def substring_dedup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: "str | None" = None,
+    k: int = 50,
+    winnow_w: int = 8,
+    mode: str = "annotate",
+    distributed: "bool | None" = None,
+    broadcast_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
+    num_partitions: "int | None" = None,
+) -> Dataset:
+    """Mark (``mode="annotate"``: ``dup_spans`` "s-e;..." string,
+    ``n_dup_spans``, ``dup_char_frac``) or cut out (``mode="excise"``)
+    every character span covered by a ``k``-gram whose fingerprint
+    occurs at least twice corpus-wide. Detection guarantee: duplicated
+    substrings of length >= ``k + winnow_w - 1``; ``winnow_w=0`` makes
+    it exact at length >= ``k``."""
+    if mode not in ("annotate", "excise"):
+        raise ValueError(f"unknown mode {mode!r}")
+
+    counts = fingerprint_counts(
+        ds, text_col=text_col, k=k, winnow_w=winnow_w
+    )
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("cnt"), 2))
+
+    dup = counts.map_batches(
+        dup_only, batch_format="pyarrow"
+    ).materialize()
+    n_dup = dup.count()
+    if distributed is None:
+        distributed = n_dup > broadcast_limit
+
+    if not distributed:
+        if n_dup:
+            chunks = [
+                b.column("fp").to_numpy(zero_copy_only=False)
+                for b in dup.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+            ]
+            sorted_fp = np.sort(np.concatenate(chunks))
+        else:
+            sorted_fp = np.empty(0, np.int64)
+        ref = ray.put(sorted_fp)
+
+        def annotate(t: pa.Table) -> pa.Table:
+            sv = ray.get(ref)
+            per_doc = []
+            for x in t.column(text_col).to_pylist():
+                pos, h = _doc_fingerprints(x, k, winnow_w)
+                if len(sv) and len(h):
+                    j = np.searchsorted(sv, h)
+                    jc = np.minimum(j, len(sv) - 1)
+                    hit = (sv[jc] == h) & (j < len(sv))
+                    per_doc.append(pos[hit])
+                else:
+                    per_doc.append(np.empty(0, np.int64))
+            return _annotate_batch(t, text_col, k, per_doc, mode)
+
+        return ds.map_batches(annotate, batch_format="pyarrow")
+
+    # ---- join delivery: shuffle only duplicated (id, pos) pairs
+    if id_col is None:
+        raise ValueError(
+            "distributed substring_dedup needs id_col (unique per row)"
+        )
+    tune_shuffle_context()
+    if num_partitions is None:
+        num_partitions = auto_partitions()
+
+    def explode(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        out_id, out_pos, out_fp = [], [], []
+        for i, x in zip(ids, t.column(text_col).to_pylist()):
+            pos, h = _doc_fingerprints(x, k, winnow_w)
+            out_id.extend([i] * len(pos))
+            out_pos.append(pos)
+            out_fp.append(h)
+        return pa.table(
+            {
+                id_col: pa.array(out_id),
+                "__pos": pa.array(
+                    np.concatenate(out_pos)
+                    if out_pos
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+                "fp": pa.array(
+                    np.concatenate(out_fp)
+                    if out_fp
+                    else np.empty(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    exploded = ds.select_columns([id_col, text_col]).map_batches(
+        explode, batch_format="pyarrow"
+    )
+    dup_keys = dup.select_columns(["fp"]).repartition(
+        max(2, min(num_partitions, 8))
+    )
+    hits = exploded.join(
+        dup_keys,
+        join_type="left_semi",
+        num_partitions=num_partitions,
+        on=("fp",),
+    )
+
+    def pack_positions(g: pa.Table) -> pa.Table:
+        pos = np.sort(g.column("__pos").to_numpy(zero_copy_only=False))
+        return pa.table(
+            {
+                id_col: g.column(id_col).slice(0, 1),
+                _POS_PAYLOAD: pa.array(
+                    [pos.astype(np.int64).tobytes()], pa.binary()
+                ),
+            }
+        )
+
+    packed = hits.groupby(id_col).map_groups(
+        pack_positions, batch_format="pyarrow"
+    ).repartition(max(2, min(num_partitions, 8)))
+
+    nested = nested_types(ds.schema().base_schema, exclude=(id_col,))
+    if nested:
+        ds = ds.map_batches(pack_nested(nested), batch_format="pyarrow")
+    joined = ds.join(
+        packed,
+        join_type="left_outer",
+        num_partitions=num_partitions,
+        on=(id_col,),
+    )
+    if nested:
+        joined = joined.map_batches(
+            unpack_nested(nested), batch_format="pyarrow"
+        )
+
+    def apply_spans(t: pa.Table) -> pa.Table:
+        payload = t.column(_POS_PAYLOAD)
+        t = t.drop_columns([_POS_PAYLOAD])
+        per_doc = [
+            np.frombuffer(blob, np.int64)
+            if blob
+            else np.empty(0, np.int64)
+            for blob in payload.to_pylist()
+        ]
+        return _annotate_batch(t, text_col, k, per_doc, mode)
+
+    return joined.map_batches(apply_spans, batch_format="pyarrow")

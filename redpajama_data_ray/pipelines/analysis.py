@@ -1275,6 +1275,10 @@ ORACLE_SQL: Dict[str, str] = {
     # stand-in models run sequentially driver-side; DuckDB aggregates
     # both sides) and the flagship corpus pipeline (sequential pass of
     # the same kernels — proves Ray plumbing is value-neutral).
+    "substring_dedup_docs": """
+        select doc_id, dup_spans, n_dup_spans, dup_char_frac
+        from read_parquet('/tmp/rpray_oracle/substring_dedup_docs.parquet')
+    """,
     "simhash_near_dups": """
         select a_hex, b_hex
         from read_parquet('/tmp/rpray_oracle/simhash_near_dups.parquet')

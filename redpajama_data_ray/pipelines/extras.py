@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 46/46
+driver's three-way check (rows+schema+hash) covers every query — 49/49
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""
@@ -902,7 +902,109 @@ def q_media_decode(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+_SPAN_BOILER = (
+    "/* Copyright 2026 Example Corp. Licensed under the Apache "
+    "License, Version 2.0; boilerplate header injected for the "
+    "substring-dedup gate. */ "
+)
+_SPAN_K = 25
+
+
+def _span_corpus(sf_dir: str):
+    """Deterministic dup-injected corpus for the substring gate, as
+    ``(doc_id, text)`` pairs: doc_id%4==0 docs get a shared boilerplate
+    header prepended (partial leading span) and doc_id%3==0 docs are
+    cloned under doc_id+10_000_000 (whole-doc spans) — same shape as
+    q_line_dedup_docs' injection, mirrored exactly in both the Ray
+    query and the sequential oracle."""
+    doc_ids, texts, _ = _oracle_docs(sf_dir)
+    out = []
+    for d, t in zip(doc_ids, texts):
+        t = (_SPAN_BOILER + (t or "")) if d % 4 == 0 else (t or "")
+        out.append((int(d), t))
+        if d % 3 == 0:
+            out.append((int(d) + 10_000_000, t))
+    return out
+
+
+def write_substring_oracle(sf_dir: str) -> str:
+    """Expected span table via an INDEPENDENT sequential kernel: counts
+    ACTUAL k-char substrings in a python dict (no rolling hash, no
+    winnowing — the query runs winnow_w=0, where selection is total and
+    semantics are hash-free), marks positions whose substring occurs
+    >=2x corpus-wide, merges consecutive starts with diff <= k. A
+    64-bit fingerprint collision on the Ray side would surface here as
+    a mismatch (probability ~1e-7 at this corpus size)."""
+    import collections
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    corpus = _span_corpus(sf_dir)
+    k = _SPAN_K
+    cnt = collections.Counter()
+    for _, t in corpus:
+        for i in range(len(t) - k + 1):
+            cnt[t[i : i + k]] += 1
+    ids, spans_str, n_spans, fracs = [], [], [], []
+    for d, t in corpus:
+        spans = []
+        for s in range(len(t) - k + 1):
+            if cnt[t[s : s + k]] < 2:
+                continue
+            if spans and s - spans[-1][2] <= k:
+                spans[-1][1] = s + k
+                spans[-1][2] = s
+            else:
+                spans.append([s, s + k, s])
+        covered = sum(b - a for a, b, _ in spans)
+        ids.append(d)
+        spans_str.append(";".join(f"{a}-{b}" for a, b, _ in spans))
+        n_spans.append(len(spans))
+        fracs.append(
+            float(np.round(covered / len(t), 6)) if t else 0.0
+        )
+    out = _oracle_path(sf_dir, "substring_dedup_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "dup_spans": pa.array(spans_str, pa.string()),
+                "n_dup_spans": pa.array(n_spans, pa.int64()),
+                "dup_char_frac": pa.array(fracs, pa.float64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def q_substring_dedup_docs(sf_dir: str) -> Dataset:
+    """ExactSubstr-style duplicated-substring spans (dedupe/spans.py)
+    over the dup-injected corpus, winnow_w=0 (exact mode) so the
+    substring-counting oracle is hash-independent; winnowing's
+    detection guarantee is covered by tests/test_spans.py."""
+    from ..dedupe.spans import substring_dedup
+
+    write_substring_oracle(sf_dir)
+    rows = _span_corpus(sf_dir)
+    t = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], pa.int64()),
+            "text": pa.array([t for _, t in rows], pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    out = substring_dedup(
+        ds, k=_SPAN_K, winnow_w=0, mode="annotate"
+    )
+    return out.select_columns(
+        ["doc_id", "dup_spans", "n_dup_spans", "dup_char_frac"]
+    )
+
+
 EXTRA_QUERIES = {
+    "substring_dedup_docs": q_substring_dedup_docs,
     "langid_distribution": q_langid_distribution,
     "perplexity_buckets": q_perplexity_buckets,
     "minhash_signatures": q_minhash_signatures,

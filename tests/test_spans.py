@@ -1,0 +1,311 @@
+"""Duplicated-substring span detection (dedupe/spans.py) against
+pure-Python substring-counting oracles, both delivery paths."""
+
+import collections
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.dedupe.spans import (
+    merge_spans,
+    rolling_hashes,
+    substring_dedup,
+    winnow_positions,
+)
+
+_P = 1099511628211
+BOILER = "/* COPYRIGHT 2026 example corp - all rights reserved */\n"
+
+DOCS = [
+    {"doc_id": 1, "text": BOILER + "unique alpha body one with words"},
+    {"doc_id": 2, "text": BOILER + "a different second document body"},
+    {"doc_id": 3, "text": "no shared header in this one at all ok"},
+    {"doc_id": 4, "text": ""},
+    {"doc_id": 5, "text": "short"},
+    # internal repetition: one doc repeating its own substring
+    {"doc_id": 6, "text": "xyzzy pattern here " * 4 + "tail"},
+    {"doc_id": 7, "text": BOILER},  # exactly the boilerplate
+]
+K = 16
+
+
+def _naive_hash(s: str, k: int):
+    """Independent per-window polynomial hash (python ints mod 2^64)."""
+    out = []
+    cps = [ord(c) for c in s]
+    for i in range(len(cps) - k + 1):
+        h = 0
+        for c in cps[i : i + k]:
+            h = (h * _P + c) % (1 << 64)
+        x = h ^ (1 << 63)
+        out.append(x - (1 << 64) if x >= (1 << 63) else x)
+    return out
+
+
+def test_rolling_hashes_match_naive_polynomial():
+    s = "The quick brown fox é€ jumps over the lazy dog again"
+    got = rolling_hashes(s, 7).tolist()
+    assert got == _naive_hash(s, 7)
+
+
+def test_rolling_hashes_equal_windows_equal_hashes():
+    s = "abcdefgh-MIDDLE-abcdefgh"
+    h = rolling_hashes(s, 8)
+    assert h[0] == h[16]  # both "abcdefgh"
+    assert len(set(h.tolist())) == len(h) - 1  # only that collision
+
+
+def test_rolling_hashes_short_text_empty():
+    assert len(rolling_hashes("abc", 5)) == 0
+    assert len(rolling_hashes("", 3)) == 0
+    assert len(rolling_hashes("abcde", 5)) == 1
+
+
+def test_winnow_positions_properties():
+    rng = np.random.default_rng(7)
+    h = rng.integers(-(2**62), 2**62, size=400, dtype=np.int64)
+    for w in (2, 5, 16):
+        sel = winnow_positions(h, w)
+        assert len(np.unique(sel)) == len(sel)
+        # every window of w consecutive hash positions holds >=1 pick
+        marks = np.zeros(len(h), bool)
+        marks[sel] = True
+        for i in range(len(h) - w + 1):
+            assert marks[i : i + w].any()
+        # each pick is the minimum of SOME window containing it
+        for p in sel.tolist():
+            lo = max(0, p - w + 1)
+            assert any(
+                h[j : j + w].min() == h[p]
+                for j in range(lo, min(p, len(h) - w) + 1)
+            )
+    assert winnow_positions(h, 0).tolist() == list(range(len(h)))
+    assert winnow_positions(h, 1).tolist() == list(range(len(h)))
+
+
+def test_merge_spans():
+    s, e = merge_spans(np.array([0, 3, 20], np.int64), 5)
+    assert s.tolist() == [0, 20] and e.tolist() == [8, 25]
+    # touching spans (gap == k) merge
+    s, e = merge_spans(np.array([0, 5], np.int64), 5)
+    assert s.tolist() == [0] and e.tolist() == [10]
+    s, e = merge_spans(np.empty(0, np.int64), 5)
+    assert len(s) == 0 and len(e) == 0
+
+
+def _oracle(docs, k):
+    """Count actual k-char substrings (no hashing) and mark positions
+    whose substring occurs >=2x corpus-wide; merge consecutive starts
+    with diff <= k."""
+    cnt = collections.Counter()
+    for d in docs:
+        t = d["text"]
+        for i in range(len(t) - k + 1):
+            cnt[t[i : i + k]] += 1
+    rows = []
+    for d in docs:
+        t = d["text"]
+        starts = [
+            i for i in range(len(t) - k + 1) if cnt[t[i : i + k]] >= 2
+        ]
+        spans = []
+        for s in starts:
+            if spans and s - spans[-1][2] <= k:
+                spans[-1][1] = s + k
+                spans[-1][2] = s
+            else:
+                spans.append([s, s + k, s])
+        covered = sum(b - a for a, b, _ in spans)
+        excised = ""
+        prev = 0
+        for a, b, _ in spans:
+            excised += t[prev:a]
+            prev = b
+        excised += t[prev:]
+        rows.append(
+            {
+                "doc_id": d["doc_id"],
+                "dup_spans": ";".join(f"{a}-{b}" for a, b, _ in spans),
+                "n_dup_spans": len(spans),
+                "dup_char_frac": float(
+                    np.round(covered / len(t), 6) if t else 0.0
+                ),
+                "excised": excised,
+            }
+        )
+    return pd.DataFrame(rows)
+
+
+def _run(ds, **kw):
+    out = substring_dedup(ds, k=K, winnow_w=0, **kw).to_pandas()
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def test_annotate_broadcast_matches_oracle():
+    got = _run(rd.from_items(DOCS))
+    exp = _oracle(DOCS, K)
+    pd.testing.assert_frame_equal(
+        got[["doc_id", "dup_spans", "n_dup_spans", "dup_char_frac"]],
+        exp[["doc_id", "dup_spans", "n_dup_spans", "dup_char_frac"]],
+    )
+    assert got.loc[0, "dup_char_frac"] > 0  # boilerplate detected
+    assert got.loc[2, "dup_char_frac"] == 0.0  # unique doc untouched
+    assert got.loc[5, "n_dup_spans"] >= 1  # internal repetition
+
+
+def test_excise_matches_oracle():
+    got = _run(rd.from_items(DOCS), mode="excise")
+    exp = _oracle(DOCS, K)
+    assert list(got["text"]) == list(exp["excised"])
+    # doc 3 (unique) untouched; doc 7 (pure boilerplate) emptied
+    assert got.loc[2, "text"] == DOCS[2]["text"]
+    assert got.loc[6, "text"] == ""
+
+
+def test_distributed_matches_broadcast():
+    ds = rd.from_items(DOCS)
+    b = _run(ds)
+    d = _run(ds, distributed=True, id_col="doc_id")
+    pd.testing.assert_frame_equal(b, d[b.columns])
+
+
+def test_distributed_nested_payload():
+    docs = [dict(d, tags=["t", str(d["doc_id"])]) for d in DOCS]
+    out = (
+        substring_dedup(
+            rd.from_items(docs), k=K, winnow_w=0,
+            distributed=True, id_col="doc_id",
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    exp = _oracle(DOCS, K)
+    pd.testing.assert_frame_equal(
+        out[["doc_id", "dup_spans", "n_dup_spans", "dup_char_frac"]],
+        exp[["doc_id", "dup_spans", "n_dup_spans", "dup_char_frac"]],
+    )
+    assert [list(t) for t in out["tags"]] == [
+        ["t", str(i)] for i in exp["doc_id"]
+    ]
+
+
+def test_winnowing_guarantee():
+    # any duplicated substring of length >= k + w - 1 shares at least
+    # one SELECTED fingerprint -> both occurrences get a span
+    k, w = 10, 6
+    shared = "0123456789abcdef"  # length 16 >= 10 + 6 - 1
+    docs = [
+        {"doc_id": 1, "text": "prefix one " + shared + " suffix"},
+        {"doc_id": 2, "text": "another lead-in " + shared + " done"},
+        {"doc_id": 3, "text": "completely unrelated text body"},
+    ]
+    out = (
+        substring_dedup(rd.from_items(docs), k=k, winnow_w=w)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "n_dup_spans"] >= 1
+    assert out.loc[1, "n_dup_spans"] >= 1
+    assert out.loc[2, "n_dup_spans"] == 0
+    # detected spans must lie inside the shared region of each doc
+    for i, d in enumerate(docs[:2]):
+        a = d["text"].index(shared)
+        for span in out.loc[i, "dup_spans"].split(";"):
+            s, e = map(int, span.split("-"))
+            assert s >= a and e <= a + len(shared)
+
+
+def test_winnowed_broadcast_matches_distributed():
+    ds = rd.from_items(DOCS)
+    b = substring_dedup(ds, k=8, winnow_w=4).to_pandas()
+    d = substring_dedup(
+        ds, k=8, winnow_w=4, distributed=True, id_col="doc_id"
+    ).to_pandas()
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    d = d.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, d[b.columns])
+
+
+def test_no_duplicates_is_annotated_passthrough():
+    docs = [{"doc_id": 1, "text": "entirely singular content here"}]
+    out = substring_dedup(rd.from_items(docs), k=8).to_pandas()
+    assert out.loc[0, "n_dup_spans"] == 0
+    assert out.loc[0, "dup_char_frac"] == 0.0
+    assert out.loc[0, "dup_spans"] == ""
+
+
+def test_rejects_bad_args():
+    ds = rd.from_items(DOCS)
+    with pytest.raises(ValueError, match="mode"):
+        substring_dedup(ds, mode="nope")
+    with pytest.raises(ValueError, match="id_col"):
+        substring_dedup(ds, k=K, winnow_w=0, distributed=True)
+
+
+def test_cli_dedup_spans_excise(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from redpajama_data_ray.cli import main
+
+    d = tmp_path / "in"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": pa.array(
+                    [
+                        BOILER + "alpha body",
+                        BOILER + "beta body",
+                        "untouched row",
+                    ],
+                    pa.string(),
+                ),
+            }
+        ),
+        str(d / "docs.parquet"),
+    )
+    main(
+        [
+            "dedup-spans",
+            "--input", str(d),
+            "--output", str(tmp_path / "out"),
+            "--k", "16",
+            "--winnow-w", "0",
+            "--mode", "excise",
+        ]
+    )
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["rows"] == 3 and res["dup_spans_total"] >= 2
+    t = (
+        pq.read_table(str(tmp_path / "out"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert t.loc[2, "text"] == "untouched row"
+    assert BOILER not in t.loc[0, "text"] and BOILER not in t.loc[1, "text"]
+
+
+def test_null_text_rows_survive():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([None, BOILER + "x" * 20], pa.string()),
+        }
+    )
+    out = (
+        substring_dedup(rd.from_arrow(t), k=K, winnow_w=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[0, "n_dup_spans"] == 0
+    assert out.loc[0, "dup_char_frac"] == 0.0
