@@ -301,6 +301,43 @@ def cmd_dedup_spans(args) -> dict:
     distributed = (
         None if args.delivery == "auto" else args.delivery == "join"
     )
+    if args.state_dir:
+        from .state.incremental import (
+            commit_run_fingerprint_counts,
+            compact_fingerprint_state,
+            incremental_substring_dedup,
+            seen_fingerprint_count,
+        )
+
+        out, run_id, run_counts = incremental_substring_dedup(
+            ds,
+            args.state_dir,
+            text_col=args.text_col,
+            id_col=args.id_col,
+            k=args.k,
+            winnow_w=args.winnow_w,
+            mode=args.mode,
+            run_id=args.run_id,
+            distributed=distributed,
+        )
+        out = out.materialize()  # write data THEN commit state
+        out.write_parquet(args.output)
+        commit_run_fingerprint_counts(
+            run_counts, args.state_dir, run_id,
+            k=args.k, winnow_w=args.winnow_w,
+        )
+        compact_fingerprint_state(
+            args.state_dir, k=args.k, winnow_w=args.winnow_w
+        )
+        return {
+            "rows": out.count(),
+            "dup_spans_total": int(out.sum("n_dup_spans")),
+            "output": args.output,
+            "run_id": run_id,
+            "state_fingerprints": seen_fingerprint_count(
+                args.state_dir, k=args.k, winnow_w=args.winnow_w
+            ),
+        }
     out = substring_dedup(
         ds,
         text_col=args.text_col,
@@ -573,6 +610,13 @@ def build_parser() -> argparse.ArgumentParser:
         "mask vs exploded-positions join (auto switches on the "
         "measured duplicated-fingerprint count)",
     )
+    dsp.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode: fingerprint counts accumulate against "
+        "previously committed snapshots (a substring split across "
+        "runs still reaches min-count), then this run's counts commit",
+    )
+    dsp.add_argument("--run-id", default=None)
     dsp.set_defaults(fn=cmd_dedup_spans)
 
     dc = sub.add_parser(

@@ -97,15 +97,11 @@ def _split_batch(t: pa.Table, text_col: str, sep: str = "\n"):
     return bounds, raw, keys, empty
 
 
-def line_counts(
-    ds: Dataset,
-    text_col: str = "text",
-    fanin: int = 8,
-    distributed: "bool | None" = None,
-    sep: str = "\n",
+def line_partials(
+    ds: Dataset, text_col: str = "text", sep: str = "\n"
 ) -> Dataset:
-    """Global ``(line_key, cnt)`` over the corpus' non-empty stripped
-    lines — pass 1 of :func:`line_dedup`, exposed for reuse."""
+    """Per-block ``(line_key, cnt)`` partial counts over non-empty
+    stripped lines (``np.unique`` in-batch combiner)."""
 
     def partial(t: pa.Table) -> pa.Table:
         _, _, keys, empty = _split_batch(t, text_col, sep)
@@ -118,9 +114,24 @@ def line_counts(
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def line_counts(
+    ds: Dataset,
+    text_col: str = "text",
+    fanin: int = 8,
+    distributed: "bool | None" = None,
+    sep: str = "\n",
+) -> Dataset:
+    """Global ``(line_key, cnt)`` over the corpus' non-empty stripped
+    lines — exposed for reuse; :func:`line_dedup` itself skips this
+    full combine (see :func:`~.combine.dup_keys_from_partials`)."""
     return combine_counts(
-        partials, key="line_key", fanin=fanin, distributed=distributed
+        line_partials(ds, text_col, sep=sep),
+        key="line_key",
+        fanin=fanin,
+        distributed=distributed,
     )
 
 
@@ -175,8 +186,12 @@ def line_dedup(
     if min_count < 2:
         raise ValueError("min_count < 2 would drop every non-empty line")
 
-    freq = frequent_keys(
-        line_counts(ds, text_col, fanin=fanin, sep=sep), min_count
+    from .combine import dup_keys_from_partials
+
+    freq = dup_keys_from_partials(
+        line_partials(ds, text_col, sep=sep),
+        key="line_key",
+        min_count=min_count,
     )
     return drop_frequent_lines(
         ds,

@@ -49,7 +49,12 @@ from .apply import (
     pack_nested,
     unpack_nested,
 )
-from .combine import auto_partitions, combine_counts, tune_shuffle_context
+from .combine import (
+    auto_partitions,
+    combine_counts,
+    dup_keys_from_partials,
+    tune_shuffle_context,
+)
 
 _TOP_BIT = np.uint64(1 << 63)
 # odd multiplier -> invertible mod 2^64 (same FNV prime family as the
@@ -129,15 +134,12 @@ def merge_spans(starts: np.ndarray, k: int):
     return starts[first], starts[last] + k
 
 
-def fingerprint_counts(
-    ds: Dataset,
-    text_col: str = "text",
-    k: int = 50,
-    winnow_w: int = 8,
-    fanin: int = 8,
-    distributed: "bool | None" = None,
+def fingerprint_partials(
+    ds: Dataset, text_col: str = "text", k: int = 50, winnow_w: int = 8
 ) -> Dataset:
-    """Corpus-wide ``(fp, cnt)`` over selected k-gram fingerprints."""
+    """Per-block ``(fp, cnt)`` partial counts over selected k-gram
+    fingerprints (``np.unique`` in-batch combiner) — the fixed-width
+    rows every downstream count path consumes."""
 
     def partial(t: pa.Table) -> pa.Table:
         chunks = [
@@ -155,9 +157,28 @@ def fingerprint_counts(
             }
         )
 
-    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return ds.map_batches(partial, batch_format="pyarrow")
+
+
+def fingerprint_counts(
+    ds: Dataset,
+    text_col: str = "text",
+    k: int = 50,
+    winnow_w: int = 8,
+    fanin: int = 8,
+    distributed: "bool | None" = None,
+) -> Dataset:
+    """Corpus-wide ``(fp, cnt)`` over selected k-gram fingerprints.
+    NOTE: most callers only need the duplicated set — that is
+    :func:`~.combine.dup_keys_from_partials` over
+    :func:`fingerprint_partials`, which skips combining the dominant
+    once-only keys; this full combine is for when every count matters
+    (e.g. state compaction)."""
     return combine_counts(
-        partials, key="fp", fanin=fanin, distributed=distributed
+        fingerprint_partials(ds, text_col, k, winnow_w),
+        key="fp",
+        fanin=fanin,
+        distributed=distributed,
     )
 
 
@@ -221,21 +242,66 @@ def substring_dedup(
     occurs at least twice corpus-wide. Detection guarantee: duplicated
     substrings of length >= ``k + winnow_w - 1``; ``winnow_w=0`` makes
     it exact at length >= ``k``."""
+    dup = dup_keys_from_partials(
+        fingerprint_partials(ds, text_col, k, winnow_w), key="fp"
+    )
+    return apply_dup_fingerprints(
+        ds,
+        dup,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        winnow_w=winnow_w,
+        mode=mode,
+        distributed=distributed,
+        broadcast_limit=broadcast_limit,
+        num_partitions=num_partitions,
+    )
+
+
+def dup_fingerprints(counts: Dataset, min_count: int = 2) -> Dataset:
+    """Fingerprints whose (possibly cross-run-summed) count reaches
+    ``min_count`` — the duplicated set :func:`apply_dup_fingerprints`
+    delivers."""
+
+    def dup_only(t: pa.Table) -> pa.Table:
+        return t.filter(
+            pc.greater_equal(t.column("cnt"), min_count)
+        )
+
+    return counts.map_batches(dup_only, batch_format="pyarrow")
+
+
+def apply_dup_fingerprints(
+    ds: Dataset,
+    dup: Dataset,
+    text_col: str = "text",
+    id_col: "str | None" = None,
+    k: int = 50,
+    winnow_w: int = 8,
+    mode: str = "annotate",
+    distributed: "bool | None" = None,
+    broadcast_limit: int = DEFAULT_MASK_BROADCAST_LIMIT,
+    num_partitions: "int | None" = None,
+) -> Dataset:
+    """Deliver a duplicated-fingerprint Dataset (column ``fp``) back to
+    the corpus: re-fingerprint each document, mark the positions whose
+    fingerprint is in ``dup``, and annotate/excise the merged spans —
+    broadcast mask below ``broadcast_limit``, exploded-positions join
+    above. Split out of :func:`substring_dedup` so the incremental
+    cross-run variant (``state/incremental.py``) can feed summed
+    counts through the same delivery."""
     if mode not in ("annotate", "excise"):
         raise ValueError(f"unknown mode {mode!r}")
 
-    counts = fingerprint_counts(
-        ds, text_col=text_col, k=k, winnow_w=winnow_w
-    )
-
-    def dup_only(t: pa.Table) -> pa.Table:
-        return t.filter(pc.greater_equal(t.column("cnt"), 2))
-
-    dup = counts.map_batches(
-        dup_only, batch_format="pyarrow"
-    ).materialize()
+    dup = dup.materialize()
     n_dup = dup.count()
-    if distributed is None:
+    if n_dup == 0:
+        # nothing duplicated: empty-span annotate / passthrough excise;
+        # also guards forced distributed=True — an empty materialized
+        # dup table loses its schema and would crash the semi-join
+        distributed = False
+    elif distributed is None:
         distributed = n_dup > broadcast_limit
 
     if not distributed:
@@ -267,7 +333,12 @@ def substring_dedup(
 
         return ds.map_batches(annotate, batch_format="pyarrow")
 
-    # ---- join delivery: shuffle only duplicated (id, pos) pairs
+    # ---- join delivery: shuffle only duplicated (id, pos) pairs.
+    # Wide stages run on a signed-int64 id (string ids sha1-hashed per
+    # batch — the repo-wide id_int practice): ~4x fewer shuffle bytes
+    # than path-string keys and numeric groupby/join kernels. The
+    # 64-bit id-collision risk is the one already accepted for id_int
+    # everywhere else in this engine.
     if id_col is None:
         raise ValueError(
             "distributed substring_dedup needs id_col (unique per row)"
@@ -276,17 +347,39 @@ def substring_dedup(
     if num_partitions is None:
         num_partitions = auto_partitions()
 
+    _id_type = ds.schema().base_schema.field(id_col).type
+    id_is_str = pa.types.is_string(_id_type) or pa.types.is_large_string(
+        _id_type
+    )
+    _ID_H = "__id_h"
+
+    def _id_hash_col(col: pa.ChunkedArray) -> pa.Array:
+        if not id_is_str:
+            return pc.cast(col.combine_chunks(), pa.int64())
+        from .lines import hash_lines_signed
+
+        vals = col.to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(vals, return_inverse=True)
+        return pa.array(hash_lines_signed(uniq)[inv], pa.int64())
+
     def explode(t: pa.Table) -> pa.Table:
-        ids = t.column(id_col).to_pylist()
-        out_id, out_pos, out_fp = [], [], []
-        for i, x in zip(ids, t.column(text_col).to_pylist()):
+        out_pos, out_fp, counts = [], [], []
+        for x in t.column(text_col).to_pylist():
             pos, h = _doc_fingerprints(x, k, winnow_w)
-            out_id.extend([i] * len(pos))
             out_pos.append(pos)
             out_fp.append(h)
+            counts.append(len(pos))
+        ids = _id_hash_col(t.column(id_col)).take(
+            pa.array(
+                np.repeat(
+                    np.arange(len(counts), dtype=np.int64),
+                    np.asarray(counts, np.int64),
+                )
+            )
+        )
         return pa.table(
             {
-                id_col: pa.array(out_id),
+                _ID_H: ids,
                 "__pos": pa.array(
                     np.concatenate(out_pos)
                     if out_pos
@@ -319,25 +412,31 @@ def substring_dedup(
         pos = np.sort(g.column("__pos").to_numpy(zero_copy_only=False))
         return pa.table(
             {
-                id_col: g.column(id_col).slice(0, 1),
+                _ID_H: g.column(_ID_H).slice(0, 1),
                 _POS_PAYLOAD: pa.array(
                     [pos.astype(np.int64).tobytes()], pa.binary()
                 ),
             }
         )
 
-    packed = hits.groupby(id_col).map_groups(
+    packed = hits.groupby(_ID_H).map_groups(
         pack_positions, batch_format="pyarrow"
     ).repartition(max(2, min(num_partitions, 8)))
 
-    nested = nested_types(ds.schema().base_schema, exclude=(id_col,))
+    def add_id_hash(t: pa.Table) -> pa.Table:
+        return t.append_column(_ID_H, _id_hash_col(t.column(id_col)))
+
+    ds = ds.map_batches(add_id_hash, batch_format="pyarrow")
+    nested = nested_types(
+        ds.schema().base_schema, exclude=(id_col, _ID_H)
+    )
     if nested:
         ds = ds.map_batches(pack_nested(nested), batch_format="pyarrow")
     joined = ds.join(
         packed,
         join_type="left_outer",
         num_partitions=num_partitions,
-        on=(id_col,),
+        on=(_ID_H,),
     )
     if nested:
         joined = joined.map_batches(
@@ -346,7 +445,7 @@ def substring_dedup(
 
     def apply_spans(t: pa.Table) -> pa.Table:
         payload = t.column(_POS_PAYLOAD)
-        t = t.drop_columns([_POS_PAYLOAD])
+        t = t.drop_columns([_POS_PAYLOAD, _ID_H])
         per_doc = [
             np.frombuffer(blob, np.int64)
             if blob

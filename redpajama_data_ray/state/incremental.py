@@ -476,33 +476,37 @@ def commit_run_bands(
 LINE_KEY_FORMAT = "sha1x8le-flip-v1"
 
 
-def _lines_dir(state_dir: str) -> str:
-    d = os.path.join(state_dir, "lines")
+def _counts_dir(state_dir: str, subdir: str, fmt: str) -> str:
+    """FORMAT-stamped per-run count-partial directory (shared by the
+    line and substring-fingerprint incremental variants — the stamp
+    guards against mixing keys hashed under different schemes or, for
+    fingerprints, different (k, winnow_w) parameters)."""
+    d = os.path.join(state_dir, subdir)
     os.makedirs(d, exist_ok=True)
     marker = os.path.join(d, "FORMAT")
     existing = [f for f in os.listdir(d) if f.endswith(".parquet")]
     if os.path.exists(marker):
         with open(marker) as f:
             found = f.read().strip()
-        if found != LINE_KEY_FORMAT:
+        if found != fmt:
             raise ValueError(
-                f"line-count state at {d!r} was written with key format "
-                f"{found!r}; this engine uses {LINE_KEY_FORMAT!r} — "
-                "re-run the line dedup from scratch"
+                f"count state at {d!r} was written with key format "
+                f"{found!r}; this engine uses {fmt!r} — "
+                "re-run the dedup from scratch"
             )
     elif existing:
         raise ValueError(
-            f"line-count state at {d!r} predates key-format stamping "
-            f"(engine < {LINE_KEY_FORMAT!r}); re-run from scratch"
+            f"count state at {d!r} predates key-format stamping "
+            f"(engine < {fmt!r}); re-run from scratch"
         )
     else:
         with open(marker, "w") as f:
-            f.write(LINE_KEY_FORMAT)
+            f.write(fmt)
     return d
 
 
-def _line_files(state_dir: str):
-    d = _lines_dir(state_dir)
+def _counts_files(state_dir: str, subdir: str, fmt: str):
+    d = _counts_dir(state_dir, subdir, fmt)
     return [
         os.path.join(d, f)
         for f in sorted(os.listdir(d))
@@ -510,14 +514,76 @@ def _line_files(state_dir: str):
     ]
 
 
+def _seen_counts(state_dir: str, subdir: str, fmt: str) -> int:
+    total = 0
+    for f in _counts_files(state_dir, subdir, fmt):
+        total += pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
+def _commit_counts(
+    run_counts: Dataset, state_dir: str, run_id: str, subdir: str,
+    fmt: str, key_col: str,
+) -> str:
+    """Append one run's ``(key, cnt)`` partials (atomic rename;
+    rerunning the same run_id overwrites)."""
+    d = _counts_dir(state_dir, subdir, fmt)
+    tmp = os.path.join(d, f".{run_id}.parquet.tmp")
+    final = os.path.join(d, f"{run_id}.parquet")
+    tables = list(
+        run_counts.select_columns([key_col, "cnt"]).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+    )
+    if tables:
+        t = pa.concat_tables(tables)
+    else:
+        t = pa.table(
+            {
+                key_col: pa.array([], pa.int64()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    pq.write_table(t, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def _compact_counts(
+    state_dir: str, subdir: str, fmt: str, key_col: str,
+    max_files: int,
+) -> int:
+    """Merge per-run count files into one once there are more than
+    ``max_files``. Atomic: the merged file lands under a fresh name
+    before the inputs are removed. Returns the file count after."""
+    import ray.data as rd
+
+    from ..dedupe.combine import combine_counts
+
+    files = _counts_files(state_dir, subdir, fmt)
+    if len(files) <= max_files:
+        return len(files)
+    d = _counts_dir(state_dir, subdir, fmt)
+    merged = combine_counts(rd.read_parquet(files), key=key_col)
+    tables = list(
+        merged.iter_batches(batch_size=65536, batch_format="pyarrow")
+    )
+    t = pa.concat_tables(tables)
+    tmp = os.path.join(d, ".compact.parquet.tmp")
+    final = os.path.join(d, "compact-0000.parquet")
+    pq.write_table(t, tmp)
+    os.replace(tmp, final)
+    for f in files:
+        if os.path.abspath(f) != os.path.abspath(final):
+            os.remove(f)
+    return len(_counts_files(state_dir, subdir, fmt))
+
+
 def seen_line_count(state_dir: str) -> int:
     """Committed distinct-line rows from parquet footers (no data
     read; the same key may appear in several run files until
     :func:`compact_line_state` merges them)."""
-    total = 0
-    for f in _line_files(state_dir):
-        total += pq.ParquetFile(f).metadata.num_rows
-    return total
+    return _seen_counts(state_dir, "lines", LINE_KEY_FORMAT)
 
 
 def incremental_line_dedup(
@@ -544,29 +610,26 @@ def incremental_line_dedup(
     the exact/fuzzy variants)."""
     import ray.data as rd
 
-    from ..dedupe.combine import combine_counts
-    from ..dedupe.lines import (
-        drop_frequent_lines,
-        frequent_keys,
-        line_counts,
-    )
+    from ..dedupe.combine import dup_keys_from_partials
+    from ..dedupe.lines import drop_frequent_lines, line_partials
 
     if run_id is None:
         import uuid
 
         run_id = uuid.uuid4().hex[:12]
 
-    run_counts = line_counts(ds, text_col, sep=sep).materialize()
-
-    files = _line_files(state_dir)
-    if files:
-        state_ds = rd.read_parquet(files)
-        # per-run files are already per-key partials; one more combine
-        # (tree below TREE_STATS_LIMIT, hash shuffle above) sums them
-        total = combine_counts(run_counts.union(state_ds), key="line_key")
-    else:
-        total = run_counts
-    freq = frequent_keys(total, min_count)
+    # state files hold PARTIAL counts (same key may span several files
+    # until compaction), so the run commits raw per-block partials and
+    # the frequent set comes from a HAVING over the unioned partials —
+    # the full combine of dominant once-only keys is never paid
+    run_counts = line_partials(ds, text_col, sep=sep).materialize()
+    files = _counts_files(state_dir, "lines", LINE_KEY_FORMAT)
+    total = (
+        run_counts.union(rd.read_parquet(files)) if files else run_counts
+    )
+    freq = dup_keys_from_partials(
+        total, key="line_key", min_count=min_count
+    )
     out = drop_frequent_lines(
         ds,
         freq,
@@ -584,52 +647,121 @@ def commit_run_line_counts(
 ) -> str:
     """Append one run's ``(line_key, cnt)`` partials to the state
     (atomic rename; rerunning the same run_id overwrites)."""
-    d = _lines_dir(state_dir)
-    tmp = os.path.join(d, f".{run_id}.parquet.tmp")
-    final = os.path.join(d, f"{run_id}.parquet")
-    tables = list(
-        run_counts.select_columns(["line_key", "cnt"]).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
-        )
+    return _commit_counts(
+        run_counts, state_dir, run_id, "lines", LINE_KEY_FORMAT,
+        "line_key",
     )
-    if tables:
-        t = pa.concat_tables(tables)
-    else:
-        t = pa.table(
-            {
-                "line_key": pa.array([], pa.int64()),
-                "cnt": pa.array([], pa.int64()),
-            }
-        )
-    pq.write_table(t, tmp)
-    os.replace(tmp, final)
-    return final
 
 
 def compact_line_state(state_dir: str, max_files: int = 16) -> int:
     """Merge per-run line-count files into one once there are more
     than ``max_files`` (same key split across many run files makes
-    every incremental combine re-sum them). Atomic: the merged file
-    lands under a fresh name before the inputs are removed. Returns
-    the file count after compaction."""
+    every incremental combine re-sum them)."""
+    return _compact_counts(
+        state_dir, "lines", LINE_KEY_FORMAT, "line_key", max_files
+    )
+
+
+# ------------------------------------------------------------------
+# incremental cross-run duplicated-substring spans
+# ------------------------------------------------------------------
+
+
+def _fp_format(k: int, winnow_w: int) -> str:
+    # fingerprints are only comparable across runs computed with the
+    # same rolling-hash scheme AND the same (k, winnow_w): winnowing
+    # selection is content-defined, so interior picks agree across
+    # occurrences, but a different window size selects different ones
+    return f"fp-poly64-k{k}-w{winnow_w}-v1"
+
+
+def seen_fingerprint_count(
+    state_dir: str, k: int = 50, winnow_w: int = 8
+) -> int:
+    """Committed fingerprint-count rows from parquet footers."""
+    return _seen_counts(state_dir, "substrings", _fp_format(k, winnow_w))
+
+
+def incremental_substring_dedup(
+    ds: Dataset,
+    state_dir: str,
+    text_col: str = "text",
+    id_col: "str | None" = "doc_id",
+    k: int = 50,
+    winnow_w: int = 8,
+    min_count: int = 2,
+    mode: str = "annotate",
+    run_id: Optional[str] = None,
+    distributed: "bool | None" = None,
+    num_partitions: Optional[int] = None,
+) -> "Tuple[Dataset, str, Dataset]":
+    """Cross-run ExactSubstr-style span dedup: a k-gram fingerprint is
+    duplicated when its count summed over THIS snapshot plus every
+    previously committed run reaches ``min_count`` — boilerplate whose
+    occurrences are split across snapshots is still excised from the
+    new snapshot, without re-reading old text (the winnowing guarantee
+    holds cross-run because selection is content-defined: interior
+    window minima of a repeated substring agree across occurrences).
+
+    Returns ``(out, run_id, run_counts)``; ``run_counts`` is this
+    run's materialized incoming ``(fp, cnt)`` partials (pre-excise) —
+    write your data output FIRST, then pass it to
+    :func:`commit_run_fingerprint_counts` (crash-safe order, same
+    contract as the line/exact/fuzzy variants)."""
     import ray.data as rd
 
-    from ..dedupe.combine import combine_counts
+    from ..dedupe.combine import dup_keys_from_partials
+    from ..dedupe.spans import apply_dup_fingerprints, fingerprint_partials
 
-    files = _line_files(state_dir)
-    if len(files) <= max_files:
-        return len(files)
-    d = _lines_dir(state_dir)
-    merged = combine_counts(rd.read_parquet(files), key="line_key")
-    tables = list(
-        merged.iter_batches(batch_size=65536, batch_format="pyarrow")
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+
+    # the state stores PARTIAL counts (valid: the same fp may appear in
+    # several state files until compaction re-sums them), so the run
+    # side commits its raw per-block partials too — the expensive full
+    # combine of dominant once-only fps is never paid; the duplicated
+    # set comes straight from a HAVING over the unioned partials
+    run_counts = fingerprint_partials(
+        ds, text_col=text_col, k=k, winnow_w=winnow_w
+    ).materialize()
+    files = _counts_files(state_dir, "substrings", _fp_format(k, winnow_w))
+    total = (
+        run_counts.union(rd.read_parquet(files)) if files else run_counts
     )
-    t = pa.concat_tables(tables)
-    tmp = os.path.join(d, ".compact.parquet.tmp")
-    final = os.path.join(d, "compact-0000.parquet")
-    pq.write_table(t, tmp)
-    os.replace(tmp, final)
-    for f in files:
-        if os.path.abspath(f) != os.path.abspath(final):
-            os.remove(f)
-    return len(_line_files(state_dir))
+    dup = dup_keys_from_partials(total, key="fp", min_count=min_count)
+    out = apply_dup_fingerprints(
+        ds,
+        dup,
+        text_col=text_col,
+        id_col=id_col,
+        k=k,
+        winnow_w=winnow_w,
+        mode=mode,
+        distributed=distributed,
+        num_partitions=num_partitions,
+    )
+    return out, run_id, run_counts
+
+
+def commit_run_fingerprint_counts(
+    run_counts: Dataset, state_dir: str, run_id: str,
+    k: int = 50, winnow_w: int = 8,
+) -> str:
+    """Append one run's ``(fp, cnt)`` partials to the state (atomic
+    rename; rerunning the same run_id overwrites)."""
+    return _commit_counts(
+        run_counts, state_dir, run_id, "substrings",
+        _fp_format(k, winnow_w), "fp",
+    )
+
+
+def compact_fingerprint_state(
+    state_dir: str, max_files: int = 16, k: int = 50, winnow_w: int = 8
+) -> int:
+    """Merge per-run fingerprint-count files past ``max_files``."""
+    return _compact_counts(
+        state_dir, "substrings", _fp_format(k, winnow_w), "fp",
+        max_files,
+    )

@@ -277,8 +277,9 @@ def test_incremental_line_dedup_commits_incoming_counts(tmp_path):
     )
     assert list(out1.to_pandas().sort_values("doc_id").text) == ["keep", ""]
     commit_run_line_counts(counts1, state, rid1)
-    got = counts1.to_pandas().set_index("line_key").cnt.to_dict()
-    assert sorted(got.values()) == [1, 2]  # dup:2, keep:1
+    # run counts are per-block PARTIALS — sum per key before checking
+    got = counts1.to_pandas().groupby("line_key").cnt.sum()
+    assert sorted(got) == [1, 2]  # dup:2, keep:1
 
     # run 2: ONE occurrence of "dup" + committed 2 -> dropped
     out2, _, _ = incremental_line_dedup(

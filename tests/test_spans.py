@@ -193,6 +193,23 @@ def test_distributed_nested_payload():
     ]
 
 
+def test_distributed_string_ids_match_broadcast():
+    # string id columns hash to int64 for the wide stages; results
+    # must be identical and keep the original id column
+    docs = [
+        dict(d, doc_id=f"repo/path-{d['doc_id']}.py") for d in DOCS
+    ]
+    ds = rd.from_items(docs)
+    b = substring_dedup(ds, k=K, winnow_w=0).to_pandas()
+    d = substring_dedup(
+        ds, k=K, winnow_w=0, distributed=True, id_col="doc_id"
+    ).to_pandas()
+    b = b.sort_values("doc_id").reset_index(drop=True)
+    d = d.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(b, d[b.columns])
+    assert set(d.doc_id) == {x["doc_id"] for x in docs}
+
+
 def test_winnowing_guarantee():
     # any duplicated substring of length >= k + w - 1 shares at least
     # one SELECTED fingerprint -> both occurrences get a span
@@ -237,6 +254,18 @@ def test_no_duplicates_is_annotated_passthrough():
     assert out.loc[0, "n_dup_spans"] == 0
     assert out.loc[0, "dup_char_frac"] == 0.0
     assert out.loc[0, "dup_spans"] == ""
+
+
+def test_forced_distributed_zero_dups_falls_back():
+    # empty materialized dup tables lose their schema and crash Acero
+    # joins — forced distributed must early-fall-back to broadcast
+    docs = [{"doc_id": 1, "text": "entirely singular content here"}]
+    out = substring_dedup(
+        rd.from_items(docs), k=8, winnow_w=0,
+        distributed=True, id_col="doc_id",
+    ).to_pandas()
+    assert out.loc[0, "n_dup_spans"] == 0
+    assert out.loc[0, "text"] == docs[0]["text"]
 
 
 def test_rejects_bad_args():
@@ -292,6 +321,171 @@ def test_cli_dedup_spans_excise(tmp_path, capsys):
     )
     assert t.loc[2, "text"] == "untouched row"
     assert BOILER not in t.loc[0, "text"] and BOILER not in t.loc[1, "text"]
+
+
+def test_dup_keys_from_partials_paths():
+    # duck-root path and forced hash-repartition fallback agree with a
+    # driver-side Counter over split partials
+    from redpajama_data_ray.dedupe.combine import dup_keys_from_partials
+
+    rows = [
+        {"fp": 1, "cnt": 1}, {"fp": 2, "cnt": 1}, {"fp": 1, "cnt": 1},
+        {"fp": 3, "cnt": 2}, {"fp": 4, "cnt": 1}, {"fp": 2, "cnt": 3},
+        {"fp": 5, "cnt": 1},
+    ]
+    exp2 = {1, 2, 3}  # summed counts: 1->2, 2->4, 3->2, 4->1, 5->1
+    exp3 = {2}        # >= 3
+    ds = rd.from_items(rows)
+    for min_count, exp in ((2, exp2), (3, exp3)):
+        duck = dup_keys_from_partials(ds, "fp", min_count=min_count)
+        assert set(duck.to_pandas().fp) == exp
+        hashp = dup_keys_from_partials(
+            ds, "fp", min_count=min_count, root_limit=0
+        )
+        assert set(hashp.to_pandas().fp) == exp
+    empty = dup_keys_from_partials(
+        rd.from_arrow(
+            pa.table(
+                {
+                    "fp": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        ),
+        "fp",
+    )
+    assert empty.count() == 0
+
+
+# ------------------------------------------------------------------
+# incremental cross-run substring dedup
+# ------------------------------------------------------------------
+
+from redpajama_data_ray.state.incremental import (  # noqa: E402
+    commit_run_fingerprint_counts,
+    compact_fingerprint_state,
+    incremental_substring_dedup,
+    seen_fingerprint_count,
+)
+
+
+def _mk(texts):
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    )
+
+
+def test_incremental_substring_cross_run_accumulation(tmp_path):
+    state = str(tmp_path / "state")
+    kw = dict(k=8, winnow_w=0, min_count=2, mode="excise")
+    # run 1: boilerplate appears once — below min_count, kept
+    out1, rid1, counts1 = incremental_substring_dedup(
+        _mk([BOILER + "alpha"]), state, run_id="r1", **kw
+    )
+    df1 = out1.to_pandas()
+    assert df1.text.iloc[0] == BOILER + "alpha"
+    commit_run_fingerprint_counts(counts1, state, rid1, k=8, winnow_w=0)
+    assert seen_fingerprint_count(state, k=8, winnow_w=0) > 0
+
+    # run 2: one more occurrence -> total 2 across runs -> excised,
+    # even though run 2 alone never reaches min_count
+    out2, rid2, counts2 = incremental_substring_dedup(
+        _mk([BOILER + "gamma text here"]), state, run_id="r2", **kw
+    )
+    df2 = out2.to_pandas()
+    assert BOILER not in df2.text.iloc[0]
+    assert "gamma" in df2.text.iloc[0]
+    commit_run_fingerprint_counts(counts2, state, rid2, k=8, winnow_w=0)
+
+    # run 3: state remembers even though run 2 excised its copy
+    out3, _, _ = incremental_substring_dedup(
+        _mk([BOILER + "delta"]), state, run_id="r3", **kw
+    )
+    assert BOILER not in out3.to_pandas().text.iloc[0]
+
+
+def test_incremental_substring_format_guard(tmp_path):
+    state = str(tmp_path / "state")
+    _, rid, counts = incremental_substring_dedup(
+        _mk(["x" * 30]), state, k=8, winnow_w=0, run_id="r1"
+    )
+    commit_run_fingerprint_counts(counts, state, rid, k=8, winnow_w=0)
+    # same state dir with different (k, winnow_w) must refuse
+    with pytest.raises(ValueError, match="key format"):
+        incremental_substring_dedup(
+            _mk(["y" * 30]), state, k=10, winnow_w=4, run_id="r2"
+        )
+
+
+def test_incremental_substring_compaction(tmp_path):
+    state = str(tmp_path / "state")
+    for i in range(4):
+        _, rid, counts = incremental_substring_dedup(
+            _mk([BOILER + f"body {i}"]), state, k=8, winnow_w=0,
+            min_count=99, run_id=f"r{i}",
+        )
+        commit_run_fingerprint_counts(
+            counts, state, rid, k=8, winnow_w=0
+        )
+    before = seen_fingerprint_count(state, k=8, winnow_w=0)
+    n_files = compact_fingerprint_state(
+        state, max_files=2, k=8, winnow_w=0
+    )
+    assert n_files == 1
+    after = seen_fingerprint_count(state, k=8, winnow_w=0)
+    assert after < before  # shared boilerplate fps merged
+    # totals survive compaction: boilerplate count is 4 -> excised at
+    # min_count=5 only when a fifth occurrence arrives
+    out, _, _ = incremental_substring_dedup(
+        _mk([BOILER + "fresh"]), state, k=8, winnow_w=0, min_count=5,
+        mode="excise", run_id="r9",
+    )
+    assert BOILER not in out.to_pandas().text.iloc[0]
+
+
+def test_cli_dedup_spans_incremental(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+
+    from redpajama_data_ray.cli import main
+
+    in1 = tmp_path / "in1"
+    in2 = tmp_path / "in2"
+    for d, texts in (
+        (in1, [BOILER + "first snapshot doc"]),
+        (in2, [BOILER + "second snapshot doc"]),
+    ):
+        d.mkdir()
+        pq.write_table(
+            pa.table(
+                {
+                    "doc_id": list(range(len(texts))),
+                    "text": texts,
+                }
+            ),
+            str(d / "docs.parquet"),
+        )
+    state = str(tmp_path / "state")
+    for i, d in enumerate((in1, in2)):
+        main(
+            [
+                "dedup-spans",
+                "--input", str(d),
+                "--output", str(tmp_path / f"out{i}"),
+                "--state-dir", state,
+                "--run-id", f"run{i}",
+                "--k", "16",
+                "--winnow-w", "0",
+                "--mode", "excise",
+            ]
+        )
+        res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["dup_spans_total"] >= 1  # run 2 excised via state
+    t = pq.read_table(str(tmp_path / "out1"))
+    assert BOILER not in t.column("text").to_pylist()[0]
+    t0 = pq.read_table(str(tmp_path / "out0"))
+    assert BOILER in t0.column("text").to_pylist()[0]
 
 
 def test_null_text_rows_survive():
