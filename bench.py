@@ -166,6 +166,17 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     ).count()
     timings["substring_dedup"] = round(time.time() - t0, 3)
 
+    # code-quality signal suite (stateless vectorized batch kernel,
+    # RPv1-GitHub/StarCoder rules) over the raw code corpus
+    from redpajama_data_ray.functions.code_signals import code_signal_batch
+
+    t0 = time.time()
+    corp = rd.read_parquet(
+        corpus_dir, columns=["repo", "path", "lang", "content"]
+    )
+    corp.map_batches(code_signal_batch, batch_format="pyarrow").count()
+    timings["code_quality"] = round(time.time() - t0, 3)
+
     # analysis queries over driver tables
     for name, fn in (
         ("token_totals", q_token_totals_by_source),

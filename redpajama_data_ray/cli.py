@@ -377,6 +377,30 @@ def cmd_decontaminate(args) -> dict:
     return result
 
 
+def cmd_code_signals(args) -> dict:
+    """Source-code quality signals + RPv1-GitHub/StarCoder rules
+    (functions/code_signals.py) over a (lang, content) parquet corpus."""
+    from functools import partial
+
+    from .functions.code_signals import code_signal_batch
+
+    ds = _read_input(args.input, args.max_docs, False)
+    ds = ds.map_batches(
+        partial(
+            code_signal_batch,
+            content_column=args.content_column,
+            lang_column=args.lang_column,
+        ),
+        batch_format="pyarrow",
+    )
+    if args.filter:
+        ds = ds.filter(expr="code_keep == True")
+    if args.signals_only:
+        ds = ds.drop_columns([args.content_column])
+    ds.write_parquet(args.output)
+    return {"output": args.output}
+
+
 def cmd_token_count(args) -> dict:
     import pyarrow as pa
     import ray.data as rd
@@ -636,6 +660,25 @@ def build_parser() -> argparse.ArgumentParser:
                     default="filter")
     dc.add_argument("--max-docs", type=int, default=None)
     dc.set_defaults(fn=cmd_decontaminate)
+
+    cs = sub.add_parser(
+        "code-signals",
+        help="code quality signals + RPv1-GitHub/StarCoder keep rules",
+    )
+    cs.add_argument("--input", required=True)
+    cs.add_argument("--output", required=True)
+    cs.add_argument("--content-column", default="content")
+    cs.add_argument("--lang-column", default="lang")
+    cs.add_argument("--max-docs", type=int, default=None)
+    cs.add_argument(
+        "--filter", action="store_true",
+        help="emit only rows passing the code rule cascade",
+    )
+    cs.add_argument(
+        "--signals-only", action="store_true",
+        help="drop the content column from the output",
+    )
+    cs.set_defaults(fn=cmd_code_signals)
 
     tc = sub.add_parser("token-count", help="corpus token totals")
     tc.add_argument("--input", required=True)

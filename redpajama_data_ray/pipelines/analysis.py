@@ -1279,6 +1279,80 @@ ORACLE_SQL: Dict[str, str] = {
         select doc_id, dup_spans, n_dup_spans, dup_char_frac
         from read_parquet('/tmp/rpray_oracle/substring_dedup_docs.parquet')
     """,
+    # code_quality_docs is oracled by an INDEPENDENT DuckDB computation
+    # (not a precomputed table): the query callable refreshes the
+    # /tmp/rpray_oracle/code_corpus symlink to the corpus dir of the sf
+    # under comparison, and this SQL recomputes every ccs_* signal and
+    # the rule cascade from scratch with regexp/list kernels. The
+    # whitespace class is spelled explicitly on both sides (RE2's \\s
+    # omits \\v; python's str.split adds unicode spaces).
+    "code_quality_docs": """
+        with c as (
+            select repo, path, lang, content,
+                   string_split(content, chr(10)) as ls,
+                   length(content) as n_chars,
+                   regexp_extract_all(content, '[^ \t\n\r\f\v]+') as toks
+            from read_parquet('/tmp/rpray_oracle/code_corpus/*.parquet')
+        ), s as (
+            select repo, path, lang,
+                   cast(len(ls) as bigint) as ccs_num_lines,
+                   cast(list_aggregate(
+                       list_transform(ls, x -> length(x)), 'max'
+                   ) as bigint) as ccs_max_line_length,
+                   round(cast(list_aggregate(
+                       list_transform(ls, x -> length(x)), 'sum'
+                   ) as double) / len(ls), 6) as ccs_avg_line_length,
+                   round(cast(length(
+                       regexp_replace(content, '[^0-9A-Za-z]', '', 'g')
+                   ) as double) / nullif(n_chars, 0), 6) as ccs_frac_alnum,
+                   round(cast(length(
+                       regexp_replace(content, '[^A-Za-z]', '', 'g')
+                   ) as double) / nullif(len(toks), 0), 6)
+                       as ccs_alpha_token_ratio,
+                   round(cast(coalesce(list_aggregate(
+                       list_transform(
+                           list_filter(toks, x -> length(x) >= 40),
+                           x -> length(x)
+                       ), 'sum'), 0) as double)
+                       / nullif(list_aggregate(
+                           list_transform(toks, x -> length(x)), 'sum'
+                       ), 0), 6) as ccs_frac_long_tokens,
+                   coalesce(regexp_matches(
+                       lower(array_to_string(ls[1:5], chr(10))),
+                       'auto[- ]generated|automatically generated|do not edit|generated by'
+                   ), false) as ccs_autogen,
+                   starts_with(content, '<?xml') as ccs_xml_header
+            from c
+        ), d as (
+            select *,
+                   case
+                       when lang not in
+                           ('c', 'cpp', 'go', 'java', 'js', 'python')
+                           then null
+                       when ccs_max_line_length > 1000
+                           then 'max_line_length'
+                       when ccs_avg_line_length > 100.0
+                           then 'avg_line_length'
+                       when ccs_frac_alnum is null or ccs_frac_alnum < 0.25
+                           then 'frac_alnum'
+                       when ccs_alpha_token_ratio is null
+                            or ccs_alpha_token_ratio < 1.5
+                           then 'alpha_token_ratio'
+                       when ccs_frac_long_tokens is not null
+                            and ccs_frac_long_tokens > 0.5
+                           then 'frac_long_tokens'
+                       when ccs_autogen then 'autogen'
+                       when ccs_xml_header then 'xml_header'
+                       else null
+                   end as code_drop_reason
+            from s
+        )
+        select repo, path, lang, ccs_num_lines, ccs_max_line_length,
+               ccs_avg_line_length, ccs_frac_alnum, ccs_alpha_token_ratio,
+               ccs_frac_long_tokens, ccs_autogen, ccs_xml_header,
+               (code_drop_reason is null) as code_keep, code_drop_reason
+        from d
+    """,
     "simhash_near_dups": """
         select a_hex, b_hex
         from read_parquet('/tmp/rpray_oracle/simhash_near_dups.parquet')

@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 49/49
+driver's three-way check (rows+schema+hash) covers every query — 50/50
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""
@@ -1003,7 +1003,37 @@ def q_substring_dedup_docs(sf_dir: str) -> Dataset:
     )
 
 
+def q_code_quality_docs(sf_dir: str) -> Dataset:
+    """Source-code quality signals + RedPajama-V1-GitHub/StarCoder
+    keep/drop rules over the synthesized code corpus
+    (functions/code_signals.py, one vectorized Arrow batch kernel).
+
+    Unlike the precomputed-table oracles above, the paired SQL is a
+    fully INDEPENDENT DuckDB computation (regexp class counts, list
+    kernels over split lines, token unnest) — the corpus directory is
+    exposed at a stable symlink so the static oracle string can read
+    whatever sf is under comparison."""
+    import os
+
+    from ..functions.code_signals import code_signal_batch
+    from ..sources.corpus import ensure_corpus_parquet, sf_from_dir
+
+    corpus_dir = ensure_corpus_parquet(sf_from_dir(sf_dir))
+    os.makedirs(_ORACLE_DIR, exist_ok=True)
+    link = f"{_ORACLE_DIR}/code_corpus"
+    tmp = f"{link}.tmp.{os.getpid()}"
+    os.symlink(corpus_dir, tmp)
+    os.replace(tmp, link)  # atomic refresh; points at the current sf
+
+    ds = rd.read_parquet(
+        corpus_dir, columns=["repo", "path", "lang", "content"]
+    )
+    ds = ds.map_batches(code_signal_batch, batch_format="pyarrow")
+    return ds.drop_columns(["content"])
+
+
 EXTRA_QUERIES = {
+    "code_quality_docs": q_code_quality_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "langid_distribution": q_langid_distribution,
     "perplexity_buckets": q_perplexity_buckets,
