@@ -1,0 +1,78 @@
+"""Deterministic weighted source mixing (training-mix sampling).
+
+Assembling a training mix means sampling each source/domain at its own
+rate (e.g. RedPajama-V1's per-slice weights, The Pile's mixture table).
+At 100 TB the sampler must be (a) a pure per-row function of stable
+identity — so re-runs, resumes and different cluster shapes pick the
+SAME rows (no RNG state to coordinate across workers) — and (b)
+stream-friendly: no shuffle, no global pass, just a filter.
+
+Per row: ``u = md5(f"{seed}:{id}")[:8]`` interpreted as 8 lowercase hex
+digits; the row survives iff ``u < hex32(weight[source])``. Comparing
+HEX STRINGS lexicographically equals comparing the uint32 values, so
+the exact same predicate runs in ANSI SQL (DuckDB ``md5`` + ``substr``
++ string compare) — the driver oracle needs no custom numerics.
+
+Sampling error is binomial (within-source deviation
+~1/sqrt(n·w)); each id's fate is independent of every other id, so
+unions of shards, incremental ingests and cross-run accumulation all
+compose. Per-row md5 costs the same class as the flagship's sha1 id
+assignment (one C digest per row, batched in one arrow pass).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Optional
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+
+def weight_threshold_hex(weight: float) -> str:
+    """8-hex-digit threshold such that P(md5_prefix < thr) == weight
+    (clamped to [0, 1]; weight 1.0 keeps everything including the
+    all-f prefix)."""
+    w = min(max(float(weight), 0.0), 1.0)
+    if w >= 1.0:
+        return "g"  # lexicographically above every hex digit
+    return format(int(w * (1 << 32)), "08x")
+
+
+def sample_hex(ids, seed: int) -> np.ndarray:
+    """First 8 md5 hex digits of ``f"{seed}:{id}"`` per id (S8 array)."""
+    out = np.empty(len(ids), dtype="S8")
+    pre = f"{seed}:".encode()
+    for i, v in enumerate(ids):
+        out[i] = hashlib.md5(
+            pre + str(v).encode("utf-8")
+        ).hexdigest()[:8].encode()
+    return out
+
+
+def weighted_sample(
+    ds: Dataset,
+    weights: Dict[str, float],
+    default_weight: float = 0.0,
+    key_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> Dataset:
+    """Keep each row with its source's probability, deterministically in
+    the row id. Pure streaming filter — no shuffle, no driver state."""
+    thresholds = {
+        k: weight_threshold_hex(w).encode() for k, w in weights.items()
+    }
+    default_thr = weight_threshold_hex(default_weight).encode()
+
+    def _sample(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        keys = t.column(key_col).to_pylist()
+        u = sample_hex(ids, seed)
+        thr = np.array(
+            [thresholds.get(k, default_thr) for k in keys], dtype="S8"
+        )
+        return t.filter(pa.array(u < thr))
+
+    return ds.map_batches(_sample, batch_format="pyarrow")

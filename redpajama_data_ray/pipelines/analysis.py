@@ -1357,6 +1357,27 @@ ORACLE_SQL: Dict[str, str] = {
         select a_hex, b_hex
         from read_parquet('/tmp/rpray_oracle/simhash_near_dups.parquet')
     """,
+    "semdedup_docs": """
+        select vec_id
+        from read_parquet('/tmp/rpray_oracle/semdedup_docs.parquet')
+    """,
+    # identical per-row predicate as functions/mixing.py: survive iff
+    # the first 8 md5 hex digits of '42:<doc_id>' are lexicographically
+    # below the source's 8-hex threshold (= uint32 compare)
+    "mix_sources_docs": """
+        select doc_id, source from (
+            select doc_id, source,
+                   substr(md5('42:' || cast(doc_id as varchar)), 1, 8)
+                       as u,
+                   case source
+                       when 'src0' then 'g'
+                       when 'src1' then '80000000'
+                       when 'src2' then '40000000'
+                       else '19999999'
+                   end as thr
+            from documents
+        ) where u < thr
+    """,
     "ann_lsh_buckets": """
         select bucket, n
         from read_parquet('/tmp/rpray_oracle/ann_lsh_buckets.parquet')
@@ -1581,7 +1602,25 @@ ORACLE_SQL: Dict[str, str] = {
     """,
 }
 
+def q_mix_sources_docs(sf_dir: str) -> Dataset:
+    """Deterministic weighted source mixing (functions/mixing.py):
+    sample each source at its own rate with a pure per-row md5
+    predicate. The oracle replays the identical predicate in SQL —
+    lexicographic hex-string compare equals uint32 compare, so no
+    numeric parsing is needed on either side."""
+    from ..functions.mixing import weighted_sample
+
+    ds = _docs(sf_dir, ["doc_id", "source"])
+    return weighted_sample(
+        ds,
+        weights={"src0": 1.0, "src1": 0.5, "src2": 0.25},
+        default_weight=0.1,
+        seed=42,
+    )
+
+
 QUERIES = {
+    "mix_sources_docs": q_mix_sources_docs,
     "doc_word_count": q_doc_word_count,
     "doc_mean_word_length": q_doc_mean_word_length,
     "doc_frac_unique_words": q_doc_frac_unique_words,

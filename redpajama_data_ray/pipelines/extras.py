@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 50/50
+driver's three-way check (rows+schema+hash) covers every query — 52/52
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""
@@ -1003,6 +1003,127 @@ def q_substring_dedup_docs(sf_dir: str) -> Dataset:
     )
 
 
+def write_semdedup_oracle(sf_dir: str) -> str:
+    """Expected SemDeDup dropped ids via a sequential reimplementation:
+    mirrored k-means training/assignment floats (as write_ivf_knn_oracle),
+    then per cluster a plain-python pairwise scan, dict union-find and
+    per-component min-(centroid_sim, id) keeper selection — independent
+    of the vectorized chunked-block/lexsort machinery in
+    similarity/semdedup.py."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+
+    # deterministic hash-ranked sample + mini k-means (train_centroids
+    # semantics, sequential)
+    keys = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(int(i)).encode(), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for i in ids
+        ],
+        dtype=np.uint64,
+    )
+    order = np.lexsort((ids, keys))[:4096]
+    order = order[np.argsort(ids[order], kind="stable")]
+    x = mat[order]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(42)
+    cents = x[rng.choice(len(x), size=min(16, len(x)), replace=False)]
+    for _ in range(10):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[c] = m / nm
+
+    # assignment mirrors knn._cosine (both sides renormalized)
+    mn = np.linalg.norm(mat, axis=1, keepdims=True)
+    mn[mn == 0] = 1.0
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
+    all_assign = ((mat / mn) @ (cents / cn).T).argmax(axis=1)
+
+    dropped: list = []
+    for b in range(len(cents)):
+        idx = np.nonzero(all_assign == b)[0]
+        if len(idx) <= 1:
+            continue
+        unit = mat[idx] / mn[idx]
+        sims = unit @ unit.T
+        parent = {int(i): int(i) for i in range(len(idx))}
+
+        def find(v: int) -> int:
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for i in range(len(idx)):
+            for j in range(i + 1, len(idx)):
+                if sims[i, j] >= 0.45:
+                    ri, rj = find(i), find(j)
+                    if ri != rj:
+                        parent[max(ri, rj)] = min(ri, rj)
+        comps: dict = {}
+        for i in range(len(idx)):
+            comps.setdefault(find(i), []).append(i)
+        c_sim = unit @ cents[b]
+        for members in comps.values():
+            if len(members) < 2:
+                continue
+            keeper = min(
+                members, key=lambda i: (c_sim[i], int(ids[idx[i]]))
+            )
+            dropped.extend(
+                int(ids[idx[i]]) for i in members if i != keeper
+            )
+
+    out = _oracle_path(sf_dir, "semdedup_docs")
+    pq.write_table(
+        pa.table({"vec_id": pa.array(sorted(dropped), pa.int64())}), out
+    )
+    return out
+
+
+def q_semdedup_docs(sf_dir: str) -> "pa.Table":
+    """SemDeDup semantic dedup (similarity/semdedup.py) over the
+    embeddings table: k-means buckets, in-cluster cosine components,
+    paper keep policy (furthest-from-centroid survives). Returns the
+    sorted dropped vec_ids; SQL-oracled against the sequential
+    plain-python kernel (write_semdedup_oracle)."""
+    from ..similarity.ivf import train_centroids
+    from ..similarity.semdedup import semdedup
+
+    write_semdedup_oracle(sf_dir)
+    emb = rd.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    cents = train_centroids(emb, dim=0, n_centroids=16)
+    _, dropped = semdedup(
+        emb, dim=0, threshold=0.45, keep="centroid_far",
+        centroids=cents,
+    )
+    return pa.table({"vec_id": pa.array(dropped, pa.int64())})
+
+
 def q_code_quality_docs(sf_dir: str) -> Dataset:
     """Source-code quality signals + RedPajama-V1-GitHub/StarCoder
     keep/drop rules over the synthesized code corpus
@@ -1034,6 +1155,7 @@ def q_code_quality_docs(sf_dir: str) -> Dataset:
 
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
+    "semdedup_docs": q_semdedup_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "langid_distribution": q_langid_distribution,
     "perplexity_buckets": q_perplexity_buckets,

@@ -1,0 +1,104 @@
+"""Deterministic weighted source mixing (functions/mixing.py)."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from redpajama_data_ray.functions.mixing import (
+    sample_hex,
+    weight_threshold_hex,
+    weighted_sample,
+)
+
+
+def _table(n=4000, n_sources=4):
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(
+                [f"s{i % n_sources}" for i in range(n)], pa.string()
+            ),
+        }
+    )
+
+
+def test_thresholds():
+    assert weight_threshold_hex(0.0) == "00000000"
+    assert weight_threshold_hex(0.5) == "80000000"
+    assert weight_threshold_hex(1.0) == "g"  # above every hex digit
+    assert weight_threshold_hex(2.0) == "g"
+    assert weight_threshold_hex(-1.0) == "00000000"
+
+
+def test_rates_and_extremes():
+    t = _table()
+    out = weighted_sample(
+        rd.from_arrow(t),
+        {"s0": 1.0, "s1": 0.5, "s2": 0.0},
+        default_weight=0.1,
+    ).to_pandas()
+    counts = out.source.value_counts().to_dict()
+    per_source = 1000
+    assert counts["s0"] == per_source          # weight 1 keeps all
+    assert "s2" not in counts                  # weight 0 drops all
+    assert abs(counts["s1"] - 500) < 80        # binomial tolerance
+    assert abs(counts.get("s3", 0) - 100) < 50
+
+
+def test_deterministic_and_batch_independent():
+    t = _table(300)
+    w = {"s0": 0.7, "s1": 0.3}
+    a = weighted_sample(
+        rd.from_arrow(t), w, default_weight=0.2
+    ).to_pandas()
+    # different blocking, same rows
+    b = weighted_sample(
+        rd.from_arrow(t).repartition(7), w, default_weight=0.2
+    ).to_pandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)
+    # per-id fate is independent of the rest of the corpus
+    sub = t.slice(0, 50)
+    c = weighted_sample(
+        rd.from_arrow(sub), w, default_weight=0.2
+    ).to_pandas()
+    assert set(c.doc_id) == set(a[a.doc_id < 50].doc_id)
+
+
+def test_seed_changes_selection():
+    t = _table(1000)
+    a = weighted_sample(
+        rd.from_arrow(t), {}, default_weight=0.5, seed=1
+    ).to_pandas()
+    b = weighted_sample(
+        rd.from_arrow(t), {}, default_weight=0.5, seed=2
+    ).to_pandas()
+    assert set(a.doc_id) != set(b.doc_id)
+
+
+def test_sample_hex_matches_duckdb_md5():
+    import duckdb
+
+    ids = [0, 1, 42, 999999, -5]
+    u = sample_hex(ids, seed=42)
+    rows = duckdb.sql(
+        "select substr(md5('42:' || cast(x as varchar)), 1, 8) "
+        "from (values (0),(1),(42),(999999),(-5)) t(x)"
+    ).fetchall()
+    assert [r[0].encode() for r in rows] == list(u)
+
+
+def test_string_ids():
+    t = pa.table(
+        {
+            "doc_id": pa.array(["a/b@1", "c/d@2", "e/f@3"], pa.string()),
+            "source": pa.array(["s0"] * 3, pa.string()),
+        }
+    )
+    out = weighted_sample(
+        rd.from_arrow(t), {"s0": 1.0}
+    ).to_pandas()
+    assert len(out) == 3
+    out0 = weighted_sample(
+        rd.from_arrow(t), {"s0": 0.0}
+    ).to_pandas()
+    assert len(out0) == 0

@@ -1,0 +1,145 @@
+"""SemDeDup (similarity/semdedup.py): designed near-dup groups, both
+keep policies, chunked-pairwise correctness, no-dup and singleton
+edges."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.similarity.semdedup import (
+    _cluster_edges,
+    _union_find_components,
+    semdedup,
+    semdedup_dropped_ids,
+)
+from redpajama_data_ray.similarity.ivf import assign_ivf_buckets
+
+
+def _fixture(n_groups=6, dups_per_group=3, n_noise=40, dim=16, seed=5):
+    """Well-separated group axes with tiny perturbations (cosine within
+    a group ~0.999; across groups/noise well below threshold)."""
+    rng = np.random.default_rng(seed)
+    vecs, ids, expect_groups = [], [], []
+    next_id = 0
+    for g in range(n_groups):
+        base = rng.normal(size=dim)
+        base /= np.linalg.norm(base)
+        members = []
+        for _ in range(dups_per_group):
+            v = base + rng.normal(scale=0.005, size=dim)
+            vecs.append(v)
+            ids.append(next_id)
+            members.append(next_id)
+            next_id += 1
+        expect_groups.append(members)
+    for _ in range(n_noise):
+        v = rng.normal(size=dim)
+        vecs.append(v)
+        ids.append(next_id)
+        next_id += 1
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    return t, expect_groups
+
+
+def test_semdedup_drops_all_but_one_per_group():
+    t, groups = _fixture()
+    ds = rd.from_arrow(t)
+    kept, dropped = semdedup(
+        ds, dim=16, n_centroids=8, threshold=0.9, keep="min_id"
+    )
+    dropped = set(int(i) for i in dropped)
+    # min_id policy: each designed group loses everyone but its min id
+    # (groups are tight enough to land in one k-means cluster)
+    expect = set()
+    for members in groups:
+        expect.update(members[1:])  # ids ascend within a group
+    assert dropped == expect
+    kept_ids = set(kept.to_pandas().vec_id)
+    assert kept_ids.isdisjoint(dropped)
+    assert len(kept_ids) + len(dropped) == t.num_rows
+
+
+def test_semdedup_centroid_far_keeps_one_per_group():
+    t, groups = _fixture()
+    ds = rd.from_arrow(t)
+    _, dropped = semdedup(
+        ds, dim=16, n_centroids=8, threshold=0.9, keep="centroid_far"
+    )
+    dropped = set(int(i) for i in dropped)
+    # paper policy keeps exactly one member per group (which one depends
+    # on centroid geometry)
+    for members in groups:
+        assert len(set(members) & dropped) == len(members) - 1
+
+
+def test_semdedup_no_dups_is_identity():
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(50, 8))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    kept, dropped = semdedup(
+        rd.from_arrow(t), dim=8, n_centroids=4, threshold=0.999
+    )
+    assert len(dropped) == 0
+    assert kept.count() == 50
+
+
+def test_cluster_edges_matches_naive_and_chunking():
+    rng = np.random.default_rng(1)
+    mat = rng.normal(size=(300, 8))
+    unit = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    thr = 0.6
+    ei, ej = _cluster_edges(unit, thr)
+    got = set(zip(ei.tolist(), ej.tolist()))
+    sims = unit @ unit.T
+    want = {
+        (i, j)
+        for i in range(300)
+        for j in range(i + 1, 300)
+        if sims[i, j] >= thr
+    }
+    assert got == want
+    # force multi-block path
+    import redpajama_data_ray.similarity.semdedup as sd
+
+    old = sd._PAIR_CHUNK
+    sd._PAIR_CHUNK = 64
+    try:
+        ei2, ej2 = _cluster_edges(unit, thr)
+        assert set(zip(ei2.tolist(), ej2.tolist())) == want
+    finally:
+        sd._PAIR_CHUNK = old
+
+
+def test_union_find_components():
+    roots = _union_find_components(
+        6, np.array([0, 1, 4]), np.array([1, 2, 5])
+    )
+    assert roots[0] == roots[1] == roots[2]
+    assert roots[3] not in (roots[0], roots[4])
+    assert roots[4] == roots[5]
+
+
+def test_dropped_ids_rejects_bad_policy():
+    t, _ = _fixture(n_groups=1, dups_per_group=2, n_noise=0)
+    ds = rd.from_arrow(t)
+    from redpajama_data_ray.similarity.ivf import train_centroids
+
+    cents = train_centroids(ds, dim=16, n_centroids=2)
+    indexed = assign_ivf_buckets(ds, cents)
+    with pytest.raises(ValueError):
+        semdedup_dropped_ids(indexed, cents, keep="nope")
