@@ -166,6 +166,18 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     ).count()
     timings["substring_dedup"] = round(time.time() - t0, 3)
 
+    # sequence packing (hash-bucket shuffle of the corpus text +
+    # per-bucket window assembly — the one operator whose shuffle must
+    # move the tokens themselves)
+    from redpajama_data_ray.functions.packing import pack_sequences
+
+    t0 = time.time()
+    corp = rd.read_parquet(out_dir, columns=["doc_id", "content"])
+    pack_sequences(
+        corp, seq_len=2048, n_buckets=256, text_col="content"
+    ).count()
+    timings["pack_sequences"] = round(time.time() - t0, 3)
+
     # code-quality signal suite (stateless vectorized batch kernel,
     # RPv1-GitHub/StarCoder rules) over the raw code corpus
     from redpajama_data_ray.functions.code_signals import code_signal_batch

@@ -1,0 +1,144 @@
+"""Sequence packing: assemble fixed-length training samples from docs.
+
+The last step of a training-data pipeline: tokenize documents, join
+them with an end-of-document sentinel into one token stream, and cut
+the stream into fixed ``seq_len`` windows ("sample packing" — the
+standard way to train without padding waste; documents cross window
+boundaries).
+
+Packing is inherently sequential over a stream, so the scale device is
+the same one SemDeDup uses for its quadratic: **shard the stream, not
+the algorithm**. Every doc is assigned a ``pack bucket`` by stable id
+hash; each bucket is packed independently under a deterministic
+within-bucket order (sorted by id). The result is reproducible for ANY
+Ray blocking, cluster shape or arrival order — the only thing a bucket
+needs is to fit one ``map_groups`` worker, so ``n_buckets`` scales
+with the corpus (it is also the parallelism of the pack stage).
+
+Tokens are whitespace-split; token identity is its crc32 (the repo's
+model-free stand-in hash, cf. functions/importance.py). Each emitted
+window carries a content checksum (wrapping uint64 sum of its token
+hashes, hex) so equality of two packings is checkable without
+materializing token arrays.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+EOS_TOKEN = "<|endofdoc|>"
+EOS_HASH = np.uint64(zlib.crc32(EOS_TOKEN.encode("utf-8")))
+
+
+def pack_bucket_of(ids) -> np.ndarray:
+    """Stable bucket key material: crc32 of the id's string form."""
+    return np.array(
+        [zlib.crc32(str(v).encode("utf-8")) for v in ids],
+        dtype=np.uint64,
+    )
+
+
+def _doc_token_hashes(text: Optional[str]) -> np.ndarray:
+    toks = (text or "").split()
+    crc = zlib.crc32
+    out = np.fromiter(
+        (crc(t.encode("utf-8")) for t in toks),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    return out
+
+
+def pack_sequences(
+    ds: Dataset,
+    seq_len: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Pack ``ds`` into ``seq_len``-token windows per hash bucket.
+
+    Output rows (one per window): ``bucket``, ``seq_idx`` (position of
+    the window inside its bucket stream), ``n_tokens`` (== seq_len
+    except each bucket's final partial window), ``n_docs`` (documents
+    overlapping the window), ``checksum`` (16-hex wrapping sum of the
+    window's token hashes, EOS sentinels included)."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def _bucketize(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        b = (pack_bucket_of(ids) % np.uint64(n_buckets)).astype(np.int32)
+        return t.append_column("pack_bucket", pa.array(b))
+
+    def _pack(group: pa.Table) -> pa.Table:
+        ids = group.column(id_col).to_numpy(zero_copy_only=False)
+        texts = group.column(text_col).to_pylist()
+        order = np.argsort(ids, kind="stable")
+        bucket = int(group.column("pack_bucket")[0].as_py())
+
+        # token stream: per-doc hashes + one EOS after every doc
+        streams = []
+        doc_lens = np.empty(len(order), dtype=np.int64)
+        for k, i in enumerate(order):
+            h = _doc_token_hashes(texts[i])
+            streams.append(h)
+            streams.append(np.array([EOS_HASH], dtype=np.uint64))
+            doc_lens[k] = len(h) + 1
+        stream = (
+            np.concatenate(streams)
+            if streams
+            else np.array([], dtype=np.uint64)
+        )
+        total = len(stream)
+        if total == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int32()),
+                    "seq_idx": pa.array([], pa.int64()),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_docs": pa.array([], pa.int64()),
+                    "checksum": pa.array([], pa.string()),
+                }
+            )
+        n_seqs = (total + seq_len - 1) // seq_len
+        starts = np.arange(n_seqs, dtype=np.int64) * seq_len
+        n_tokens = np.full(n_seqs, seq_len, dtype=np.int64)
+        n_tokens[-1] = total - starts[-1]
+
+        # wrapping per-window sum of token hashes
+        with np.errstate(over="ignore"):
+            csum = np.add.reduceat(stream, starts)
+        checksum = [format(int(c), "016x") for c in csum]
+
+        # docs overlapping each window: doc k occupies
+        # [doc_starts[k], doc_starts[k+1]) in the stream
+        doc_starts = np.zeros(len(order) + 1, dtype=np.int64)
+        np.cumsum(doc_lens, out=doc_starts[1:])
+        ends = starts + n_tokens
+        first_doc = np.searchsorted(doc_starts, starts, side="right") - 1
+        last_doc = np.searchsorted(doc_starts, ends - 1, side="right") - 1
+        n_docs = last_doc - first_doc + 1
+
+        return pa.table(
+            {
+                "bucket": pa.array(
+                    np.full(n_seqs, bucket, dtype=np.int32)
+                ),
+                "seq_idx": pa.array(np.arange(n_seqs, dtype=np.int64)),
+                "n_tokens": pa.array(n_tokens),
+                "n_docs": pa.array(n_docs.astype(np.int64)),
+                "checksum": pa.array(checksum, pa.string()),
+            }
+        )
+
+    return (
+        ds.map_batches(_bucketize, batch_format="pyarrow")
+        .groupby("pack_bucket")
+        .map_groups(_pack, batch_format="pyarrow")
+    )

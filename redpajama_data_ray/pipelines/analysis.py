@@ -1361,6 +1361,10 @@ ORACLE_SQL: Dict[str, str] = {
         select vec_id
         from read_parquet('/tmp/rpray_oracle/semdedup_docs.parquet')
     """,
+    "pack_sequences_docs": """
+        select bucket, seq_idx, n_tokens, n_docs, checksum
+        from read_parquet('/tmp/rpray_oracle/pack_sequences_docs.parquet')
+    """,
     # identical per-row predicate as functions/mixing.py: survive iff
     # the first 8 md5 hex digits of '42:<doc_id>' are lexicographically
     # below the source's 8-hex threshold (= uint32 compare)

@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 52/52
+driver's three-way check (rows+schema+hash) covers every query — 53/53
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""
@@ -1124,6 +1124,72 @@ def q_semdedup_docs(sf_dir: str) -> "pa.Table":
     return pa.table({"vec_id": pa.array(dropped, pa.int64())})
 
 
+def write_pack_oracle(sf_dir: str) -> str:
+    """Expected packed-window table via a sequential plain-python
+    kernel: per-bucket python-list token streams, window slicing, and
+    per-window doc sets — independent of the vectorized
+    reduceat/searchsorted machinery in functions/packing.py."""
+    import zlib
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.packing import EOS_TOKEN
+
+    seq_len, n_buckets = 256, 8
+    doc_ids, texts, _ = _oracle_docs(sf_dir)
+    buckets: dict = {b: [] for b in range(n_buckets)}
+    for d, tx in zip(doc_ids, texts):
+        b = zlib.crc32(str(d).encode("utf-8")) % n_buckets
+        buckets[b].append((int(d), tx or ""))
+    rows = []
+    for b in range(n_buckets):
+        stream: list = []   # (token_hash, doc_id)
+        for d, tx in sorted(buckets[b]):
+            for tok in tx.split():
+                stream.append((zlib.crc32(tok.encode("utf-8")), d))
+            stream.append((zlib.crc32(EOS_TOKEN.encode("utf-8")), d))
+        for s, start in enumerate(range(0, len(stream), seq_len)):
+            window = stream[start : start + seq_len]
+            csum = 0
+            docs = set()
+            for h, d in window:
+                csum = (csum + h) % (1 << 64)
+                docs.add(d)
+            rows.append(
+                (b, s, len(window), len(docs), format(csum, "016x"))
+            )
+    out = _oracle_path(sf_dir, "pack_sequences_docs")
+    pq.write_table(
+        pa.table(
+            {
+                "bucket": pa.array(
+                    [r[0] for r in rows], pa.int32()
+                ),
+                "seq_idx": pa.array([r[1] for r in rows], pa.int64()),
+                "n_tokens": pa.array([r[2] for r in rows], pa.int64()),
+                "n_docs": pa.array([r[3] for r in rows], pa.int64()),
+                "checksum": pa.array([r[4] for r in rows], pa.string()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def q_pack_sequences_docs(sf_dir: str) -> Dataset:
+    """Sequence packing (functions/packing.py): 256-token windows over
+    8 hash buckets of the documents table. SQL-oracled against the
+    sequential python kernel (write_pack_oracle)."""
+    from ..functions.packing import pack_sequences
+
+    write_pack_oracle(sf_dir)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    return pack_sequences(ds, seq_len=256, n_buckets=8)
+
+
 def q_code_quality_docs(sf_dir: str) -> Dataset:
     """Source-code quality signals + RedPajama-V1-GitHub/StarCoder
     keep/drop rules over the synthesized code corpus
@@ -1156,6 +1222,7 @@ def q_code_quality_docs(sf_dir: str) -> Dataset:
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
     "semdedup_docs": q_semdedup_docs,
+    "pack_sequences_docs": q_pack_sequences_docs,
     "substring_dedup_docs": q_substring_dedup_docs,
     "langid_distribution": q_langid_distribution,
     "perplexity_buckets": q_perplexity_buckets,

@@ -1,0 +1,122 @@
+"""Sequence packing (functions/packing.py)."""
+
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.functions.packing import (
+    EOS_TOKEN,
+    pack_sequences,
+)
+
+
+def _ds(docs):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([d for d, _ in docs], pa.int64()),
+                "text": pa.array([t for _, t in docs], pa.string()),
+            }
+        )
+    )
+
+
+def _naive(docs, seq_len, n_buckets):
+    """Independent reference packing (python lists)."""
+    buckets = {}
+    for d, t in docs:
+        b = zlib.crc32(str(d).encode()) % n_buckets
+        buckets.setdefault(b, []).append((d, t))
+    rows = []
+    for b, members in buckets.items():
+        stream = []
+        for d, t in sorted(members):
+            for tok in t.split():
+                stream.append((zlib.crc32(tok.encode()), d))
+            stream.append((zlib.crc32(EOS_TOKEN.encode()), d))
+        for s in range(0, len(stream), seq_len):
+            win = stream[s : s + seq_len]
+            rows.append(
+                (
+                    b,
+                    s // seq_len,
+                    len(win),
+                    len({d for _, d in win}),
+                    format(sum(h for h, _ in win) % (1 << 64), "016x"),
+                )
+            )
+    return sorted(rows)
+
+
+def _collect(out):
+    df = out.to_pandas().sort_values(["bucket", "seq_idx"])
+    return sorted(
+        (int(r.bucket), int(r.seq_idx), int(r.n_tokens), int(r.n_docs),
+         r.checksum)
+        for r in df.itertuples()
+    )
+
+
+def test_matches_naive():
+    rng = np.random.default_rng(3)
+    words = ["alpha", "beta", "gamma", "delta", "x1", "longword"]
+    docs = [
+        (i, " ".join(rng.choice(words, size=rng.integers(0, 40))))
+        for i in range(120)
+    ]
+    out = pack_sequences(_ds(docs), seq_len=32, n_buckets=4)
+    assert _collect(out) == _naive(docs, 32, 4)
+
+
+def test_window_invariants_and_totals():
+    docs = [(i, "a b c d e f g") for i in range(50)]
+    out = pack_sequences(_ds(docs), seq_len=16, n_buckets=4).to_pandas()
+    total_tokens = sum(len(t.split()) + 1 for _, t in docs)
+    assert out.n_tokens.sum() == total_tokens
+    # all but each bucket's final window are full
+    for b, grp in out.groupby("bucket"):
+        grp = grp.sort_values("seq_idx")
+        assert (grp.n_tokens.iloc[:-1] == 16).all()
+        assert 1 <= grp.n_tokens.iloc[-1] <= 16
+        assert list(grp.seq_idx) == list(range(len(grp)))
+
+
+def test_blocking_invariance():
+    docs = [(i, f"tok{i} tok{i + 1} common word") for i in range(200)]
+    a = _collect(pack_sequences(_ds(docs), seq_len=24, n_buckets=8))
+    b = _collect(
+        pack_sequences(
+            _ds(docs).repartition(13), seq_len=24, n_buckets=8
+        )
+    )
+    assert a == b
+
+
+def test_giant_doc_spans_windows():
+    # one doc in one bucket spanning several windows: middle windows
+    # must report n_docs == 1
+    docs = [(7, " ".join(f"w{i}" for i in range(100)))]
+    out = (
+        pack_sequences(_ds(docs), seq_len=16, n_buckets=2)
+        .to_pandas()
+        .sort_values("seq_idx")
+    )
+    assert len(out) == (101 + 15) // 16
+    assert (out.n_docs == 1).all()
+    assert out.n_tokens.sum() == 101
+
+
+def test_empty_and_whitespace_docs_become_eos_only():
+    docs = [(1, ""), (2, "   "), (3, "one")]
+    out = pack_sequences(_ds(docs), seq_len=8, n_buckets=1).to_pandas()
+    # stream = EOS, EOS, one, EOS (order by id; bucket is shared)
+    assert out.n_tokens.sum() == 4
+    assert out.n_docs.iloc[0] == 3
+
+
+def test_rejects_bad_seq_len():
+    with pytest.raises(ValueError):
+        pack_sequences(_ds([(1, "a")]), seq_len=0)
