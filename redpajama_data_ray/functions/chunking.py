@@ -1,0 +1,80 @@
+"""Document chunking: overlapping fixed-size windows per document.
+
+Retrieval / embedding pipelines consume documents as overlapping
+chunks (window ``chunk_size``, stride ``chunk_size - overlap``). This
+is a pure per-row expansion — a streaming ``map_batches`` flat-map with
+no shuffle and no state; chunk identity is (doc id, chunk_idx), so the
+output is deterministic for any blocking and safe to resume.
+
+``unit="chars"`` slices code points (the driver oracle replays it in
+SQL with ``generate_series`` + ``substr``, both character-based);
+``unit="tokens"`` chunks over explicit-ASCII-whitespace tokens and
+rejoins with single spaces (the standard lossy RAG normalization —
+documented, not hidden).
+
+Empty documents emit zero chunks; start offsets are 0-based code-point
+(or token) positions into the source document.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+import pyarrow as pa
+from ray.data import Dataset
+
+from .code_signals import WS_REGEX_CLASS
+
+_TOKEN_RE = re.compile(WS_REGEX_CLASS)
+
+
+def chunk_documents(
+    ds: Dataset,
+    chunk_size: int,
+    overlap: int = 0,
+    unit: str = "chars",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """One output row per chunk: ``{id_col}``, ``chunk_idx``,
+    ``start`` (0-based offset in ``unit``), ``chunk_text``."""
+    if chunk_size <= 0:
+        raise ValueError("chunk_size must be positive")
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("overlap must satisfy 0 <= overlap < chunk_size")
+    if unit not in ("chars", "tokens"):
+        raise ValueError(f"unknown unit {unit!r}")
+    stride = chunk_size - overlap
+
+    def _chunks(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_ids: List = []
+        out_idx: List[int] = []
+        out_start: List[int] = []
+        out_text: List[str] = []
+        for d, tx in zip(ids, texts):
+            tx = tx or ""
+            parts = (
+                _TOKEN_RE.findall(tx) if unit == "tokens" else tx
+            )
+            for k, s in enumerate(range(0, len(parts), stride)):
+                piece = parts[s : s + chunk_size]
+                out_ids.append(d)
+                out_idx.append(k)
+                out_start.append(s)
+                out_text.append(
+                    " ".join(piece) if unit == "tokens" else piece
+                )
+        id_type = t.schema.field(id_col).type
+        return pa.table(
+            {
+                id_col: pa.array(out_ids, id_type),
+                "chunk_idx": pa.array(out_idx, pa.int64()),
+                "start": pa.array(out_start, pa.int64()),
+                "chunk_text": pa.array(out_text, pa.string()),
+            }
+        )
+
+    return ds.map_batches(_chunks, batch_format="pyarrow")

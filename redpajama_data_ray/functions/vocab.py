@@ -1,0 +1,82 @@
+"""Corpus-wide token frequency / vocabulary building.
+
+The first step of training any tokenizer (BPE, unigram-LM, word-level)
+is a corpus-wide token histogram. The Ray-native shape is the same
+combiner pattern the dedup stack uses: every batch emits ONE
+``(token, cnt)`` row per distinct token (``np.unique`` over a single
+regex pass of the whole batch), then :func:`dedupe.combine.combine_counts`
+sums the partials — tree-combine while the vocabulary is small, hash
+shuffle past ``TREE_STATS_LIMIT`` distinct keys. Partial rows are
+bounded by (batch vocabulary), not corpus tokens, so nothing
+token-scale ever shuffles.
+
+Tokens are matches of an explicit ASCII-whitespace complement class
+(``code_signals.WS_REGEX_CLASS``) — identical in python ``re`` and
+RE2/DuckDB, so the driver oracle is direct SQL (unnest + group by),
+not a precomputed table.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+from ray.data import Dataset
+
+from ..dedupe.combine import combine_counts
+from .code_signals import WS_REGEX_CLASS
+
+_TOKEN_RE = re.compile(WS_REGEX_CLASS)
+
+
+def token_count_partials(
+    ds: Dataset, text_col: str = "text", lowercase: bool = False
+) -> Dataset:
+    """One (token, cnt) row per distinct token per batch."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        texts = t.column(text_col).to_pylist()
+        joined = "\n".join(x or "" for x in texts)
+        if lowercase:
+            joined = joined.lower()
+        toks = _TOKEN_RE.findall(joined)
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        return pa.table(
+            {
+                "token": pa.array(uniq.tolist(), pa.string()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_partial, batch_format="pyarrow")
+
+
+def token_frequencies(
+    ds: Dataset,
+    text_col: str = "text",
+    min_count: int = 1,
+    top_k: Optional[int] = None,
+    lowercase: bool = False,
+) -> Dataset:
+    """Global (token, cnt) table; optionally thresholded by
+    ``min_count`` and cut to the ``top_k`` most frequent (ties broken
+    by token ascending, so the cut is deterministic)."""
+    combined = combine_counts(
+        token_count_partials(ds, text_col, lowercase), key="token"
+    )
+    if min_count > 1:
+        combined = combined.filter(expr=f"cnt >= {int(min_count)}")
+    if top_k is not None:
+        combined = combined.sort(
+            ["cnt", "token"], descending=[True, False]
+        ).limit(int(top_k))
+    return combined

@@ -1365,6 +1365,30 @@ ORACLE_SQL: Dict[str, str] = {
         select bucket, seq_idx, n_tokens, n_docs, checksum
         from read_parquet('/tmp/rpray_oracle/pack_sequences_docs.parquet')
     """,
+    # stride = chunk_size - overlap = 150; generate_series is 1-based
+    # and empty for empty text, matching the python chunker exactly
+    "chunk_docs": """
+        select doc_id,
+               cast((gs - 1) / 150 as bigint) as chunk_idx,
+               cast(gs - 1 as bigint) as start,
+               substr(text, gs, 200) as chunk_text
+        from (
+            select doc_id, text,
+                   unnest(range(1, length(text) + 1, 150)) as gs
+            from documents
+        )
+    """,
+    "vocab_top_tokens": """
+        select token, count(*)::bigint as cnt from (
+            select unnest(
+                regexp_extract_all(text, '[^ \t\n\r\f\v]+')
+            ) as token
+            from documents
+        )
+        group by token
+        order by cnt desc, token asc
+        limit 100
+    """,
     # identical per-row predicate as functions/mixing.py: survive iff
     # the first 8 md5 hex digits of '42:<doc_id>' are lexicographically
     # below the source's 8-hex threshold (= uint32 compare)
@@ -1606,6 +1630,29 @@ ORACLE_SQL: Dict[str, str] = {
     """,
 }
 
+def q_vocab_top_tokens(sf_dir: str) -> "pa.Table":
+    """Corpus-wide token histogram (functions/vocab.py, combiner
+    pattern), cut to the deterministic top 100 by (count desc, token
+    asc). Direct SQL oracle: unnest + group by over the same explicit
+    ASCII-whitespace token class."""
+    from ..functions.vocab import token_frequencies
+
+    ds = _docs(sf_dir, ["text"])
+    out = token_frequencies(ds, text_col="text", top_k=100).to_pandas()
+    out["cnt"] = out["cnt"].astype("int64")
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_chunk_docs(sf_dir: str) -> Dataset:
+    """Overlapping 200-char chunks with 50-char overlap
+    (functions/chunking.py). Direct SQL oracle: generate_series starts
+    + substr, both character-based like python slicing."""
+    from ..functions.chunking import chunk_documents
+
+    ds = _docs(sf_dir, ["doc_id", "text"])
+    return chunk_documents(ds, chunk_size=200, overlap=50)
+
+
 def q_mix_sources_docs(sf_dir: str) -> Dataset:
     """Deterministic weighted source mixing (functions/mixing.py):
     sample each source at its own rate with a pure per-row md5
@@ -1624,6 +1671,8 @@ def q_mix_sources_docs(sf_dir: str) -> Dataset:
 
 
 QUERIES = {
+    "chunk_docs": q_chunk_docs,
+    "vocab_top_tokens": q_vocab_top_tokens,
     "mix_sources_docs": q_mix_sources_docs,
     "doc_word_count": q_doc_word_count,
     "doc_mean_word_length": q_doc_mean_word_length,

@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 53/53
+driver's three-way check (rows+schema+hash) covers every query — 55/55
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""

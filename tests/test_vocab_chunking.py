@@ -1,0 +1,128 @@
+"""Vocabulary building (functions/vocab.py) and document chunking
+(functions/chunking.py)."""
+
+from collections import Counter
+
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.functions.chunking import chunk_documents
+from redpajama_data_ray.functions.vocab import token_frequencies
+
+TEXTS = [
+    "the quick brown fox the quick",
+    "brown\tfox jumps\nover the lazy dog",
+    "",
+    "   ",
+    "unicode • bullets stay • intact",
+    "tabs\x0band\x0cvertical\rws split too",
+]
+
+
+def _ds(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(ids, pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    )
+
+
+def _expected_counts(texts, lowercase=False):
+    ws = "\t\n\x0b\x0c\r "
+    c: Counter = Counter()
+    for t in texts:
+        if lowercase:
+            t = t.lower()
+        tok = []
+        cur = []
+        for ch in t:
+            if ch in ws:
+                if cur:
+                    tok.append("".join(cur))
+                    cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            tok.append("".join(cur))
+        c.update(tok)
+    return dict(c)
+
+
+def test_vocab_matches_counter():
+    out = token_frequencies(_ds(TEXTS)).to_pandas()
+    got = dict(zip(out.token, out.cnt))
+    assert got == _expected_counts(TEXTS)
+
+
+def test_vocab_min_count_and_topk():
+    out = token_frequencies(_ds(TEXTS), min_count=2).to_pandas()
+    expect = {
+        k: v for k, v in _expected_counts(TEXTS).items() if v >= 2
+    }
+    assert dict(zip(out.token, out.cnt)) == expect
+    top = token_frequencies(_ds(TEXTS), top_k=3).to_pandas()
+    full = sorted(
+        _expected_counts(TEXTS).items(), key=lambda kv: (-kv[1], kv[0])
+    )
+    assert list(zip(top.token, top.cnt)) == full[:3]
+
+
+def test_vocab_lowercase():
+    out = token_frequencies(
+        _ds(["The THE the"]), lowercase=True
+    ).to_pandas()
+    assert dict(zip(out.token, out.cnt)) == {"the": 3}
+
+
+def test_chunk_chars_naive_parity():
+    texts = ["abcdefghij" * 7, "short", "", "x" * 10]
+    out = (
+        chunk_documents(_ds(texts), chunk_size=10, overlap=3)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+    )
+    rows = []
+    for d, t in enumerate(texts):
+        for k, s in enumerate(range(0, len(t), 7)):
+            rows.append((d, k, s, t[s : s + 10]))
+    got = [
+        (int(r.doc_id), int(r.chunk_idx), int(r.start), r.chunk_text)
+        for r in out.itertuples()
+    ]
+    assert got == rows
+    # consecutive chunks of one doc share the overlap
+    doc0 = out[out.doc_id == 0].sort_values("chunk_idx")
+    for a, b in zip(doc0.chunk_text, doc0.chunk_text[1:]):
+        assert a[-3:] == b[:3]
+
+
+def test_chunk_tokens_mode():
+    out = (
+        chunk_documents(
+            _ds(["a b c d e f g"]), chunk_size=3, overlap=1,
+            unit="tokens",
+        )
+        .to_pandas()
+        .sort_values("chunk_idx")
+    )
+    assert list(out.chunk_text) == ["a b c", "c d e", "e f g", "g"]
+    assert list(out.start) == [0, 2, 4, 6]
+
+
+def test_chunk_empty_doc_emits_nothing():
+    out = chunk_documents(_ds([""]), chunk_size=5).to_pandas()
+    assert len(out) == 0
+
+
+def test_chunk_validation():
+    with pytest.raises(ValueError):
+        chunk_documents(_ds(["x"]), chunk_size=0)
+    with pytest.raises(ValueError):
+        chunk_documents(_ds(["x"]), chunk_size=5, overlap=5)
+    with pytest.raises(ValueError):
+        chunk_documents(_ds(["x"]), chunk_size=5, unit="bytes")
