@@ -92,6 +92,24 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     for i, r in enumerate(runs[1:], start=2):
         timings[f"flagship_quality_run{i}"] = round(r, 3)
 
+    # session hygiene: the flagship leaves ~30 heavyweight model
+    # workers (gc-frozen heaps) idling after its dataset completes;
+    # until Ray reaps them they slow the NEXT hash-shuffle stages
+    # 2-4x (measured: first post-flagship join 30.5 s, then 13.3,
+    # then 10.2 as workers die; 9 s in a quiet session). Restart the
+    # session so every per-op number means "op cost on a quiet
+    # cluster", not "op cost behind another pipeline's residue".
+    ray.shutdown()
+    ray.init(
+        address="local",
+        num_cpus=ncpu,
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
     # exact dedup over the annotated output (content_sha256 shuffle)
     t0 = time.time()
     ann = rd.read_parquet(

@@ -401,6 +401,82 @@ def cmd_code_signals(args) -> dict:
     return {"output": args.output}
 
 
+def cmd_mix(args) -> dict:
+    """Deterministic weighted source mixing (functions/mixing.py).
+    Weights are NAME=FRACTION pairs, e.g. --weight github=1.0."""
+    from .functions.mixing import weighted_sample
+
+    weights = {}
+    for spec in args.weights or []:
+        name, _, frac = spec.partition("=")
+        if not _:
+            raise SystemExit(f"--weight needs NAME=FRACTION, got {spec!r}")
+        weights[name] = float(frac)
+    ds = _read_input(args.input, args.max_docs, False)
+    out = weighted_sample(
+        ds, weights, default_weight=args.default_weight,
+        key_col=args.key_column, id_col=args.id_column, seed=args.seed,
+    )
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
+def cmd_pack(args) -> dict:
+    """Sequence packing (functions/packing.py)."""
+    from .functions.packing import pack_sequences
+
+    ds = _read_input(args.input, args.max_docs, False)
+    out = pack_sequences(
+        ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
+        text_col=args.text_column, id_col=args.id_column,
+    )
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
+def cmd_chunk(args) -> dict:
+    """Document chunking (functions/chunking.py)."""
+    from .functions.chunking import chunk_documents
+
+    ds = _read_input(args.input, args.max_docs, False)
+    out = chunk_documents(
+        ds, chunk_size=args.chunk_size, overlap=args.overlap,
+        unit=args.unit, text_col=args.text_column,
+        id_col=args.id_column,
+    )
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
+def cmd_vocab(args) -> dict:
+    """Corpus token histogram (functions/vocab.py)."""
+    from .functions.vocab import token_frequencies
+
+    ds = _read_input(args.input, args.max_docs, False)
+    out = token_frequencies(
+        ds, text_col=args.text_column, min_count=args.min_count,
+        top_k=args.top_k, lowercase=args.lowercase,
+    )
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
+def cmd_semdedup(args) -> dict:
+    """SemDeDup semantic dedup (similarity/semdedup.py)."""
+    import ray.data as rd
+
+    from .similarity.semdedup import semdedup
+
+    ds = rd.read_parquet(args.input)
+    kept, dropped = semdedup(
+        ds, dim=0, n_centroids=args.n_centroids,
+        threshold=args.threshold, keep=args.keep,
+        vec_col=args.vec_column, id_col=args.id_column,
+    )
+    kept.write_parquet(args.output)
+    return {"output": args.output, "dropped": int(len(dropped))}
+
+
 def cmd_token_count(args) -> dict:
     import pyarrow as pa
     import ray.data as rd
@@ -679,6 +755,72 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop the content column from the output",
     )
     cs.set_defaults(fn=cmd_code_signals)
+
+    mx = sub.add_parser(
+        "mix", help="deterministic weighted source mixing"
+    )
+    mx.add_argument("--input", required=True)
+    mx.add_argument("--output", required=True)
+    mx.add_argument(
+        "--weight", action="append", dest="weights", default=None,
+        metavar="NAME=FRACTION",
+    )
+    mx.add_argument("--default-weight", type=float, default=0.0)
+    mx.add_argument("--key-column", default="source")
+    mx.add_argument("--id-column", default="doc_id")
+    mx.add_argument("--seed", type=int, default=42)
+    mx.add_argument("--max-docs", type=int, default=None)
+    mx.set_defaults(fn=cmd_mix)
+
+    pk = sub.add_parser(
+        "pack", help="pack docs into fixed-length token windows"
+    )
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, default=2048)
+    pk.add_argument("--n-buckets", type=int, default=64)
+    pk.add_argument("--text-column", default="content")
+    pk.add_argument("--id-column", default="doc_id")
+    pk.add_argument("--max-docs", type=int, default=None)
+    pk.set_defaults(fn=cmd_pack)
+
+    ck = sub.add_parser(
+        "chunk", help="overlapping fixed-size document chunks"
+    )
+    ck.add_argument("--input", required=True)
+    ck.add_argument("--output", required=True)
+    ck.add_argument("--chunk-size", type=int, default=1000)
+    ck.add_argument("--overlap", type=int, default=0)
+    ck.add_argument("--unit", choices=["chars", "tokens"], default="chars")
+    ck.add_argument("--text-column", default="content")
+    ck.add_argument("--id-column", default="doc_id")
+    ck.add_argument("--max-docs", type=int, default=None)
+    ck.set_defaults(fn=cmd_chunk)
+
+    vb = sub.add_parser("vocab", help="corpus token histogram")
+    vb.add_argument("--input", required=True)
+    vb.add_argument("--output", required=True)
+    vb.add_argument("--text-column", default="content")
+    vb.add_argument("--min-count", type=int, default=1)
+    vb.add_argument("--top-k", type=int, default=None)
+    vb.add_argument("--lowercase", action="store_true")
+    vb.add_argument("--max-docs", type=int, default=None)
+    vb.set_defaults(fn=cmd_vocab)
+
+    sd = sub.add_parser(
+        "semdedup", help="SemDeDup embedding-space semantic dedup"
+    )
+    sd.add_argument("--input", required=True)
+    sd.add_argument("--output", required=True)
+    sd.add_argument("--n-centroids", type=int, default=64)
+    sd.add_argument("--threshold", type=float, default=0.95)
+    sd.add_argument(
+        "--keep", choices=["centroid_far", "min_id"],
+        default="centroid_far",
+    )
+    sd.add_argument("--vec-column", default="embedding")
+    sd.add_argument("--id-column", default="vec_id")
+    sd.set_defaults(fn=cmd_semdedup)
 
     tc = sub.add_parser("token-count", help="corpus token totals")
     tc.add_argument("--input", required=True)

@@ -1,0 +1,107 @@
+"""CLI surface of the round-3 operators (mix / pack / chunk / vocab /
+semdedup)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data
+
+from redpajama_data_ray.cli import main
+
+
+def _docs_dir(tmp_path, n=60):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "source": pa.array(
+                [f"s{i % 3}" for i in range(n)], pa.string()
+            ),
+            "text": pa.array(
+                [f"tok{i} alpha beta gamma delta" for i in range(n)],
+                pa.string(),
+            ),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    return str(d)
+
+
+def _result(capsys):
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_cli_mix(tmp_path, capsys):
+    src = _docs_dir(tmp_path)
+    out = str(tmp_path / "mix")
+    assert main(
+        ["mix", "--input", src, "--output", out,
+         "--weight", "s0=1.0", "--weight", "s1=0.0",
+         "--default-weight", "0.5"]
+    ) == 0
+    df = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert set(df[df.source == "s0"].doc_id) == set(range(0, 60, 3))
+    assert (df.source != "s1").all()
+
+
+def test_cli_pack_chunk_vocab(tmp_path, capsys):
+    src = _docs_dir(tmp_path)
+
+    out = str(tmp_path / "pack")
+    assert main(
+        ["pack", "--input", src, "--output", out, "--seq-len", "16",
+         "--n-buckets", "2", "--text-column", "text"]
+    ) == 0
+    packed = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    # 60 docs x (5 tokens + EOS) = 360 stream tokens
+    assert packed.n_tokens.sum() == 360
+
+    out = str(tmp_path / "chunk")
+    assert main(
+        ["chunk", "--input", src, "--output", out, "--chunk-size", "10",
+         "--overlap", "2", "--text-column", "text"]
+    ) == 0
+    chunks = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert chunks.chunk_idx.max() >= 1
+    assert (chunks.chunk_text.str.len() <= 10).all()
+
+    out = str(tmp_path / "vocab")
+    assert main(
+        ["vocab", "--input", src, "--output", out,
+         "--text-column", "text", "--min-count", "2"]
+    ) == 0
+    vocab = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    got = dict(zip(vocab.token, vocab.cnt))
+    assert got == {
+        "alpha": 60, "beta": 60, "gamma": 60, "delta": 60
+    }
+
+
+def test_cli_semdedup(tmp_path, capsys):
+    rng = np.random.default_rng(2)
+    base = rng.normal(size=8)
+    vecs = [base + rng.normal(scale=0.001, size=8) for _ in range(3)]
+    vecs += [rng.normal(size=8) for _ in range(30)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    out = str(tmp_path / "sd")
+    assert main(
+        ["semdedup", "--input", str(d), "--output", out,
+         "--n-centroids", "4", "--threshold", "0.9"]
+    ) == 0
+    res = _result(capsys)
+    assert res["dropped"] == 2
+    kept = ray.data.read_parquet(res["output"]).to_pandas()
+    assert len(kept) == len(vecs) - 2
