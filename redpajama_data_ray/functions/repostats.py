@@ -1,0 +1,173 @@
+"""Repo-level rollup over a source-code corpus.
+
+The Stack's curation works at TWO granularities: files are filtered
+individually, but deduplication and licensing decisions roll up to the
+REPOSITORY (forks and vendored copies show up as repos whose files are
+mostly duplicates of other repos). This module provides that rollup:
+per-repo file count, distinct languages, size, largest file, and
+``dup_file_share`` — the fraction of the repo's files whose content
+occurs more than once corpus-wide (the fork/vendor signal).
+
+Shape: two streaming passes. Pass 1 finds duplicated content digests
+with the dedup stack's :func:`dup_keys_from_partials` (one fixed-width
+``(digest, cnt)`` row per distinct digest per batch — never a
+full-corpus shuffle). Pass 2 computes per-batch per-repo partial
+aggregates (counting dup membership against the broadcast digest set
+with a vectorized ``searchsorted`` probe) plus per-batch distinct
+``(repo, lang)`` pairs, then two tiny grouped reductions produce the
+final table — one row per repo.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Sum
+
+from ..dedupe.apply import broadcast_sorted, membership_mask
+from ..dedupe.combine import dup_keys_from_partials
+
+
+def _digests(texts: List[str]) -> np.ndarray:
+    out = np.empty(len(texts), dtype="S32")
+    for i, t in enumerate(texts):
+        out[i] = hashlib.md5((t or "").encode("utf-8")).hexdigest().encode()
+    return out
+
+
+def repo_stats(
+    ds: Dataset,
+    repo_col: str = "repo",
+    lang_col: str = "lang",
+    content_col: str = "content",
+) -> "pa.Table":
+    """One row per repo: ``repo, n_files, n_langs, total_chars,
+    max_file_chars, dup_file_share`` (6-decimal, SQL round semantics).
+    The result is repo-cardinality (small); the heavy work streams."""
+    from .code_signals import _round6
+
+    # ---- pass 1: corpus-wide duplicated content digests ------------
+    def _digest_partials(t: pa.Table) -> pa.Table:
+        d = _digests(t.column(content_col).to_pylist())
+        uniq, counts = np.unique(d, return_counts=True)
+        return pa.table(
+            {
+                "digest": pa.array([u.decode() for u in uniq], pa.string()),
+                "cnt": pa.array(counts.astype(np.int64)),
+            }
+        )
+
+    dup = dup_keys_from_partials(
+        ds.map_batches(_digest_partials, batch_format="pyarrow"),
+        key="digest",
+        min_count=2,
+    )
+    dup_vals = np.sort(
+        np.concatenate(
+            [
+                b.column("digest").to_numpy(zero_copy_only=False).astype("S32")
+                for b in dup.iter_batches(
+                    batch_size=65536, batch_format="pyarrow"
+                )
+            ]
+            or [np.array([], dtype="S32")]
+        )
+    )
+    dup_ref = ray.put(dup_vals)
+
+    # ---- pass 2: per-repo partial aggregates ------------------------
+    def _repo_partials(t: pa.Table) -> pa.Table:
+        repos = np.asarray(t.column(repo_col).to_pylist(), dtype=object)
+        texts = t.column(content_col).to_pylist()
+        chars = np.array([len(x or "") for x in texts], dtype=np.int64)
+        d = _digests(texts)
+        sv = ray.get(dup_ref)
+        if len(sv):
+            idx = np.searchsorted(sv, d)
+            idx_c = np.minimum(idx, len(sv) - 1)
+            is_dup = (sv[idx_c] == d) & (idx < len(sv))
+        else:
+            is_dup = np.zeros(len(d), dtype=bool)
+        uniq, inv = np.unique(repos, return_inverse=True)
+        n = len(uniq)
+        return pa.table(
+            {
+                repo_col: pa.array(uniq.tolist(), pa.string()),
+                "n_files": pa.array(
+                    np.bincount(inv, minlength=n).astype(np.int64)
+                ),
+                "n_dup_files": pa.array(
+                    np.bincount(
+                        inv, weights=is_dup, minlength=n
+                    ).astype(np.int64)
+                ),
+                "total_chars": pa.array(
+                    np.bincount(
+                        inv, weights=chars, minlength=n
+                    ).astype(np.int64)
+                ),
+                "max_file_chars": pa.array(
+                    np.maximum.reduceat(
+                        chars[np.argsort(inv, kind="stable")],
+                        np.searchsorted(np.sort(inv), np.arange(n)),
+                    ).astype(np.int64)
+                ),
+            }
+        )
+
+    agg = (
+        ds.map_batches(_repo_partials, batch_format="pyarrow")
+        .groupby(repo_col)
+        .aggregate(
+            Sum("n_files", alias_name="n_files"),
+            Sum("n_dup_files", alias_name="n_dup_files"),
+            Sum("total_chars", alias_name="total_chars"),
+            Max("max_file_chars", alias_name="max_file_chars"),
+        )
+    )
+
+    # distinct (repo, lang) pairs -> per-repo language counts
+    def _lang_pairs(t: pa.Table) -> pa.Table:
+        pairs = sorted(
+            {
+                (r, l)
+                for r, l in zip(
+                    t.column(repo_col).to_pylist(),
+                    t.column(lang_col).to_pylist(),
+                )
+            }
+        )
+        return pa.table(
+            {
+                repo_col: pa.array([p[0] for p in pairs], pa.string()),
+                lang_col: pa.array([p[1] for p in pairs], pa.string()),
+            }
+        )
+
+    langs = (
+        ds.map_batches(_lang_pairs, batch_format="pyarrow")
+        .groupby([repo_col, lang_col])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(repo_col)
+        .aggregate(Count(alias_name="n_langs"))
+    )
+
+    # final: repo-cardinality tables — a driver merge is the cheap join
+    a = agg.to_pandas()
+    b = langs.to_pandas()[[repo_col, "n_langs"]]
+    out = a.merge(b, on=repo_col, how="left")
+    out["n_langs"] = out["n_langs"].fillna(0).astype("int64")
+    out["dup_file_share"] = _round6(
+        out["n_dup_files"].to_numpy() / out["n_files"].to_numpy()
+    )
+    out = out.drop(columns=["n_dup_files"]).sort_values(repo_col)
+    for c in ("n_files", "total_chars", "max_file_chars"):
+        out[c] = out[c].astype("int64")
+    return pa.Table.from_pandas(
+        out.reset_index(drop=True), preserve_index=False
+    )

@@ -1361,6 +1361,27 @@ ORACLE_SQL: Dict[str, str] = {
         select vec_id
         from read_parquet('/tmp/rpray_oracle/semdedup_docs.parquet')
     """,
+    # fully independent recomputation over the corpus symlink (same
+    # md5 content keying as functions/repostats.py — only equality of
+    # digests matters)
+    "repo_stats": """
+        with d as (
+            select repo, lang, length(content) as chars,
+                   md5(content) as h
+            from read_parquet('/tmp/rpray_oracle/code_corpus/*.parquet')
+        ), dup as (
+            select h from d group by h having count(*) >= 2
+        )
+        select repo,
+               count(*)::bigint as n_files,
+               count(distinct lang)::bigint as n_langs,
+               sum(chars)::bigint as total_chars,
+               max(chars)::bigint as max_file_chars,
+               round(cast(count(*) filter (
+                   where h in (select h from dup)
+               ) as double) / count(*), 6) as dup_file_share
+        from d group by repo
+    """,
     "pack_sequences_docs": """
         select bucket, seq_idx, n_tokens, n_docs, checksum
         from read_parquet('/tmp/rpray_oracle/pack_sequences_docs.parquet')

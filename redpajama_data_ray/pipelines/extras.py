@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 55/55
+driver's three-way check (rows+schema+hash) covers every query — 56/56
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""
@@ -1190,19 +1190,11 @@ def q_pack_sequences_docs(sf_dir: str) -> Dataset:
     return pack_sequences(ds, seq_len=256, n_buckets=8)
 
 
-def q_code_quality_docs(sf_dir: str) -> Dataset:
-    """Source-code quality signals + RedPajama-V1-GitHub/StarCoder
-    keep/drop rules over the synthesized code corpus
-    (functions/code_signals.py, one vectorized Arrow batch kernel).
-
-    Unlike the precomputed-table oracles above, the paired SQL is a
-    fully INDEPENDENT DuckDB computation (regexp class counts, list
-    kernels over split lines, token unnest) — the corpus directory is
-    exposed at a stable symlink so the static oracle string can read
-    whatever sf is under comparison."""
+def _refresh_code_corpus_link(sf_dir: str) -> str:
+    """Synthesize (cached) the code corpus for this sf and expose it at
+    the stable /tmp symlink the static oracle SQL reads."""
     import os
 
-    from ..functions.code_signals import code_signal_batch
     from ..sources.corpus import ensure_corpus_parquet, sf_from_dir
 
     corpus_dir = ensure_corpus_parquet(sf_from_dir(sf_dir))
@@ -1211,7 +1203,21 @@ def q_code_quality_docs(sf_dir: str) -> Dataset:
     tmp = f"{link}.tmp.{os.getpid()}"
     os.symlink(corpus_dir, tmp)
     os.replace(tmp, link)  # atomic refresh; points at the current sf
+    return corpus_dir
 
+
+def q_code_quality_docs(sf_dir: str) -> Dataset:
+    """Source-code quality signals + RedPajama-V1-GitHub/StarCoder
+    keep/drop rules over the synthesized code corpus
+    (functions/code_signals.py, one vectorized Arrow batch kernel).
+
+    Unlike the precomputed-table oracles above, the paired SQL is a
+    fully INDEPENDENT DuckDB computation (regexp class counts, list
+    kernels over split lines, token unnest) reading the corpus through
+    the stable symlink."""
+    from ..functions.code_signals import code_signal_batch
+
+    corpus_dir = _refresh_code_corpus_link(sf_dir)
     ds = rd.read_parquet(
         corpus_dir, columns=["repo", "path", "lang", "content"]
     )
@@ -1219,8 +1225,23 @@ def q_code_quality_docs(sf_dir: str) -> Dataset:
     return ds.drop_columns(["content"])
 
 
+def q_repo_stats(sf_dir: str) -> "pa.Table":
+    """Repo-level rollup (functions/repostats.py): per-repo file count,
+    distinct languages, size, largest file and corpus-wide
+    duplicate-file share. Fully independent DuckDB oracle over the
+    corpus symlink (group-bys + a HAVING dup subquery)."""
+    from ..functions.repostats import repo_stats
+
+    corpus_dir = _refresh_code_corpus_link(sf_dir)
+    ds = rd.read_parquet(
+        corpus_dir, columns=["repo", "lang", "content"]
+    )
+    return repo_stats(ds)
+
+
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
+    "repo_stats": q_repo_stats,
     "semdedup_docs": q_semdedup_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "substring_dedup_docs": q_substring_dedup_docs,

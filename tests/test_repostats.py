@@ -1,0 +1,59 @@
+"""Repo-level rollup (functions/repostats.py)."""
+
+import pyarrow as pa
+import ray.data as rd
+
+from redpajama_data_ray.functions.repostats import repo_stats
+
+
+def _corpus():
+    rows = [
+        # repo_a: 3 files, 2 langs, one file duplicated into repo_b
+        ("repo_a", "python", "shared content one"),
+        ("repo_a", "python", "unique a2 text"),
+        ("repo_a", "go", "unique a3 longer text here"),
+        # repo_b: full fork of repo_a's first file + own file
+        ("repo_b", "python", "shared content one"),
+        ("repo_b", "js", "unique b2"),
+        # repo_c: internally duplicated pair (counts corpus-wide too)
+        ("repo_c", "c", "twin"),
+        ("repo_c", "c", "twin"),
+        # repo_d: all unique, empty file included
+        ("repo_d", "md", ""),
+    ]
+    return rd.from_arrow(
+        pa.table(
+            {
+                "repo": pa.array([r for r, _, _ in rows], pa.string()),
+                "lang": pa.array([l for _, l, _ in rows], pa.string()),
+                "content": pa.array([c for _, _, c in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_repo_stats_rollup():
+    out = repo_stats(_corpus()).to_pandas().set_index("repo")
+    assert out.loc["repo_a", "n_files"] == 3
+    assert out.loc["repo_a", "n_langs"] == 2
+    assert out.loc["repo_a", "dup_file_share"] == round(1 / 3, 6)
+    assert out.loc["repo_a", "max_file_chars"] == len(
+        "unique a3 longer text here"
+    )
+    assert out.loc["repo_b", "dup_file_share"] == 0.5
+    assert out.loc["repo_c", "dup_file_share"] == 1.0  # internal twins
+    assert out.loc["repo_d", "dup_file_share"] == 0.0
+    assert out.loc["repo_d", "total_chars"] == 0
+    assert out.loc["repo_d", "n_langs"] == 1
+    total = int(out.n_files.sum())
+    assert total == 8
+
+
+def test_repo_stats_blocking_invariance():
+    a = repo_stats(_corpus()).to_pandas()
+    b = repo_stats(_corpus().repartition(5)).to_pandas()
+    cols = sorted(a.columns)
+    assert (
+        a[cols].sort_values("repo").reset_index(drop=True)
+        .equals(b[cols].sort_values("repo").reset_index(drop=True))
+    )
