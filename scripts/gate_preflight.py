@@ -1,0 +1,81 @@
+"""Driver-gate pre-flight: run every queries() entry at sf0.01 and its
+oracle_sql() in DuckDB (tables registered as views), compare rows,
+sorted-column schema and values the way the driver does."""
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+import ray
+
+ray.init(address="local", num_cpus=32, include_dashboard=False,
+         logging_level="ERROR")
+import os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import __ray_entry__ as entry  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+qs = entry.queries()
+oracles = entry.oracle_sql()
+con = duckdb.connect()
+for t in TABLES:
+    con.execute(
+        f"create or replace view {t} as "
+        f"select * from read_parquet('{SF_DIR}/{t}.parquet')"
+    )
+
+def to_df(res):
+    import pyarrow as pa
+    from ray.data import Dataset
+    if isinstance(res, Dataset):
+        return res.to_pandas()
+    if isinstance(res, pa.Table):
+        return res.to_pandas()
+    return res
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols].copy()
+    for c in cols:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: str(sorted(v)) if isinstance(v, (list, np.ndarray)) and False else str(v)
+            )
+    return df.sort_values(cols).reset_index(drop=True)
+
+fails = []
+for name in sorted(qs):
+    t0 = time.time()
+    try:
+        rdf = to_df(qs[name](SF_DIR))
+        odf = con.execute(oracles[name]).df()
+        a, b = canon(rdf), canon(odf)
+        status = []
+        if len(a) != len(b):
+            status.append(f"rows {len(a)} vs {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"schema {list(a.columns)} vs {list(b.columns)}")
+        if not status:
+            eq = a.equals(b)
+            if not eq:
+                # tolerate float representation diffs by string compare fallback
+                eq = a.astype(str).equals(b.astype(str))
+            if not eq:
+                status.append("value mismatch")
+        if status:
+            fails.append((name, "; ".join(status)))
+            print(f"FAIL {name}: {'; '.join(status)}")
+        else:
+            print(f"ok   {name} ({len(a)} rows, {time.time()-t0:.1f}s)")
+    except Exception as e:  # noqa: BLE001
+        fails.append((name, f"err {type(e).__name__}: {e}"))
+        print(f"ERR  {name}: {type(e).__name__}: {str(e)[:200]}")
+
+print(f"\n{len(qs) - len(fails)}/{len(qs)} pass")
+for name, why in fails:
+    print("FAILED:", name, "--", why[:300])
+ray.shutdown()
