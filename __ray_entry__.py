@@ -6,7 +6,7 @@ keep/drop rules) over the sf0.001 synthetic code corpus.
 
 ``queries()`` exposes every implemented operator/pipeline; each entry in
 ``oracle_sql()`` is the DuckDB-equivalent SQL with identical column
-names (floats rounded identically on both sides). All 56 queries are
+names (floats rounded identically on both sides). All 57 queries are
 SQL-oracled — model-inference / minhash / simhash / ANN / sketch /
 multimodal / flagship queries compare against precomputed expected
 tables written by independent sequential kernels

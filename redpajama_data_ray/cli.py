@@ -384,19 +384,37 @@ def cmd_code_signals(args) -> dict:
 
     from .functions.code_signals import code_signal_batch
 
-    ds = _read_input(args.input, args.max_docs, False)
-    ds = ds.map_batches(
-        partial(
-            code_signal_batch,
-            content_column=args.content_column,
-            lang_column=args.lang_column,
-        ),
-        batch_format="pyarrow",
+    kernel = partial(
+        code_signal_batch,
+        content_column=args.content_column,
+        lang_column=args.lang_column,
     )
-    if args.filter:
-        ds = ds.filter(expr="code_keep == True")
-    if args.signals_only:
-        ds = ds.drop_columns([args.content_column])
+
+    def _stage(ds):
+        ds = ds.map_batches(kernel, batch_format="pyarrow")
+        if args.filter:
+            ds = ds.filter(expr="code_keep == True")
+        if args.signals_only:
+            ds = ds.drop_columns([args.content_column])
+        return ds
+
+    if args.resume:
+        # partition-per-input-shard resumable mode (manifest commits)
+        import glob
+
+        import ray.data as rd
+
+        from .state.manifest import run_partitioned
+
+        files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        if files:
+            committed = run_partitioned(
+                files,
+                args.output,
+                lambda p: _stage(rd.read_parquet(p)),
+            )
+            return {"partitions": len(committed), "output": args.output}
+    ds = _stage(_read_input(args.input, args.max_docs, False))
     ds.write_parquet(args.output)
     return {"output": args.output}
 
@@ -429,6 +447,7 @@ def cmd_pack(args) -> dict:
     out = pack_sequences(
         ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
         text_col=args.text_column, id_col=args.id_column,
+        emit_tokens=args.emit_tokens,
     )
     out.write_parquet(args.output)
     return {"output": args.output}
@@ -754,6 +773,11 @@ def build_parser() -> argparse.ArgumentParser:
         "--signals-only", action="store_true",
         help="drop the content column from the output",
     )
+    cs.add_argument(
+        "--resume", action="store_true",
+        help="partition-per-input-shard manifest mode: rerun skips "
+        "committed partitions",
+    )
     cs.set_defaults(fn=cmd_code_signals)
 
     mx = sub.add_parser(
@@ -782,6 +806,11 @@ def build_parser() -> argparse.ArgumentParser:
     pk.add_argument("--text-column", default="content")
     pk.add_argument("--id-column", default="doc_id")
     pk.add_argument("--max-docs", type=int, default=None)
+    pk.add_argument(
+        "--emit-tokens", action="store_true",
+        help="emit the packed token-hash sequences (training samples),"
+        " not just the window summary",
+    )
     pk.set_defaults(fn=cmd_pack)
 
     ck = sub.add_parser(

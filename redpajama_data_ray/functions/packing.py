@@ -63,6 +63,7 @@ def pack_sequences(
     n_buckets: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    emit_tokens: bool = False,
 ) -> Dataset:
     """Pack ``ds`` into ``seq_len``-token windows per hash bucket.
 
@@ -70,7 +71,11 @@ def pack_sequences(
     the window inside its bucket stream), ``n_tokens`` (== seq_len
     except each bucket's final partial window), ``n_docs`` (documents
     overlapping the window), ``checksum`` (16-hex wrapping sum of the
-    window's token hashes, EOS sentinels included)."""
+    window's token hashes, EOS sentinels included). With
+    ``emit_tokens=True`` each row also carries ``token_hashes``
+    (list<uint64>) — the window's actual token-id sequence under the
+    crc32 hash vocabulary, i.e. ready-to-consume packed training
+    samples rather than a summary."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
@@ -97,7 +102,7 @@ def pack_sequences(
         )
         total = len(stream)
         if total == 0:
-            return _EMPTY_WINDOWS
+            return _empty_windows(emit_tokens)
         n_seqs = (total + seq_len - 1) // seq_len
         starts = np.arange(n_seqs, dtype=np.int64) * seq_len
         n_tokens = np.full(n_seqs, seq_len, dtype=np.int64)
@@ -117,23 +122,30 @@ def pack_sequences(
         last_doc = np.searchsorted(doc_starts, ends - 1, side="right") - 1
         n_docs = last_doc - first_doc + 1
 
-        return pa.table(
-            {
-                "bucket": pa.array(
-                    np.full(n_seqs, bucket, dtype=np.int32)
-                ),
-                "seq_idx": pa.array(np.arange(n_seqs, dtype=np.int64)),
-                "n_tokens": pa.array(n_tokens),
-                "n_docs": pa.array(n_docs.astype(np.int64)),
-                "checksum": pa.array(checksum, pa.string()),
-            }
-        )
+        cols = {
+            "bucket": pa.array(np.full(n_seqs, bucket, dtype=np.int32)),
+            "seq_idx": pa.array(np.arange(n_seqs, dtype=np.int64)),
+            "n_tokens": pa.array(n_tokens),
+            "n_docs": pa.array(n_docs.astype(np.int64)),
+            "checksum": pa.array(checksum, pa.string()),
+        }
+        if emit_tokens:
+            # zero-copy window slicing: one flat values buffer + the
+            # window offsets (no per-window python lists)
+            offsets = np.concatenate(
+                (starts, [total])
+            ).astype(np.int64)
+            cols["token_hashes"] = pa.LargeListArray.from_arrays(
+                pa.array(offsets, pa.int64()),
+                pa.array(stream, pa.uint64()),
+            )
+        return pa.table(cols)
 
     def _pack_block(t: pa.Table) -> pa.Table:
         """Pack every bucket present in this hash-partitioned block
         (a partition holds whole buckets, possibly several)."""
         if t.num_rows == 0:
-            return _EMPTY_WINDOWS
+            return _empty_windows(emit_tokens)
         buckets = t.column("pack_bucket").to_numpy(zero_copy_only=False)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
         texts = t.column(text_col).to_pylist()
@@ -187,12 +199,16 @@ def pack_sequences(
         ) = prev
 
 
-_EMPTY_WINDOWS = pa.table(
-    {
+def _empty_windows(emit_tokens: bool) -> pa.Table:
+    cols = {
         "bucket": pa.array([], pa.int32()),
         "seq_idx": pa.array([], pa.int64()),
         "n_tokens": pa.array([], pa.int64()),
         "n_docs": pa.array([], pa.int64()),
         "checksum": pa.array([], pa.string()),
     }
-)
+    if emit_tokens:
+        cols["token_hashes"] = pa.array(
+            [], pa.large_list(pa.uint64())
+        )
+    return pa.table(cols)

@@ -131,6 +131,149 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
 
 
 # ------------------------------------------------------------------
+# mergeable frequency sketch (Count-Min)
+# ------------------------------------------------------------------
+
+
+class CountMinSketch:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005): ``depth`` rows
+    of ``width`` counters; an item increments one counter per row,
+    ``estimate`` is the row-wise min (always >= the true count,
+    overshoot <= e*N/width with prob 1-e^-depth). Merge is elementwise
+    add — the bounded-memory path for token/heavy-hitter frequencies
+    when the exact histogram (831k distinct tokens at sf0.5, billions
+    at 100 TB) stops fitting a shuffle.
+
+    Row indices come from one blake2b-64 digest per item via
+    Kirsch-Mitzenmacher double hashing (idx_i = h1 + i*h2 mod width),
+    so sketches built anywhere from any batching merge consistently.
+    """
+
+    def __init__(
+        self,
+        depth: int = 4,
+        width: int = 1 << 16,
+        counts: Optional[np.ndarray] = None,
+    ):
+        if depth < 1 or width < 16:
+            raise ValueError("need depth >= 1 and width >= 16")
+        self.depth = depth
+        self.width = width
+        self.counts = (
+            counts.copy()
+            if counts is not None
+            else np.zeros((depth, width), dtype=np.uint64)
+        )
+
+    def _indices(self, items) -> np.ndarray:
+        h = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(_to_bytes(i), digest_size=8).digest(),
+                    "little",
+                )
+                for i in items
+            ),
+            dtype=np.uint64,
+        )
+        h1 = h & np.uint64(0xFFFFFFFF)
+        h2 = (h >> np.uint64(32)) | np.uint64(1)
+        rows = np.arange(self.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + rows * h2[None, :]) % np.uint64(self.width)).astype(
+            np.int64
+        )
+
+    def update(self, items, weights=None) -> "CountMinSketch":
+        items = list(items)
+        if not items:
+            return self
+        idx = self._indices(items)
+        w = (
+            np.ones(len(items), dtype=np.uint64)
+            if weights is None
+            else np.asarray(weights, dtype=np.uint64)
+        )
+        for r in range(self.depth):
+            np.add.at(self.counts[r], idx[r], w)
+        return self
+
+    def estimate(self, items) -> np.ndarray:
+        items = list(items)
+        if not items:
+            return np.array([], dtype=np.uint64)
+        idx = self._indices(items)
+        per_row = np.stack(
+            [self.counts[r][idx[r]] for r in range(self.depth)]
+        )
+        return per_row.min(axis=0)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        if (other.depth, other.width) != (self.depth, self.width):
+            raise ValueError("sketch shapes differ")
+        out = CountMinSketch(self.depth, self.width, self.counts)
+        out.counts += other.counts
+        return out
+
+    def to_bytes(self) -> bytes:
+        import struct
+
+        return struct.pack("<II", self.depth, self.width) + (
+            self.counts.tobytes()
+        )
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CountMinSketch":
+        import struct
+
+        depth, width = struct.unpack("<II", data[:8])
+        counts = np.frombuffer(data[8:], dtype=np.uint64).reshape(
+            depth, width
+        )
+        return cls(depth, width, counts.copy())
+
+
+def approx_token_counts(
+    ds,
+    text_col: str,
+    probes,
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> np.ndarray:
+    """CMS estimates for ``probes`` over the whitespace tokens of a
+    Dataset text column: one fixed-size sketch per batch (pre-counted
+    with np.unique so np.add.at touches each distinct token once),
+    merged on the driver — nothing token-scale ever shuffles."""
+    import re
+
+    import pyarrow as pa
+
+    from .code_signals import WS_REGEX_CLASS
+
+    token_re = re.compile(WS_REGEX_CLASS)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        cms = CountMinSketch(depth, width)
+        joined = "\n".join(
+            x or "" for x in t.column(text_col).to_pylist()
+        )
+        toks = token_re.findall(joined)
+        if toks:
+            uniq, cnt = np.unique(
+                np.asarray(toks, dtype=object), return_counts=True
+            )
+            cms.update(uniq.tolist(), cnt)
+        return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
+
+    merged = CountMinSketch(depth, width)
+    for b in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_size=1024, batch_format="pyarrow"
+    ):
+        for blob in b.column("sketch").to_pylist():
+            merged = merged.merge(CountMinSketch.from_bytes(blob))
+    return merged.estimate(probes)
+
+
+# ------------------------------------------------------------------
 # mergeable quantile sketch (log-bucketed histogram)
 # ------------------------------------------------------------------
 

@@ -1361,6 +1361,10 @@ ORACLE_SQL: Dict[str, str] = {
         select vec_id
         from read_parquet('/tmp/rpray_oracle/semdedup_docs.parquet')
     """,
+    "cms_token_counts": """
+        select token, est
+        from read_parquet('/tmp/rpray_oracle/cms_token_counts.parquet')
+    """,
     # fully independent recomputation over the corpus symlink (same
     # md5 content keying as functions/repostats.py — only equality of
     # digests matters)

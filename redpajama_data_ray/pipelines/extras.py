@@ -4,7 +4,7 @@ the flagship code-corpus pipeline. Each ``q_*`` first runs an
 independent sequential kernel (or a sequential driver-side pass of the
 deterministic stand-in model) that writes the expected parquet under
 /tmp/rpray_oracle; the paired ``oracle_sql`` entry reads it, so the
-driver's three-way check (rows+schema+hash) covers every query — 56/56
+driver's three-way check (rows+schema+hash) covers every query — 57/57
 SQL-oracled (even the HLL estimate and media stats are deterministic
 w.r.t. inputs, so sequential same-kernel passes oracle them exactly;
 their accuracy/roundtrip properties live in tests/)."""
@@ -1190,6 +1190,75 @@ def q_pack_sequences_docs(sf_dir: str) -> Dataset:
     return pack_sequences(ds, seq_len=256, n_buckets=8)
 
 
+def write_cms_oracle(sf_dir: str) -> str:
+    """Expected CMS token estimates via ONE sequential sketch over all
+    documents (merge is addition, so the distributed batch-wise build
+    is layout-independent and must agree exactly)."""
+    import re
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from ..functions.code_signals import WS_REGEX_CLASS
+    from ..functions.sketches import CountMinSketch
+
+    token_re = re.compile(WS_REGEX_CLASS)
+    _, texts, _ = _oracle_docs(sf_dir)
+    cms = CountMinSketch(4, 1 << 16)
+    all_tokens: list = []
+    for tx in texts:
+        all_tokens.extend(token_re.findall(tx or ""))
+    uniq, cnt = np.unique(
+        np.asarray(all_tokens, dtype=object), return_counts=True
+    )
+    cms.update(uniq.tolist(), cnt)
+    probes = sorted(uniq.tolist())
+    est = cms.estimate(probes)
+    out = _oracle_path(sf_dir, "cms_token_counts")
+    pq.write_table(
+        pa.table(
+            {
+                "token": pa.array(probes, pa.string()),
+                "est": pa.array(est.astype("int64"), pa.int64()),
+            }
+        ),
+        out,
+    )
+    return out
+
+
+def q_cms_token_counts(sf_dir: str) -> "pa.Table":
+    """Count-Min token-frequency estimates (functions/sketches.py
+    CountMinSketch): one fixed-size sketch per batch, driver merge,
+    probe the corpus's distinct tokens. SQL-oracled against one
+    sequential sketch (write_cms_oracle) — addition-merge makes the
+    distributed build layout-independent."""
+    import re
+
+    import numpy as np
+
+    from ..functions.code_signals import WS_REGEX_CLASS
+    from ..functions.sketches import approx_token_counts
+
+    write_cms_oracle(sf_dir)
+    # deterministic probe list (input-derived; at 100 TB you'd probe a
+    # fixed external candidate list instead of the full vocabulary)
+    token_re = re.compile(WS_REGEX_CLASS)
+    _, texts, _ = _oracle_docs(sf_dir)
+    vocab: set = set()
+    for tx in texts:
+        vocab.update(token_re.findall(tx or ""))
+    probes = sorted(vocab)
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    est = approx_token_counts(ds, "text", probes)
+    return pa.table(
+        {
+            "token": pa.array(probes, pa.string()),
+            "est": pa.array(np.asarray(est).astype("int64"), pa.int64()),
+        }
+    )
+
+
 def _refresh_code_corpus_link(sf_dir: str) -> str:
     """Synthesize (cached) the code corpus for this sf and expose it at
     the stable /tmp symlink the static oracle SQL reads."""
@@ -1242,6 +1311,7 @@ def q_repo_stats(sf_dir: str) -> "pa.Table":
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
     "repo_stats": q_repo_stats,
+    "cms_token_counts": q_cms_token_counts,
     "semdedup_docs": q_semdedup_docs,
     "pack_sequences_docs": q_pack_sequences_docs,
     "substring_dedup_docs": q_substring_dedup_docs,

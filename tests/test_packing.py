@@ -117,6 +117,40 @@ def test_empty_and_whitespace_docs_become_eos_only():
     assert out.n_docs.iloc[0] == 3
 
 
+def test_emit_tokens_real_sequences():
+    rng = np.random.default_rng(9)
+    words = ["alpha", "beta", "gamma", "x1"]
+    docs = [
+        (i, " ".join(rng.choice(words, size=rng.integers(0, 20))))
+        for i in range(40)
+    ]
+    out = (
+        pack_sequences(_ds(docs), seq_len=16, n_buckets=2, emit_tokens=True)
+        .to_pandas()
+        .sort_values(["bucket", "seq_idx"])
+    )
+    # windows carry the actual token-id arrays, consistent with both
+    # the summary columns and an independent stream reconstruction
+    for r in out.itertuples():
+        toks = np.asarray(r.token_hashes, dtype=np.uint64)
+        assert len(toks) == r.n_tokens
+        assert format(int(toks.sum(dtype=np.uint64)), "016x") == r.checksum
+    for b in (0, 1):
+        grp = out[out.bucket == b].sort_values("seq_idx")
+        stream = np.concatenate([
+            np.asarray(t, dtype=np.uint64) for t in grp.token_hashes
+        ])
+        expect = []
+        members = sorted(
+            (d, t) for d, t in docs
+            if zlib.crc32(str(d).encode()) % 2 == b
+        )
+        for d, t in members:
+            expect.extend(zlib.crc32(w.encode()) for w in t.split())
+            expect.append(zlib.crc32(EOS_TOKEN.encode()))
+        assert stream.tolist() == expect
+
+
 def test_rejects_bad_seq_len():
     with pytest.raises(ValueError):
         pack_sequences(_ds([(1, "a")]), seq_len=0)

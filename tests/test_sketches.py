@@ -134,3 +134,77 @@ class TestLogHistogramQuantiles:
         assert sk["n_samples"] == exact["n_samples"]
         for k in ("head_threshold", "middle_threshold"):
             assert abs(sk[k] - exact[k]) / exact[k] < 0.03, (k, exact, sk)
+
+
+class TestCountMin:
+    def test_overestimates_and_bounds(self):
+        import numpy as np
+
+        from redpajama_data_ray.functions.sketches import CountMinSketch
+
+        rng = np.random.default_rng(0)
+        # zipf-ish stream over 5k distinct items
+        items = [f"tok{int(i)}" for i in rng.zipf(1.3, size=40_000) % 5000]
+        from collections import Counter
+
+        truth = Counter(items)
+        cms = CountMinSketch(4, 1 << 14)
+        uniq = sorted(truth)
+        cms.update(uniq, [truth[u] for u in uniq])
+        est = cms.estimate(uniq)
+        true = np.array([truth[u] for u in uniq])
+        assert (est >= true).all()  # CMS never undercounts
+        # standard bound: overshoot <= e*N/width (w.h.p. at depth 4)
+        n = sum(truth.values())
+        assert (est - true).max() <= np.e * n / (1 << 14) * 4
+
+    def test_merge_equals_single_pass_and_roundtrip(self):
+        import numpy as np
+
+        from redpajama_data_ray.functions.sketches import CountMinSketch
+
+        a = CountMinSketch(4, 1 << 12).update(["x", "y", "x"])
+        b = CountMinSketch(4, 1 << 12).update(["y", "z"])
+        single = CountMinSketch(4, 1 << 12).update(
+            ["x", "y", "x", "y", "z"]
+        )
+        merged = a.merge(b)
+        assert np.array_equal(merged.counts, single.counts)
+        back = CountMinSketch.from_bytes(merged.to_bytes())
+        assert np.array_equal(back.counts, merged.counts)
+        assert list(back.estimate(["x", "y", "z"])) == list(
+            merged.estimate(["x", "y", "z"])
+        )
+
+    def test_distributed_layout_independent(self):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from redpajama_data_ray.functions.sketches import (
+            approx_token_counts,
+        )
+
+        texts = [f"alpha beta tok{i % 7} gamma" for i in range(300)]
+        t = pa.table({"text": pa.array(texts, pa.string())})
+        probes = ["alpha", "beta", "gamma", "tok0", "missing"]
+        a = approx_token_counts(rd.from_arrow(t), "text", probes)
+        b = approx_token_counts(
+            rd.from_arrow(t).repartition(11), "text", probes
+        )
+        assert np.array_equal(a, b)
+        # exact on this tiny vocab (no collisions at width 2^16)
+        assert list(a[:3]) == [300, 300, 300]
+        assert a[4] == 0
+
+    def test_shape_validation(self):
+        import pytest
+
+        from redpajama_data_ray.functions.sketches import CountMinSketch
+
+        with pytest.raises(ValueError):
+            CountMinSketch(0, 1 << 10)
+        with pytest.raises(ValueError):
+            CountMinSketch(4, 8)
+        with pytest.raises(ValueError):
+            CountMinSketch(4, 1 << 10).merge(CountMinSketch(4, 1 << 11))
