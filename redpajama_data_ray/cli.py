@@ -468,10 +468,34 @@ def cmd_chunk(args) -> dict:
 
 
 def cmd_vocab(args) -> dict:
-    """Corpus token histogram (functions/vocab.py)."""
+    """Corpus token histogram (functions/vocab.py); with --state-dir,
+    counts accumulate across committed runs (incremental vocab)."""
     from .functions.vocab import token_frequencies
 
     ds = _read_input(args.input, args.max_docs, False)
+    if args.state_dir:
+        from .state.incremental import (
+            commit_run_token_counts,
+            incremental_vocab,
+            seen_vocab_rows,
+        )
+
+        totals, run_id, run_counts = incremental_vocab(
+            ds, args.state_dir, text_col=args.text_column,
+            run_id=args.run_id, lowercase=args.lowercase,
+            min_count=args.min_count, top_k=args.top_k,
+        )
+        totals.write_parquet(args.output)  # data first, then state
+        commit_run_token_counts(
+            run_counts, args.state_dir, run_id, args.lowercase
+        )
+        return {
+            "output": args.output,
+            "run_id": run_id,
+            "state_rows": seen_vocab_rows(
+                args.state_dir, args.lowercase
+            ),
+        }
     out = token_frequencies(
         ds, text_col=args.text_column, min_count=args.min_count,
         top_k=args.top_k, lowercase=args.lowercase,
@@ -834,6 +858,12 @@ def build_parser() -> argparse.ArgumentParser:
     vb.add_argument("--top-k", type=int, default=None)
     vb.add_argument("--lowercase", action="store_true")
     vb.add_argument("--max-docs", type=int, default=None)
+    vb.add_argument(
+        "--state-dir", default=None,
+        help="incremental mode: token counts accumulate across "
+        "committed runs",
+    )
+    vb.add_argument("--run-id", default=None)
     vb.set_defaults(fn=cmd_vocab)
 
     sd = sub.add_parser(

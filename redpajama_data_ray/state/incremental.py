@@ -538,9 +538,14 @@ def _commit_counts(
     if tables:
         t = pa.concat_tables(tables)
     else:
+        # keep the key's real type (int64 line/fp keys, string tokens)
+        try:
+            key_type = run_counts.schema().base_schema.field(key_col).type
+        except Exception:
+            key_type = pa.int64()
         t = pa.table(
             {
-                key_col: pa.array([], pa.int64()),
+                key_col: pa.array([], key_type),
                 "cnt": pa.array([], pa.int64()),
             }
         )
@@ -763,5 +768,88 @@ def compact_fingerprint_state(
     """Merge per-run fingerprint-count files past ``max_files``."""
     return _compact_counts(
         state_dir, "substrings", _fp_format(k, winnow_w), "fp",
+        max_files,
+    )
+
+
+# ------------------------------------------------------------------
+# incremental cross-run vocabulary (token counts)
+# ------------------------------------------------------------------
+
+
+def _vocab_format(lowercase: bool) -> str:
+    return f"token-ws-ascii-v1-lc{int(lowercase)}"
+
+
+def seen_vocab_rows(state_dir: str, lowercase: bool = False) -> int:
+    """Committed (token, cnt) PARTIAL rows (>= distinct tokens until
+    compaction merges split keys)."""
+    return _seen_counts(state_dir, "vocab", _vocab_format(lowercase))
+
+
+def incremental_vocab(
+    ds: Dataset,
+    state_dir: str,
+    text_col: str = "text",
+    run_id: Optional[str] = None,
+    lowercase: bool = False,
+    min_count: int = 1,
+    top_k: Optional[int] = None,
+) -> "Tuple[Dataset, str, Dataset]":
+    """Cross-run token histogram: counts accumulate over THIS snapshot
+    plus every committed run, so a tokenizer/vocab build over a growing
+    corpus never re-reads old text — each snapshot contributes one
+    fixed-width ``(token, cnt)`` partial file.
+
+    Returns ``(totals, run_id, run_counts)``; write your data output
+    first, then pass ``run_counts`` to :func:`commit_run_token_counts`
+    (the crash-safe order every incremental variant uses)."""
+    import ray.data as rd
+
+    from ..dedupe.combine import combine_counts
+    from ..functions.vocab import token_count_partials
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+
+    run_counts = token_count_partials(
+        ds, text_col, lowercase
+    ).materialize()
+    files = _counts_files(state_dir, "vocab", _vocab_format(lowercase))
+    total = (
+        run_counts.union(rd.read_parquet(files)) if files else run_counts
+    )
+    combined = combine_counts(total, key="token")
+    if min_count > 1:
+        combined = combined.filter(expr=f"cnt >= {int(min_count)}")
+    if top_k is not None:
+        combined = combined.sort(
+            ["cnt", "token"], descending=[True, False]
+        ).limit(int(top_k))
+    return combined, run_id, run_counts
+
+
+def commit_run_token_counts(
+    run_counts: Dataset,
+    state_dir: str,
+    run_id: str,
+    lowercase: bool = False,
+) -> str:
+    """Append one run's ``(token, cnt)`` partials (atomic rename;
+    rerunning the same run_id overwrites)."""
+    return _commit_counts(
+        run_counts, state_dir, run_id, "vocab",
+        _vocab_format(lowercase), "token",
+    )
+
+
+def compact_vocab_state(
+    state_dir: str, max_files: int = 16, lowercase: bool = False
+) -> int:
+    """Merge per-run vocab files past ``max_files``."""
+    return _compact_counts(
+        state_dir, "vocab", _vocab_format(lowercase), "token",
         max_files,
     )

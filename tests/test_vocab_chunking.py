@@ -79,6 +79,96 @@ def test_vocab_lowercase():
     assert dict(zip(out.token, out.cnt)) == {"the": 3}
 
 
+def test_incremental_vocab_accumulates(tmp_path):
+    import pytest
+
+    from redpajama_data_ray.state.incremental import (
+        commit_run_token_counts,
+        compact_vocab_state,
+        incremental_vocab,
+        seen_vocab_rows,
+    )
+
+    state = str(tmp_path / "state")
+    # run 1: 'rare' appears once — below min_count 2
+    t1, r1, c1 = incremental_vocab(
+        _ds(["common rare", "common x"]), state, min_count=2
+    )
+    got1 = dict(zip(*[t1.to_pandas()[k] for k in ("token", "cnt")]))
+    assert got1 == {"common": 2}
+    commit_run_token_counts(c1, state, r1)
+    assert seen_vocab_rows(state) > 0
+
+    # run 2: one more 'rare' — combined count reaches 2 without
+    # re-reading run 1's text
+    t2, r2, c2 = incremental_vocab(
+        _ds(["rare y common"]), state, min_count=2
+    )
+    got2 = dict(zip(*[t2.to_pandas()[k] for k in ("token", "cnt")]))
+    assert got2 == {"common": 3, "rare": 2}
+    commit_run_token_counts(c2, state, r2)
+
+    # compaction preserves totals
+    compact_vocab_state(state, max_files=1)
+    t3, _, _ = incremental_vocab(_ds([""]), state, min_count=2)
+    got3 = dict(zip(*[t3.to_pandas()[k] for k in ("token", "cnt")]))
+    assert got3 == {"common": 3, "rare": 2}
+
+    # format guard: lowercase state is a different key scheme
+    with pytest.raises(ValueError):
+        incremental_vocab(_ds(["a"]), state, lowercase=True)
+
+
+def test_cli_vocab_incremental(tmp_path, capsys):
+    import json
+
+    import pyarrow.parquet as pq
+    import ray.data
+    from redpajama_data_ray.cli import main
+
+    d = tmp_path / "in1"
+    d.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1], pa.int64()),
+                "text": pa.array(["alpha alpha beta"], pa.string()),
+            }
+        ),
+        str(d / "a.parquet"),
+    )
+    out1 = str(tmp_path / "o1")
+    state = str(tmp_path / "st")
+    assert main(
+        ["vocab", "--input", str(d), "--output", out1,
+         "--text-column", "text", "--state-dir", state,
+         "--run-id", "r1"]
+    ) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    d2 = tmp_path / "in2"
+    d2.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([2], pa.int64()),
+                "text": pa.array(["beta gamma"], pa.string()),
+            }
+        ),
+        str(d2 / "a.parquet"),
+    )
+    out2 = str(tmp_path / "o2")
+    assert main(
+        ["vocab", "--input", str(d2), "--output", out2,
+         "--text-column", "text", "--state-dir", state,
+         "--run-id", "r2"]
+    ) == 0
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = ray.data.read_parquet(out2).to_pandas()
+    assert dict(zip(got.token, got.cnt)) == {
+        "alpha": 2, "beta": 2, "gamma": 1
+    }
+
+
 def test_chunk_chars_naive_parity():
     texts = ["abcdefghij" * 7, "short", "", "x" * 10]
     out = (
