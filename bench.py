@@ -247,7 +247,7 @@ def _finish(timings, headline, sf, ncpu, n_files, out_dir) -> dict:
     return result
 
 
-def _scaling(sf_dir: str) -> dict:
+def _scaling(sf_dir: str, pairs: int = 1) -> dict:
     lo, hi = 8, 32
 
     def run(ncpu: int) -> dict:
@@ -266,17 +266,37 @@ def _scaling(sf_dir: str) -> dict:
 
     # each leg is one fresh process whose flagship is best-of-2
     # IN-PROCESS (second run reuses warm workers) — min-of-N as the
-    # low-noise wall-clock estimator, identical policy for both legs
-    r_lo = run(lo)
-    r_hi = run(hi)
-    t_lo, t_hi = r_lo["value"], r_hi["value"]
-    eff = (t_lo / t_hi) / (hi / lo)
+    # low-noise wall-clock estimator, identical policy for both legs.
+    # With --pairs N the A/B is run N times back-to-back and the
+    # MEDIAN per-pair efficiency is the headline: on a shared host a
+    # single pair conflates neighbor load (contends a leg) and turbo
+    # clocks (flatters the small leg) — the per-pair list makes a
+    # disturbed leg visible instead of silently poisoning the ratio.
+    results = []
+    for _ in range(max(1, pairs)):
+        r_lo = run(lo)
+        r_hi = run(hi)
+        t_lo, t_hi = r_lo["value"], r_hi["value"]
+        results.append((r_lo, r_hi, (t_lo / t_hi) / (hi / lo)))
+    effs = sorted(e for _, _, e in results)
+    median = effs[len(effs) // 2] if len(effs) % 2 else (
+        (effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2
+    )
+    r_lo, r_hi, _ = min(results, key=lambda t: abs(t[2] - median))
     return {
         "metric": "scaling_efficiency",
-        "value": round(eff, 3),
+        "value": round(median, 3),
         "unit": "ratio",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
+        "pairs": [
+            {
+                "sec_8": a["value"],
+                "sec_32": b["value"],
+                "efficiency": round(e, 3),
+            }
+            for a, b, e in results
+        ],
+        "sec_8": r_lo["value"],
+        "sec_32": r_hi["value"],
         "files_per_sec_8": r_lo["files_per_sec"],
         "files_per_sec_32": r_hi["files_per_sec"],
         "sf": r_lo["sf"],
@@ -321,7 +341,10 @@ def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
-        print(json.dumps(_scaling(sf_dir)))
+        pairs = 1
+        if "--pairs" in sys.argv:
+            pairs = int(sys.argv[sys.argv.index("--pairs") + 1])
+        print(json.dumps(_scaling(sf_dir, pairs)))
         return
     if "--stats" in sys.argv:
         _stats(sf_dir, ncpu)
