@@ -23,7 +23,7 @@ assignment (one C digest per row, batched in one arrow pass).
 from __future__ import annotations
 
 import hashlib
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 import pyarrow as pa

@@ -29,7 +29,6 @@ import ray
 from ray.data import Dataset
 from ray.data.aggregate import Count, Max, Sum
 
-from ..dedupe.apply import broadcast_sorted, membership_mask
 from ..dedupe.combine import dup_keys_from_partials
 
 

@@ -21,7 +21,7 @@ sinks it as JSONL via ``Dataset.write_json`` (gzip at scale is a writer
 from __future__ import annotations
 
 import json
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import pyarrow as pa
 from ray.data import Dataset
