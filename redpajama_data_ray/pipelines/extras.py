@@ -11,6 +11,8 @@ their accuracy/roundtrip properties live in tests/)."""
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
 import ray.data as rd
 from ray.data import Dataset
@@ -102,7 +104,10 @@ def _docs_with_ids(sf_dir: str) -> Dataset:
 # check (rows+schema+hash) now covers these formerly rows-only queries.
 # ------------------------------------------------------------------
 
-_ORACLE_DIR = "/tmp/rpray_oracle"
+# Keep in sync with analysis._ORACLE_DIR: the ORACLE_SQL strings bake
+# this path in at import time, and the writers here must target the
+# same dir. Env override isolates concurrent runs (race-safety).
+_ORACLE_DIR = os.environ.get("RPRAY_ORACLE_DIR", "/tmp/rpray_oracle")
 
 
 def _seq_banded_signatures(text: str, perms_a, perms_b, hashranges):

@@ -1,17 +1,25 @@
 """Driver-gate pre-flight: run every queries() entry at sf0.01 and its
 oracle_sql() in DuckDB (tables registered as views), compare rows,
 sorted-column schema and values the way the driver does."""
+import os
 import sys
+import tempfile
 import time
+
+# per-run oracle dir BEFORE the package import bakes paths into
+# ORACLE_SQL — two concurrent preflight runs (or preflight + pytest)
+# no longer race on /tmp/rpray_oracle
+os.environ.setdefault(
+    "RPRAY_ORACLE_DIR", tempfile.mkdtemp(prefix="rpray_oracle_preflight_")
+)
 
 import duckdb
 import numpy as np
-import pandas as pd
+import pandas as pd  # noqa: F401
 import ray
 
 ray.init(address="local", num_cpus=32, include_dashboard=False,
          logging_level="ERROR")
-import os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import __ray_entry__ as entry  # noqa: E402
 
@@ -42,8 +50,13 @@ def canon(df):
     df = df[cols].copy()
     for c in cols:
         if df[c].dtype == object:
+            # normalize list-valued cells: numpy-array repr ('[1 2 3]')
+            # vs python-list repr ('[1, 2, 3]') must not FAIL the
+            # compare; order is semantic, so no sort
             df[c] = df[c].map(
-                lambda v: str(sorted(v)) if isinstance(v, (list, np.ndarray)) and False else str(v)
+                lambda v: str(list(v))
+                if isinstance(v, (list, np.ndarray))
+                else str(v)
             )
     return df.sort_values(cols).reset_index(drop=True)
 

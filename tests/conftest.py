@@ -1,4 +1,12 @@
 import os
+import tempfile
+
+# Per-run oracle dir (must be set before the package is imported: the
+# ORACLE_SQL strings bake the path in at import time). Isolates this
+# pytest run from a concurrent gate_preflight / driver run.
+os.environ.setdefault(
+    "RPRAY_ORACLE_DIR", tempfile.mkdtemp(prefix="rpray_oracle_pytest_")
+)
 
 import pytest
 import ray
