@@ -82,6 +82,33 @@ def _read_input(
     return ds
 
 
+def _write_then_reread(out, output_dir: str, columns: Optional[List[str]]):
+    """Consume a pipeline with ``write_parquet`` (streaming, nothing
+    pinned in the object store) and return a column-pruned re-read of
+    the written files for cheap post-hoc aggregates / state commits.
+
+    Replaces the old ``out.materialize()``-before-write pattern, which
+    pinned the ENTIRE output in the object store — at 100 TB that is
+    spill churn proportional to the whole corpus. Refuses to write
+    into a dir that already holds parquet (the re-read would silently
+    mix runs).
+    """
+    import glob
+
+    import ray.data as rd
+
+    if os.path.isdir(output_dir) and glob.glob(
+        os.path.join(output_dir, "*.parquet")
+    ):
+        raise SystemExit(
+            f"output dir {output_dir} already contains parquet files; "
+            "use a fresh directory per run (resume goes through "
+            "--state-dir / --resume, not output reuse)"
+        )
+    out.write_parquet(output_dir)
+    return rd.read_parquet(output_dir, columns=columns)
+
+
 def cmd_quality(args) -> dict:
     from .pipelines.outputs import write_outputs
     from .pipelines.quality import QualityConfig, annotate
@@ -144,11 +171,13 @@ def cmd_dedup_exact(args) -> dict:
             run_id=args.run_id,
             approximate=args.approximate,
         )
-        out = out.materialize()  # write data THEN commit state
-        out.write_parquet(args.output)
-        commit_run_keys(out, args.state_dir, run_id, key=args.key)
+        # write data THEN commit state — commit reads only the key
+        # column back from the written files, nothing corpus-sized
+        # is ever materialized
+        written = _write_then_reread(out, args.output, [args.key])
+        commit_run_keys(written, args.state_dir, run_id, key=args.key)
         return {
-            "rows": out.count(),
+            "rows": written.count(),
             "output": args.output,
             "run_id": run_id,
             "state_keys": seen_key_count(args.state_dir),
@@ -176,11 +205,14 @@ def cmd_dedup_fuzzy(args) -> dict:
             ds, args.state_dir, sig_column=args.signature,
             run_id=args.run_id,
         )
-        out = out.materialize()  # write data THEN commit state
-        out.write_parquet(args.output)
-        commit_run_bands(out, args.state_dir, run_id, args.signature)
+        # write data THEN commit state from a narrow (id, bands)
+        # re-read of the written output
+        written = _write_then_reread(
+            out, args.output, ["id_int", args.signature]
+        )
+        commit_run_bands(written, args.state_dir, run_id, args.signature)
         return {
-            "rows": out.count(),
+            "rows": written.count(),
             "output": args.output,
             "run_id": run_id,
             "state_bands": seen_band_count(args.state_dir),
@@ -267,13 +299,16 @@ def cmd_dedup_lines(args) -> dict:
             distributed=distributed,
             sep=sep,
         )
-        out = out.materialize()  # write data THEN commit state
-        out.write_parquet(args.output)
+        # write first; state commit uses the independent run_counts
+        # partials, and the report stats come from a 1-column re-read
+        written = _write_then_reread(
+            out, args.output, ["n_lines_removed"]
+        )
         commit_run_line_counts(run_counts, args.state_dir, run_id)
         compact_line_state(args.state_dir)
         return {
-            "rows": out.count(),
-            "lines_removed": int(out.sum("n_lines_removed")),
+            "rows": written.count(),
+            "lines_removed": int(written.sum("n_lines_removed")),
             "output": args.output,
             "run_id": run_id,
             "state_lines": seen_line_count(args.state_dir),
@@ -285,11 +320,11 @@ def cmd_dedup_lines(args) -> dict:
         min_count=args.min_count,
         distributed=distributed,
         sep=sep,
-    ).materialize()
-    out.write_parquet(args.output)
+    )
+    written = _write_then_reread(out, args.output, ["n_lines_removed"])
     return {
-        "rows": out.count(),
-        "lines_removed": int(out.sum("n_lines_removed")),
+        "rows": written.count(),
+        "lines_removed": int(written.sum("n_lines_removed")),
         "output": args.output,
     }
 
@@ -320,8 +355,7 @@ def cmd_dedup_spans(args) -> dict:
             run_id=args.run_id,
             distributed=distributed,
         )
-        out = out.materialize()  # write data THEN commit state
-        out.write_parquet(args.output)
+        written = _write_then_reread(out, args.output, ["n_dup_spans"])
         commit_run_fingerprint_counts(
             run_counts, args.state_dir, run_id,
             k=args.k, winnow_w=args.winnow_w,
@@ -330,8 +364,8 @@ def cmd_dedup_spans(args) -> dict:
             args.state_dir, k=args.k, winnow_w=args.winnow_w
         )
         return {
-            "rows": out.count(),
-            "dup_spans_total": int(out.sum("n_dup_spans")),
+            "rows": written.count(),
+            "dup_spans_total": int(written.sum("n_dup_spans")),
             "output": args.output,
             "run_id": run_id,
             "state_fingerprints": seen_fingerprint_count(
@@ -346,12 +380,16 @@ def cmd_dedup_spans(args) -> dict:
         winnow_w=args.winnow_w,
         mode=args.mode,
         distributed=distributed,
-    ).materialize()
-    out.write_parquet(args.output)
+    )
+    written = _write_then_reread(
+        out, args.output, ["n_dup_spans", "dup_char_frac"]
+    )
     return {
-        "rows": out.count(),
-        "dup_spans_total": int(out.sum("n_dup_spans")),
-        "dup_char_frac_mean": round(float(out.mean("dup_char_frac")), 6),
+        "rows": written.count(),
+        "dup_spans_total": int(written.sum("n_dup_spans")),
+        "dup_char_frac_mean": round(
+            float(written.mean("dup_char_frac")), 6
+        ),
         "output": args.output,
     }
 
@@ -369,11 +407,14 @@ def cmd_decontaminate(args) -> dict:
         text_col=args.text_col,
         n=args.ngram,
         mode=args.mode,
-    ).materialize()
-    out.write_parquet(args.output)
-    result = {"rows": out.count(), "output": args.output}
+    )
+    cols = (
+        ["contaminated"] if args.mode == "annotate" else [args.text_col]
+    )
+    written = _write_then_reread(out, args.output, cols)
+    result = {"rows": written.count(), "output": args.output}
     if args.mode == "annotate":
-        result["contaminated"] = int(out.sum("contaminated") or 0)
+        result["contaminated"] = int(written.sum("contaminated") or 0)
     return result
 
 

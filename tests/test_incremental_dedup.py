@@ -142,6 +142,41 @@ def test_cli_incremental(tmp_path, capsys):
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["rows"] == 1 and r2["state_keys"] == 4  # only "d" new
 
+    # the state commit is derived from the WRITTEN parquet (no
+    # corpus-sized materialize on the CLI path): committed keys must
+    # equal the union of keys in the written outputs
+    import glob
+
+    import pyarrow.parquet as pqr
+
+    written = set()
+    for d in ("o1", "o2"):
+        for f in glob.glob(str(tmp_path / d / "*.parquet")):
+            written.update(
+                pqr.read_table(f, columns=["content_sha256"])
+                .column("content_sha256")
+                .to_pylist()
+            )
+    state_keys = set()
+    for f in glob.glob(str(tmp_path / "state" / "keys" / "*.parquet")):
+        state_keys.update(
+            pqr.read_table(f).column("key").to_pylist()
+        )
+    assert state_keys == written == {"a", "b", "c", "d"}
+
+    # reusing a non-empty output dir must be refused (the state commit
+    # re-reads the written files; mixing runs would corrupt it)
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(
+            [
+                "dedup-exact", "--input", str(src2),
+                "--output", str(tmp_path / "o2"), "--state-dir", state,
+                "--run-id", "r3",
+            ]
+        )
+
 
 # ---------------- incremental FUZZY dedup ----------------
 
