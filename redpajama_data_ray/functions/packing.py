@@ -64,6 +64,7 @@ def pack_sequences(
     text_col: str = "text",
     id_col: str = "doc_id",
     emit_tokens: bool = False,
+    validate: bool = True,
 ) -> Dataset:
     """Pack ``ds`` into ``seq_len``-token windows per hash bucket.
 
@@ -179,7 +180,7 @@ def pack_sequences(
     if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
         ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
     try:
-        return (
+        packed = (
             bucketized.repartition(
                 min(n_buckets, auto_partitions()),
                 keys=["pack_bucket"],
@@ -192,11 +193,42 @@ def pack_sequences(
             )
             .materialize()
         )
+        if validate:
+            _check_no_split_buckets(packed)
+        return packed
     finally:
         (
             ctx.shuffle_strategy,
             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
         ) = prev
+
+
+def _check_no_split_buckets(packed: Dataset) -> None:
+    """Packing is only correct if each hash-shuffled partition reached
+    ``_pack_block`` as ONE block (a bucket split across blocks would be
+    packed as two independent streams, silently emitting duplicate
+    ``(bucket, seq_idx)`` windows). Ray 2.49's hash-shuffle aggregator
+    finalizes exactly one block per partition (Concat.finalize,
+    hash_shuffle.py — with a TODO to split large blocks later; Ray's
+    own GroupedData.map_groups relies on the same invariant), so this
+    guard is cheap insurance against a future Ray changing that: a
+    two-int-column groupby over the small window-summary table."""
+    n = packed.count()
+    distinct = (
+        packed.select_columns(["bucket", "seq_idx"])
+        .groupby(["bucket", "seq_idx"])
+        .count()
+        .count()
+    )
+    if distinct != n:
+        raise RuntimeError(
+            f"pack_sequences produced {n - distinct} duplicate "
+            "(bucket, seq_idx) windows: a pack bucket was split across "
+            "blocks by the shuffle (Ray's hash-shuffle no longer emits "
+            "one block per partition). Re-run with more n_buckets or "
+            "disable validation only if duplicates are handled "
+            "downstream."
+        )
 
 
 def _empty_windows(emit_tokens: bool) -> pa.Table:

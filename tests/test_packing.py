@@ -151,6 +151,26 @@ def test_emit_tokens_real_sequences():
         assert stream.tolist() == expect
 
 
+def test_split_bucket_guard():
+    # the post-pack validator must trip on duplicate (bucket, seq_idx)
+    # windows — the symptom of a pack bucket split across shuffle
+    # blocks (ADVICE r3; Ray 2.49 emits one block per hash partition,
+    # this guards the invariant against future Ray changes)
+    from redpajama_data_ray.functions.packing import (
+        _check_no_split_buckets,
+    )
+
+    ok = rd.from_arrow(
+        pa.table({"bucket": [0, 0, 1], "seq_idx": [0, 1, 0]})
+    )
+    _check_no_split_buckets(ok)  # no raise
+    dup = rd.from_arrow(
+        pa.table({"bucket": [0, 0, 1], "seq_idx": [0, 0, 0]})
+    )
+    with pytest.raises(RuntimeError, match="split across"):
+        _check_no_split_buckets(dup)
+
+
 def test_rejects_bad_seq_len():
     with pytest.raises(ValueError):
         pack_sequences(_ds([(1, "a")]), seq_len=0)
