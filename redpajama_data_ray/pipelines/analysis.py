@@ -515,8 +515,6 @@ def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
 def q_top_orders_per_segment(sf_dir: str) -> "pa.Table":
     """Grouped top-k (window-function shape): the 3 highest-value orders
     per market segment via broadcast join + groupby().map_groups."""
-    import pandas as pd
-
     cust = rd.read_parquet(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
@@ -537,15 +535,20 @@ def q_top_orders_per_segment(sf_dir: str) -> "pa.Table":
             }
         )
 
-    def top3(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(
-            ["o_totalprice", "o_orderkey"], ascending=[False, True]
-        ).head(3)
+    def top3(g: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            g,
+            sort_keys=[
+                ("o_totalprice", "descending"),
+                ("o_orderkey", "ascending"),
+            ],
+        )
+        return g.take(idx[:3])
 
     out = (
         orders.map_batches(join, batch_format="pyarrow")
         .groupby("mktsegment")
-        .map_groups(top3, batch_format="pandas")
+        .map_groups(top3, batch_format="pyarrow")
         .to_pandas()
     )
     out["o_totalprice"] = out["o_totalprice"].round(2)
@@ -671,10 +674,9 @@ def q_events_sliding_1h(sf_dir: str) -> "pa.Table":
 def q_events_orders_asof(sf_dir: str) -> "pa.Table":
     """As-of join: for each event, the most recent order date of the
     same customer at or before the event time (bucket both sides by
-    key, pandas merge_asof within groups — the RD-native as-of shape).
-    Output timestamps as epoch microseconds for engine-neutral compare."""
-    import pandas as pd
-
+    key, vectorized searchsorted within groups — the RD-native as-of
+    shape). Output timestamps as epoch microseconds for engine-neutral
+    compare."""
     events = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"]
     )
@@ -705,32 +707,40 @@ def q_events_orders_asof(sf_dir: str) -> "pa.Table":
         orders.map_batches(tag_orders, batch_format="pyarrow")
     )
 
-    def asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g.event_id.notna()].sort_values("when_us")
-        od = g[g.event_id.isna()].sort_values("when_us")
-        if ev.empty or od.empty:
-            return pd.DataFrame(
-                {"event_id": pd.Series([], dtype="int64"),
-                 "order_date_us": pd.Series([], dtype="int64")}
-            )
-        merged = pd.merge_asof(
-            ev[["when_us", "event_id"]],
-            od[["when_us"]].rename(columns={"when_us": "order_date_us"}),
-            left_on="when_us",
-            right_on="order_date_us",
-            direction="backward",
-        )
-        merged = merged[merged.order_date_us.notna()]
-        return pd.DataFrame(
+    def asof(g: pa.Table) -> pa.Table:
+        # events = rows with event_id; orders = null event_id; the
+        # backward as-of is one searchsorted against the sorted order
+        # timeline (no pandas conversion)
+        is_ev = pc.is_valid(g.column("event_id"))
+        ev = g.filter(is_ev)
+        od = g.filter(pc.invert(is_ev))
+        empty = pa.table(
             {
-                "event_id": merged.event_id.astype("int64"),
-                "order_date_us": merged.order_date_us.astype("int64"),
+                "event_id": pa.array([], pa.int64()),
+                "order_date_us": pa.array([], pa.int64()),
+            }
+        )
+        if ev.num_rows == 0 or od.num_rows == 0:
+            return empty
+        ev_when = ev.column("when_us").to_numpy(zero_copy_only=False)
+        ev_id = ev.column("event_id").to_numpy(zero_copy_only=False)
+        od_when = np.sort(
+            od.column("when_us").to_numpy(zero_copy_only=False)
+        )
+        pos = np.searchsorted(od_when, ev_when, side="right") - 1
+        keep = pos >= 0
+        return pa.table(
+            {
+                "event_id": pa.array(ev_id[keep].astype(np.int64)),
+                "order_date_us": pa.array(
+                    od_when[pos[keep]].astype(np.int64)
+                ),
             }
         )
 
     out = (
         both.groupby("key")
-        .map_groups(asof, batch_format="pandas")
+        .map_groups(asof, batch_format="pyarrow")
         .to_pandas()
     )
     out["event_id"] = out["event_id"].astype("int64")
@@ -741,27 +751,32 @@ def q_events_orders_asof(sf_dir: str) -> "pa.Table":
 def q_events_sessions(sf_dir: str) -> "pa.Table":
     """Session windows (30-min gap) per user via groupby().map_groups
     over ts-sorted groups — the streaming-shaped operator pattern."""
-    import pandas as pd
-
     ds = rd.read_parquet(
         f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
     )
+    gap_us = 30 * 60 * 1_000_000
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gaps = g["ts"].diff() > pd.Timedelta(minutes=30)
-        n_sessions = int(gaps.sum()) + 1
-        return pd.DataFrame(
+    def sessions(g: pa.Table) -> pa.Table:
+        # session count depends only on the sorted timestamp gaps
+        t = np.sort(
+            pc.cast(g.column("ts"), pa.int64()).to_numpy(
+                zero_copy_only=False
+            )
+        )
+        n_sessions = int((np.diff(t) > gap_us).sum()) + 1
+        return pa.table(
             {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_sessions": [n_sessions],
-                "n_events": [len(g)],
+                "user_id": pa.array(
+                    [g.column("user_id")[0].as_py()], pa.int64()
+                ),
+                "n_sessions": pa.array([n_sessions], pa.int64()),
+                "n_events": pa.array([g.num_rows], pa.int64()),
             }
         )
 
     out = (
         ds.groupby("user_id")
-        .map_groups(sessions, batch_format="pandas")
+        .map_groups(sessions, batch_format="pyarrow")
         .to_pandas()
     )
     out["user_id"] = out["user_id"].astype("int64")
@@ -943,13 +958,40 @@ def q_part_brand_stats(sf_dir: str) -> "pa.Table":
 # ------------------------------------------------------------------
 
 def q_embedding_near_dups(sf_dir: str) -> "pa.Table":
-    """Exact embedding near-duplicate pairs (cosine >= 0.45): the small
-    side (the full normalized matrix at this scale) is broadcast via
-    ray.put and each batch computes its rows-vs-all block — the exact
-    counterpart of the LSH-bucketed scale path in similarity/knn.py."""
+    """Embedding near-duplicate pairs (cosine >= 0.45).
+
+    Exact path: the full normalized matrix is broadcast via ray.put
+    and each batch computes its rows-vs-all block with one vectorized
+    mask (np.nonzero — no per-hit python). The broadcast is
+    size-guarded the way dedupe/apply.py guards its dup masks: above
+    DEFAULT_MASK_BROADCAST_LIMIT matrix elements the query falls back
+    to the LSH-bucketed scale path in similarity/knn.py (candidate
+    pairs restricted to shared hyperplane buckets — the documented
+    approximation of that path)."""
+    from ..dedupe.apply import DEFAULT_MASK_BROADCAST_LIMIT
     from ..similarity.knn import _batch_matrix, _cosine
 
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    n = emb.count()
+    first = emb.take(1)[0]["embedding"]
+    dim = len(first)
+    if n * dim > DEFAULT_MASK_BROADCAST_LIMIT:
+        from ..similarity.knn import embedding_near_dup_pairs
+
+        triples = embedding_near_dup_pairs(
+            emb, dim=dim, threshold=0.45, vec_col="embedding",
+            id_col="vec_id",
+        )
+        return pa.table(
+            {
+                "vec_a": pa.array([a for a, _, _ in triples], pa.int64()),
+                "vec_b": pa.array([b for _, b, _ in triples], pa.int64()),
+                "cos": pa.array(
+                    [round(c, 6) for _, _, c in triples], pa.float64()
+                ),
+            }
+        )
+
     full = emb.to_pandas().sort_values("vec_id")
     mat = np.array(full.embedding.tolist(), dtype=np.float64)
     all_ids = full.vec_id.to_numpy()
@@ -960,20 +1002,13 @@ def q_embedding_near_dups(sf_dir: str) -> "pa.Table":
         rows = _batch_matrix(t, "embedding")
         row_ids = t["vec_id"].to_numpy(zero_copy_only=False)
         sims = _cosine(rows, m)  # (batch, all)
-        a_out, b_out, c_out = [], [], []
-        for r in range(sims.shape[0]):
-            hits = np.nonzero(sims[r] >= 0.45)[0]
-            for h in hits:
-                a, b = int(row_ids[r]), int(ids_all[h])
-                if a < b:
-                    a_out.append(a)
-                    b_out.append(b)
-                    c_out.append(round(float(sims[r, h]), 6))
+        mask = (sims >= 0.45) & (row_ids[:, None] < ids_all[None, :])
+        r, h = np.nonzero(mask)
         return pa.table(
             {
-                "vec_a": pa.array(a_out, pa.int64()),
-                "vec_b": pa.array(b_out, pa.int64()),
-                "cos": pa.array(c_out, pa.float64()),
+                "vec_a": pa.array(row_ids[r].astype(np.int64)),
+                "vec_b": pa.array(ids_all[h].astype(np.int64)),
+                "cos": pa.array(np.round(sims[r, h], 6), pa.float64()),
             }
         )
 

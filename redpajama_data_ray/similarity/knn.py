@@ -162,19 +162,14 @@ def embedding_near_dup_pairs(
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         mat = _batch_matrix(group, vec_col)
         sims = _cosine(mat, mat)
-        a_out, b_out, c_out = [], [], []
-        for i in range(n):
-            for j in range(i + 1, n):
-                if sims[i, j] >= threshold:
-                    lo, hi = sorted((int(ids[i]), int(ids[j])))
-                    a_out.append(lo)
-                    b_out.append(hi)
-                    c_out.append(float(sims[i, j]))
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        lo = np.minimum(ids[i], ids[j]).astype(np.int64)
+        hi = np.maximum(ids[i], ids[j]).astype(np.int64)
         return pa.table(
             {
-                "a": pa.array(a_out, pa.int64()),
-                "b": pa.array(b_out, pa.int64()),
-                "cos": pa.array(c_out, pa.float64()),
+                "a": pa.array(lo),
+                "b": pa.array(hi),
+                "cos": pa.array(sims[i, j], pa.float64()),
             }
         )
 
