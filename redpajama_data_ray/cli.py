@@ -117,7 +117,12 @@ def cmd_quality(args) -> dict:
         args.input, args.max_docs, args.shuffle_files,
         getattr(args, "keep_patterns", None),
     )
-    annotated = annotate(ds, QualityConfig())
+    model_kwargs = dict(
+        langid_model_path=getattr(args, "langid_model", None),
+        ppl_model_path=getattr(args, "ppl_model", None),
+        classifier_model_path=getattr(args, "classifier_model", None),
+    )
+    annotated = annotate(ds, QualityConfig(**model_kwargs))
     if args.resume:
         # partition-per-input-shard resumable mode
         import glob
@@ -138,7 +143,7 @@ def cmd_quality(args) -> dict:
             # two pipelines never contend for the same actor slots
             total = int(ray.cluster_resources().get("CPU", 4))
             per_shard = max(1, (total - 2) // workers)
-            cfg = QualityConfig(max_actors=per_shard)
+            cfg = QualityConfig(max_actors=per_shard, **model_kwargs)
             committed = run_partitioned(
                 files,
                 args.output,
@@ -684,6 +689,22 @@ def build_parser() -> argparse.ArgumentParser:
         "--resume-workers", type=int, default=2,
         help="shards processed concurrently in --resume mode "
         "(per-shard commit stays atomic)",
+    )
+    q.add_argument(
+        "--langid-model", default=None, metavar="PATH",
+        help="language-ID artifact: fastText .bin (pure-numpy reader "
+        "when the package is absent) or saved .npz profiles; default "
+        "= deterministic stand-in",
+    )
+    q.add_argument(
+        "--ppl-model", default=None, metavar="PATH",
+        help="perplexity artifact: .arpa (dependency-free), KenLM "
+        "binary (needs kenlm), or saved .npz char-LM",
+    )
+    q.add_argument(
+        "--classifier-model", default=None, metavar="PATH",
+        help="quality-classifier artifact: fastText .bin or saved "
+        ".npy log-odds weights",
     )
     q.set_defaults(fn=cmd_quality)
 

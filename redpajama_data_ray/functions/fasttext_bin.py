@@ -1,0 +1,286 @@
+"""Dependency-free fastText ``.bin`` reader (pure numpy).
+
+The fastText model format is public (facebookresearch/fastText:
+``src/fasttext.cc`` ``FastText::loadModel`` / ``src/args.cc``
+``Args::save`` / ``src/dictionary.cc`` ``Dictionary::save`` /
+``src/densematrix.cc``). The reference pipeline loads real supervised
+``.bin`` classifiers and the lid.176 language-ID model through the
+``fasttext`` python package (reference ``classifiers.py:58``,
+``pipeline.py:286-297``); that package is not installed in this
+container, so this module parses the same bytes directly and
+reproduces supervised prediction:
+
+  sentence vector = mean of input rows for (word ids + word-ngram
+  bucket ids + subword bucket ids) -> output matrix dot -> softmax.
+
+Supported: dense (non-quantized) supervised models with softmax /
+negative-sampling / one-vs-all losses, word n-grams and character
+subwords. Quantized models (``.ftz`` / ``qout``) and hierarchical
+softmax raise named errors — export those to a dense model to use
+this reader.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Tuple
+
+import numpy as np
+
+FASTTEXT_MAGIC = 793712314
+EOS = "</s>"
+BOW, EOW = "<", ">"
+
+# model_name / loss_name enums (src/args.h)
+MODEL_CBOW, MODEL_SG, MODEL_SUP = 1, 2, 3
+LOSS_HS, LOSS_NS, LOSS_SOFTMAX, LOSS_OVA = 1, 2, 3, 4
+
+_ARGS_FIELDS = (
+    "dim", "ws", "epoch", "min_count", "neg", "word_ngrams", "loss",
+    "model", "bucket", "minn", "maxn", "lr_update_rate",
+)
+
+
+def ft_hash(token: str) -> int:
+    """fastText's FNV-1a over bytes with SIGNED char XOR
+    (``Dictionary::hash``, dictionary.cc)."""
+    h = 2166136261
+    for b in token.encode("utf-8"):
+        if b >= 128:
+            b -= 256  # int8_t sign extension
+        h = (h ^ (b & 0xFFFFFFFF)) & 0xFFFFFFFF
+        h = (h * 16777619) & 0xFFFFFFFF
+    return h
+
+
+class _Reader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+
+    def read(self, fmt: str):
+        vals = struct.unpack_from("<" + fmt, self.data, self.pos)
+        self.pos += struct.calcsize("<" + fmt)
+        return vals if len(vals) > 1 else vals[0]
+
+    def read_cstr(self) -> str:
+        end = self.data.index(b"\x00", self.pos)
+        s = self.data[self.pos:end].decode("utf-8")
+        self.pos = end + 1
+        return s
+
+    def read_f32_matrix(self, rows: int, cols: int) -> np.ndarray:
+        n = rows * cols * 4
+        arr = np.frombuffer(
+            self.data, dtype="<f4", count=rows * cols, offset=self.pos
+        ).reshape(rows, cols)
+        self.pos += n
+        return arr
+
+
+class FastTextModel:
+    """Parsed supervised model with the python-binding ``predict``
+    interface (``(labels, probs)`` with ``__label__`` prefixes)."""
+
+    def __init__(
+        self,
+        args: dict,
+        words: List[str],
+        word_types: np.ndarray,
+        input_matrix: np.ndarray,
+        output_matrix: np.ndarray,
+    ):
+        self.args = args
+        self.nwords = int((word_types == 0).sum())
+        self.nlabels = int((word_types == 1).sum())
+        # words are stored words-first then labels (dictionary.cc
+        # keeps insertion order; threshold() sorts words before labels)
+        self.word_id = {
+            w: i for i, w in enumerate(words[: self.nwords])
+        }
+        self.labels = [w for w in words[self.nwords:]]
+        self.input = input_matrix
+        self.output = output_matrix
+
+    # --- tokenization to input-matrix row ids (Dictionary::getLine) ---
+
+    def _subword_ids(self, token: str) -> List[int]:
+        """``Dictionary::computeSubwords`` over the characters of
+        ``<token>`` — the whole padded word IS included when it fits
+        maxn; 1-char ngrams that are just BOW/EOW alone are skipped."""
+        minn, maxn = self.args["minn"], self.args["maxn"]
+        if maxn <= 0 or self.args["bucket"] <= 0:
+            return []
+        chars = list(BOW + token + EOW)
+        L = len(chars)
+        out = []
+        for i in range(L):
+            for n in range(1, maxn + 1):
+                j = i + n
+                if j > L:
+                    break
+                if n >= minn and not (n == 1 and (i == 0 or j == L)):
+                    sub = "".join(chars[i:j])
+                    out.append(
+                        self.nwords
+                        + ft_hash(sub) % self.args["bucket"]
+                    )
+        return out
+
+    def _line_ids(self, text: str) -> List[int]:
+        # the python binding appends '\n' -> EOS token terminates the
+        # line (fasttext_pybind.cc predict)
+        tokens = text.split()
+        tokens.append(EOS)
+        ids: List[int] = []
+        hashes: List[int] = []
+        label_set = set(self.labels)
+        for tok in tokens:
+            wid = self.word_id.get(tok, -1)
+            # label tokens contribute neither ids nor ngram hashes
+            # (Dictionary::getLine type dispatch)
+            if tok in label_set or (
+                wid < 0 and tok.startswith("__label__")
+            ):
+                continue
+            if wid >= 0:
+                ids.append(wid)
+                if self.args["maxn"] > 0 and tok != EOS:
+                    ids.extend(self._subword_ids(tok))
+            elif tok != EOS and self.args["maxn"] > 0:
+                ids.extend(self._subword_ids(tok))
+            hashes.append(ft_hash(tok))
+            if tok == EOS:
+                break
+        # word n-grams (Dictionary::addWordNgrams)
+        n = self.args["word_ngrams"]
+        bucket = self.args["bucket"]
+        if n > 1 and bucket > 0:
+            for i in range(len(hashes)):
+                h = hashes[i]
+                for j in range(i + 1, min(i + n, len(hashes))):
+                    h = (h * 116049371 + hashes[j]) & 0xFFFFFFFFFFFFFFFF
+                    ids.append(self.nwords + h % bucket)
+        return ids
+
+    def predict(
+        self, text: str, k: int = 1
+    ) -> Tuple[List[str], np.ndarray]:
+        ids = self._line_ids(text)
+        if not ids:
+            return [], np.array([])
+        hidden = self.input[np.array(ids, dtype=np.int64)].mean(axis=0)
+        scores = self.output @ hidden
+        loss = self.args["loss"]
+        if loss == LOSS_OVA:
+            probs = 1.0 / (1.0 + np.exp(-scores))
+        else:
+            e = np.exp(scores - scores.max())
+            probs = e / e.sum()
+        top = np.argsort(-probs, kind="stable")[:k]
+        return [self.labels[i] for i in top], probs[top].astype(
+            np.float64
+        )
+
+
+def load_fasttext_bin(path: str) -> FastTextModel:
+    with open(path, "rb") as f:
+        r = _Reader(f.read())
+    magic, version = r.read("ii")
+    if magic != FASTTEXT_MAGIC:
+        raise ValueError(
+            f"{path!r} does not start with the fastText magic "
+            f"({FASTTEXT_MAGIC}); not a fastText .bin model"
+        )
+    args = dict(zip(_ARGS_FIELDS, r.read("12i")))
+    args["t"] = r.read("d")
+    if version == 11 and args["model"] == MODEL_SUP:
+        args["maxn"] = 0  # backward compat (fasttext.cc checkModel)
+    if args["model"] != MODEL_SUP:
+        raise NotImplementedError(
+            "only supervised fastText models are supported "
+            f"(model enum {args['model']})"
+        )
+    if args["loss"] == LOSS_HS:
+        raise NotImplementedError(
+            "hierarchical-softmax fastText models are not supported "
+            "by the pure reader; retrain/export with -loss softmax"
+        )
+    # Dictionary::load
+    size, nwords, nlabels = r.read("iii")
+    _ntokens, pruneidx_size = r.read("qq")
+    words, types = [], np.empty(size, dtype=np.int8)
+    for i in range(size):
+        words.append(r.read_cstr())
+        _count = r.read("q")
+        types[i] = r.read("b")
+    if pruneidx_size > 0:
+        raise NotImplementedError(
+            "pruned fastText dictionaries (quantized models) are not "
+            "supported by the pure reader"
+        )
+    assert nwords + nlabels == size, (nwords, nlabels, size)
+    quant_input = r.read("b")
+    if quant_input:
+        raise NotImplementedError(
+            f"{path!r} is a quantized fastText model (.ftz); the pure "
+            "reader supports dense .bin models only"
+        )
+    rows, cols = r.read("qq")
+    input_matrix = r.read_f32_matrix(rows, cols)
+    qout = r.read("b")
+    if qout:
+        raise NotImplementedError(
+            "quantized output matrices are not supported by the pure "
+            "reader"
+        )
+    orows, ocols = r.read("qq")
+    output_matrix = r.read_f32_matrix(orows, ocols)
+    return FastTextModel(args, words, types, input_matrix, output_matrix)
+
+
+def write_fasttext_bin(
+    path: str,
+    words: List[str],
+    labels: List[str],
+    input_matrix: np.ndarray,
+    output_matrix: np.ndarray,
+    dim: int,
+    bucket: int = 0,
+    word_ngrams: int = 1,
+    minn: int = 0,
+    maxn: int = 0,
+    loss: int = LOSS_SOFTMAX,
+) -> str:
+    """Emit a minimal valid dense supervised ``.bin`` (the exact byte
+    layout ``FastText::saveModel`` writes) — the golden-fixture builder
+    for tests and for exporting this repo's offline-trained stand-ins
+    to the real format."""
+    out = bytearray()
+    out += struct.pack("<ii", FASTTEXT_MAGIC, 12)
+    out += struct.pack(
+        "<12i",
+        dim, 5, 5, 1, 5, word_ngrams, loss, MODEL_SUP, bucket,
+        minn, maxn, 100,
+    )
+    out += struct.pack("<d", 1e-4)
+    size = len(words) + len(labels)
+    out += struct.pack("<iii", size, len(words), len(labels))
+    out += struct.pack("<qq", 1000, -1)  # ntokens, pruneidx_size
+    for w in words:
+        out += w.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 0)
+    for lb in labels:
+        out += lb.encode("utf-8") + b"\x00" + struct.pack("<qb", 10, 1)
+    inm = np.ascontiguousarray(input_matrix, dtype="<f4")
+    assert inm.shape[1] == dim
+    out += struct.pack("<b", 0)  # quant_input = false
+    out += struct.pack("<qq", *inm.shape)
+    out += inm.tobytes()
+    om = np.ascontiguousarray(output_matrix, dtype="<f4")
+    assert om.shape == (len(labels), dim)
+    out += struct.pack("<b", 0)  # qout = false
+    out += struct.pack("<qq", *om.shape)
+    out += om.tobytes()
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+    return path

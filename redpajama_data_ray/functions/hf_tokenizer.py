@@ -1,0 +1,315 @@
+"""Dependency-free Hugging Face ``tokenizer.json`` BPE reader.
+
+The reference's token-count job encodes every document with a real HF
+tokenizer (`/root/reference/app/src/token_count.py:46,236-240`,
+``Tokenizer.from_pretrained("mistralai/Mistral-7B-v0.1")``). The
+``tokenizers``/``transformers`` packages are not installed in this
+container, so this module parses the serialized ``tokenizer.json``
+format (public: huggingface/tokenizers ``tokenizer/serialization.rs``)
+directly and reproduces greedy-merge BPE encoding:
+
+  added-token split -> normalizer -> pre-tokenizer (ByteLevel /
+  Metaspace / Whitespace) -> per-piece BPE merge loop (GPT-2
+  reference algorithm: repeatedly merge the lowest-rank pair) ->
+  vocab ids (+ TemplateProcessing special tokens).
+
+Supported: ``model.type == "BPE"``; pre-tokenizers ByteLevel,
+Metaspace, Whitespace, WhitespaceSplit, Sequence-of-those, or none;
+normalizers NF{C,D,KC,KD}, Lowercase, Strip, Sequence, or none.
+Anything else raises a named error — the point is a real parse path
+for real artifacts, not silent approximation (use
+``tokens.bpe_like_token_count`` for the vocab-free proxy).
+"""
+
+from __future__ import annotations
+
+import json
+import unicodedata
+from typing import Dict, List, Optional, Tuple
+
+try:  # the `regex` module supports \p{L} classes (GPT-2 pattern)
+    import regex as _re
+except ImportError:  # pragma: no cover - regex ships with the env
+    _re = None
+
+# GPT-2 ByteLevel pre-tokenizer pattern (public, from openai/gpt-2
+# encoder.py and huggingface/tokenizers byte_level.rs)
+_BYTELEVEL_PAT = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"
+    r" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"
+)
+_WHITESPACE_PAT = r"\w+|[^\w\s]+"
+
+
+def _byte_to_unicode() -> Dict[int, str]:
+    """GPT-2's printable byte<->unicode bijection (encoder.py
+    bytes_to_unicode)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, map(chr, cs)))
+
+
+_B2U = _byte_to_unicode()
+
+
+def _bpe_merge(symbols: List[str], ranks: Dict[Tuple[str, str], int]) -> List[str]:
+    """GPT-2 reference BPE: repeatedly merge every occurrence of the
+    lowest-rank adjacent pair until no pair has a rank."""
+    if len(symbols) < 2:
+        return symbols
+    word = symbols
+    while True:
+        best: Optional[Tuple[str, str]] = None
+        best_rank = None
+        prev = word[0]
+        for cur in word[1:]:
+            r = ranks.get((prev, cur))
+            if r is not None and (best_rank is None or r < best_rank):
+                best, best_rank = (prev, cur), r
+            prev = cur
+        if best is None:
+            return word
+        first, second = best
+        merged = first + second
+        out: List[str] = []
+        i = 0
+        n = len(word)
+        while i < n:
+            if i < n - 1 and word[i] == first and word[i + 1] == second:
+                out.append(merged)
+                i += 2
+            else:
+                out.append(word[i])
+                i += 1
+        word = out
+        if len(word) == 1:
+            return word
+
+
+class HFTokenizer:
+    """Parsed ``tokenizer.json`` with an ``encode``/``count``
+    interface matching what the reference uses the real tokenizer for
+    (``len(tokenizer.encode(text).ids)``)."""
+
+    def __init__(self, spec: dict):
+        model = spec.get("model") or {}
+        mtype = model.get("type", "BPE")
+        if mtype != "BPE":
+            raise NotImplementedError(
+                f"tokenizer.json model type {mtype!r} is not supported "
+                "by the pure reader (BPE only)"
+            )
+        self.vocab: Dict[str, int] = model["vocab"]
+        merges = model.get("merges") or []
+        self.ranks: Dict[Tuple[str, str], int] = {}
+        for i, m in enumerate(merges):
+            if isinstance(m, str):
+                a, b = m.split(" ", 1)
+            else:
+                a, b = m
+            self.ranks[(a, b)] = i
+        self.unk_token = model.get("unk_token")
+        self.continuing_prefix = model.get("continuing_subword_prefix") or ""
+        self.end_suffix = model.get("end_of_word_suffix") or ""
+        if self.continuing_prefix or self.end_suffix:
+            raise NotImplementedError(
+                "continuing_subword_prefix / end_of_word_suffix BPE "
+                "variants are not supported by the pure reader"
+            )
+        self.byte_fallback = bool(model.get("byte_fallback", False))
+        # added tokens split the text before pre-tokenization and map
+        # to their own ids (serialization.rs added_tokens)
+        self.added: Dict[str, int] = {
+            t["content"]: t["id"] for t in spec.get("added_tokens") or []
+        }
+        self.normalizers = self._flatten(spec.get("normalizer"))
+        for nz in self.normalizers:
+            if nz.get("type") not in (
+                "NFC", "NFD", "NFKC", "NFKD", "Lowercase", "Strip",
+            ):
+                raise NotImplementedError(
+                    f"normalizer {nz.get('type')!r} is not supported by "
+                    "the pure reader"
+                )
+        self.pretokenizers = self._flatten(spec.get("pre_tokenizer"))
+        for pt in self.pretokenizers:
+            if pt.get("type") not in (
+                "ByteLevel", "Metaspace", "Whitespace", "WhitespaceSplit",
+            ):
+                raise NotImplementedError(
+                    f"pre_tokenizer {pt.get('type')!r} is not supported "
+                    "by the pure reader"
+                )
+        # TemplateProcessing single-sequence specials add fixed tokens
+        # per encode (e.g. Mistral's BOS)
+        self.template_specials: List[str] = []
+        post = spec.get("post_processor") or {}
+        if post.get("type") == "TemplateProcessing":
+            for item in post.get("single") or []:
+                if "SpecialToken" in item:
+                    self.template_specials.append(
+                        item["SpecialToken"]["id"]
+                    )
+        elif post.get("type") in ("ByteLevel", None):
+            pass  # ByteLevel post-processor only trims offsets
+        if _re is None:  # pragma: no cover
+            raise RuntimeError(
+                "the 'regex' module is required for the pure "
+                "tokenizer.json reader's pre-tokenizer patterns"
+            )
+        self._bl_re = _re.compile(_BYTELEVEL_PAT)
+        self._ws_re = _re.compile(_WHITESPACE_PAT)
+
+    @staticmethod
+    def _flatten(node) -> List[dict]:
+        if not node:
+            return []
+        if node.get("type") == "Sequence":
+            out: List[dict] = []
+            for child in (
+                node.get("normalizers")
+                or node.get("pretokenizers")
+                or []
+            ):
+                out.extend(HFTokenizer._flatten(child))
+            return out
+        return [node]
+
+    @classmethod
+    def from_file(cls, path: str) -> "HFTokenizer":
+        with open(path, "r", encoding="utf-8") as f:
+            try:
+                spec = json.load(f)
+            except json.JSONDecodeError as e:
+                raise ValueError(
+                    f"{path!r} is not a tokenizer.json file (JSON parse "
+                    f"failed: {e})"
+                ) from e
+        if "model" not in spec:
+            raise ValueError(
+                f"{path!r} has no 'model' section — not a serialized "
+                "HF tokenizer"
+            )
+        return cls(spec)
+
+    # --- encode pipeline ---
+
+    def _normalize(self, text: str) -> str:
+        for nz in self.normalizers:
+            t = nz["type"]
+            if t in ("NFC", "NFD", "NFKC", "NFKD"):
+                text = unicodedata.normalize(t, text)
+            elif t == "Lowercase":
+                text = text.lower()
+            elif t == "Strip":
+                if nz.get("strip_left", True):
+                    text = text.lstrip()
+                if nz.get("strip_right", True):
+                    text = text.rstrip()
+        return text
+
+    def _pretokenize(self, text: str) -> List[str]:
+        pieces = [text]
+        for pt in self.pretokenizers:
+            t = pt["type"]
+            nxt: List[str] = []
+            if t == "ByteLevel":
+                prefix = pt.get("add_prefix_space", True)
+                for p in pieces:
+                    if prefix and p and not p.startswith(" "):
+                        p = " " + p
+                    for m in self._bl_re.findall(p):
+                        nxt.append(
+                            "".join(_B2U[b] for b in m.encode("utf-8"))
+                        )
+            elif t == "Metaspace":
+                rep = pt.get("replacement", "▁")
+                scheme = pt.get("prepend_scheme")
+                if scheme is None:
+                    scheme = (
+                        "always" if pt.get("add_prefix_space", True)
+                        else "never"
+                    )
+                for p in pieces:
+                    if not p:
+                        continue
+                    p = p.replace(" ", rep)
+                    if scheme in ("always", "first") and not p.startswith(rep):
+                        p = rep + p
+                    # split so each piece starts at a word boundary
+                    segs = _re.split(f"(?={_re.escape(rep)})", p)
+                    nxt.extend(s for s in segs if s)
+            elif t == "Whitespace":
+                for p in pieces:
+                    nxt.extend(self._ws_re.findall(p))
+            elif t == "WhitespaceSplit":
+                for p in pieces:
+                    nxt.extend(p.split())
+            pieces = nxt
+        return pieces
+
+    def _encode_piece(self, piece: str) -> List[int]:
+        symbols = _bpe_merge(list(piece), self.ranks)
+        ids: List[int] = []
+        for s in symbols:
+            i = self.vocab.get(s)
+            if i is not None:
+                ids.append(i)
+            elif self.byte_fallback:
+                for b in s.encode("utf-8"):
+                    bid = self.vocab.get(f"<0x{b:02X}>")
+                    if bid is None:
+                        raise ValueError(
+                            f"byte_fallback token <0x{b:02X}> missing "
+                            "from vocab"
+                        )
+                    ids.append(bid)
+            elif self.unk_token is not None:
+                ids.append(self.vocab[self.unk_token])
+            # symbols with no id, no unk and no fallback drop (HF
+            # BPE's behavior with unk_token=None)
+        return ids
+
+    def encode(self, text: str) -> List[int]:
+        ids: List[int] = [
+            self.vocab.get(s, self.added.get(s, 0))
+            for s in self.template_specials
+        ]
+        if not text:
+            return ids
+        # added-token split (longest token first so overlaps resolve
+        # the way AddedVocabulary's trie does)
+        chunks: List[Tuple[str, bool]] = [(text, False)]
+        for tok in sorted(self.added, key=len, reverse=True):
+            nxt: List[Tuple[str, bool]] = []
+            for chunk, is_added in chunks:
+                if is_added or tok not in chunk:
+                    nxt.append((chunk, is_added))
+                    continue
+                parts = chunk.split(tok)
+                for k, part in enumerate(parts):
+                    if part:
+                        nxt.append((part, False))
+                    if k < len(parts) - 1:
+                        nxt.append((tok, True))
+            chunks = nxt
+        for chunk, is_added in chunks:
+            if is_added:
+                ids.append(self.added[chunk])
+                continue
+            for piece in self._pretokenize(self._normalize(chunk)):
+                ids.extend(self._encode_piece(piece))
+        return ids
+
+    def count(self, text: str) -> int:
+        return len(self.encode(text))

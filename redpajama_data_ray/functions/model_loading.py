@@ -60,6 +60,28 @@ def _reject_fasttext(path: str, what: str) -> "RuntimeError":
     )
 
 
+def _load_fasttext_pure(path: str, what: str):
+    """Dependency-free fallback when the ``fasttext`` package is
+    absent: parse the public ``.bin`` byte format directly
+    (functions/fasttext_bin.py). Raises the same named errors as the
+    package-missing path when the file is not a parseable dense
+    supervised model."""
+    if not _fasttext_header_ok(path):
+        raise _reject_fasttext(path, what)
+    from .fasttext_bin import load_fasttext_bin
+
+    try:
+        return load_fasttext_bin(path)
+    except NotImplementedError:
+        raise  # named unsupported-variant error (quantized / hs / cbow)
+    except Exception as e:
+        raise RuntimeError(
+            f"{path!r} is a fastText model (magic header verified) but "
+            f"the pure-numpy reader failed to parse it ({e!r}); the "
+            "'fasttext' package is not installed to try instead."
+        ) from e
+
+
 # ------------------------------------------------------------------
 # language ID
 # ------------------------------------------------------------------
@@ -98,8 +120,9 @@ def save_langid_model(model, path: str) -> str:
 
 
 def load_langid_model(path: str):
-    """``.bin`` -> fastText (try-import); ``.npz`` -> saved profile
-    matrix (no dependencies)."""
+    """``.bin`` -> fastText package if installed, else the pure-numpy
+    reader (functions/fasttext_bin.py — dense supervised models);
+    ``.npz`` -> saved profile matrix (no dependencies)."""
     if path.endswith(".npz"):
         from .langid import NGramLangId
 
@@ -111,8 +134,10 @@ def load_langid_model(path: str):
         return model
     try:
         import fasttext  # noqa: F401
-    except ImportError as e:
-        raise _reject_fasttext(path, "language-ID model") from e
+    except ImportError:
+        return _FastTextLangId(
+            _load_fasttext_pure(path, "language-ID model")
+        )
     return _FastTextLangId(fasttext.load_model(path))
 
 
@@ -254,16 +279,19 @@ def save_classifier_model(clf, path: str) -> str:
 
 
 def load_classifier_model(path: str):
-    """``.bin`` -> fastText supervised (try-import); ``.npy`` -> saved
-    log-odds weights."""
+    """``.bin`` -> fastText package if installed, else the pure-numpy
+    reader (functions/fasttext_bin.py); ``.npy`` -> saved log-odds
+    weights."""
     if path.endswith(".npy"):
         from .classifier import QualityClassifier
 
         return QualityClassifier(weights=np.load(path))
     try:
         import fasttext  # noqa: F401
-    except ImportError as e:
-        raise _reject_fasttext(path, "quality classifier") from e
+    except ImportError:
+        return _FastTextClassifier(
+            _load_fasttext_pure(path, "quality classifier")
+        )
     return _FastTextClassifier(fasttext.load_model(path))
 
 
@@ -274,9 +302,12 @@ def load_classifier_model(path: str):
 def load_token_counter(name_or_path: str) -> Callable[[str], int]:
     """HF tokenizer token counter (token_count.py:46,236-240 role).
 
-    Tries ``tokenizers`` then ``transformers``; raises a clear error if
-    neither is installed. Use ``tokens.bpe_like_token_count`` (regex
-    pre-tokenizer proxy) when no real tokenizer is available."""
+    Tries ``tokenizers`` then ``transformers``; without either, a
+    local ``tokenizer.json`` file parses through the dependency-free
+    BPE reader (functions/hf_tokenizer.py). Pretrained hub names need
+    the real packages (network + package). Use
+    ``tokens.bpe_like_token_count`` (regex pre-tokenizer proxy) when
+    no tokenizer artifact is available at all."""
     try:
         from tokenizers import Tokenizer  # type: ignore
 
@@ -294,9 +325,14 @@ def load_token_counter(name_or_path: str) -> Callable[[str], int]:
         tok = AutoTokenizer.from_pretrained(name_or_path)
         return lambda text: len(tok(text)["input_ids"])
     except ImportError as e:
+        if name_or_path.endswith(".json"):
+            from .hf_tokenizer import HFTokenizer
+
+            return HFTokenizer.from_file(name_or_path).count
         raise RuntimeError(
-            "a real BPE token count requires the 'tokenizers' or "
-            f"'transformers' package (not installed); cannot load "
-            f"{name_or_path!r}. Use tokens.bpe_like_token_count as the "
-            "offline proxy."
+            "loading a pretrained tokenizer by hub name requires the "
+            "'tokenizers' or 'transformers' package (not installed); "
+            f"cannot load {name_or_path!r}. A local tokenizer.json "
+            "parses dependency-free; tokens.bpe_like_token_count is "
+            "the vocab-free proxy."
         ) from e

@@ -76,6 +76,15 @@ class QualityConfig:
     include_classifier: bool = True
     include_dsir: bool = True
     rules: RuleConfig = RuleConfig()
+    # optional real model artifacts (reference discovers .bin files at
+    # job start, pipeline.py:286-297): fastText .bin / .npz profiles
+    # for language ID, KenLM .arpa/.klm/.npz for perplexity, fastText
+    # .bin / .npy log-odds for the quality classifier. Loaded once per
+    # actor via functions/model_loading.py (dependency-free readers
+    # when the real packages are absent).
+    langid_model_path: Optional[str] = None
+    ppl_model_path: Optional[str] = None
+    classifier_model_path: Optional[str] = None
 
 
 def _default_actors() -> int:
@@ -139,6 +148,9 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
                 include_scrub=True,
                 rules=cfg.rules,
                 extra_signals=list(registered_signals().values()),
+                langid_model_path=cfg.langid_model_path,
+                ppl_model_path=cfg.ppl_model_path,
+                classifier_model_path=cfg.classifier_model_path,
                 **feature_kwargs,
             ),
             batch_format="pyarrow",
@@ -148,6 +160,12 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         )
         return ds
     else:
+        if cfg.classifier_model_path:
+            raise ValueError(
+                "classifier_model_path requires the fused plan "
+                "(fused=True): the unfused SignalStage computes the "
+                "classifier inside its per-language kernel"
+            )
         # one pool per model; fractional CPUs so min-actors of all pools
         # fit small budgets without starving the executor
         pool = dict(
@@ -156,8 +174,16 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
             concurrency=(1, max_actors),
             num_cpus=0.5,
         )
-        ds = ds.map_batches(LangIdStage, **pool)
-        ds = ds.map_batches(PerplexityStage, **pool)
+        ds = ds.map_batches(
+            LangIdStage,
+            fn_constructor_kwargs=dict(model_path=cfg.langid_model_path),
+            **pool,
+        )
+        ds = ds.map_batches(
+            PerplexityStage,
+            fn_constructor_kwargs=dict(model_path=cfg.ppl_model_path),
+            **pool,
+        )
         ds = ds.map_batches(
             SignalStage, fn_constructor_kwargs=feature_kwargs, **pool
         )
