@@ -80,7 +80,11 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     # (imports + model init amortized), which is the steady-state
     # number a long-running job sees
     n_runs = 2
-    cfg = QualityConfig()  # auto-sizes the actor pool to num_cpus - 2
+    # BENCH_UNFUSED=1 -> one actor pool PER MODEL (the heterogeneous
+    # multi-node topology) instead of the single fused pool; same
+    # columns, different physical plan (pipelines/quality.py)
+    unfused = os.environ.get("BENCH_UNFUSED") == "1"
+    cfg = QualityConfig(fused=not unfused)  # pool sizes to num_cpus - 2
     for _ in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
@@ -231,6 +235,10 @@ def _finish(timings, headline, sf, ncpu, n_files, out_dir) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)  # don't leak tmpfs
     result = {
         "metric": "flagship_quality_pipeline_sec",
+        "plan": (
+            "unfused" if os.environ.get("BENCH_UNFUSED") == "1"
+            else "fused"
+        ),
         "value": round(headline, 3),
         "unit": "sec",
         # headline estimator, stated so round-over-round comparisons
@@ -285,6 +293,7 @@ def _scaling(sf_dir: str, pairs: int = 1) -> dict:
     r_lo, r_hi, _ = min(results, key=lambda t: abs(t[2] - median))
     return {
         "metric": "scaling_efficiency",
+        "plan": r_lo.get("plan", "fused"),
         "value": round(median, 3),
         "unit": "ratio",
         "pairs": [
@@ -340,6 +349,8 @@ def _stats(sf_dir: str, ncpu: int) -> None:
 def main():
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    if "--unfused" in sys.argv:
+        os.environ["BENCH_UNFUSED"] = "1"  # inherited by scaling legs
     if "--scaling" in sys.argv:
         pairs = 1
         if "--pairs" in sys.argv:

@@ -1,0 +1,148 @@
+"""sf1.0 (1M-file) scale soak for the round-3 heavy operators
+(VERDICT r3 item 4): flagship annotate, substring dedup (root path
+AND the forced hash-repartition fallback, equality-checked), vocab
+build, sequence packing, repo rollup. Prints one JSON line; rows are
+recorded in BASELINE.md next to the sf0.1/sf0.5 numbers so
+super-linear blow-ups are visible.
+
+Run on a quiet box: ``ray stop --force && python scripts/soak_sf1.py``
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+import ray
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SF = float(os.environ.get("SOAK_SF", "1.0"))
+
+
+def _init():
+    ray.init(
+        address="local", num_cpus=NCPU,
+        include_dashboard=False, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+
+
+def main() -> None:
+    _init()
+    from redpajama_data_ray.sources.corpus import ensure_corpus_parquet
+
+    corpus_dir = ensure_corpus_parquet(SF)  # untimed synth (cached)
+    import ray.data as rd
+
+    n_files = rd.read_parquet(corpus_dir).count()  # warm page cache
+
+    timings: dict = {}
+    sink_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+    out_dir = f"{sink_root}/soak_out/quality_sf{SF}"
+
+    # ---- flagship annotate -> parquet sink --------------------------
+    from redpajama_data_ray.pipelines.quality import (
+        QualityConfig, annotate,
+    )
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    ds = annotate(rd.read_parquet(corpus_dir), QualityConfig())
+    ds.write_parquet(out_dir)
+    timings["flagship_quality"] = round(time.time() - t0, 1)
+    print("flagship", timings["flagship_quality"], flush=True)
+
+    # fresh session: don't time ops behind the flagship's actor residue
+    ray.shutdown()
+    _init()
+
+    # ---- substring dedup: root path --------------------------------
+    from redpajama_data_ray.dedupe.combine import dup_keys_from_partials
+    from redpajama_data_ray.dedupe.spans import (
+        fingerprint_partials, substring_dedup,
+    )
+
+    def corp(cols):
+        return rd.read_parquet(out_dir, columns=cols)
+
+    t0 = time.time()
+    substring_dedup(
+        corp(["doc_id", "content"]), text_col="content",
+        id_col="doc_id", k=50, winnow_w=8,
+    ).count()
+    timings["substring_dedup_root"] = round(time.time() - t0, 1)
+    print("substring root", timings["substring_dedup_root"], flush=True)
+
+    # ---- the root/fallback switch, observed firing ------------------
+    # dup-key extraction is the stage the switch guards; run it both
+    # ways on identical partials and require identical dup-key counts
+    t0 = time.time()
+    parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
+    n_root = dup_keys_from_partials(parts, key="fp").count()
+    timings["dup_keys_root"] = round(time.time() - t0, 1)
+    t0 = time.time()
+    parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
+    n_fb = dup_keys_from_partials(parts, key="fp", root_limit=0).count()
+    timings["dup_keys_fallback"] = round(time.time() - t0, 1)
+    assert n_root == n_fb, (n_root, n_fb)
+    timings["dup_keys_count"] = n_root
+    print(
+        "dup_keys root/fallback",
+        timings["dup_keys_root"], timings["dup_keys_fallback"],
+        "keys", n_root, flush=True,
+    )
+
+    # ---- vocabulary build -------------------------------------------
+    from redpajama_data_ray.functions.vocab import token_frequencies
+
+    t0 = time.time()
+    vocab_rows = token_frequencies(
+        corp(["content"]), text_col="content", min_count=2, top_k=65536
+    ).count()
+    timings["vocab_top64k"] = round(time.time() - t0, 1)
+    timings["vocab_rows"] = vocab_rows
+    print("vocab", timings["vocab_top64k"], flush=True)
+
+    # ---- sequence packing -------------------------------------------
+    from redpajama_data_ray.functions.packing import pack_sequences
+
+    t0 = time.time()
+    n_windows = pack_sequences(
+        corp(["doc_id", "content"]), seq_len=2048, n_buckets=512,
+        text_col="content",
+    ).count()
+    timings["pack_sequences"] = round(time.time() - t0, 1)
+    timings["pack_windows"] = n_windows
+    print("pack", timings["pack_sequences"], flush=True)
+
+    # ---- repo rollup over the raw corpus ----------------------------
+    from redpajama_data_ray.functions.repostats import repo_stats
+
+    t0 = time.time()
+    stats = repo_stats(
+        rd.read_parquet(
+            corpus_dir, columns=["repo", "lang", "content"]
+        )
+    )
+    timings["repo_stats"] = round(time.time() - t0, 1)
+    timings["repo_rows"] = stats.num_rows
+    print("repo_stats", timings["repo_stats"], flush=True)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    print(json.dumps({
+        "metric": "sf1_soak", "sf": SF, "num_cpus": NCPU,
+        "files": n_files, "timings": timings,
+    }))
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
