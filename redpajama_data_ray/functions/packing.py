@@ -203,6 +203,12 @@ def pack_sequences(
         ) = prev
 
 
+# driver-side validation bound: one uint64 per packed window; 20M
+# windows = 160 MB on the driver. Above it the check shuffles the
+# narrow pair column instead.
+_VALIDATE_DRIVER_LIMIT = 20_000_000
+
+
 def _check_no_split_buckets(packed: Dataset) -> None:
     """Packing is only correct if each hash-shuffled partition reached
     ``_pack_block`` as ONE block (a bucket split across blocks would be
@@ -211,18 +217,64 @@ def _check_no_split_buckets(packed: Dataset) -> None:
     finalizes exactly one block per partition (Concat.finalize,
     hash_shuffle.py — with a TODO to split large blocks later; Ray's
     own GroupedData.map_groups relies on the same invariant), so this
-    guard is cheap insurance against a future Ray changing that: a
-    two-int-column groupby over the small window-summary table."""
+    guard is cheap insurance against a future Ray changing that.
+
+    NOT a groupby: a wide hash aggregate spins up num_partitions-
+    proportional aggregator actors (the 200-partition default reserves
+    64 CPUs) for a validation pass over a table with one row per
+    WINDOW. Instead each block ships one uint64 per window
+    ((bucket << 40) | seq_idx) and the driver uniques them; above
+    ``_VALIDATE_DRIVER_LIMIT`` windows, the narrow pair column is
+    hash-repartitioned to ``auto_partitions()`` partitions and each
+    block counts its own duplicates."""
+
+    def _enc(t: pa.Table) -> pa.Table:
+        b = t.column("bucket").to_numpy(zero_copy_only=False)
+        s = t.column("seq_idx").to_numpy(zero_copy_only=False)
+        if s.size and int(s.max()) >= (1 << 40):
+            raise RuntimeError("seq_idx >= 2^40 overflows the pair key")
+        enc = (b.astype(np.uint64) << np.uint64(40)) | s.astype(
+            np.uint64
+        )
+        return pa.table({"enc": pa.array(enc, pa.uint64())})
+
+    narrow = packed.select_columns(["bucket", "seq_idx"])
     n = packed.count()
-    distinct = (
-        packed.select_columns(["bucket", "seq_idx"])
-        .groupby(["bucket", "seq_idx"])
-        .count()
-        .count()
-    )
-    if distinct != n:
+    if n <= _VALIDATE_DRIVER_LIMIT:
+        tbl = pa.concat_tables(
+            list(
+                narrow.map_batches(
+                    _enc, batch_format="pyarrow"
+                ).iter_batches(batch_format="pyarrow")
+            )
+        )
+        dups = int(tbl.num_rows - np.unique(tbl.column("enc")).size)
+    else:
+        from ..dedupe.combine import auto_partitions
+
+        def _block_dups(t: pa.Table) -> pa.Table:
+            enc = _enc(t).column("enc").to_numpy()
+            return pa.table(
+                {
+                    "dups": pa.array(
+                        [int(enc.size - np.unique(enc).size)],
+                        pa.int64(),
+                    )
+                }
+            )
+
+        parts = narrow.repartition(
+            auto_partitions(), keys=["bucket"]
+        ).map_batches(
+            _block_dups,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        )
+        dups = sum(r["dups"] for r in parts.take_all())
+    if dups:
         raise RuntimeError(
-            f"pack_sequences produced {n - distinct} duplicate "
+            f"pack_sequences produced {dups} duplicate "
             "(bucket, seq_idx) windows: a pack bucket was split across "
             "blocks by the shuffle (Ray's hash-shuffle no longer emits "
             "one block per partition). Re-run with more n_buckets or "
