@@ -397,3 +397,141 @@ def approx_quantiles(
         for raw in b.column("sketch").to_pylist():
             merged.merge(LogHistogramQuantiles.from_bytes(raw))
     return merged.quantiles(qs)
+
+
+# ------------------------------------------------------------------
+# heavy hitters: Misra-Gries candidates + CMS count refinement
+# ------------------------------------------------------------------
+
+def mg_reduce(tokens: "np.ndarray", counts: "np.ndarray", m: int):
+    """Misra-Gries reduce of an exact ``(token, count)`` table to at
+    most ``m`` counters: subtract the (m+1)-th largest count from
+    every counter and keep the positive residuals (Misra & Gries
+    1982; the pre-aggregated merge form of Agarwal et al. 2012,
+    "Mergeable Summaries"). Residuals UNDERCOUNT: a token's true
+    count within the reduced table exceeds its residual by at most
+    the subtracted amount, and every dropped token had count <= it.
+    """
+    if tokens.size <= m:
+        return tokens, counts
+    d = np.partition(counts, -(m + 1))[-(m + 1)]
+    keep = counts > d
+    return tokens[keep], counts[keep] - d
+
+
+def approx_top_tokens(
+    ds,
+    text_col: str,
+    k: int = 100,
+    counters: int = 4096,
+    depth: int = 4,
+    width: int = 1 << 16,
+    candidate_pool: Optional[int] = None,
+) -> "pa.Table":
+    """Top-``k`` most frequent whitespace tokens WITHOUT the exact
+    corpus histogram — the 100-TB path when distinct tokens stop
+    fitting anywhere (the exact path is functions/vocab.py).
+
+    One streaming pass emits, per batch, (a) a Misra-Gries summary of
+    at most ``counters`` residual counts and (b) one Count-Min sketch
+    — both fixed-size, layout-independent in what they GUARANTEE:
+    any token with true count > N/(counters+1) (N = total token
+    occurrences) survives every per-batch reduce and the combine, so
+    the candidate set always contains the true heavy hitters, under
+    any blocking. MG residuals then rank a bounded candidate pool and
+    the merged CMS (point estimates within eps*N, never under the
+    true count) produces the final ordering, so ranks don't depend on
+    which batches decremented a candidate.
+
+    Returns an arrow table ``(token, est_count, lower_bound)`` sorted
+    by (-est_count, token): ``est_count`` the CMS estimate (an upper
+    bound w.h.p.), ``lower_bound`` the combined MG residual (a
+    certain lower bound).
+    """
+    import re
+
+    import pyarrow as pa
+
+    from ..dedupe.combine import combine_counts
+    from .code_signals import WS_REGEX_CLASS
+
+    token_re = re.compile(WS_REGEX_CLASS)
+    pool = int(candidate_pool or max(4 * k, 1024))
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        joined = "\n".join(
+            x or "" for x in t.column(text_col).to_pylist()
+        )
+        toks = token_re.findall(joined)
+        cms = CountMinSketch(depth, width)
+        if toks:
+            uniq, cnt = np.unique(
+                np.asarray(toks, dtype=object), return_counts=True
+            )
+            cms.update(uniq.tolist(), cnt)
+            uniq, cnt = mg_reduce(uniq, cnt, counters)
+            token_col = uniq.tolist() + [None]
+            cnt_col = cnt.astype(np.int64).tolist() + [0]
+        else:
+            token_col, cnt_col = [None], [0]
+        # union schema: MG rows carry (token, cnt); the one sketch row
+        # carries (null token, sketch) — one pass over the text feeds
+        # both summaries
+        sketch_col = [None] * (len(token_col) - 1) + [cms.to_bytes()]
+        return pa.table(
+            {
+                "token": pa.array(token_col, pa.string()),
+                "cnt": pa.array(cnt_col, pa.int64()),
+                "sketch": pa.array(sketch_col, pa.binary()),
+            }
+        )
+
+    both = ds.map_batches(partial, batch_format="pyarrow").materialize()
+
+    import pyarrow.compute as pc
+
+    def _sketch_rows(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.is_valid(t.column("sketch"))).select(
+            ["sketch"]
+        )
+
+    def _mg(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.is_valid(t.column("token"))).select(
+            ["token", "cnt"]
+        )
+
+    merged = CountMinSketch(depth, width)
+    for b in both.map_batches(
+        _sketch_rows, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged = merged.merge(CountMinSketch.from_bytes(raw))
+
+    mg_rows = both.map_batches(_mg, batch_format="pyarrow")
+    cands = (
+        combine_counts(mg_rows, key="token")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(pool)
+        .to_pandas()
+    )
+    if not len(cands):
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "est_count": pa.array([], pa.int64()),
+                "lower_bound": pa.array([], pa.int64()),
+            }
+        )
+    tokens = cands["token"].tolist()
+    est = merged.estimate(tokens).astype(np.int64)
+    order = np.lexsort((np.asarray(tokens, dtype=object), -est))[:k]
+    return pa.table(
+        {
+            "token": pa.array([tokens[i] for i in order], pa.string()),
+            "est_count": pa.array(est[order], pa.int64()),
+            "lower_bound": pa.array(
+                cands["cnt"].to_numpy().astype(np.int64)[order],
+                pa.int64(),
+            ),
+        }
+    )

@@ -208,3 +208,96 @@ class TestCountMin:
             CountMinSketch(4, 8)
         with pytest.raises(ValueError):
             CountMinSketch(4, 1 << 10).merge(CountMinSketch(4, 1 << 11))
+
+
+class TestHeavyHitters:
+    def test_mg_reduce_guarantees(self):
+        from redpajama_data_ray.functions.sketches import mg_reduce
+
+        rng = np.random.RandomState(3)
+        counts = rng.randint(1, 50, size=1000).astype(np.int64)
+        counts[7] = 100_000  # heavy
+        tokens = np.array([f"t{i}" for i in range(1000)], dtype=object)
+        rt, rc = mg_reduce(tokens, counts, 64)
+        assert rt.size <= 64
+        # residuals never exceed true counts
+        true = dict(zip(tokens, counts))
+        assert all(rc[i] <= true[rt[i]] for i in range(rt.size))
+        # the heavy hitter survives with most of its mass
+        assert "t7" in set(rt)
+        # under the counter budget: identity
+        rt2, rc2 = mg_reduce(tokens[:10], counts[:10], 64)
+        assert rt2.size == 10 and (rc2 == counts[:10]).all()
+
+    def test_exact_when_counters_cover_vocab(self):
+        from redpajama_data_ray.functions.sketches import (
+            approx_top_tokens,
+        )
+        from redpajama_data_ray.functions.vocab import token_frequencies
+
+        texts = [
+            "alpha beta gamma alpha", "beta alpha", "delta beta alpha",
+            "epsilon zeta", "alpha beta",
+        ] * 8
+        ds = ray.data.from_arrow(pa.table({"text": texts}))
+        got = approx_top_tokens(
+            ds, "text", k=5, counters=1024, width=1 << 14
+        )
+        exact = (
+            token_frequencies(
+                ray.data.from_arrow(pa.table({"text": texts})),
+                text_col="text", top_k=5,
+            )
+            .to_pandas()
+        )
+        assert got.column("token").to_pylist() == exact["token"].tolist()
+        # small vocab, wide sketch: estimates and bounds are exact
+        assert (
+            got.column("est_count").to_pylist() == exact["cnt"].tolist()
+        )
+        assert (
+            got.column("lower_bound").to_pylist() == exact["cnt"].tolist()
+        )
+
+    def test_planted_heavies_survive_any_blocking(self):
+        from redpajama_data_ray.functions.sketches import (
+            approx_top_tokens,
+        )
+
+        rng = np.random.RandomState(11)
+        noise = [f"n{i:05d}" for i in range(5000)]
+        rows = []
+        # heavy tokens: ~8% of occurrences each
+        for i in range(400):
+            rows.append(
+                "hot_a hot_b "
+                + " ".join(rng.choice(noise, size=20).tolist())
+            )
+        table = pa.table({"text": rows})
+        tops = []
+        for nblocks in (1, 7, 32):
+            ds = ray.data.from_arrow(table).repartition(nblocks)
+            got = approx_top_tokens(
+                ds, "text", k=2, counters=256, width=1 << 16
+            )
+            tops.append(got.column("token").to_pylist())
+            est = dict(
+                zip(
+                    got.column("token").to_pylist(),
+                    got.column("est_count").to_pylist(),
+                )
+            )
+            lb = dict(
+                zip(
+                    got.column("token").to_pylist(),
+                    got.column("lower_bound").to_pylist(),
+                )
+            )
+            # guarantee: both planted heavies in the top-k, CMS never
+            # under the true count, MG residual never over it
+            assert set(est) == {"hot_a", "hot_b"}
+            assert est["hot_a"] >= 400 and est["hot_b"] >= 400
+            assert lb["hot_a"] <= 400 and lb["hot_b"] <= 400
+        # the final ranking is identical across blockings (CMS
+        # estimates are layout-independent)
+        assert tops[0] == tops[1] == tops[2]
