@@ -574,6 +574,7 @@ def cmd_token_count(args) -> dict:
     from .functions.tokens import bpe_like_token_count, whitespace_token_count
 
     ds = rd.read_parquet(args.input, columns=[args.text_column])
+    tokenizer = getattr(args, "tokenizer", None)
 
     def count_batch(t: pa.Table) -> pa.Table:
         texts = t.column(args.text_column).to_pylist()
@@ -589,14 +590,45 @@ def cmd_token_count(args) -> dict:
             }
         )
 
-    agg = (
-        ds.map_batches(count_batch, batch_format="pyarrow")
-        .aggregate(
-            Count(alias_name="n_docs"),
-            Sum("ws", alias_name="ws_tokens"),
-            Sum("bpe", alias_name="bpe_tokens"),
+    counted = ds.map_batches(count_batch, batch_format="pyarrow")
+    aggs = [
+        Count(alias_name="n_docs"),
+        Sum("ws", alias_name="ws_tokens"),
+        Sum("bpe", alias_name="bpe_tokens"),
+    ]
+    if tokenizer:
+        # real-tokenizer counts (reference token_count.py role): the
+        # tokenizer loads ONCE per actor in __init__; per batch it
+        # encodes every doc (tokenizers/transformers when installed,
+        # the pure tokenizer.json reader otherwise)
+        class RealTokenCount:
+            def __init__(self, path: str, text_column: str):
+                from .functions.model_loading import load_token_counter
+
+                self.count = load_token_counter(path)
+                self.text_column = text_column
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                out = count_batch(t)
+                texts = t.column(self.text_column).to_pylist()
+                return out.append_column(
+                    "real",
+                    pa.array(
+                        [self.count(x or "") for x in texts], pa.int64()
+                    ),
+                )
+
+        counted = ds.map_batches(
+            RealTokenCount,
+            fn_constructor_kwargs=dict(
+                path=tokenizer, text_column=args.text_column
+            ),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+            num_cpus=1,
         )
-    )
+        aggs.append(Sum("real", alias_name="real_tokens"))
+    agg = counted.aggregate(*aggs)
     return dict(agg)
 
 
@@ -946,6 +978,12 @@ def build_parser() -> argparse.ArgumentParser:
     tc = sub.add_parser("token-count", help="corpus token totals")
     tc.add_argument("--input", required=True)
     tc.add_argument("--text-column", default="content")
+    tc.add_argument(
+        "--tokenizer", default=None, metavar="PATH",
+        help="real tokenizer artifact (tokenizer.json parses "
+        "dependency-free; hub names need tokenizers/transformers) — "
+        "adds a real_tokens total from an actor-pool encode",
+    )
     tc.set_defaults(fn=cmd_token_count)
 
     pp = sub.add_parser(
