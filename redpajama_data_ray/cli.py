@@ -542,6 +542,19 @@ def cmd_vocab(args) -> dict:
                 args.state_dir, args.lowercase
             ),
         }
+    if getattr(args, "approx_top", None):
+        # sketch path: Misra-Gries candidates + Count-Min estimates —
+        # top-k without the exact corpus histogram
+        import ray.data as rd
+
+        from .functions.sketches import approx_top_tokens
+
+        top = approx_top_tokens(
+            ds, text_col=args.text_column, k=args.approx_top,
+            counters=args.approx_counters,
+        )
+        rd.from_arrow(top).write_parquet(args.output)
+        return {"output": args.output, "rows": top.num_rows}
     out = token_frequencies(
         ds, text_col=args.text_column, min_count=args.min_count,
         top_k=args.top_k, lowercase=args.lowercase,
@@ -958,6 +971,13 @@ def build_parser() -> argparse.ArgumentParser:
         "committed runs",
     )
     vb.add_argument("--run-id", default=None)
+    vb.add_argument(
+        "--approx-top", type=int, default=None, metavar="K",
+        help="sketch mode: approximate top-K tokens (Misra-Gries "
+        "candidates + Count-Min estimates) without the exact "
+        "histogram — the path when distinct tokens stop fitting",
+    )
+    vb.add_argument("--approx-counters", type=int, default=4096)
     vb.set_defaults(fn=cmd_vocab)
 
     sd = sub.add_parser(
