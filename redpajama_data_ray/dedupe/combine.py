@@ -141,10 +141,15 @@ def _duck_dup_root(key, cnt, min_count, threads, key_type, *tables):
     return out.cast(out_schema)
 
 
-# one root task holding every fixed-width (key, cnt) partial row:
-# ~16 GB at 1B rows — near a worker's comfortable ceiling. Above this,
-# horizontal hash-repartition is the only correct cost.
-DUP_ROOT_LIMIT = 1_000_000_000
+# one root task holding every fixed-width (key, cnt) partial row.
+# MEASURED crossover vs the horizontal fallback on the 32-CPU box
+# (round 4, sf1.0 code corpus, identical materialized partials,
+# identical outputs): 186M rows root 10-73 s vs fallback 119 s (root
+# wins); 372M rows root 154-268 s (high variance — the ~370M-entry
+# hash table no longer sits comfortably in one task) vs fallback
+# 105-199 s (tied, and the fallback is horizontal and predictable).
+# So hand off to the hash-repartition path well before the tie point.
+DUP_ROOT_LIMIT = 250_000_000
 
 
 def dup_keys_from_partials(
