@@ -96,6 +96,10 @@ class _FastTextLangId:
         if not text or not text.strip():
             return "unknown", 0.0
         labels, probs = self.model.predict(" ".join(text.splitlines()))
+        if not len(labels):
+            # every token OOV and no subword/EOS rows to average — a
+            # .bin whose dictionary lacks </s> can produce this
+            return "unknown", 0.0
         # "__label__en" -> "en" (classifiers.py:63-66 label handling)
         return labels[0].replace("__label__", ""), float(probs[0])
 
@@ -268,6 +272,8 @@ class _FastTextClassifier:
         from .classifier import CCNET_LABEL, preprocess
 
         labels, probs = self.model.predict(preprocess(text))
+        if not len(labels):
+            return 0.5  # no scoreable tokens: maximum uncertainty
         p = float(probs[0])
         return round(1.0 - p if labels[0] == CCNET_LABEL else p, 8)
 

@@ -359,3 +359,50 @@ def test_tokenizer_named_errors(tmp_path):
     nm.write_text(json.dumps({"version": "1.0"}))
     with pytest.raises(ValueError, match="no 'model'"):
         HFTokenizer.from_file(str(nm))
+
+
+def test_no_eos_vocab_degrades_gracefully(tmp_path):
+    """A .bin whose dictionary lacks </s> can produce empty
+    predictions for all-OOV text — wrappers degrade instead of
+    raising."""
+    p = tmp_path / "noeos.bin"
+    inm = np.array([[1.0, 0.0]], dtype=np.float32)
+    om = np.array([[1, 0], [0, 1]], dtype=np.float32)
+    write_fasttext_bin(
+        str(p), ["hello"], ["__label__en", "__label__fr"], inm, om,
+        dim=2,
+    )
+    lid = load_langid_model(str(p))
+    assert lid.predict("zzz qqq") == ("unknown", 0.0)
+    assert lid.predict("hello")[0] == "en"
+    clf_p = tmp_path / "noeos_clf.bin"
+    write_fasttext_bin(
+        str(clf_p), ["hello"], ["__label__cc", "__label__wiki"],
+        inm, om, dim=2,
+    )
+    clf = load_classifier_model(str(clf_p))
+    assert clf.score("zzz qqq") == 0.5
+
+
+def test_unfused_plan_rejects_classifier_model_path():
+    import pyarrow as pa
+    import ray.data
+    from redpajama_data_ray.pipelines.quality import (
+        QualityConfig, annotate,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "repo": ["r"], "path": ["p"], "commit": ["c"],
+                "lang": ["python"], "content": ["x = 1"],
+            }
+        )
+    )
+    with pytest.raises(ValueError, match="fused"):
+        annotate(
+            ds,
+            QualityConfig(
+                fused=False, classifier_model_path="clf.npy"
+            ),
+        )
