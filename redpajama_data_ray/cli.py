@@ -672,8 +672,20 @@ def cmd_prep_artifacts(args) -> dict:
         sample_fraction=args.sample_fraction,
         text_column=args.text_column,
     )
+    ft_meta = {}
+    if getattr(args, "fasttext", False):
+        from .pipelines.artifacts import build_fasttext_classifier
+
+        ft_meta = build_fasttext_classifier(
+            ds,
+            args.output,
+            samples_per_class=args.samples_per_class,
+            text_column=args.text_column,
+        )
+        ft_meta = {"fasttext_" + k: v for k, v in ft_meta.items()}
     return {
         "artifacts": args.output,
+        **ft_meta,
         **meta,
         "classifier": clf_meta,
         "ppl": ppl_meta,
@@ -1014,6 +1026,13 @@ def build_parser() -> argparse.ArgumentParser:
     pp.add_argument("--sample-fraction", type=float, default=0.25)
     pp.add_argument("--text-column", default="content")
     pp.add_argument("--max-docs", type=int, default=None)
+    pp.add_argument(
+        "--fasttext", action="store_true",
+        help="also train a REAL fastText-format quality classifier "
+        "(pure-numpy SGD, reference ft_trainer.py lifecycle) and "
+        "export quality.model.bin, loadable by any fastText loader",
+    )
+    pp.add_argument("--samples-per-class", type=int, default=5000)
     pp.set_defaults(fn=cmd_prep_artifacts)
 
     q2 = sub.add_parser("query", help="run a named analysis query")

@@ -1,0 +1,192 @@
+"""Pure-numpy supervised fastText trainer.
+
+The reference trains real fastText quality classifiers offline
+(`/root/reference/app/src/artifacts/ft_trainer.py:83-88`:
+``fasttext.train_supervised`` over ``__label__x <text>`` lines with
+library defaults) and serves the resulting ``.bin``. The ``fasttext``
+package is absent here, so this module reimplements the supervised
+training objective directly — mean-of-input-rows sentence embedding,
+softmax output layer, per-sample SGD with linearly decaying lr (the
+same model family ``src/model.cc``/``src/loss.cc`` optimizes) — and
+exports the exact public byte format via
+:func:`~.fasttext_bin.write_fasttext_bin`, so the artifact round-trips
+through ANY fastText loader (the python binding or this repo's pure
+reader).
+
+Deliberate deviations from the C++ trainer (documented, not bugs):
+single-threaded deterministic SGD (fastText's hogwild threads make
+its own runs non-reproducible), no subsampling/pruning, and
+hashing-bucket features only for word n-grams (``minn``/``maxn``
+subwords are a serving-path feature; training them is out of scope
+for the classifier artifacts this repo builds). Accuracy on the
+artifact-prep task, not bit parity, is the contract — the reference
+itself cannot reproduce its own training bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from .fasttext_bin import (
+    EOS,
+    LOSS_SOFTMAX,
+    FastTextModel,
+    ft_hash,
+    write_fasttext_bin,
+)
+
+
+def _tokenize(text: str) -> List[str]:
+    # fastText's readWord splits on ASCII whitespace; the reference
+    # preprocesses classifier text to a single line first
+    # (utils/classifiers.py preprocess)
+    return text.split()
+
+
+def train_supervised(
+    samples: Sequence[Tuple[str, str]],
+    dim: int = 32,
+    epoch: int = 5,
+    lr: float = 0.1,
+    min_count: int = 1,
+    word_ngrams: int = 1,
+    bucket: int = 0,
+    seed: int = 42,
+) -> "TrainedModel":
+    """Train on ``(label, text)`` pairs (label WITHOUT the
+    ``__label__`` prefix). Returns a :class:`TrainedModel` whose
+    ``save`` writes a loadable dense supervised ``.bin``."""
+    if not samples:
+        raise ValueError("no training samples")
+    if word_ngrams > 1 and bucket <= 0:
+        raise ValueError("word_ngrams > 1 requires bucket > 0")
+    rng = np.random.RandomState(seed)
+
+    # ---- dictionary (Dictionary::threshold sorts by count desc,
+    # words before labels; EOS is always present) ----
+    counts: dict = {}
+    label_set = set()
+    tokenized: List[Tuple[str, List[str]]] = []
+    for label, text in samples:
+        toks = _tokenize(text)
+        tokenized.append((label, toks))
+        label_set.add(label)
+        for w in toks:
+            counts[w] = counts.get(w, 0) + 1
+        counts[EOS] = counts.get(EOS, 0) + 1
+    words = [
+        w
+        for w, c in sorted(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if c >= min_count or w == EOS
+    ]
+    word_id = {w: i for i, w in enumerate(words)}
+    labels = sorted(label_set)
+    label_id = {lb: i for i, lb in enumerate(labels)}
+    nwords = len(words)
+
+    # ---- matrices (DenseMatrix::uniform init U(-1/dim, 1/dim) for
+    # the input layer, zeros for the output layer) ----
+    inm = rng.uniform(
+        -1.0 / dim, 1.0 / dim, size=(nwords + max(bucket, 0), dim)
+    ).astype(np.float64)
+    om = np.zeros((len(labels), dim), dtype=np.float64)
+
+    # ---- precompute id lists (ids don't change across epochs) ----
+    id_lists: List[np.ndarray] = []
+    targets = np.empty(len(tokenized), dtype=np.int64)
+    for i, (label, toks) in enumerate(tokenized):
+        ids = [word_id[w] for w in toks if w in word_id]
+        ids.append(word_id[EOS])
+        if word_ngrams > 1:
+            hashes = [
+                ft_hash(w) for w in toks if w in word_id
+            ] + [ft_hash(EOS)]
+            for a in range(len(hashes)):
+                h = hashes[a]
+                for b in range(a + 1, min(a + word_ngrams, len(hashes))):
+                    h = (h * 116049371 + hashes[b]) & 0xFFFFFFFFFFFFFFFF
+                    ids.append(nwords + h % bucket)
+        id_lists.append(np.asarray(ids, dtype=np.int64))
+        targets[i] = label_id[label]
+
+    # ---- SGD (Model::update: softmax loss, gradient to the mean
+    # hidden scaled back onto every contributing input row; linear lr
+    # decay across all epoch*n steps like FastText::trainThread) ----
+    n = len(id_lists)
+    total = epoch * n
+    step = 0
+    order = np.arange(n)
+    for _ in range(epoch):
+        rng.shuffle(order)
+        for i in order:
+            ids = id_lists[i]
+            cur_lr = lr * (1.0 - step / total)
+            step += 1
+            if ids.size == 0:
+                continue
+            h = inm[ids].mean(axis=0)
+            scores = om @ h
+            scores -= scores.max()
+            p = np.exp(scores)
+            p /= p.sum()
+            p[targets[i]] -= 1.0  # d(loss)/d(scores)
+            g_hidden = om.T @ p
+            om -= cur_lr * np.outer(p, h)
+            np.add.at(
+                inm, ids, -(cur_lr / ids.size) * g_hidden
+            )
+    return TrainedModel(
+        words, labels, inm, om, dim, bucket, word_ngrams
+    )
+
+
+class TrainedModel:
+    """In-memory trained model; ``save`` exports the real ``.bin``
+    layout, ``predictor`` returns the pure reader's FastTextModel over
+    the same parameters (what a user loading the file gets)."""
+
+    def __init__(self, words, labels, inm, om, dim, bucket, word_ngrams):
+        self.words = words
+        self.labels = [f"__label__{lb}" for lb in labels]
+        self.inm = inm.astype(np.float32)
+        self.om = om.astype(np.float32)
+        self.dim = dim
+        self.bucket = bucket
+        self.word_ngrams = word_ngrams
+
+    def save(self, path: str) -> str:
+        return write_fasttext_bin(
+            path,
+            self.words,
+            self.labels,
+            self.inm,
+            self.om,
+            dim=self.dim,
+            bucket=self.bucket,
+            word_ngrams=self.word_ngrams,
+            loss=LOSS_SOFTMAX,
+        )
+
+    def predictor(self) -> FastTextModel:
+        types = np.array(
+            [0] * len(self.words) + [1] * len(self.labels), np.int8
+        )
+        return FastTextModel(
+            {
+                "dim": self.dim,
+                "bucket": self.bucket,
+                "word_ngrams": self.word_ngrams,
+                "minn": 0,
+                "maxn": 0,
+                "loss": LOSS_SOFTMAX,
+                "model": 3,
+            },
+            self.words + self.labels,
+            types,
+            self.inm,
+            self.om,
+        )

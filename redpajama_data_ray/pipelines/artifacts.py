@@ -332,3 +332,85 @@ def _lid() -> "NGramLangId":
     if _LID_SINGLETON is None:
         _LID_SINGLETON = NGramLangId()
     return _LID_SINGLETON
+
+
+FASTTEXT_MODEL_FILE = "quality.model.bin"
+
+
+def build_fasttext_classifier(
+    corpus: Dataset,
+    out_dir: str,
+    samples_per_class: int = 5000,
+    seed: int = 42,
+    text_column: str = "content",
+    dim: int = 32,
+    epoch: int = 5,
+    word_ngrams: int = 1,
+    bucket: int = 0,
+) -> dict:
+    """Train a REAL fastText-format quality classifier and export
+    ``quality.model.bin`` — the reference FastTextTrainer lifecycle
+    (`artifacts/ft_trainer.py:42-88`: labeled ``__label__cc`` /
+    ``__label__wiki`` preprocessed lines, bounded samples per class,
+    ``train_supervised``, ``save_model``) with the pure-numpy trainer
+    (functions/fasttext_train.py) instead of the absent package.
+
+    Labels mirror :func:`build_classifier_artifact`: the deterministic
+    language-ID model marks code-like docs ``cc`` and prose-like docs
+    ``wiki``. The exported file loads through ANY fastText loader —
+    ``load_classifier_model(out_dir + '/quality.model.bin')`` serves
+    it in the annotation stages."""
+    from ..functions.classifier import preprocess
+    from ..functions.fasttext_train import train_supervised
+
+    def partial(t: pa.Table) -> pa.Table:
+        lid = _lid()
+        labels, texts = [], []
+        for text in t.column(text_column).to_pylist():
+            text = text or ""
+            lang, _ = lid.predict(text)
+            labels.append("cc" if lang == "code" else "wiki")
+            texts.append(preprocess(text))
+        return pa.table(
+            {
+                "label": pa.array(labels, pa.string()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+
+    # bounded deterministic sample per class, collected driver-side
+    # (the reference writes a bounded train file and shuffles it —
+    # training is a single-box offline step either way)
+    per_class: dict = {"cc": [], "wiki": []}
+    for b in corpus.map_batches(
+        partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for lb, tx in zip(
+            b.column("label").to_pylist(), b.column("text").to_pylist()
+        ):
+            if len(per_class[lb]) < samples_per_class:
+                per_class[lb].append((lb, tx))
+        if all(
+            len(v) >= samples_per_class for v in per_class.values()
+        ):
+            break
+    samples = per_class["cc"] + per_class["wiki"]
+    if not samples:
+        raise ValueError("corpus sample produced no training rows")
+    model = train_supervised(
+        samples,
+        dim=dim,
+        epoch=epoch,
+        word_ngrams=word_ngrams,
+        bucket=bucket,
+        seed=seed,
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    path = model.save(os.path.join(out_dir, FASTTEXT_MODEL_FILE))
+    return {
+        "model": path,
+        "n_cc": len(per_class["cc"]),
+        "n_wiki": len(per_class["wiki"]),
+        "dim": dim,
+        "labels": model.labels,
+    }

@@ -406,3 +406,122 @@ def test_unfused_plan_rejects_classifier_model_path():
                 fused=False, classifier_model_path="clf.npy"
             ),
         )
+
+
+# ------------------------------------------------------------------
+# pure-numpy supervised trainer (reference ft_trainer.py lifecycle)
+# ------------------------------------------------------------------
+
+
+def _separable_samples(n=200, seed=0):
+    rng = np.random.RandomState(seed)
+    pos_vocab = ["good", "fine", "clean", "nice", "solid"]
+    neg_vocab = ["bad", "ugly", "broken", "junk", "noisy"]
+    out = []
+    for i in range(n):
+        vocab = pos_vocab if i % 2 == 0 else neg_vocab
+        words = rng.choice(vocab, size=6).tolist()
+        out.append(("pos" if i % 2 == 0 else "neg", " ".join(words)))
+    return out
+
+
+def test_trainer_converges_and_roundtrips(tmp_path):
+    from redpajama_data_ray.functions.fasttext_train import (
+        train_supervised,
+    )
+
+    samples = _separable_samples()
+    model = train_supervised(samples, dim=16, epoch=8, seed=1)
+    path = model.save(str(tmp_path / "clf.bin"))
+    loaded = load_fasttext_bin(path)
+    assert loaded.labels == ["__label__neg", "__label__pos"]
+    correct = 0
+    for label, text in samples:
+        pred, probs = loaded.predict(text)
+        correct += pred[0] == f"__label__{label}"
+        assert 0.0 <= float(probs[0]) <= 1.0
+    assert correct / len(samples) >= 0.95
+    # the in-memory predictor and the file round-trip agree (float32
+    # export is what both see)
+    mem = model.predictor()
+    for label, text in samples[:20]:
+        la, pa_ = loaded.predict(text, k=2)
+        lb, pb = mem.predict(text, k=2)
+        assert la == lb
+        np.testing.assert_allclose(pa_, pb, atol=1e-6)
+
+
+def test_trainer_deterministic(tmp_path):
+    from redpajama_data_ray.functions.fasttext_train import (
+        train_supervised,
+    )
+
+    samples = _separable_samples(60, seed=3)
+    a = train_supervised(samples, dim=8, epoch=3, seed=9)
+    b = train_supervised(samples, dim=8, epoch=3, seed=9)
+    pa_ = a.save(str(tmp_path / "a.bin"))
+    pb = b.save(str(tmp_path / "b.bin"))
+    assert open(pa_, "rb").read() == open(pb, "rb").read()
+
+
+def test_trainer_word_ngrams_capture_order(tmp_path):
+    """Unigram-identical, order-distinct classes are only separable
+    with word-ngram buckets — proves the bigram feature path trains."""
+    from redpajama_data_ray.functions.fasttext_train import (
+        train_supervised,
+    )
+
+    samples = []
+    for i in range(120):
+        if i % 2 == 0:
+            samples.append(("ab", "alpha beta alpha beta alpha beta"))
+        else:
+            samples.append(("ba", "beta alpha beta alpha beta alpha"))
+    uni = train_supervised(samples, dim=8, epoch=6, seed=2)
+    acc_uni = np.mean(
+        [
+            uni.predictor().predict(t)[0][0] == f"__label__{lb}"
+            for lb, t in samples
+        ]
+    )
+    bi = train_supervised(
+        samples, dim=8, epoch=6, seed=2, word_ngrams=2, bucket=256
+    )
+    path = bi.save(str(tmp_path / "bi.bin"))
+    loaded = load_fasttext_bin(path)
+    acc_bi = np.mean(
+        [
+            loaded.predict(t)[0][0] == f"__label__{lb}"
+            for lb, t in samples
+        ]
+    )
+    assert acc_uni <= 0.6  # unigrams cannot separate
+    assert acc_bi == 1.0
+
+
+def test_build_fasttext_classifier_end_to_end(tmp_path):
+    import ray.data
+
+    from redpajama_data_ray.pipelines.artifacts import (
+        build_fasttext_classifier,
+    )
+
+    code = [
+        "def f(x):\n    return x + 1\n} { == != import numpy",
+        "class A:\n    pass\n;; || && left_join",
+    ] * 30
+    prose = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "many words flow together in long natural sentences about life",
+    ] * 30
+    t = pa.table({"content": code + prose})
+    meta = build_fasttext_classifier(
+        ray.data.from_arrow(t), str(tmp_path), samples_per_class=40,
+        dim=16, epoch=6,
+    )
+    assert meta["n_cc"] > 0 and meta["n_wiki"] > 0
+    clf = load_classifier_model(meta["model"])
+    # classifiers.py semantics: score = P(not cc); prose scores higher
+    s_prose = clf.score(prose[0])
+    s_code = clf.score(code[0])
+    assert 0.0 <= s_code < s_prose <= 1.0
