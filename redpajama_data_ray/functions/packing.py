@@ -296,3 +296,411 @@ def _empty_windows(emit_tokens: bool) -> pa.Table:
             [], pa.large_list(pa.uint64())
         )
     return pa.table(cols)
+
+
+# ------------------------------------------------------------------
+# two-phase summary packing: the text never enters a shuffle
+# ------------------------------------------------------------------
+
+def pack_summaries(
+    ds: Dataset,
+    seq_len: int,
+    n_buckets: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    broadcast_limit: int = 50_000_000,
+    driver_combine_limit: int = 20_000_000,
+    validate: bool = True,
+) -> Dataset:
+    """``pack_sequences(..., emit_tokens=False)`` outputs — IDENTICAL
+    rows — without moving any document text through the exchange.
+
+    The text-shuffle in :func:`pack_sequences` exists only to
+    co-locate each bucket's tokens; when the product is window
+    SUMMARIES, co-locating lengths is enough because the window
+    checksum is a wrapping uint64 SUM of token hashes — splittable at
+    any cut point. Two streaming passes over the corpus, two narrow
+    exchanges:
+
+    - **Phase A**: shuffle one ``(bucket, id, n_tokens)`` row per doc
+      (bytes per doc, not the text); per bucket, compute the exact
+      window structure (seq_idx, n_tokens, n_docs — identical math to
+      ``_pack_one``) plus the doc->window SEGMENTS (which slice of
+      which doc lands in which window).
+    - **Phase B**: broadcast the segments (sorted fixed-width id
+      probe, the dedupe/apply.py pattern) and stream the corpus a
+      second time LOCALLY: each doc's cumsum of token hashes turns a
+      segment into ``cs[end] - cs[start]`` (uint64 wraps both ways),
+      pre-combined per batch by window key. A final tiny combine sums
+      the per-window partials into the same 16-hex checksums the
+      text-shuffle path emits.
+
+    Partitioning assumptions (documented, guarded): segments number
+    ``n_docs + n_windows - n_buckets`` and must fit a broadcast
+    (``broadcast_limit``) — above that, window assignment delivery
+    would need a corpus join that ships the text again, so this
+    raises and the caller should use :func:`pack_sequences`. The
+    final checksum combine runs on the driver below
+    ``driver_combine_limit`` windows and as a narrow hash-repartition
+    combine above it."""
+    if seq_len <= 0:
+        raise ValueError("seq_len must be positive")
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        ids = t.column(id_col).to_pylist()
+        b = (pack_bucket_of(ids) % np.uint64(n_buckets)).astype(np.int32)
+        n_tok = np.fromiter(
+            (
+                len((x or "").split()) + 1  # + trailing EOS
+                for x in t.column(text_col).to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(ids),
+        )
+        return pa.table(
+            {
+                "pack_bucket": pa.array(b),
+                id_col: t.column(id_col),  # original type preserved
+                "n_tok": pa.array(n_tok),
+            }
+        )
+
+    def _structure_block(t: pa.Table) -> pa.Table:
+        """Per hash-partitioned block (whole buckets): window summary
+        rows (kind=0) and doc->window segment rows (kind=1), one
+        union-schema table."""
+        out_cols = {
+            "kind": [], "bucket": [], "seq_idx": [], "n_tokens": [],
+            "n_docs": [], "seg_id": [], "seg_start": [], "seg_end": [],
+        }
+        if t.num_rows == 0:
+            return _structure_empty()
+        buckets = t.column("pack_bucket").to_numpy(zero_copy_only=False)
+        all_ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        all_ntok = t.column("n_tok").to_numpy(zero_copy_only=False)
+        tables = []
+        for b in np.unique(buckets):
+            sel = np.flatnonzero(buckets == b)
+            ids = all_ids[sel]
+            order = np.argsort(ids, kind="stable")  # == _pack_one
+            ids = ids[order]
+            doc_lens = all_ntok[sel][order]
+            doc_starts = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(doc_lens, out=doc_starts[1:])
+            total = int(doc_starts[-1])
+            n_seqs = (total + seq_len - 1) // seq_len
+            starts = np.arange(n_seqs, dtype=np.int64) * seq_len
+            n_tokens = np.full(n_seqs, seq_len, dtype=np.int64)
+            n_tokens[-1] = total - starts[-1]
+            ends = starts + n_tokens
+            first_doc = (
+                np.searchsorted(doc_starts, starts, side="right") - 1
+            )
+            last_doc = (
+                np.searchsorted(doc_starts, ends - 1, side="right") - 1
+            )
+            n_docs = (last_doc - first_doc + 1).astype(np.int64)
+            # segments: doc k overlaps windows fw[k]..lw[k]
+            ds0 = doc_starts[:-1]
+            fw = ds0 // seq_len
+            lw = (doc_starts[1:] - 1) // seq_len
+            counts = (lw - fw + 1).astype(np.int64)
+            n_seg = int(counts.sum())
+            doc_idx = np.repeat(np.arange(len(ids)), counts)
+            grp_off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(counts, out=grp_off[1:])
+            within = np.arange(n_seg) - np.repeat(grp_off[:-1], counts)
+            win = fw[doc_idx] + within
+            seg_start = np.maximum(0, win * seq_len - ds0[doc_idx])
+            seg_end = np.minimum(
+                doc_lens[doc_idx], (win + 1) * seq_len - ds0[doc_idx]
+            )
+            tables.append(
+                pa.table(
+                    {
+                        "kind": pa.array(
+                            np.concatenate(
+                                [
+                                    np.zeros(n_seqs, np.int8),
+                                    np.ones(n_seg, np.int8),
+                                ]
+                            )
+                        ),
+                        "bucket": pa.array(
+                            np.full(
+                                n_seqs + n_seg, int(b), dtype=np.int32
+                            )
+                        ),
+                        "seq_idx": pa.array(
+                            np.concatenate(
+                                [np.arange(n_seqs, dtype=np.int64), win]
+                            )
+                        ),
+                        "n_tokens": pa.array(
+                            np.concatenate(
+                                [n_tokens, np.zeros(n_seg, np.int64)]
+                            )
+                        ),
+                        "n_docs": pa.array(
+                            np.concatenate(
+                                [n_docs, np.zeros(n_seg, np.int64)]
+                            )
+                        ),
+                        "seg_id": pa.array(
+                            [None] * n_seqs
+                            + [str(x) for x in ids[doc_idx].tolist()],
+                            pa.string(),
+                        ),
+                        "seg_start": pa.array(
+                            np.concatenate(
+                                [np.zeros(n_seqs, np.int64), seg_start]
+                            )
+                        ),
+                        "seg_end": pa.array(
+                            np.concatenate(
+                                [np.zeros(n_seqs, np.int64), seg_end]
+                            )
+                        ),
+                    }
+                )
+            )
+        return pa.concat_tables(tables) if tables else _structure_empty()
+
+    # ---- Phase A: narrow exchange + structure ----
+    from ray.data.context import ShuffleStrategy
+
+    from ..dedupe.combine import auto_partitions
+
+    narrow = ds.map_batches(_narrow, batch_format="pyarrow")
+    ctx = narrow.context
+    prev = (
+        ctx.shuffle_strategy,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    )
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    try:
+        structure = (
+            narrow.repartition(
+                min(n_buckets, auto_partitions()),
+                keys=["pack_bucket"],
+            )
+            .map_batches(
+                _structure_block,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    finally:
+        (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ) = prev
+
+    import pyarrow.compute as pc
+
+    def _filter_kind(k):
+        def f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t.column("kind"), k))
+
+        return f
+
+    segs = pa.concat_tables(
+        list(
+            structure.map_batches(
+                _filter_kind(1), batch_format="pyarrow"
+            )
+            .select_columns(["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"])
+            .iter_batches(batch_format="pyarrow")
+        )
+    )
+    if segs.num_rows > broadcast_limit:
+        raise ValueError(
+            f"{segs.num_rows} doc->window segments exceed the "
+            f"broadcast limit ({broadcast_limit}); delivering them "
+            "without a broadcast would join the text through a "
+            "shuffle — use pack_sequences (the co-locating exchange) "
+            "at this scale"
+        )
+    # sorted fixed-width id probe (dedupe/apply.py membership
+    # pattern); sort AFTER the bytes conversion so probe order and
+    # sort order agree even for non-ASCII ids
+    seg_ids_b = segs.column("seg_id").to_numpy(
+        zero_copy_only=False
+    ).astype("S")
+    sort_idx = np.argsort(seg_ids_b, kind="stable")
+    seg_ids_sorted = seg_ids_b[sort_idx]
+    enc = (
+        segs.column("bucket").to_numpy(zero_copy_only=False)[sort_idx]
+        .astype(np.uint64)
+        << np.uint64(40)
+    ) | segs.column("seq_idx").to_numpy(zero_copy_only=False)[
+        sort_idx
+    ].astype(np.uint64)
+    seg_start = segs.column("seg_start").to_numpy(
+        zero_copy_only=False
+    )[sort_idx]
+    seg_end = segs.column("seg_end").to_numpy(zero_copy_only=False)[
+        sort_idx
+    ]
+    import ray as _ray
+
+    seg_ref = _ray.put((seg_ids_sorted, enc, seg_start, seg_end))
+
+    # ---- Phase B: local second pass, per-segment partial checksums
+    def _partials(t: pa.Table) -> pa.Table:
+        ids_s, enc_s, st_s, en_s = _ray.get(seg_ref)
+        ids = t.column(id_col).to_pylist()
+        texts = t.column(text_col).to_pylist()
+        out_enc = []
+        out_sum = []
+        width = ids_s.dtype.itemsize
+        for i, did in enumerate(ids):
+            key = np.bytes_(str(did).encode("utf-8"))
+            if len(key) > width:
+                continue  # cannot be a known doc id
+            lo = np.searchsorted(ids_s, key, side="left")
+            hi = np.searchsorted(ids_s, key, side="right")
+            if hi == lo:
+                continue
+            h = np.append(_doc_token_hashes(texts[i]), EOS_HASH)
+            cs = np.zeros(len(h) + 1, dtype=np.uint64)
+            np.cumsum(h, out=cs[1:])
+            sl = slice(lo, hi)
+            out_enc.append(enc_s[sl])
+            with np.errstate(over="ignore"):
+                out_sum.append(cs[en_s[sl]] - cs[st_s[sl]])
+        if not out_enc:
+            return pa.table(
+                {
+                    "enc": pa.array([], pa.uint64()),
+                    "csum": pa.array([], pa.uint64()),
+                }
+            )
+        e = np.concatenate(out_enc)
+        s = np.concatenate(out_sum)
+        uniq, inv = np.unique(e, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.uint64)
+        np.add.at(sums, inv, s)
+        return pa.table(
+            {"enc": pa.array(uniq), "csum": pa.array(sums)}
+        )
+
+    partial_ds = ds.map_batches(
+        _partials, batch_format="pyarrow"
+    ).materialize()
+    n_partials = partial_ds.count()
+
+    if n_partials <= driver_combine_limit:
+        tbl = pa.concat_tables(
+            list(partial_ds.iter_batches(batch_format="pyarrow"))
+        )
+        e = tbl.column("enc").to_numpy(zero_copy_only=False)
+        s = tbl.column("csum").to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(e, return_inverse=True)
+        sums = np.zeros(len(uniq), dtype=np.uint64)
+        np.add.at(sums, inv, s)
+    else:
+        ctx = partial_ds.context
+        prev = (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        )
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        if (
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+            is None
+        ):
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+
+        def _combine(t: pa.Table) -> pa.Table:
+            e = t.column("enc").to_numpy(zero_copy_only=False)
+            s = t.column("csum").to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(e, return_inverse=True)
+            sums = np.zeros(len(uniq), dtype=np.uint64)
+            np.add.at(sums, inv, s)
+            return pa.table(
+                {"enc": pa.array(uniq), "csum": pa.array(sums)}
+            )
+
+        try:
+            combined = (
+                partial_ds.repartition(
+                    auto_partitions(), keys=["enc"]
+                )
+                .map_batches(
+                    _combine,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+        finally:
+            (
+                ctx.shuffle_strategy,
+                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ) = prev
+        tbl = pa.concat_tables(
+            list(combined.iter_batches(batch_format="pyarrow"))
+        )
+        uniq = tbl.column("enc").to_numpy(zero_copy_only=False)
+        sums = tbl.column("csum").to_numpy(zero_copy_only=False)
+        order = np.argsort(uniq, kind="stable")
+        uniq, sums = uniq[order], sums[order]
+
+    sum_ref = _ray.put((uniq, sums))
+
+    # ---- attach checksums to the summary rows ----
+    def _attach(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(t.column("kind"), 0))
+        u, sm = _ray.get(sum_ref)
+        e = (
+            t.column("bucket").to_numpy(zero_copy_only=False)
+            .astype(np.uint64)
+            << np.uint64(40)
+        ) | t.column("seq_idx").to_numpy(zero_copy_only=False).astype(
+            np.uint64
+        )
+        j = np.searchsorted(u, e)
+        if len(u):
+            jc = np.minimum(j, len(u) - 1)
+            found = u[jc] == e
+            vals = np.where(found, sm[jc], np.uint64(0))
+        else:
+            vals = np.zeros(len(e), dtype=np.uint64)
+        checksum = [format(int(v), "016x") for v in vals]
+        return pa.table(
+            {
+                "bucket": t.column("bucket"),
+                "seq_idx": t.column("seq_idx"),
+                "n_tokens": t.column("n_tokens"),
+                "n_docs": t.column("n_docs"),
+                "checksum": pa.array(checksum, pa.string()),
+            }
+        )
+
+    out = structure.map_batches(
+        _attach, batch_format="pyarrow"
+    ).materialize()
+    if validate:
+        _check_no_split_buckets(out)
+    return out
+
+
+def _structure_empty() -> pa.Table:
+    return pa.table(
+        {
+            "kind": pa.array([], pa.int8()),
+            "bucket": pa.array([], pa.int32()),
+            "seq_idx": pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "n_docs": pa.array([], pa.int64()),
+            "seg_id": pa.array([], pa.string()),
+            "seg_start": pa.array([], pa.int64()),
+            "seg_end": pa.array([], pa.int64()),
+        }
+    )

@@ -174,3 +174,84 @@ def test_split_bucket_guard():
 def test_rejects_bad_seq_len():
     with pytest.raises(ValueError):
         pack_sequences(_ds([(1, "a")]), seq_len=0)
+
+
+class TestPackSummaries:
+    def _cmp(self, docs, seq_len, n_buckets, **kw):
+        from redpajama_data_ray.functions.packing import pack_summaries
+
+        a = (
+            pack_sequences(_ds(docs), seq_len, n_buckets=n_buckets)
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_summaries(
+                _ds(docs), seq_len, n_buckets=n_buckets, **kw
+            )
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), (a, b)
+        return a
+
+    def test_identical_to_text_shuffle(self):
+        rng = np.random.RandomState(5)
+        docs = [
+            (
+                i,
+                " ".join(
+                    rng.choice(
+                        ["aa", "bb", "cc", "dd", "ee"], size=rng.randint(0, 40)
+                    ).tolist()
+                ),
+            )
+            for i in range(300)
+        ]
+        out = self._cmp(docs, seq_len=32, n_buckets=8)
+        assert out["n_tokens"].sum() == sum(
+            len(t.split()) + 1 for _, t in docs
+        )
+
+    def test_long_docs_span_windows(self):
+        docs = [
+            (1, "x " * 500), (2, "y " * 3), (3, ""), (4, "z " * 100),
+        ]
+        out = self._cmp(docs, seq_len=64, n_buckets=2)
+        assert (out["n_docs"] >= 1).all()
+
+    def test_forced_distributed_combine(self):
+        docs = [(i, f"tok{i} tok{i+1} shared") for i in range(60)]
+        self._cmp(
+            docs, seq_len=16, n_buckets=4, driver_combine_limit=0
+        )
+
+    def test_segment_broadcast_guard(self):
+        from redpajama_data_ray.functions.packing import pack_summaries
+
+        with pytest.raises(ValueError, match="broadcast limit"):
+            pack_summaries(
+                _ds([(i, "a b c") for i in range(50)]),
+                seq_len=4,
+                n_buckets=4,
+                broadcast_limit=10,
+            )
+
+    def test_blocking_independent(self):
+        docs = [(i, f"w{i % 7} " * (i % 13)) for i in range(120)]
+        from redpajama_data_ray.functions.packing import pack_summaries
+
+        outs = []
+        for nblocks in (1, 5, 16):
+            t = (
+                pack_summaries(
+                    _ds(docs).repartition(nblocks), 24, n_buckets=4
+                )
+                .to_pandas()
+                .sort_values(["bucket", "seq_idx"])
+                .reset_index(drop=True)
+            )
+            outs.append(t)
+        assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
