@@ -490,11 +490,31 @@ def cmd_pack(args) -> dict:
     from .functions.packing import pack_sequences
 
     ds = _read_input(args.input, args.max_docs, False)
-    out = pack_sequences(
-        ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
-        text_col=args.text_column, id_col=args.id_column,
-        emit_tokens=args.emit_tokens,
-    )
+    if args.id_column == "doc_id" and "doc_id" not in (
+        ds.schema().names or []
+    ):
+        # raw corpus without ids: derive the standard unique doc_id
+        # (repo/path@commit) before packing — packing requires unique
+        # ids for its sorted-by-id reproducibility contract
+        from .stages.ids import assign_ids
+
+        ds = ds.map_batches(assign_ids, batch_format="pyarrow")
+    if getattr(args, "summaries_only", False):
+        # two-phase offsets exchange: identical summary rows, the
+        # text never enters a shuffle (functions/packing.py
+        # pack_summaries)
+        from .functions.packing import pack_summaries
+
+        out = pack_summaries(
+            ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
+            text_col=args.text_column, id_col=args.id_column,
+        )
+    else:
+        out = pack_sequences(
+            ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
+            text_col=args.text_column, id_col=args.id_column,
+            emit_tokens=args.emit_tokens,
+        )
     out.write_parquet(args.output)
     return {"output": args.output}
 
@@ -953,6 +973,12 @@ def build_parser() -> argparse.ArgumentParser:
         "--emit-tokens", action="store_true",
         help="emit the packed token-hash sequences (training samples),"
         " not just the window summary",
+    )
+    pk.add_argument(
+        "--summaries-only", action="store_true",
+        help="two-phase offsets exchange: identical window summaries "
+        "without shuffling the text (mutually exclusive with "
+        "--emit-tokens)",
     )
     pk.set_defaults(fn=cmd_pack)
 

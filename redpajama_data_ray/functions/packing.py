@@ -38,6 +38,22 @@ EOS_TOKEN = "<|endofdoc|>"
 EOS_HASH = np.uint64(zlib.crc32(EOS_TOKEN.encode("utf-8")))
 
 
+def _require_unique_ids(sorted_ids: np.ndarray, id_col: str) -> None:
+    """Packing's reproducibility contract keys on UNIQUE doc ids: the
+    within-bucket order is 'sorted by id', and duplicate ids make that
+    order (and pack_summaries' segment delivery) depend on block
+    arrival. Fail loudly instead of silently emitting
+    arrival-order-dependent windows."""
+    if sorted_ids.size > 1 and (sorted_ids[1:] == sorted_ids[:-1]).any():
+        dup = sorted_ids[1:][sorted_ids[1:] == sorted_ids[:-1]][0]
+        raise ValueError(
+            f"duplicate {id_col!r} value {dup!r}: sequence packing "
+            "requires unique doc ids (the within-bucket order is "
+            "sorted-by-id); pick a unique id column or assign ids "
+            "first (stages/ids.py assign_ids)"
+        )
+
+
 def pack_bucket_of(ids) -> np.ndarray:
     """Stable bucket key material: crc32 of the id's string form."""
     return np.array(
@@ -87,6 +103,7 @@ def pack_sequences(
 
     def _pack_one(bucket: int, ids, texts) -> pa.Table:
         order = np.argsort(ids, kind="stable")
+        _require_unique_ids(ids[order], id_col)
 
         # token stream: per-doc hashes + one EOS after every doc
         streams = []
@@ -384,6 +401,7 @@ def pack_summaries(
             ids = all_ids[sel]
             order = np.argsort(ids, kind="stable")  # == _pack_one
             ids = ids[order]
+            _require_unique_ids(ids, id_col)
             doc_lens = all_ntok[sel][order]
             doc_starts = np.zeros(len(ids) + 1, dtype=np.int64)
             np.cumsum(doc_lens, out=doc_starts[1:])

@@ -255,3 +255,13 @@ class TestPackSummaries:
             )
             outs.append(t)
         assert outs[0].equals(outs[1]) and outs[1].equals(outs[2])
+
+
+def test_duplicate_ids_rejected():
+    from redpajama_data_ray.functions.packing import pack_summaries
+
+    docs = [(7, "a b c"), (7, "d e f"), (8, "g")]
+    with pytest.raises(Exception, match="unique doc ids"):
+        pack_sequences(_ds(docs), seq_len=4, n_buckets=1).count()
+    with pytest.raises(Exception, match="unique doc ids"):
+        pack_summaries(_ds(docs), seq_len=4, n_buckets=1).count()
