@@ -82,7 +82,9 @@ def _read_input(
     return ds
 
 
-def _write_then_reread(out, output_dir: str, columns: Optional[List[str]]):
+def _write_then_reread(
+    out, output_dir: str, columns: Optional[List[str]], empty_types=None
+):
     """Consume a pipeline with ``write_parquet`` (streaming, nothing
     pinned in the object store) and return a column-pruned re-read of
     the written files for cheap post-hoc aggregates / state commits.
@@ -106,6 +108,24 @@ def _write_then_reread(out, output_dir: str, columns: Optional[List[str]]):
             "--state-dir / --resume, not output reuse)"
         )
     out.write_parquet(output_dir)
+    if not glob.glob(os.path.join(output_dir, "*.parquet")):
+        # a fully-filtered pipeline (e.g. an incremental re-run whose
+        # keys are all already committed) writes NOTHING — Ray's
+        # write_parquet creates no files for 0 rows, and a re-read
+        # would raise. An empty dataset with the right columns keeps
+        # the state commit / report path alive (types from
+        # empty_types, default string).
+        import pyarrow as pa
+
+        empty_types = empty_types or {}
+        return rd.from_arrow(
+            pa.table(
+                {
+                    c: pa.array([], empty_types.get(c, pa.string()))
+                    for c in columns or []
+                }
+            )
+        )
     return rd.read_parquet(output_dir, columns=columns)
 
 
@@ -212,8 +232,14 @@ def cmd_dedup_fuzzy(args) -> dict:
         )
         # write data THEN commit state from a narrow (id, bands)
         # re-read of the written output
+        import pyarrow as pa
+
         written = _write_then_reread(
-            out, args.output, ["id_int", args.signature]
+            out, args.output, ["id_int", args.signature],
+            empty_types={
+                "id_int": pa.uint64(),
+                args.signature: pa.large_list(pa.binary()),
+            },
         )
         commit_run_bands(written, args.state_dir, run_id, args.signature)
         return {
@@ -306,14 +332,17 @@ def cmd_dedup_lines(args) -> dict:
         )
         # write first; state commit uses the independent run_counts
         # partials, and the report stats come from a 1-column re-read
+        import pyarrow as pa
+
         written = _write_then_reread(
-            out, args.output, ["n_lines_removed"]
+            out, args.output, ["n_lines_removed"],
+            empty_types={"n_lines_removed": pa.int64()},
         )
         commit_run_line_counts(run_counts, args.state_dir, run_id)
         compact_line_state(args.state_dir)
         return {
             "rows": written.count(),
-            "lines_removed": int(written.sum("n_lines_removed")),
+            "lines_removed": int(written.sum("n_lines_removed") or 0),
             "output": args.output,
             "run_id": run_id,
             "state_lines": seen_line_count(args.state_dir),
@@ -326,10 +355,15 @@ def cmd_dedup_lines(args) -> dict:
         distributed=distributed,
         sep=sep,
     )
-    written = _write_then_reread(out, args.output, ["n_lines_removed"])
+    import pyarrow as pa
+
+    written = _write_then_reread(
+        out, args.output, ["n_lines_removed"],
+        empty_types={"n_lines_removed": pa.int64()},
+    )
     return {
         "rows": written.count(),
-        "lines_removed": int(written.sum("n_lines_removed")),
+        "lines_removed": int(written.sum("n_lines_removed") or 0),
         "output": args.output,
     }
 
@@ -360,7 +394,12 @@ def cmd_dedup_spans(args) -> dict:
             run_id=args.run_id,
             distributed=distributed,
         )
-        written = _write_then_reread(out, args.output, ["n_dup_spans"])
+        import pyarrow as pa
+
+        written = _write_then_reread(
+            out, args.output, ["n_dup_spans"],
+            empty_types={"n_dup_spans": pa.int64()},
+        )
         commit_run_fingerprint_counts(
             run_counts, args.state_dir, run_id,
             k=args.k, winnow_w=args.winnow_w,
@@ -370,7 +409,7 @@ def cmd_dedup_spans(args) -> dict:
         )
         return {
             "rows": written.count(),
-            "dup_spans_total": int(written.sum("n_dup_spans")),
+            "dup_spans_total": int(written.sum("n_dup_spans") or 0),
             "output": args.output,
             "run_id": run_id,
             "state_fingerprints": seen_fingerprint_count(
@@ -386,14 +425,20 @@ def cmd_dedup_spans(args) -> dict:
         mode=args.mode,
         distributed=distributed,
     )
+    import pyarrow as pa
+
     written = _write_then_reread(
-        out, args.output, ["n_dup_spans", "dup_char_frac"]
+        out, args.output, ["n_dup_spans", "dup_char_frac"],
+        empty_types={
+            "n_dup_spans": pa.int64(),
+            "dup_char_frac": pa.float64(),
+        },
     )
     return {
         "rows": written.count(),
-        "dup_spans_total": int(written.sum("n_dup_spans")),
+        "dup_spans_total": int(written.sum("n_dup_spans") or 0),
         "dup_char_frac_mean": round(
-            float(written.mean("dup_char_frac")), 6
+            float(written.mean("dup_char_frac") or 0.0), 6
         ),
         "output": args.output,
     }
@@ -416,7 +461,12 @@ def cmd_decontaminate(args) -> dict:
     cols = (
         ["contaminated"] if args.mode == "annotate" else [args.text_col]
     )
-    written = _write_then_reread(out, args.output, cols)
+    import pyarrow as pa
+
+    written = _write_then_reread(
+        out, args.output, cols,
+        empty_types={"contaminated": pa.int64()},
+    )
     result = {"rows": written.count(), "output": args.output}
     if args.mode == "annotate":
         result["contaminated"] = int(written.sum("contaminated") or 0)
@@ -500,6 +550,12 @@ def cmd_pack(args) -> dict:
 
         ds = ds.map_batches(assign_ids, batch_format="pyarrow")
     if getattr(args, "summaries_only", False):
+        if args.emit_tokens:
+            raise SystemExit(
+                "--summaries-only and --emit-tokens are mutually "
+                "exclusive: emitting token windows requires the "
+                "co-locating text exchange"
+            )
         # two-phase offsets exchange: identical summary rows, the
         # text never enters a shuffle (functions/packing.py
         # pack_summaries)
@@ -569,9 +625,14 @@ def cmd_vocab(args) -> dict:
 
         from .functions.sketches import approx_top_tokens
 
+        if args.min_count != 1 or args.top_k is not None:
+            raise SystemExit(
+                "--min-count/--top-k configure the exact histogram; "
+                "with --approx-top, K is the cut"
+            )
         top = approx_top_tokens(
             ds, text_col=args.text_column, k=args.approx_top,
-            counters=args.approx_counters,
+            counters=args.approx_counters, lowercase=args.lowercase,
         )
         rd.from_arrow(top).write_parquet(args.output)
         return {"output": args.output, "rows": top.num_rows}

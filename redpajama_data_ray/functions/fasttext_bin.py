@@ -172,7 +172,10 @@ class FastTextModel:
         hidden = self.input[np.array(ids, dtype=np.int64)].mean(axis=0)
         scores = self.output @ hidden
         loss = self.args["loss"]
-        if loss == LOSS_OVA:
+        if loss in (LOSS_OVA, LOSS_NS):
+            # binary-logistic losses predict per-label sigmoid without
+            # normalization (loss.cc BinaryLogisticLoss::computeOutput
+            # serves both one-vs-all and negative sampling)
             probs = 1.0 / (1.0 + np.exp(-scores))
         else:
             e = np.exp(scores - scores.max())

@@ -240,11 +240,17 @@ class HFTokenizer:
                         "always" if pt.get("add_prefix_space", True)
                         else "never"
                     )
-                for p in pieces:
+                for pi, p in enumerate(pieces):
                     if not p:
                         continue
                     p = p.replace(" ", rep)
-                    if scheme in ("always", "first") and not p.startswith(rep):
+                    # 'first' prepends only to the sequence's first
+                    # piece (metaspace.rs PrependScheme::First);
+                    # 'always' prepends to every piece
+                    prepend = scheme == "always" or (
+                        scheme == "first" and pi == 0
+                    )
+                    if prepend and not p.startswith(rep):
                         p = rep + p
                     # split so each piece starts at a word boundary
                     segs = _re.split(f"(?={_re.escape(rep)})", p)

@@ -267,6 +267,8 @@ def _check_no_split_buckets(packed: Dataset) -> None:
         )
         dups = int(tbl.num_rows - np.unique(tbl.column("enc")).size)
     else:
+        from ray.data.context import ShuffleStrategy
+
         from ..dedupe.combine import auto_partitions
 
         def _block_dups(t: pa.Table) -> pa.Table:
@@ -280,15 +282,35 @@ def _check_no_split_buckets(packed: Dataset) -> None:
                 }
             )
 
-        parts = narrow.repartition(
-            auto_partitions(), keys=["bucket"]
-        ).map_batches(
-            _block_dups,
-            batch_format="pyarrow",
-            batch_size=None,
-            zero_copy_batch=True,
+        # self-scoped HASH_SHUFFLE override: keyed repartition
+        # requires it, and callers (pack_summaries) may invoke this
+        # AFTER restoring their own context
+        ctx = narrow.context
+        prev = (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
         )
-        dups = sum(r["dups"] for r in parts.take_all())
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        if (
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+            is None
+        ):
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+        try:
+            parts = narrow.repartition(
+                auto_partitions(), keys=["bucket"]
+            ).map_batches(
+                _block_dups,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            dups = sum(r["dups"] for r in parts.take_all())
+        finally:
+            (
+                ctx.shuffle_strategy,
+                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ) = prev
     if dups:
         raise RuntimeError(
             f"pack_sequences produced {dups} duplicate "
@@ -386,10 +408,6 @@ def pack_summaries(
         """Per hash-partitioned block (whole buckets): window summary
         rows (kind=0) and doc->window segment rows (kind=1), one
         union-schema table."""
-        out_cols = {
-            "kind": [], "bucket": [], "seq_idx": [], "n_tokens": [],
-            "n_docs": [], "seg_id": [], "seg_start": [], "seg_end": [],
-        }
         if t.num_rows == 0:
             return _structure_empty()
         buckets = t.column("pack_bucket").to_numpy(zero_copy_only=False)
@@ -544,11 +562,13 @@ def pack_summaries(
             "at this scale"
         )
     # sorted fixed-width id probe (dedupe/apply.py membership
-    # pattern); sort AFTER the bytes conversion so probe order and
-    # sort order agree even for non-ASCII ids
-    seg_ids_b = segs.column("seg_id").to_numpy(
-        zero_copy_only=False
-    ).astype("S")
+    # pattern); explicit UTF-8 encode (numpy astype("S") is
+    # ASCII-only and would crash on non-ASCII repo/path ids), sorted
+    # AFTER the bytes conversion so probe and sort order agree
+    seg_ids_b = np.array(
+        [s.encode("utf-8") for s in segs.column("seg_id").to_pylist()],
+        dtype="S",
+    )
     sort_idx = np.argsort(seg_ids_b, kind="stable")
     seg_ids_sorted = seg_ids_b[sort_idx]
     enc = (

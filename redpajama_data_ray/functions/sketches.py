@@ -427,6 +427,7 @@ def approx_top_tokens(
     depth: int = 4,
     width: int = 1 << 16,
     candidate_pool: Optional[int] = None,
+    lowercase: bool = False,
 ) -> "pa.Table":
     """Top-``k`` most frequent whitespace tokens WITHOUT the exact
     corpus histogram — the 100-TB path when distinct tokens stop
@@ -462,6 +463,8 @@ def approx_top_tokens(
         joined = "\n".join(
             x or "" for x in t.column(text_col).to_pylist()
         )
+        if lowercase:
+            joined = joined.lower()
         toks = token_re.findall(joined)
         cms = CountMinSketch(depth, width)
         if toks:
@@ -486,7 +489,11 @@ def approx_top_tokens(
             }
         )
 
-    both = ds.map_batches(partial, batch_format="pyarrow").materialize()
+    # batch_size=None: one MG summary + one sketch per BLOCK (a
+    # 2 MB sketch per small default batch would dominate the output)
+    both = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
 
     import pyarrow.compute as pc
 

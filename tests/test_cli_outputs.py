@@ -98,3 +98,27 @@ def test_cli_keep_pattern_filters_inputs(tmp_path, capsys):
             ["quality", "--input", src, "--output",
              str(tmp_path / "kp_none"), "--keep-pattern", r"zzz"]
         )
+
+
+def test_write_then_reread_empty_output(tmp_path):
+    """An all-filtered pipeline writes nothing; the re-read falls back
+    to a typed empty dataset so state commits / sums still run."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from redpajama_data_ray.cli import _write_then_reread
+
+    empty = rd.from_arrow(
+        pa.table({"k": pa.array(["x"], pa.string()),
+                  "n": pa.array([1], pa.int64())})
+    ).filter(lambda r: False)
+    out = _write_then_reread(
+        empty, str(tmp_path / "o"), ["k", "n"],
+        empty_types={"n": pa.int64()},
+    )
+    assert out.count() == 0
+    assert out.sum("n") is None or out.sum("n") == 0
+    sch = out.schema()
+    assert dict(zip(sch.names, [str(t) for t in sch.types])) == {
+        "k": "string", "n": "int64"
+    }

@@ -265,3 +265,33 @@ def test_duplicate_ids_rejected():
         pack_sequences(_ds(docs), seq_len=4, n_buckets=1).count()
     with pytest.raises(Exception, match="unique doc ids"):
         pack_summaries(_ds(docs), seq_len=4, n_buckets=1).count()
+
+
+def test_pack_summaries_non_ascii_ids():
+    from redpajama_data_ray.functions.packing import pack_summaries
+
+    docs_tbl = pa.table(
+        {
+            "doc_id": pa.array(
+                ["répo/päth@1", "bèta/x@2", "plain@3"], pa.string()
+            ),
+            "text": pa.array(["a b c d", "e f", "g h i"], pa.string()),
+        }
+    )
+    a = (
+        pack_sequences(
+            rd.from_arrow(docs_tbl), 4, n_buckets=2
+        )
+        .to_pandas()
+        .sort_values(["bucket", "seq_idx"])
+        .reset_index(drop=True)
+    )
+    b = (
+        pack_summaries(
+            rd.from_arrow(docs_tbl), 4, n_buckets=2
+        )
+        .to_pandas()
+        .sort_values(["bucket", "seq_idx"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)

@@ -525,3 +525,44 @@ def test_build_fasttext_classifier_end_to_end(tmp_path):
     s_prose = clf.score(prose[0])
     s_code = clf.score(code[0])
     assert 0.0 <= s_code < s_prose <= 1.0
+
+
+def test_ns_loss_uses_sigmoid(tmp_path):
+    """fastText's negative-sampling loss predicts per-label sigmoid
+    (BinaryLogisticLoss::computeOutput), not softmax."""
+    from redpajama_data_ray.functions.fasttext_bin import LOSS_NS
+
+    p = tmp_path / "ns.bin"
+    _write_tiny(p, loss=LOSS_NS)
+    m = load_fasttext_bin(str(p))
+    labels, probs = m.predict("hello", k=2)
+    assert probs[0] == pytest.approx(1 / (1 + math.e ** -1), abs=1e-6)
+    assert probs[1] == pytest.approx(0.5, abs=1e-6)
+
+
+def test_metaspace_first_prepends_once(tmp_path):
+    spec = {
+        "model": {
+            "type": "BPE",
+            "vocab": {"▁": 0, "a": 1, "b": 2, "▁a": 3},
+            "merges": [["▁", "a"]],
+            "unk_token": None,
+        },
+        "pre_tokenizer": {"type": "Sequence", "pretokenizers": [
+            {"type": "WhitespaceSplit"},
+            {"type": "Metaspace", "replacement": "▁",
+             "prepend_scheme": "first"},
+        ]},
+    }
+    p = tmp_path / "first.json"
+    p.write_text(json.dumps(spec))
+    tok = HFTokenizer.from_file(str(p))
+    # WhitespaceSplit yields ["a","b"]; 'first' prepends ▁ only to
+    # the first piece: [▁a] + [b] — NOT [▁a, ▁b]
+    assert tok.encode("a b") == [3, 2]
+    p2 = tmp_path / "always.json"
+    spec["pre_tokenizer"]["pretokenizers"][1]["prepend_scheme"] = "always"
+    p2.write_text(json.dumps(spec))
+    tok2 = HFTokenizer.from_file(str(p2))
+    # 'always': ▁a + ▁,b (▁b not in vocab/merges -> ▁ then b)
+    assert tok2.encode("a b") == [3, 0, 2]
