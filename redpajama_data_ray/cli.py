@@ -580,6 +580,14 @@ def cmd_chunk(args) -> dict:
     from .functions.chunking import chunk_documents
 
     ds = _read_input(args.input, args.max_docs, False)
+    if args.id_column == "doc_id" and "doc_id" not in (
+        ds.schema().names or []
+    ):
+        # raw corpus without ids: chunk identity is (doc_id,
+        # chunk_idx), so derive the standard unique id first
+        from .stages.ids import assign_ids
+
+        ds = ds.map_batches(assign_ids, batch_format="pyarrow")
     out = chunk_documents(
         ds, chunk_size=args.chunk_size, overlap=args.overlap,
         unit=args.unit, text_col=args.text_column,
