@@ -257,7 +257,9 @@ def _check_no_split_buckets(packed: Dataset) -> None:
 
     narrow = packed.select_columns(["bucket", "seq_idx"])
     n = packed.count()
-    if n <= _VALIDATE_DRIVER_LIMIT:
+    if n == 0:
+        dups = 0
+    elif n <= _VALIDATE_DRIVER_LIMIT:
         tbl = pa.concat_tables(
             list(
                 narrow.map_batches(
@@ -381,7 +383,12 @@ def pack_summaries(
     raises and the caller should use :func:`pack_sequences`. The
     final checksum combine runs on the driver below
     ``driver_combine_limit`` windows and as a narrow hash-repartition
-    combine above it."""
+    combine above it.
+
+    ``ds`` is consumed TWICE (phase A lengths, phase B checksums), so
+    it must be deterministic across executions — true of reads and
+    pure transforms, NOT of pipelines containing unseeded sampling or
+    limit-after-shuffle stages."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
@@ -544,13 +551,18 @@ def pack_summaries(
 
         return f
 
-    segs = pa.concat_tables(
-        list(
-            structure.map_batches(
-                _filter_kind(1), batch_format="pyarrow"
-            )
-            .select_columns(["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"])
-            .iter_batches(batch_format="pyarrow")
+    seg_batches = list(
+        structure.map_batches(_filter_kind(1), batch_format="pyarrow")
+        .select_columns(
+            ["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"]
+        )
+        .iter_batches(batch_format="pyarrow")
+    )
+    segs = (
+        pa.concat_tables(seg_batches)
+        if seg_batches
+        else _structure_empty().select(
+            ["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"]
         )
     )
     if segs.num_rows > broadcast_limit:
@@ -632,7 +644,10 @@ def pack_summaries(
     ).materialize()
     n_partials = partial_ds.count()
 
-    if n_partials <= driver_combine_limit:
+    if n_partials == 0:
+        uniq = np.empty(0, dtype=np.uint64)
+        sums = np.empty(0, dtype=np.uint64)
+    elif n_partials <= driver_combine_limit:
         tbl = pa.concat_tables(
             list(partial_ds.iter_batches(batch_format="pyarrow"))
         )

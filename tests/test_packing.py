@@ -295,3 +295,24 @@ def test_pack_summaries_non_ascii_ids():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_pack_summaries_empty_corpus():
+    from redpajama_data_ray.functions.packing import pack_summaries
+
+    empty = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "text": pa.array([], pa.string()),
+            }
+        )
+    )
+    out = pack_summaries(empty, 16, n_buckets=2)
+    assert out.count() == 0
+    sch = out.schema()
+    # Ray reports None schema for a fully-empty materialized dataset
+    if sch is not None:
+        assert sorted(sch.names) == [
+            "bucket", "checksum", "n_docs", "n_tokens", "seq_idx",
+        ]
