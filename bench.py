@@ -21,6 +21,15 @@ import sys
 import time
 
 
+def _bench_plan() -> str:
+    if os.environ.get("BENCH_UNFUSED") == "1":
+        return "unfused"
+    plan = os.environ.get("BENCH_PLAN", "fused")
+    if plan not in ("fused", "unfused", "pairs"):
+        raise SystemExit(f"unknown BENCH_PLAN {plan!r}")
+    return plan
+
+
 def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     import ray
 
@@ -80,11 +89,11 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     # (imports + model init amortized), which is the steady-state
     # number a long-running job sees
     n_runs = 2
-    # BENCH_UNFUSED=1 -> one actor pool PER MODEL (the heterogeneous
-    # multi-node topology) instead of the single fused pool; same
-    # columns, different physical plan (pipelines/quality.py)
-    unfused = os.environ.get("BENCH_UNFUSED") == "1"
-    cfg = QualityConfig(fused=not unfused)  # pool sizes to num_cpus - 2
+    # BENCH_PLAN=fused|pairs|unfused (BENCH_UNFUSED=1 = legacy alias):
+    # same columns, different physical plan (pipelines/quality.py)
+    plan = _bench_plan()
+    fused = {"fused": True, "unfused": False, "pairs": "pairs"}[plan]
+    cfg = QualityConfig(fused=fused)  # pool sizes to num_cpus - 2
     for _ in range(n_runs):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
@@ -235,10 +244,7 @@ def _finish(timings, headline, sf, ncpu, n_files, out_dir) -> dict:
     shutil.rmtree(out_dir, ignore_errors=True)  # don't leak tmpfs
     result = {
         "metric": "flagship_quality_pipeline_sec",
-        "plan": (
-            "unfused" if os.environ.get("BENCH_UNFUSED") == "1"
-            else "fused"
-        ),
+        "plan": _bench_plan(),
         "value": round(headline, 3),
         "unit": "sec",
         # headline estimator, stated so round-over-round comparisons
@@ -351,6 +357,8 @@ def main():
     ncpu = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--unfused" in sys.argv:
         os.environ["BENCH_UNFUSED"] = "1"  # inherited by scaling legs
+    if "--plan" in sys.argv:
+        os.environ["BENCH_PLAN"] = sys.argv[sys.argv.index("--plan") + 1]
     if "--scaling" in sys.argv:
         pairs = 1
         if "--pairs" in sys.argv:

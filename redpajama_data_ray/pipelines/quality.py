@@ -53,7 +53,11 @@ class QualityConfig:
     ``fused=True`` (default) runs every model in ONE actor pool
     (stages/annotate.py) — no inter-pool handoff, fits any CPU budget.
     ``fused=False`` runs one pool per model with fractional CPUs, for
-    heterogeneous per-stage scaling on a real cluster; both produce
+    heterogeneous per-stage scaling on a real cluster.
+    ``fused="pairs"`` is the middle topology: TWO pools — a model pool
+    (langid + perplexity, the inferences a real cluster
+    sizes/provisions separately) and a kernel pool (signals + minhash
+    + scrub + decide) — one handoff instead of four. All plans produce
     identical columns (tested in tests/test_pipeline_e2e.py).
     """
 
@@ -70,7 +74,7 @@ class QualityConfig:
     min_actors: Optional[int] = None  # None -> max_actors (fixed pool:
     #   skip autoscaler ramp-up; model init is cheap and amortized)
     num_blocks: Optional[int] = None  # None -> 4 tasks per actor
-    fused: bool = True
+    fused: "bool | str" = True  # True | False | "pairs"
     include_line_signals: bool = True
     include_minhash: bool = True
     include_classifier: bool = True
@@ -133,6 +137,38 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         include_classifier=cfg.include_classifier,
         include_dsir=cfg.include_dsir,
     )
+    if cfg.fused == "pairs":
+        from ..functions.registry import registered_signals
+        from ..stages.annotate import AnnotateStage, ModelPairStage
+
+        pool = dict(
+            batch_format="pyarrow",
+            batch_size=cfg.actor_batch_size,
+            concurrency=(1, max_actors),
+            num_cpus=0.5,
+        )
+        ds = ds.map_batches(
+            ModelPairStage,
+            fn_constructor_kwargs=dict(
+                langid_model_path=cfg.langid_model_path,
+                ppl_model_path=cfg.ppl_model_path,
+            ),
+            **pool,
+        )
+        ds = ds.map_batches(
+            AnnotateStage,
+            fn_constructor_kwargs=dict(
+                use_model_columns=True,
+                include_minhash=cfg.include_minhash,
+                include_scrub=True,
+                rules=cfg.rules,
+                extra_signals=list(registered_signals().values()),
+                classifier_model_path=cfg.classifier_model_path,
+                **feature_kwargs,
+            ),
+            **pool,
+        )
+        return ds
     if cfg.fused:
         from ..stages.annotate import AnnotateStage
 

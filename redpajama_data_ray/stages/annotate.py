@@ -32,6 +32,32 @@ from ..functions.perplexity import PerplexityScorer
 from ..config import BUCKET_TO_INT
 
 
+class ModelPairStage:
+    """Model half of the ``fused="pairs"`` plan: the two true model
+    inferences (language ID + perplexity) in ONE actor pool, emitting
+    the same five columns the fused stage computes inline
+    (``lang_pred``, ``lang_score``, ``ppl``, ``ppl_bucket``,
+    ``ppl_bucket_int``). On a heterogeneous cluster this is the pool
+    you size/provision separately (real fastText/KenLM models are
+    memory-heavy); the kernel half follows as
+    ``AnnotateStage(use_model_columns=True)``."""
+
+    def __init__(
+        self,
+        text_column: str = "content",
+        langid_model_path=None,
+        ppl_model_path=None,
+    ):
+        from .langid import LangIdStage
+        from .perplexity import PerplexityStage
+
+        self.lid = LangIdStage(text_column, model_path=langid_model_path)
+        self.ppl = PerplexityStage(text_column, model_path=ppl_model_path)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.ppl(self.lid(batch))
+
+
 class AnnotateStage:
     def __init__(
         self,
@@ -48,6 +74,7 @@ class AnnotateStage:
         langid_model_path=None,
         ppl_model_path=None,
         classifier_model_path=None,
+        use_model_columns: bool = False,
     ):
         """``*_model_path``: optional user-supplied model artifacts
         (fastText ``.bin`` / KenLM binary via try-import hooks, or this
@@ -70,13 +97,21 @@ class AnnotateStage:
             for lang in ("en", "fr", "de", "es", "it")
         }
         self.kernel = self.kernels["en"]
-        if langid_model_path:
+        # use_model_columns: the "pairs" plan — lang/ppl columns come
+        # from an upstream ModelPairStage pool, so no models load here
+        self.use_model_columns = use_model_columns
+        if use_model_columns:
+            self.langid = None
+            self.pplx = None
+        elif langid_model_path:
             from ..functions.model_loading import load_langid_model
 
             self.langid = load_langid_model(langid_model_path)
         else:
             self.langid = NGramLangId()
-        if ppl_model_path:
+        if use_model_columns:
+            pass
+        elif ppl_model_path:
             from ..functions.model_loading import load_perplexity_model
 
             self.pplx = load_perplexity_model(ppl_model_path)
@@ -153,8 +188,17 @@ class AnnotateStage:
             if self.include_line_signals
             else {}
         )
-        langs, lang_scores = [None] * n, [None] * n
-        ppls, buckets, bucket_ints = [None] * n, [None] * n, [None] * n
+        if self.use_model_columns:
+            langs = batch.column("lang_pred").to_pylist()
+            lang_scores = batch.column("lang_score").to_pylist()
+            ppls = batch.column("ppl").to_pylist()
+            buckets = batch.column("ppl_bucket").to_pylist()
+            bucket_ints = batch.column("ppl_bucket_int").to_pylist()
+        else:
+            langs, lang_scores = [None] * n, [None] * n
+            ppls, buckets, bucket_ints = (
+                [None] * n, [None] * n, [None] * n,
+            )
         clf = [None] * n if self.classifier else None
         dsir = [None] * n if self.dsir else None
         sig_cols = (
@@ -184,8 +228,12 @@ class AnnotateStage:
         for i, t in enumerate(texts):
             t = t if t is not None else ""
             v = DocView(t)
-            lang, ls = self.langid.predict(t)
-            langs[i], lang_scores[i] = lang, ls
+            if self.use_model_columns:
+                lang, ls = langs[i], lang_scores[i]
+                bucket = buckets[i]
+            else:
+                lang, ls = self.langid.predict(t)
+                langs[i], lang_scores[i] = lang, ls
             kernel = self.kernels.get(lang, self.kernel)
             doc = kernel.doc_signals_view(v)
             for name in DOC_SIGNAL_NAMES:
@@ -194,9 +242,10 @@ class AnnotateStage:
                 lines = kernel.line_signals_view(v)
                 for name in LINE_SIGNAL_NAMES:
                     line_cols[name][i] = lines[name]
-            ppl, bucket = self.pplx.score(t)
-            ppls[i], buckets[i] = ppl, bucket
-            bucket_ints[i] = BUCKET_TO_INT.get(bucket)
+            if not self.use_model_columns:
+                ppl, bucket = self.pplx.score(t)
+                ppls[i], buckets[i] = ppl, bucket
+                bucket_ints[i] = BUCKET_TO_INT.get(bucket)
             if clf is not None or dsir is not None:
                 from ..functions.importance import token_hashes
 

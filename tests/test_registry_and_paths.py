@@ -55,7 +55,7 @@ def test_register_rejects_bad_prefix():
 def test_fused_and_unfused_paths_match():
     table = generate_corpus_table(50, seed=9)
     outs = {}
-    for fused in (True, False):
+    for fused in (True, False, "pairs"):
         ds = ray.data.from_arrow(table)
         cfg = QualityConfig(
             fused=fused, max_actors=2, include_minhash=True,
@@ -68,7 +68,12 @@ def test_fused_and_unfused_paths_match():
             .sort_values("doc_id")
             .reset_index(drop=True)
         )
-    a, b = outs[True], outs[False]
+    a = outs[True]
+    for b in (outs[False], outs["pairs"]):
+        _assert_plan_equal(a, b)
+
+
+def _assert_plan_equal(a, b):
     assert set(a.columns) == set(b.columns)
     for col in a.columns:
         if col.startswith("signature_"):
