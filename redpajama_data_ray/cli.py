@@ -564,8 +564,16 @@ def cmd_pack(args) -> dict:
         out = pack_summaries(
             ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
             text_col=args.text_column, id_col=args.id_column,
+            delivery=args.seg_delivery,
+            spill_dir=args.rendezvous_dir,
         )
     else:
+        if args.seg_delivery != "auto" or args.rendezvous_dir:
+            raise SystemExit(
+                "--seg-delivery/--rendezvous-dir apply only to "
+                "--summaries-only (the co-locating text exchange has "
+                "no segment delivery step)"
+            )
         out = pack_sequences(
             ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
             text_col=args.text_column, id_col=args.id_column,
@@ -1048,6 +1056,19 @@ def build_parser() -> argparse.ArgumentParser:
         help="two-phase offsets exchange: identical window summaries "
         "without shuffling the text (mutually exclusive with "
         "--emit-tokens)",
+    )
+    pk.add_argument(
+        "--seg-delivery", choices=["auto", "broadcast", "segjoin"],
+        default="auto",
+        help="summaries-only segment delivery: broadcast the whole "
+        "segment table (small corpora) or join per-block slices "
+        "through a rendezvous dir (above the broadcast limit); auto "
+        "switches on the measured segment count",
+    )
+    pk.add_argument(
+        "--rendezvous-dir", default=None,
+        help="segjoin rendezvous directory (put it on shared storage "
+        "on a multi-node cluster); default: a local temp dir",
     )
     pk.set_defaults(fn=cmd_pack)
 

@@ -343,6 +343,203 @@ def _empty_windows(emit_tokens: bool) -> pa.Table:
 # two-phase summary packing: the text never enters a shuffle
 # ------------------------------------------------------------------
 
+def _sorted_probe(segs: pa.Table):
+    """Segment rows -> the fixed-width membership probe
+    (dedupe/apply.py pattern): UTF-8 id bytes sorted, with the
+    window key (``bucket << 40 | seq_idx``), start and end arrays in
+    the same order. Explicit UTF-8 encode (numpy ``astype("S")`` is
+    ASCII-only and would crash on non-ASCII repo/path ids), sorted
+    AFTER the bytes conversion so probe and sort order agree."""
+    seg_ids_b = np.array(
+        [s.encode("utf-8") for s in segs.column("seg_id").to_pylist()],
+        dtype="S",
+    )
+    sort_idx = np.argsort(seg_ids_b, kind="stable")
+    enc = (
+        segs.column("bucket").to_numpy(zero_copy_only=False)[sort_idx]
+        .astype(np.uint64)
+        << np.uint64(40)
+    ) | segs.column("seq_idx").to_numpy(zero_copy_only=False)[
+        sort_idx
+    ].astype(np.uint64)
+    return (
+        seg_ids_b[sort_idx],
+        enc,
+        segs.column("seg_start").to_numpy(zero_copy_only=False)[sort_idx],
+        segs.column("seg_end").to_numpy(zero_copy_only=False)[sort_idx],
+    )
+
+
+def _partials_table(
+    t: pa.Table, ids_s, enc_s, st_s, en_s, id_col: str, text_col: str
+) -> pa.Table:
+    """Per-window partial checksums for the docs of ``t`` that appear
+    in the segment probe: each doc's token-hash cumsum turns a segment
+    into ``cs[end] - cs[start]`` (uint64 wraps both ways), pre-combined
+    by window key within the table."""
+    ids = t.column(id_col).to_pylist()
+    texts = t.column(text_col).to_pylist()
+    out_enc = []
+    out_sum = []
+    width = ids_s.dtype.itemsize if ids_s.size else 0
+    for i, did in enumerate(ids):
+        key = np.bytes_(str(did).encode("utf-8"))
+        if width == 0 or len(key) > width:
+            continue  # cannot be a known doc id
+        lo = np.searchsorted(ids_s, key, side="left")
+        hi = np.searchsorted(ids_s, key, side="right")
+        if hi == lo:
+            continue
+        h = np.append(_doc_token_hashes(texts[i]), EOS_HASH)
+        cs = np.zeros(len(h) + 1, dtype=np.uint64)
+        np.cumsum(h, out=cs[1:])
+        sl = slice(lo, hi)
+        out_enc.append(enc_s[sl])
+        with np.errstate(over="ignore"):
+            out_sum.append(cs[en_s[sl]] - cs[st_s[sl]])
+    if not out_enc:
+        return pa.table(
+            {
+                "enc": pa.array([], pa.uint64()),
+                "csum": pa.array([], pa.uint64()),
+            }
+        )
+    e = np.concatenate(out_enc)
+    s = np.concatenate(out_sum)
+    uniq, inv = np.unique(e, return_inverse=True)
+    sums = np.zeros(len(uniq), dtype=np.uint64)
+    np.add.at(sums, inv, s)
+    return pa.table({"enc": pa.array(uniq), "csum": pa.array(sums)})
+
+
+import ray as _ray
+
+
+@_ray.remote
+def _block_ids_task(idx: int, block: pa.Table, id_col: str) -> pa.Table:
+    """Narrow (seg_id, block_idx) rows for one pinned corpus block."""
+    import pyarrow.compute as pc
+
+    if block.num_rows == 0 or id_col not in block.schema.names:
+        # empty blocks may carry an empty schema
+        return pa.table(
+            {
+                "seg_id": pa.array([], pa.string()),
+                "block_idx": pa.array([], pa.int32()),
+            }
+        )
+    return pa.table(
+        {
+            "seg_id": pc.cast(block.column(id_col), pa.string()),
+            "block_idx": pa.array(
+                np.full(block.num_rows, idx, dtype=np.int32)
+            ),
+        }
+    )
+
+
+@_ray.remote
+def _block_seg_partials_task(
+    block: pa.Table, piece_dir: str, id_col: str, text_col: str
+) -> pa.Table:
+    """Per-window partials for one pinned corpus block, probing only
+    ITS OWN segment slice (read back from the rendezvous directory).
+    Ray's locality-aware scheduling places this task on the node
+    already holding ``block`` (the large arg), so the text never
+    crosses the network — only the narrow piece does."""
+    import pyarrow.parquet as pq
+
+    piece = pq.read_table(
+        piece_dir,
+        columns=["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"],
+    )
+    ids_s, enc_s, st_s, en_s = _sorted_probe(piece)
+    return _partials_table(
+        block, ids_s, enc_s, st_s, en_s, id_col, text_col
+    )
+
+
+def _segjoin_partials(
+    ds: Dataset,
+    seg_view: Dataset,
+    id_col: str,
+    text_col: str,
+    spill_dir: "str | None",
+) -> Dataset:
+    """Above-broadcast-limit segment delivery (the 100-TB path): the
+    per-doc window-segment rows reach the documents WITHOUT a corpus
+    text shuffle and WITHOUT a whole-segment-table broadcast.
+
+    1. Pin the corpus blocks (``materialize``): text lands in the
+       LOCAL object store once (Ray spills locally past memory) and
+       never crosses the network afterwards.
+    2. Per pinned block, a narrow task emits ``(seg_id, block_idx)``
+       — bytes per doc.
+    3. Inner-join those rows with the segment table (narrow x narrow
+       hash join; nothing content-sized moves).
+    4. Write the joined rows to a rendezvous directory partitioned by
+       ``block_idx`` (hive layout) — per-block slices addressable by
+       name, resumable, no object-ownership transfer.
+    5. Per pinned block, one task computes the per-window checksum
+       partials from (text block, its slice); Ray schedules it on the
+       node holding the block.
+
+    The only all-to-all is steps 2-4's per-doc rows; at 100 TB that
+    is GBs, not the corpus."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    import ray.data as rd
+
+    from ..dedupe.combine import auto_partitions, tune_shuffle_context
+
+    tune_shuffle_context()
+    mat = ds.materialize()
+    block_refs = mat.to_arrow_refs()
+    ids_ds = rd.from_arrow_refs(
+        [
+            _block_ids_task.remote(i, ref, id_col)
+            for i, ref in enumerate(block_refs)
+        ]
+    )
+    joined = seg_view.join(
+        ids_ds,
+        join_type="inner",
+        num_partitions=min(auto_partitions(), max(1, len(block_refs))),
+        on=("seg_id",),
+    )
+    rendezvous = spill_dir or tempfile.mkdtemp(prefix="pack_segjoin_")
+    made_tmp = spill_dir is None
+    try:
+        joined.write_parquet(rendezvous, partition_cols=["block_idx"])
+        refs = []
+        for d in glob.glob(os.path.join(rendezvous, "block_idx=*")):
+            idx = int(os.path.basename(d).split("=", 1)[1])
+            refs.append(
+                _block_seg_partials_task.remote(
+                    block_refs[idx], d, id_col, text_col
+                )
+            )
+        if not refs:
+            return rd.from_arrow(
+                pa.table(
+                    {
+                        "enc": pa.array([], pa.uint64()),
+                        "csum": pa.array([], pa.uint64()),
+                    }
+                )
+            )
+        # every task must finish BEFORE the rendezvous dir is removed
+        # (wait doesn't fetch the partials to the driver)
+        _ray.wait(refs, num_returns=len(refs), fetch_local=False)
+        return rd.from_arrow_refs(refs).materialize()
+    finally:
+        if made_tmp:
+            shutil.rmtree(rendezvous, ignore_errors=True)
+
+
 def pack_summaries(
     ds: Dataset,
     seq_len: int,
@@ -352,6 +549,8 @@ def pack_summaries(
     broadcast_limit: int = 50_000_000,
     driver_combine_limit: int = 20_000_000,
     validate: bool = True,
+    delivery: str = "auto",
+    spill_dir: "str | None" = None,
 ) -> Dataset:
     """``pack_sequences(..., emit_tokens=False)`` outputs — IDENTICAL
     rows — without moving any document text through the exchange.
@@ -376,19 +575,28 @@ def pack_summaries(
       the per-window partials into the same 16-hex checksums the
       text-shuffle path emits.
 
-    Partitioning assumptions (documented, guarded): segments number
-    ``n_docs + n_windows - n_buckets`` and must fit a broadcast
-    (``broadcast_limit``) — above that, window assignment delivery
-    would need a corpus join that ships the text again, so this
-    raises and the caller should use :func:`pack_sequences`. The
-    final checksum combine runs on the driver below
-    ``driver_combine_limit`` windows and as a narrow hash-repartition
-    combine above it.
+    Segment delivery (``delivery``): segments number
+    ``n_docs + n_windows - n_buckets``. Up to ``broadcast_limit`` they
+    are broadcast whole (one ``ray.put``, sorted fixed-width probe per
+    batch). Above it — or with ``delivery="segjoin"`` — the corpus
+    blocks are PINNED node-local and each block's own segment slice is
+    delivered through a narrow join + a ``block_idx``-partitioned
+    rendezvous directory (:func:`_segjoin_partials`): the text still
+    never enters an exchange, and nothing segment-table-sized is held
+    whole anywhere. ``delivery="broadcast"`` restores the hard raise
+    above the limit. The final checksum combine runs on the driver
+    below ``driver_combine_limit`` windows and as a narrow
+    hash-repartition combine above it.
 
-    ``ds`` is consumed TWICE (phase A lengths, phase B checksums), so
-    it must be deterministic across executions — true of reads and
-    pure transforms, NOT of pipelines containing unseeded sampling or
-    limit-after-shuffle stages."""
+    ``ds`` is consumed TWICE on the broadcast path (phase A lengths,
+    phase B checksums), so it must be deterministic across executions
+    — true of reads and pure transforms, NOT of pipelines containing
+    unseeded sampling or limit-after-shuffle stages. The segjoin path
+    pins phase B's input instead (a third execution feeds the pin)."""
+    if delivery not in ("auto", "broadcast", "segjoin"):
+        raise ValueError(
+            f"delivery must be auto|broadcast|segjoin, got {delivery!r}"
+        )
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
@@ -551,97 +759,51 @@ def pack_summaries(
 
         return f
 
-    seg_batches = list(
-        structure.map_batches(_filter_kind(1), batch_format="pyarrow")
-        .select_columns(
-            ["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"]
-        )
-        .iter_batches(batch_format="pyarrow")
+    seg_view = structure.map_batches(
+        _filter_kind(1), batch_format="pyarrow"
+    ).select_columns(
+        ["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"]
     )
-    segs = (
-        pa.concat_tables(seg_batches)
-        if seg_batches
-        else _structure_empty().select(
-            ["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"]
-        )
+    n_seg = seg_view.count()
+    use_segjoin = n_seg > 0 and (
+        delivery == "segjoin"
+        or (delivery == "auto" and n_seg > broadcast_limit)
     )
-    if segs.num_rows > broadcast_limit:
-        raise ValueError(
-            f"{segs.num_rows} doc->window segments exceed the "
-            f"broadcast limit ({broadcast_limit}); delivering them "
-            "without a broadcast would join the text through a "
-            "shuffle — use pack_sequences (the co-locating exchange) "
-            "at this scale"
+    if use_segjoin:
+        # ---- Phase B (segjoin): per-block slice delivery ----
+        partial_ds = _segjoin_partials(
+            ds, seg_view, id_col, text_col, spill_dir
         )
-    # sorted fixed-width id probe (dedupe/apply.py membership
-    # pattern); explicit UTF-8 encode (numpy astype("S") is
-    # ASCII-only and would crash on non-ASCII repo/path ids), sorted
-    # AFTER the bytes conversion so probe and sort order agree
-    seg_ids_b = np.array(
-        [s.encode("utf-8") for s in segs.column("seg_id").to_pylist()],
-        dtype="S",
-    )
-    sort_idx = np.argsort(seg_ids_b, kind="stable")
-    seg_ids_sorted = seg_ids_b[sort_idx]
-    enc = (
-        segs.column("bucket").to_numpy(zero_copy_only=False)[sort_idx]
-        .astype(np.uint64)
-        << np.uint64(40)
-    ) | segs.column("seq_idx").to_numpy(zero_copy_only=False)[
-        sort_idx
-    ].astype(np.uint64)
-    seg_start = segs.column("seg_start").to_numpy(
-        zero_copy_only=False
-    )[sort_idx]
-    seg_end = segs.column("seg_end").to_numpy(zero_copy_only=False)[
-        sort_idx
-    ]
-    import ray as _ray
-
-    seg_ref = _ray.put((seg_ids_sorted, enc, seg_start, seg_end))
-
-    # ---- Phase B: local second pass, per-segment partial checksums
-    def _partials(t: pa.Table) -> pa.Table:
-        ids_s, enc_s, st_s, en_s = _ray.get(seg_ref)
-        ids = t.column(id_col).to_pylist()
-        texts = t.column(text_col).to_pylist()
-        out_enc = []
-        out_sum = []
-        width = ids_s.dtype.itemsize
-        for i, did in enumerate(ids):
-            key = np.bytes_(str(did).encode("utf-8"))
-            if len(key) > width:
-                continue  # cannot be a known doc id
-            lo = np.searchsorted(ids_s, key, side="left")
-            hi = np.searchsorted(ids_s, key, side="right")
-            if hi == lo:
-                continue
-            h = np.append(_doc_token_hashes(texts[i]), EOS_HASH)
-            cs = np.zeros(len(h) + 1, dtype=np.uint64)
-            np.cumsum(h, out=cs[1:])
-            sl = slice(lo, hi)
-            out_enc.append(enc_s[sl])
-            with np.errstate(over="ignore"):
-                out_sum.append(cs[en_s[sl]] - cs[st_s[sl]])
-        if not out_enc:
-            return pa.table(
-                {
-                    "enc": pa.array([], pa.uint64()),
-                    "csum": pa.array([], pa.uint64()),
-                }
+    else:
+        if n_seg > broadcast_limit:
+            raise ValueError(
+                f"{n_seg} doc->window segments exceed the "
+                f"broadcast limit ({broadcast_limit}) and "
+                "delivery='broadcast' was forced — use "
+                "delivery='segjoin' (per-block slice delivery) or "
+                "pack_sequences (the co-locating exchange) at this "
+                "scale"
             )
-        e = np.concatenate(out_enc)
-        s = np.concatenate(out_sum)
-        uniq, inv = np.unique(e, return_inverse=True)
-        sums = np.zeros(len(uniq), dtype=np.uint64)
-        np.add.at(sums, inv, s)
-        return pa.table(
-            {"enc": pa.array(uniq), "csum": pa.array(sums)}
+        seg_batches = list(seg_view.iter_batches(batch_format="pyarrow"))
+        segs = (
+            pa.concat_tables(seg_batches)
+            if seg_batches
+            else _structure_empty().select(
+                ["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"]
+            )
         )
+        seg_ref = _ray.put(_sorted_probe(segs))
 
-    partial_ds = ds.map_batches(
-        _partials, batch_format="pyarrow"
-    ).materialize()
+        # ---- Phase B: local second pass, per-segment partials ----
+        def _partials(t: pa.Table) -> pa.Table:
+            ids_s, enc_s, st_s, en_s = _ray.get(seg_ref)
+            return _partials_table(
+                t, ids_s, enc_s, st_s, en_s, id_col, text_col
+            )
+
+        partial_ds = ds.map_batches(
+            _partials, batch_format="pyarrow"
+        ).materialize()
     n_partials = partial_ds.count()
 
     if n_partials == 0:

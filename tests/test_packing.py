@@ -229,6 +229,8 @@ class TestPackSummaries:
         )
 
     def test_segment_broadcast_guard(self):
+        # forcing delivery="broadcast" above the limit still raises;
+        # auto falls through to the segjoin path instead (below)
         from redpajama_data_ray.functions.packing import pack_summaries
 
         with pytest.raises(ValueError, match="broadcast limit"):
@@ -237,7 +239,55 @@ class TestPackSummaries:
                 seq_len=4,
                 n_buckets=4,
                 broadcast_limit=10,
+                delivery="broadcast",
             )
+        with pytest.raises(ValueError, match="delivery must be"):
+            pack_summaries(
+                _ds([(1, "a")]), seq_len=4, delivery="bogus"
+            )
+
+    def test_segjoin_delivery_matches(self):
+        # the above-broadcast-limit path: per-block segment slices via
+        # narrow join + rendezvous dir; text blocks pinned, never
+        # shuffled. Identical windows to the text-shuffle packing.
+        docs = [
+            (i * 37 + 5, f"w{i % 11} " * (i % 29)) for i in range(180)
+        ]
+        self._cmp(
+            docs, seq_len=24, n_buckets=4, delivery="segjoin"
+        )
+        # auto picks segjoin when the limit is exceeded
+        self._cmp(docs, seq_len=24, n_buckets=4, broadcast_limit=0)
+
+    def test_segjoin_multiblock_and_empty(self):
+        from redpajama_data_ray.functions.packing import pack_summaries
+
+        docs = [(i, f"t{i} " * (i % 17)) for i in range(90)]
+        a = (
+            pack_summaries(_ds(docs).repartition(9), 16, n_buckets=3)
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        b = (
+            pack_summaries(
+                _ds(docs).repartition(9),
+                16,
+                n_buckets=3,
+                delivery="segjoin",
+            )
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        assert a.equals(b), (a, b)
+        empty = _ds(docs).limit(0)
+        assert (
+            pack_summaries(
+                empty, 16, n_buckets=3, delivery="segjoin"
+            ).count()
+            == 0
+        )
 
     def test_blocking_independent(self):
         docs = [(i, f"w{i % 7} " * (i % 13)) for i in range(120)]
