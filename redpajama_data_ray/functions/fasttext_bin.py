@@ -53,6 +53,30 @@ def ft_hash(token: str) -> int:
     return h
 
 
+def compute_subword_ids(
+    token: str, minn: int, maxn: int, bucket: int, nwords: int
+) -> List[int]:
+    """``Dictionary::computeSubwords`` over the characters of
+    ``<token>`` — the whole padded word IS included when it fits maxn;
+    1-char ngrams that are just BOW/EOW alone are skipped. Shared by
+    the reader (serve-time) and the trainer (train-time) so both sides
+    hash identically."""
+    if maxn <= 0 or bucket <= 0:
+        return []
+    chars = list(BOW + token + EOW)
+    L = len(chars)
+    out = []
+    for i in range(L):
+        for n in range(1, maxn + 1):
+            j = i + n
+            if j > L:
+                break
+            if n >= minn and not (n == 1 and (i == 0 or j == L)):
+                sub = "".join(chars[i:j])
+                out.append(nwords + ft_hash(sub) % bucket)
+    return out
+
+
 class _Reader:
     def __init__(self, data: bytes):
         self.data = data
@@ -108,24 +132,13 @@ class FastTextModel:
         """``Dictionary::computeSubwords`` over the characters of
         ``<token>`` — the whole padded word IS included when it fits
         maxn; 1-char ngrams that are just BOW/EOW alone are skipped."""
-        minn, maxn = self.args["minn"], self.args["maxn"]
-        if maxn <= 0 or self.args["bucket"] <= 0:
-            return []
-        chars = list(BOW + token + EOW)
-        L = len(chars)
-        out = []
-        for i in range(L):
-            for n in range(1, maxn + 1):
-                j = i + n
-                if j > L:
-                    break
-                if n >= minn and not (n == 1 and (i == 0 or j == L)):
-                    sub = "".join(chars[i:j])
-                    out.append(
-                        self.nwords
-                        + ft_hash(sub) % self.args["bucket"]
-                    )
-        return out
+        return compute_subword_ids(
+            token,
+            self.args["minn"],
+            self.args["maxn"],
+            self.args["bucket"],
+            self.nwords,
+        )
 
     def _line_ids(self, text: str) -> List[int]:
         # the python binding appends '\n' -> EOS token terminates the

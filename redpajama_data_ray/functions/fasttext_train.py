@@ -15,12 +15,14 @@ reader).
 
 Deliberate deviations from the C++ trainer (documented, not bugs):
 single-threaded deterministic SGD (fastText's hogwild threads make
-its own runs non-reproducible), no subsampling/pruning, and
-hashing-bucket features only for word n-grams (``minn``/``maxn``
-subwords are a serving-path feature; training them is out of scope
-for the classifier artifacts this repo builds). Accuracy on the
-artifact-prep task, not bit parity, is the contract — the reference
-itself cannot reproduce its own training bit-for-bit.
+its own runs non-reproducible) and no subsampling/pruning. Both
+hashing-bucket feature families train: word n-grams
+(``word_ngrams``/``bucket``) and character subwords
+(``minn``/``maxn`` — the lid.176-style feature; the trainer shares
+``compute_subword_ids`` with the serving reader so train-time and
+serve-time hashing are identical). Accuracy on the artifact-prep
+task, not bit parity, is the contract — the reference itself cannot
+reproduce its own training bit-for-bit.
 """
 
 from __future__ import annotations
@@ -33,6 +35,7 @@ from .fasttext_bin import (
     EOS,
     LOSS_SOFTMAX,
     FastTextModel,
+    compute_subword_ids,
     ft_hash,
     write_fasttext_bin,
 )
@@ -53,15 +56,25 @@ def train_supervised(
     min_count: int = 1,
     word_ngrams: int = 1,
     bucket: int = 0,
+    minn: int = 0,
+    maxn: int = 0,
     seed: int = 42,
 ) -> "TrainedModel":
     """Train on ``(label, text)`` pairs (label WITHOUT the
     ``__label__`` prefix). Returns a :class:`TrainedModel` whose
-    ``save`` writes a loadable dense supervised ``.bin``."""
+    ``save`` writes a loadable dense supervised ``.bin``.
+
+    ``minn``/``maxn`` > 0 trains character-subword bucket rows the
+    way ``lid.176`` does — unseen words then score through the
+    subwords they share with training words."""
     if not samples:
         raise ValueError("no training samples")
     if word_ngrams > 1 and bucket <= 0:
         raise ValueError("word_ngrams > 1 requires bucket > 0")
+    if maxn > 0 and bucket <= 0:
+        raise ValueError("maxn > 0 (subwords) requires bucket > 0")
+    if maxn > 0 and minn > maxn:
+        raise ValueError("minn must be <= maxn")
     rng = np.random.RandomState(seed)
 
     # ---- dictionary (Dictionary::threshold sorts by count desc,
@@ -98,8 +111,22 @@ def train_supervised(
     # ---- precompute id lists (ids don't change across epochs) ----
     id_lists: List[np.ndarray] = []
     targets = np.empty(len(tokenized), dtype=np.int64)
+    sub_cache: dict = {}
     for i, (label, toks) in enumerate(tokenized):
-        ids = [word_id[w] for w in toks if w in word_id]
+        ids = []
+        for w in toks:
+            if w not in word_id:
+                # below min_count: dropped from the dictionary, and —
+                # like the C++ trainer — contributes no subwords at
+                # TRAIN time (serve-time OOV subwords still apply)
+                continue
+            ids.append(word_id[w])
+            if maxn > 0:
+                if w not in sub_cache:
+                    sub_cache[w] = compute_subword_ids(
+                        w, minn, maxn, bucket, nwords
+                    )
+                ids.extend(sub_cache[w])
         ids.append(word_id[EOS])
         if word_ngrams > 1:
             hashes = [
@@ -140,7 +167,7 @@ def train_supervised(
                 inm, ids, -(cur_lr / ids.size) * g_hidden
             )
     return TrainedModel(
-        words, labels, inm, om, dim, bucket, word_ngrams
+        words, labels, inm, om, dim, bucket, word_ngrams, minn, maxn
     )
 
 
@@ -149,7 +176,18 @@ class TrainedModel:
     layout, ``predictor`` returns the pure reader's FastTextModel over
     the same parameters (what a user loading the file gets)."""
 
-    def __init__(self, words, labels, inm, om, dim, bucket, word_ngrams):
+    def __init__(
+        self,
+        words,
+        labels,
+        inm,
+        om,
+        dim,
+        bucket,
+        word_ngrams,
+        minn=0,
+        maxn=0,
+    ):
         self.words = words
         self.labels = [f"__label__{lb}" for lb in labels]
         self.inm = inm.astype(np.float32)
@@ -157,6 +195,8 @@ class TrainedModel:
         self.dim = dim
         self.bucket = bucket
         self.word_ngrams = word_ngrams
+        self.minn = minn
+        self.maxn = maxn
 
     def save(self, path: str) -> str:
         return write_fasttext_bin(
@@ -168,6 +208,8 @@ class TrainedModel:
             dim=self.dim,
             bucket=self.bucket,
             word_ngrams=self.word_ngrams,
+            minn=self.minn,
+            maxn=self.maxn,
             loss=LOSS_SOFTMAX,
         )
 
@@ -180,8 +222,8 @@ class TrainedModel:
                 "dim": self.dim,
                 "bucket": self.bucket,
                 "word_ngrams": self.word_ngrams,
-                "minn": 0,
-                "maxn": 0,
+                "minn": self.minn,
+                "maxn": self.maxn,
                 "loss": LOSS_SOFTMAX,
                 "model": 3,
             },

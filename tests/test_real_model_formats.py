@@ -499,6 +499,41 @@ def test_trainer_word_ngrams_capture_order(tmp_path):
     assert acc_bi == 1.0
 
 
+def test_trainer_subwords_generalize_to_oov(tmp_path):
+    """minn/maxn training (the lid.176 feature) lets an UNSEEN word
+    score through the character n-grams it shares with training words
+    — train/serve hashing agree because both sides use the shared
+    compute_subword_ids."""
+    from redpajama_data_ray.functions.fasttext_train import (
+        train_supervised,
+    )
+
+    run_family = ["running", "runner", "runs", "runnable"]
+    jump_family = ["jumping", "jumper", "jumps", "jumped"]
+    samples = []
+    for i in range(40):
+        samples.append(("r", " ".join(run_family[i % 3:] + run_family[: i % 3])))
+        samples.append(("j", " ".join(jump_family[i % 3:] + jump_family[: i % 3])))
+    model = train_supervised(
+        samples, dim=16, epoch=8, seed=4, minn=3, maxn=5, bucket=2048
+    )
+    path = model.save(str(tmp_path / "sub.bin"))
+    loaded = load_fasttext_bin(path)
+    assert loaded.args["minn"] == 3 and loaded.args["maxn"] == 5
+    # both OOV words: never in the dictionary, classified purely via
+    # trained subword bucket rows
+    assert "runniest" not in loaded.word_id
+    assert loaded.predict("runniest")[0][0] == "__label__r"
+    assert loaded.predict("jumpiest")[0][0] == "__label__j"
+    # file round-trip and in-memory predictor agree on the OOV path
+    mem = model.predictor()
+    for w in ("runniest", "jumpiest"):
+        la, pa_ = loaded.predict(w, k=2)
+        lb, pb = mem.predict(w, k=2)
+        assert la == lb
+        np.testing.assert_allclose(pa_, pb, atol=1e-6)
+
+
 def test_build_fasttext_classifier_end_to_end(tmp_path):
     import ray.data
 
