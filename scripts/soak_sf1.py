@@ -21,6 +21,11 @@ sys.path.insert(
 
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SF = float(os.environ.get("SOAK_SF", "1.0"))
+# At sf >= 2 the dup-key partial count is past DUP_ROOT_LIMIT on both
+# legs (both would take the identical horizontal path), so the
+# root-vs-fallback equality pass can be skipped with SOAK_DUAL_DUP=0.
+DUAL_DUP = os.environ.get("SOAK_DUAL_DUP", "1") != "0"
+PACK_BUCKETS = int(os.environ.get("SOAK_PACK_BUCKETS", "512"))
 
 
 def _init():
@@ -88,15 +93,16 @@ def main() -> None:
     parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
     n_root = dup_keys_from_partials(parts, key="fp").count()
     timings["dup_keys_root"] = round(time.time() - t0, 1)
-    t0 = time.time()
-    parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
-    n_fb = dup_keys_from_partials(parts, key="fp", root_limit=0).count()
-    timings["dup_keys_fallback"] = round(time.time() - t0, 1)
-    assert n_root == n_fb, (n_root, n_fb)
     timings["dup_keys_count"] = n_root
+    if DUAL_DUP:
+        t0 = time.time()
+        parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
+        n_fb = dup_keys_from_partials(parts, key="fp", root_limit=0).count()
+        timings["dup_keys_fallback"] = round(time.time() - t0, 1)
+        assert n_root == n_fb, (n_root, n_fb)
     print(
-        "dup_keys root/fallback",
-        timings["dup_keys_root"], timings["dup_keys_fallback"],
+        "dup_keys",
+        timings["dup_keys_root"], timings.get("dup_keys_fallback"),
         "keys", n_root, flush=True,
     )
 
@@ -116,11 +122,12 @@ def main() -> None:
 
     t0 = time.time()
     n_windows = pack_sequences(
-        corp(["doc_id", "content"]), seq_len=2048, n_buckets=512,
+        corp(["doc_id", "content"]), seq_len=2048, n_buckets=PACK_BUCKETS,
         text_col="content",
     ).count()
     timings["pack_sequences"] = round(time.time() - t0, 1)
     timings["pack_windows"] = n_windows
+    timings["pack_buckets"] = PACK_BUCKETS
     print("pack", timings["pack_sequences"], flush=True)
 
     # ---- repo rollup over the raw corpus ----------------------------
