@@ -102,3 +102,43 @@ def test_near_dup_signatures_share_bands():
     assert shared >= 1  # near-dups collide in at least one band
     # identical docs share everything
     assert m.banded_signatures(base) == s1
+
+
+def test_signature_matches_naive_reference_math():
+    """Pin the vectorized kernel (memoryview shingle slices + shift/add
+    Mersenne reduction) against a plain-Python oracle shaped like the
+    reference (/root/reference/app/src/dedupe/utils.py:73-121): shingle
+    SET, one sha1 per space-joined shingle, and the numpy uint64
+    semantics where a*h+b wraps mod 2^64 BEFORE the mod-p reduction."""
+    import hashlib
+    import struct
+
+    import numpy as np
+
+    m = MinHasher()
+    P = (1 << 61) - 1
+    M32 = (1 << 32) - 1
+    W = 1 << 64
+    a = [int(x) for x in m._a]
+    b = [int(x) for x in m._b]
+
+    cases = [
+        [f"tok{i}" for i in range(20)],                    # uniform ascii
+        [("x" * (i % 7 + 1)) for i in range(40)],          # ragged lengths
+        [f"wörd{i}é" for i in range(15)],             # multi-byte utf-8
+        ["a"] * 13,                                        # single shingle
+    ]
+    for tokens in cases:
+        shingles = {
+            " ".join(tokens[i : i + 13]).encode("utf-8")
+            for i in range(len(tokens) - 12)
+        }
+        sig = [P] * 128
+        for s in shingles:
+            h = struct.unpack("<I", hashlib.sha1(s).digest()[:4])[0]
+            for j in range(128):
+                v = ((a[j] * h + b[j]) % W) % P & M32
+                if v < sig[j]:
+                    sig[j] = v
+        got = m.signature(tokens)
+        assert np.array_equal(got, np.array(sig, dtype=np.uint32)), tokens
