@@ -22,9 +22,16 @@ import time
 
 
 def _bench_plan() -> str:
-    if os.environ.get("BENCH_UNFUSED") == "1":
-        return "unfused"
-    plan = os.environ.get("BENCH_PLAN", "fused")
+    # explicit BENCH_PLAN wins over the legacy BENCH_UNFUSED alias so
+    # a lingering BENCH_UNFUSED=1 export can't silently override
+    # `--plan pairs`
+    plan = os.environ.get("BENCH_PLAN")
+    if plan is None:
+        plan = (
+            "unfused"
+            if os.environ.get("BENCH_UNFUSED") == "1"
+            else "fused"
+        )
     if plan not in ("fused", "unfused", "pairs"):
         raise SystemExit(f"unknown BENCH_PLAN {plan!r}")
     return plan
@@ -358,7 +365,10 @@ def main():
     if "--unfused" in sys.argv:
         os.environ["BENCH_UNFUSED"] = "1"  # inherited by scaling legs
     if "--plan" in sys.argv:
-        os.environ["BENCH_PLAN"] = sys.argv[sys.argv.index("--plan") + 1]
+        i = sys.argv.index("--plan")
+        if i + 1 >= len(sys.argv) or sys.argv[i + 1].startswith("--"):
+            raise SystemExit("usage: --plan fused|unfused|pairs")
+        os.environ["BENCH_PLAN"] = sys.argv[i + 1]
     if "--scaling" in sys.argv:
         pairs = 1
         if "--pairs" in sys.argv:

@@ -41,6 +41,27 @@ def _ensure_ray(num_cpus: Optional[int]):
     ctx.enable_tensor_extension_casting = False
 
 
+def _ensure_doc_ids(ds, id_column: str):
+    """Auto-assign the standard ``repo/path@commit`` doc_id on raw
+    corpora; raise a clear CLI error for generic tables that have
+    neither a ``doc_id`` column nor the corpus id columns (instead of
+    a KeyError('repo') deep inside a Ray task)."""
+    names = ds.schema().names or []
+    if id_column != "doc_id" or "doc_id" in names:
+        return ds
+    needed = {"repo", "path", "commit", "content"}
+    if not needed.issubset(names):
+        raise SystemExit(
+            f"input has no 'doc_id' column and is not a corpus table "
+            f"(needs {sorted(needed)} to derive one; found "
+            f"{sorted(names)}). Pass --id-column naming an existing "
+            "unique id column."
+        )
+    from .stages.ids import assign_ids
+
+    return ds.map_batches(assign_ids, batch_format="pyarrow")
+
+
 def _read_input(
     path: str,
     max_docs: Optional[int],
@@ -540,15 +561,9 @@ def cmd_pack(args) -> dict:
     from .functions.packing import pack_sequences
 
     ds = _read_input(args.input, args.max_docs, False)
-    if args.id_column == "doc_id" and "doc_id" not in (
-        ds.schema().names or []
-    ):
-        # raw corpus without ids: derive the standard unique doc_id
-        # (repo/path@commit) before packing — packing requires unique
-        # ids for its sorted-by-id reproducibility contract
-        from .stages.ids import assign_ids
-
-        ds = ds.map_batches(assign_ids, batch_format="pyarrow")
+    # packing requires unique ids for its sorted-by-id
+    # reproducibility contract
+    ds = _ensure_doc_ids(ds, args.id_column)
     if getattr(args, "summaries_only", False):
         if args.emit_tokens:
             raise SystemExit(
@@ -588,14 +603,8 @@ def cmd_chunk(args) -> dict:
     from .functions.chunking import chunk_documents
 
     ds = _read_input(args.input, args.max_docs, False)
-    if args.id_column == "doc_id" and "doc_id" not in (
-        ds.schema().names or []
-    ):
-        # raw corpus without ids: chunk identity is (doc_id,
-        # chunk_idx), so derive the standard unique id first
-        from .stages.ids import assign_ids
-
-        ds = ds.map_batches(assign_ids, batch_format="pyarrow")
+    # chunk identity is (doc_id, chunk_idx), so ids come first
+    ds = _ensure_doc_ids(ds, args.id_column)
     out = chunk_documents(
         ds, chunk_size=args.chunk_size, overlap=args.overlap,
         unit=args.unit, text_col=args.text_column,

@@ -116,9 +116,15 @@ def train_supervised(
         ids = []
         for w in toks:
             if w not in word_id:
-                # below min_count: dropped from the dictionary, and —
-                # like the C++ trainer — contributes no subwords at
-                # TRAIN time (serve-time OOV subwords still apply)
+                # below min_count: dropped from the dictionary AND
+                # from train-time features. DELIBERATE DEVIATION: the
+                # C++ supervised trainer still hashes subwords for
+                # OOV tokens (Dictionary::addSubwords computes
+                # computeSubwords() when the word id is < 0), so its
+                # bucket rows see gradients this trainer never emits.
+                # Serve-time OOV subwords apply in both (the reader's
+                # _line_ids hashes them), consistent with this
+                # module's accuracy-not-bit-parity contract.
                 continue
             ids.append(word_id[w])
             if maxn > 0:

@@ -477,21 +477,34 @@ def _segjoin_partials(
        — bytes per doc.
     3. Inner-join those rows with the segment table (narrow x narrow
        hash join; nothing content-sized moves).
-    4. Write the joined rows to a rendezvous directory partitioned by
-       ``block_idx`` (hive layout) — per-block slices addressable by
-       name, resumable, no object-ownership transfer.
+    4. Write the joined rows to a fresh per-run subdirectory of the
+       rendezvous root, partitioned by ``block_idx`` (hive layout) —
+       per-block slices addressable by name, no object-ownership
+       transfer. A unique subdir per run means a reused
+       ``spill_dir`` can never append into (or read) a previous
+       run's pieces.
     5. Per pinned block, one task computes the per-window checksum
        partials from (text block, its slice); Ray schedules it on the
        node holding the block.
 
     The only all-to-all is steps 2-4's per-doc rows; at 100 TB that
-    is GBs, not the corpus."""
-    import glob
+    is GBs, not the corpus.
+
+    Every segment matches exactly one ``(seg_id, block_idx)`` row
+    (each doc lives in exactly one pinned block and duplicate ids
+    raise in phase A), so the pieces read back must total exactly
+    ``seg_view.count()`` rows. The count is verified after discovery:
+    on a multi-node cluster a driver-local ``spill_dir`` (e.g. the
+    default temp dir) is invisible to the other nodes' writers, and
+    without the check those blocks' windows would silently get zero
+    checksums — so a shortfall raises, naming the shared-storage
+    requirement."""
     import os
-    import shutil
     import tempfile
+    import uuid
 
     import ray.data as rd
+    from pyarrow import fs as pafs
 
     from ..dedupe.combine import auto_partitions, tune_shuffle_context
 
@@ -504,24 +517,62 @@ def _segjoin_partials(
             for i, ref in enumerate(block_refs)
         ]
     )
+    seg_view = seg_view.materialize()  # narrow rows: bytes per doc
+    n_expected = seg_view.count()
     joined = seg_view.join(
         ids_ds,
         join_type="inner",
         num_partitions=min(auto_partitions(), max(1, len(block_refs))),
         on=("seg_id",),
     )
-    rendezvous = spill_dir or tempfile.mkdtemp(prefix="pack_segjoin_")
-    made_tmp = spill_dir is None
+    root = spill_dir or tempfile.mkdtemp(prefix="pack_segjoin_")
+    rendezvous = f"{root.rstrip('/')}/run_{uuid.uuid4().hex}"
+    if "://" in rendezvous:
+        fsys, fs_root = pafs.FileSystem.from_uri(rendezvous)
+    else:
+        fsys, fs_root = pafs.LocalFileSystem(), rendezvous
     try:
         joined.write_parquet(rendezvous, partition_cols=["block_idx"])
-        refs = []
-        for d in glob.glob(os.path.join(rendezvous, "block_idx=*")):
-            idx = int(os.path.basename(d).split("=", 1)[1])
-            refs.append(
-                _block_seg_partials_task.remote(
-                    block_refs[idx], d, id_col, text_col
-                )
+        # discover per-block piece dirs through the pyarrow filesystem
+        # (works for URIs too, unlike a driver-local glob)
+        try:
+            infos = fsys.get_file_info(
+                pafs.FileSelector(fs_root, recursive=False)
             )
+        except FileNotFoundError:
+            infos = []
+        piece_dirs = [
+            (int(f.base_name.split("=", 1)[1]), f.path)
+            for f in infos
+            if f.type == pafs.FileType.Directory
+            and f.base_name.startswith("block_idx=")
+        ]
+        import pyarrow.dataset as pads
+
+        n_found = sum(
+            pads.dataset(
+                p, filesystem=fsys, partitioning="hive"
+            ).count_rows()
+            for _, p in piece_dirs
+        )
+        if n_found != n_expected:
+            raise RuntimeError(
+                f"segjoin rendezvous covers {n_found} of {n_expected} "
+                f"segment rows under {rendezvous!r}. On a multi-node "
+                "cluster spill_dir must be on SHARED storage every "
+                "node can write and the driver can read (the default "
+                "driver-local temp dir is not)."
+            )
+        refs = [
+            _block_seg_partials_task.remote(
+                block_refs[idx],
+                p if "://" not in rendezvous else f"{rendezvous}/"
+                f"block_idx={idx}",
+                id_col,
+                text_col,
+            )
+            for idx, p in piece_dirs
+        ]
         if not refs:
             return rd.from_arrow(
                 pa.table(
@@ -536,8 +587,14 @@ def _segjoin_partials(
         _ray.wait(refs, num_returns=len(refs), fetch_local=False)
         return rd.from_arrow_refs(refs).materialize()
     finally:
-        if made_tmp:
-            shutil.rmtree(rendezvous, ignore_errors=True)
+        try:
+            fsys.delete_dir(fs_root)
+        except FileNotFoundError:
+            pass
+        if spill_dir is None:
+            import shutil
+
+            shutil.rmtree(root, ignore_errors=True)
 
 
 def pack_summaries(

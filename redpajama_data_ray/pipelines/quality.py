@@ -137,6 +137,13 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         include_classifier=cfg.include_classifier,
         include_dsir=cfg.include_dsir,
     )
+    if cfg.fused not in (True, False, "pairs"):
+        # any other string would fall through truthy into the fused
+        # plan — reject typos ("unfused", "Pairs") loudly instead
+        raise ValueError(
+            f"QualityConfig.fused must be True, False or 'pairs', "
+            f"got {cfg.fused!r}"
+        )
     if cfg.fused == "pairs":
         from ..functions.registry import registered_signals
         from ..stages.annotate import AnnotateStage, ModelPairStage

@@ -366,3 +366,38 @@ def test_pack_summaries_empty_corpus():
         assert sorted(sch.names) == [
             "bucket", "checksum", "n_docs", "n_tokens", "seq_idx",
         ]
+
+
+def test_segjoin_spill_dir_reusable(tmp_path):
+    """A reused --rendezvous-dir must not contaminate later runs:
+    each run writes into its own unique subdirectory (a shared dir
+    previously APPENDED hive partitions, silently doubling every
+    window checksum on the second run) and cleans it up after."""
+    import os
+
+    from redpajama_data_ray.functions.packing import pack_summaries
+
+    docs = [(i * 3 + 1, f"w{i % 5} " * (i % 11)) for i in range(80)]
+    spill = str(tmp_path / "rv")
+    os.makedirs(spill, exist_ok=True)
+
+    def run():
+        return (
+            pack_summaries(
+                _ds(docs),
+                16,
+                n_buckets=3,
+                delivery="segjoin",
+                spill_dir=spill,
+            )
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+
+    first = run()
+    second = run()
+    assert first.equals(second)
+    # per-run subdirs are removed; the user's root remains
+    assert os.path.isdir(spill)
+    assert os.listdir(spill) == []
