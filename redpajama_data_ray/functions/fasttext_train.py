@@ -116,15 +116,18 @@ def train_supervised(
         ids = []
         for w in toks:
             if w not in word_id:
-                # below min_count: dropped from the dictionary AND
-                # from train-time features. DELIBERATE DEVIATION: the
-                # C++ supervised trainer still hashes subwords for
-                # OOV tokens (Dictionary::addSubwords computes
-                # computeSubwords() when the word id is < 0), so its
-                # bucket rows see gradients this trainer never emits.
-                # Serve-time OOV subwords apply in both (the reader's
-                # _line_ids hashes them), consistent with this
-                # module's accuracy-not-bit-parity contract.
+                # below min_count: dropped from the dictionary, but —
+                # like the C++ trainer (Dictionary::addSubwords calls
+                # computeSubwords() when the word id is < 0) and this
+                # repo's reader (_line_ids) — the token still
+                # contributes its subword bucket rows at train time,
+                # so train and serve consume the same feature space
+                if maxn > 0:
+                    if w not in sub_cache:
+                        sub_cache[w] = compute_subword_ids(
+                            w, minn, maxn, bucket, nwords
+                        )
+                    ids.extend(sub_cache[w])
                 continue
             ids.append(word_id[w])
             if maxn > 0:
@@ -135,9 +138,10 @@ def train_supervised(
                 ids.extend(sub_cache[w])
         ids.append(word_id[EOS])
         if word_ngrams > 1:
-            hashes = [
-                ft_hash(w) for w in toks if w in word_id
-            ] + [ft_hash(EOS)]
+            # every word token's hash feeds the n-gram window,
+            # in-vocab or not (Dictionary::getLine pushes hash(token)
+            # for all word-type tokens)
+            hashes = [ft_hash(w) for w in toks] + [ft_hash(EOS)]
             for a in range(len(hashes)):
                 h = hashes[a]
                 for b in range(a + 1, min(a + word_ngrams, len(hashes))):
