@@ -1076,8 +1076,11 @@ def build_parser() -> argparse.ArgumentParser:
     )
     pk.add_argument(
         "--rendezvous-dir", default=None,
-        help="segjoin rendezvous directory (put it on shared storage "
-        "on a multi-node cluster); default: a local temp dir",
+        help="segjoin rendezvous root (REQUIRED to be shared storage "
+        "on a multi-node cluster — a node-local path raises a "
+        "coverage error); each run writes and removes its own unique "
+        "subdirectory, so the root is safely reusable; default: a "
+        "local temp dir",
     )
     pk.set_defaults(fn=cmd_pack)
 
