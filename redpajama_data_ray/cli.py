@@ -27,13 +27,22 @@ def _ensure_ray(num_cpus: Optional[int]):
     import ray
 
     if not ray.is_initialized():
-        ray.init(
-            address="local",
-            num_cpus=num_cpus,
-            include_dashboard=False,
-            ignore_reinit_error=True,
-            logging_level="ERROR",
-        )
+        if os.environ.get("RAY_JOB_ID"):
+            # running inside `ray job submit`: attach to the hosting
+            # cluster (address comes from the job runtime's env).
+            # Forcing address="local" here would fork a private
+            # single-node Ray instance on the head node and the whole
+            # cluster would sit idle. num_cpus is a cluster property
+            # now, not ours to set.
+            ray.init(ignore_reinit_error=True, logging_level="ERROR")
+        else:
+            ray.init(
+                address="local",
+                num_cpus=num_cpus,
+                include_dashboard=False,
+                ignore_reinit_error=True,
+                logging_level="ERROR",
+            )
     from ray.data import DataContext
 
     ctx = DataContext.get_current()

@@ -34,8 +34,8 @@ def key_stats(
 ) -> Dataset:
     """Dataset of (key, min_order, cnt) — one row per distinct key.
 
-    ``distributed=None`` (auto): materialize the per-block partials,
-    measure them, and pick the tree when they fit a single root task
+    ``distributed=None`` (auto): count the per-block partials with a
+    streaming pass and pick the tree when they fit a single root task
     (``TREE_STATS_LIMIT``) — the tree is ~30x faster than the shuffle
     aggregate at 10^6-row scale (measured; see ``tune_shuffle_context``
     notes)."""
@@ -59,7 +59,11 @@ def key_stats(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if distributed is None:
-        partials = partials.materialize()
+        # streaming count pass, NOT materialize-then-count: pinning
+        # the partials pins an input-sized dataset in the object
+        # store (the sf4 soak ran the box out of disk that way in
+        # dup_keys_from_partials). One extra scan of the cheap
+        # partial stage decides the path without holding anything.
         distributed = partials.count() > TREE_STATS_LIMIT
     if distributed:
         return partials.groupby(key).aggregate(
@@ -94,7 +98,7 @@ def combine_counts(
         return g.rename_columns([key, cnt])
 
     if distributed is None:
-        partials = partials.materialize()
+        # streaming count pass — see key_stats for why no materialize
         distributed = partials.count() > TREE_STATS_LIMIT
     if distributed:
         return partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt))
@@ -159,6 +163,7 @@ def dup_keys_from_partials(
     cnt: str = "cnt",
     root_limit: int = DUP_ROOT_LIMIT,
     num_partitions: "int | None" = None,
+    spill_dir: "str | None" = None,
 ) -> Dataset:
     """Keys whose per-block partial counts sum to >= ``min_count`` —
     WITHOUT computing the full combined count table.
@@ -180,77 +185,153 @@ def dup_keys_from_partials(
     combine — horizontal, no single-node table, the true 100-TB path
     (executed eagerly under a scoped ``HASH_SHUFFLE`` strategy
     override; key-based repartition requires it and the default
-    sort-shuffle groupby is the >8-min case above)."""
+    sort-shuffle groupby is the >8-min case above).
+
+    The partials are sized by SPILL-THROUGH, not ``materialize()``:
+    one streaming ``write_parquet`` to scratch (the only execution of
+    the production stage), a free metadata count of the written
+    files, then both combine paths read the scratch back. The two
+    rejected alternatives, both observed this round: materialize-
+    then-count pins an input-sized dataset in the object store (the
+    sf4 soak — 1.49B partial rows, ~24 GB fixed-width — ran the box
+    out of disk with the pinned copy + shuffle intermediates +
+    aggregator outputs all spilling at once), and count-then-
+    recompute re-executes the production scan, doubling callers
+    whose scan dominates (vocab at sf4: 206 s vs ~110 s). Scratch
+    defaults to a driver-local temp dir; on a multi-node cluster
+    pass ``spill_dir`` on SHARED storage (same contract as
+    ``pack_summaries``) — the local default raises there instead of
+    silently losing other nodes' pieces."""
+    import shutil
+    import tempfile
+    import uuid
+
     import ray
+    import ray.data as rd
+    from pyarrow import fs as pafs
 
-    partials = partials.materialize()
-    n = partials.count()
-    if n == 0:
-        return partials
-
-    if n <= root_limit:
-        try:
-            cpus = int(ray.cluster_resources().get("CPU", 4))
-        except Exception:
-            cpus = 4
-        threads = max(2, cpus - 2)
-        # raw Ray task, deliberately: the Dataset-only spelling is
-        # repartition(1) + map_batches, but building that one block is
-        # a single-task 3-GB concat that measured 5x the aggregate
-        # itself (55 s vs 11 s at 186M rows) — streaming the existing
-        # blocks straight into DuckDB's aggregate skips the copy
-        key_type = partials.schema().base_schema.field(key).type
-        block_refs = partials.to_arrow_refs()
-        out_ref = _duck_dup_root.options(
-            num_cpus=min(8, max(2, cpus // 4))
-        ).remote(key, cnt, int(min_count), threads, key_type, *block_refs)
-        import ray.data as rd
-
-        return rd.from_arrow_refs([out_ref])
-
-    # ---- horizontal fallback: hash-partition by key, combine per block
-    from ray.data.context import ShuffleStrategy
-
-    if num_partitions is None:
-        num_partitions = auto_partitions()
-
-    def combine_dup(t: pa.Table) -> pa.Table:
-        g = t.group_by(key).aggregate([(cnt, "sum")])
-        g = g.rename_columns([key, cnt])
-        import pyarrow.compute as pc
-
-        return g.filter(
-            pc.greater_equal(g.column(cnt), min_count)
-        ).select([key])
-
-    # key-based repartition requires the hash-shuffle strategy; set it
-    # on THIS dataset's captured context (not the global one), run the
-    # exchange eagerly, then restore — downstream consumers of the
-    # returned dup set plan under the caller's own strategy
-    ctx = partials.context
-    prev = (
-        ctx.shuffle_strategy,
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-    )
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
-    try:
-        return (
-            partials.repartition(num_partitions, keys=[key])
-            .map_batches(
-                combine_dup,
-                batch_format="pyarrow",
-                batch_size=None,
-                zero_copy_batch=True,
-            )
-            .materialize()
+    alive_nodes = [nd for nd in ray.nodes() if nd.get("Alive")]
+    if spill_dir is None and len(alive_nodes) > 1:
+        raise ValueError(
+            "dup_keys_from_partials sizes its input via scratch "
+            "parquet; on a multi-node cluster pass spill_dir on "
+            "shared storage (s3://... or a shared mount) — the "
+            "driver-local temp default would silently drop other "
+            "nodes' partials"
         )
-    finally:
-        (
+    root = spill_dir or tempfile.mkdtemp(prefix="rpray_dupkeys_")
+    scratch = f"{root.rstrip('/')}/run_{uuid.uuid4().hex}"
+    if "://" in scratch:
+        fsys, fs_root = pafs.FileSystem.from_uri(scratch)
+    else:
+        fsys, fs_root = pafs.LocalFileSystem(), scratch
+
+    def _cleanup():
+        try:
+            fsys.delete_dir(fs_root)
+        except FileNotFoundError:
+            pass
+        if spill_dir is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+    try:
+        partials.write_parquet(scratch)
+        try:
+            files = [
+                f
+                for f in fsys.get_file_info(
+                    pafs.FileSelector(fs_root, recursive=True)
+                )
+                if f.is_file
+            ]
+        except FileNotFoundError:
+            files = []
+        if not files:  # empty corpus: nothing was written
+            return partials
+        stored = rd.read_parquet(
+            scratch if "://" in scratch else sorted(f.path for f in files)
+        )
+        n = stored.count()  # parquet metadata only — no execution
+        if n == 0:
+            return partials
+
+        if n <= root_limit:
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 4))
+            except Exception:
+                cpus = 4
+            threads = max(2, cpus - 2)
+            # raw Ray task, deliberately: the Dataset-only spelling is
+            # repartition(1) + map_batches, but building that one
+            # block is a single-task 3-GB concat that measured 5x the
+            # aggregate itself (55 s vs 11 s at 186M rows) — streaming
+            # the blocks straight into DuckDB's aggregate skips the
+            # copy
+            key_type = stored.schema().base_schema.field(key).type
+            block_refs = stored.to_arrow_refs()
+            out_ref = _duck_dup_root.options(
+                num_cpus=min(8, max(2, cpus // 4))
+            ).remote(
+                key, cnt, int(min_count), threads, key_type, *block_refs
+            )
+            # scratch cleanup (finally) is safe here: to_arrow_refs
+            # already materialized the read into plasma objects, so
+            # neither the pending root task nor the returned dataset
+            # touches the files again
+            return rd.from_arrow_refs([out_ref])
+
+        # ---- horizontal fallback: hash-partition by key, combine per
+        # block
+        from ray.data.context import ShuffleStrategy
+
+        if num_partitions is None:
+            num_partitions = auto_partitions()
+
+        def combine_dup(t: pa.Table) -> pa.Table:
+            g = t.group_by(key).aggregate([(cnt, "sum")])
+            g = g.rename_columns([key, cnt])
+            import pyarrow.compute as pc
+
+            return g.filter(
+                pc.greater_equal(g.column(cnt), min_count)
+            ).select([key])
+
+        # key-based repartition requires the hash-shuffle strategy;
+        # set it on THIS dataset's captured context (not the global
+        # one), run the exchange eagerly, then restore — downstream
+        # consumers of the returned dup set plan under the caller's
+        # own strategy
+        ctx = stored.context
+        prev = (
             ctx.shuffle_strategy,
             ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        ) = prev
+        )
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        if (
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+            is None
+        ):
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+                0.25
+            )
+        try:
+            return (
+                stored.repartition(num_partitions, keys=[key])
+                .map_batches(
+                    combine_dup,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+        finally:
+            (
+                ctx.shuffle_strategy,
+                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ) = prev
+    finally:
+        _cleanup()
 
 
 def auto_partitions(cap: int = 256) -> int:

@@ -1,0 +1,60 @@
+"""The CLI's Ray-session policy under `ray job submit`.
+
+A submitted job's entrypoint runs with RAY_JOB_ID (and RAY_ADDRESS)
+set by the job runtime; the CLI must ATTACH to the hosting cluster
+(bare ray.init with no address/num_cpus override) instead of forking
+a private single-node instance on the head node. Standalone runs keep
+the explicit address="local" session. scripts/ray_job_smoke.sh drives
+the same contract live end-to-end."""
+
+import redpajama_data_ray.cli as cli
+
+
+class _FakeCtx:
+    enable_progress_bars = True
+    enable_tensor_extension_casting = True
+
+
+def _run_ensure(monkeypatch, env_job_id, num_cpus):
+    import ray
+    from ray.data import DataContext
+
+    calls = {}
+
+    def fake_init(**kwargs):
+        calls.update(kwargs)
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: False)
+    monkeypatch.setattr(ray, "init", fake_init)
+    monkeypatch.setattr(DataContext, "get_current", staticmethod(_FakeCtx))
+    if env_job_id is None:
+        monkeypatch.delenv("RAY_JOB_ID", raising=False)
+    else:
+        monkeypatch.setenv("RAY_JOB_ID", env_job_id)
+    cli._ensure_ray(num_cpus)
+    return calls
+
+
+def test_inside_ray_job_attaches_to_cluster(monkeypatch):
+    calls = _run_ensure(monkeypatch, env_job_id="rayjob-01", num_cpus=4)
+    # no address/num_cpus: the cluster is the job runtime's, not ours
+    assert "address" not in calls
+    assert "num_cpus" not in calls
+
+
+def test_standalone_starts_local(monkeypatch):
+    calls = _run_ensure(monkeypatch, env_job_id=None, num_cpus=4)
+    assert calls["address"] == "local"
+    assert calls["num_cpus"] == 4
+
+
+def test_already_initialized_is_a_noop(monkeypatch):
+    import ray
+
+    monkeypatch.setattr(ray, "is_initialized", lambda: True)
+
+    def boom(**kwargs):  # pragma: no cover - failure path
+        raise AssertionError("ray.init must not be called")
+
+    monkeypatch.setattr(ray, "init", boom)
+    cli._ensure_ray(None)  # conftest session's DataContext is real here

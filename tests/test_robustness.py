@@ -1,10 +1,73 @@
 """Robustness: poison rows (nulls, odd unicode, huge tokens) must flow
-through the full pipeline without failing any stage."""
+through the full pipeline without failing any stage, and a worker
+actor dying mid-run must not fail the job (at 100-TB scale worker
+loss is routine; Ray Data actor pools default to max_restarts=-1 /
+max_task_retries=-1, so the pipeline must complete with every row)."""
+
+import os
 
 import pyarrow as pa
 import ray.data
 
+from redpajama_data_ray.functions.rules import RuleConfig
 from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+from redpajama_data_ray.stages.annotate import AnnotateStage
+
+
+def test_actor_death_mid_run_recovers(tmp_path):
+    # the crash-once stage is defined INSIDE the test so cloudpickle
+    # ships it by value: a class at test-module scope is pickled by
+    # reference, and Ray workers cannot import pytest's rootdir-path
+    # test modules (`ModuleNotFoundError: test_robustness` inside the
+    # actor constructor, which Ray retries forever -> silent hang)
+    class _CrashOnceAnnotate(AnnotateStage):
+        """AnnotateStage whose hosting actor hard-exits on its first
+        batch, exactly once per run (file sentinel shared across actor
+        processes): the simulated worker loss every long multi-node
+        run experiences."""
+
+        def __init__(self, sentinel: str, **kwargs):
+            super().__init__(**kwargs)
+            self.sentinel = sentinel
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            try:
+                os.close(os.open(self.sentinel, os.O_CREAT | os.O_EXCL))
+                os._exit(1)  # SIGKILL-grade death: no cleanup path
+            except FileExistsError:
+                pass
+            return super().__call__(batch)
+
+    n = 80
+    t = pa.table(
+        {
+            "repo": ["r"] * n,
+            "path": [f"f{i}.py" for i in range(n)],
+            "commit": ["c"] * n,
+            "lang": ["python"] * n,
+            "content": [f"def f{i}():\n    return {i}\n" for i in range(n)],
+        }
+    )
+    out = (
+        ray.data.from_arrow(t)
+        .map_batches(
+            _CrashOnceAnnotate,
+            fn_constructor_kwargs=dict(
+                sentinel=str(tmp_path / "crashed_once"),
+                include_scrub=True,
+                rules=RuleConfig(),
+            ),
+            batch_format="pyarrow",
+            batch_size=8,
+            concurrency=(2, 2),
+            num_cpus=1,
+        )
+        .to_pandas()
+    )
+    assert len(out) == n
+    assert sorted(out.path) == sorted(f"f{i}.py" for i in range(n))
+    assert out.keep.notna().all()
+    assert (tmp_path / "crashed_once").exists()  # the kill really fired
 
 
 def test_poison_rows_survive_full_pipeline():
