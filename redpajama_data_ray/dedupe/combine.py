@@ -202,6 +202,7 @@ def dup_keys_from_partials(
     pass ``spill_dir`` on SHARED storage (same contract as
     ``pack_summaries``) — the local default raises there instead of
     silently losing other nodes' pieces."""
+    import os
     import shutil
     import tempfile
     import uuid
@@ -210,14 +211,20 @@ def dup_keys_from_partials(
     import ray.data as rd
     from pyarrow import fs as pafs
 
+    if spill_dir is None:
+        # one cluster-wide knob: callers several layers up (line /
+        # substring dedup, repo_stats, incremental state) don't all
+        # plumb spill_dir, so a multi-node deployment sets the shared
+        # scratch root once in the driver's env instead
+        spill_dir = os.environ.get("RPRAY_SPILL_DIR") or None
     alive_nodes = [nd for nd in ray.nodes() if nd.get("Alive")]
     if spill_dir is None and len(alive_nodes) > 1:
         raise ValueError(
             "dup_keys_from_partials sizes its input via scratch "
             "parquet; on a multi-node cluster pass spill_dir on "
-            "shared storage (s3://... or a shared mount) — the "
-            "driver-local temp default would silently drop other "
-            "nodes' partials"
+            "shared storage (s3://... or a shared mount), or set "
+            "RPRAY_SPILL_DIR in the driver env — the driver-local "
+            "temp default would silently drop other nodes' partials"
         )
     root = spill_dir or tempfile.mkdtemp(prefix="rpray_dupkeys_")
     scratch = f"{root.rstrip('/')}/run_{uuid.uuid4().hex}"

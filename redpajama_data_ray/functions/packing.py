@@ -525,6 +525,9 @@ def _segjoin_partials(
         num_partitions=min(auto_partitions(), max(1, len(block_refs))),
         on=("seg_id",),
     )
+    if spill_dir is None:
+        # same cluster-wide knob dup_keys_from_partials honors
+        spill_dir = os.environ.get("RPRAY_SPILL_DIR") or None
     root = spill_dir or tempfile.mkdtemp(prefix="pack_segjoin_")
     rendezvous = f"{root.rstrip('/')}/run_{uuid.uuid4().hex}"
     if "://" in rendezvous:

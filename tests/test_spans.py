@@ -503,3 +503,33 @@ def test_null_text_rows_survive():
     )
     assert out.loc[0, "n_dup_spans"] == 0
     assert out.loc[0, "dup_char_frac"] == 0.0
+
+
+def test_dup_keys_honors_env_spill_root(tmp_path, monkeypatch):
+    """RPRAY_SPILL_DIR is the one cluster-wide knob for the scratch
+    root of the spill-through sizing pass: the run writes (and removes)
+    a run_* subdir under it, the root itself survives for reuse, and
+    the duplicated-key result is unchanged."""
+    import os
+
+    from redpajama_data_ray.dedupe.combine import dup_keys_from_partials
+
+    root = tmp_path / "shared_scratch"
+    root.mkdir()
+    monkeypatch.setenv("RPRAY_SPILL_DIR", str(root))
+    partials = rd.from_arrow(
+        pa.table(
+            {
+                "fp": pa.array([1, 2, 2, 3, 3], pa.int64()),
+                "cnt": pa.array([1, 1, 1, 1, 2], pa.int64()),
+            }
+        )
+    )
+    dup = sorted(
+        dup_keys_from_partials(partials, key="fp", min_count=2)
+        .to_pandas()["fp"]
+        .tolist()
+    )
+    assert dup == [2, 3]
+    assert root.exists()  # user-owned root kept ...
+    assert os.listdir(root) == []  # ... its run_* subdir cleaned up
