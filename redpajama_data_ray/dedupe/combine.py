@@ -199,9 +199,10 @@ def dup_keys_from_partials(
     recompute re-executes the production scan, doubling callers
     whose scan dominates (vocab at sf4: 206 s vs ~110 s). Scratch
     defaults to a driver-local temp dir; on a multi-node cluster
-    pass ``spill_dir`` on SHARED storage (same contract as
-    ``pack_summaries``) — the local default raises there instead of
-    silently losing other nodes' pieces."""
+    pass ``spill_dir`` on SHARED storage or set ``RPRAY_SPILL_DIR``
+    in the driver env (same contract as ``pack_summaries``) — the
+    local default raises there instead of silently losing other
+    nodes' pieces."""
     import os
     import shutil
     import tempfile

@@ -268,3 +268,55 @@ class TestClusterOutputs:
             # every member's cluster_id is a member id_int (min rep)
             id_ints = set(tbl.column("id_int").to_pylist())
             assert set(tbl.column("cluster_id").to_pylist()) <= id_ints
+
+
+def test_keyed_repartition_emits_one_block_per_partition():
+    """Load-bearing Ray invariant: the hash-shuffle aggregator
+    finalizes each keyed partition as ONE block, even when the
+    partition far exceeds target_max_block_size. The per-block
+    combine in dup_keys_from_partials' horizontal path (and the
+    per-block multi-bucket pack in functions/packing.py) sums within
+    a block and would silently under-count keys split across blocks
+    of the same partition — this test fails first if a Ray upgrade
+    starts splitting partition outputs (measured: Ray 2.49 emits one
+    8 MB block per partition under a 1 MB target)."""
+    import numpy as np
+    from ray.data.context import DataContext, ShuffleStrategy
+
+    ctx = DataContext.get_current()
+    prev = (
+        ctx.shuffle_strategy,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ctx.target_max_block_size,
+    )
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    ctx.target_max_block_size = 1 << 20  # 1 MB; partitions are ~8 MB
+    try:
+        n = 2_000_000
+        t = pa.table(
+            {
+                "k": pa.array(np.arange(n) % 100, pa.int64()),
+                "cnt": pa.array(np.ones(n, np.int64)),
+            }
+        )
+        ds = ray.data.from_arrow(t).repartition(4, keys=["k"])
+
+        def probe(b: pa.Table) -> pa.Table:
+            return pa.table({"n_rows": pa.array([b.num_rows], pa.int64())})
+
+        out = ds.map_batches(
+            probe,
+            batch_format="pyarrow",
+            batch_size=None,
+            zero_copy_batch=True,
+        ).to_pandas()
+        # one batch (= one block) per partition, all rows accounted for
+        assert len(out) == 4
+        assert out.n_rows.sum() == n
+    finally:
+        (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ctx.target_max_block_size,
+        ) = prev
