@@ -25,6 +25,18 @@ from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
 
+def _meta_row_bound(ds: Dataset) -> "int | None":
+    """Row count from plan metadata alone (never triggers execution):
+    an int for pure parquet scans and already-materialized datasets,
+    None once any transform hides the count. Fenced because
+    ``_meta_count`` is a private Ray API — on any change/failure the
+    callers just fall back to the streaming count pass."""
+    try:
+        return ds._meta_count()
+    except Exception:
+        return None
+
+
 def key_stats(
     ds: Dataset,
     key: str,
@@ -59,12 +71,20 @@ def key_stats(
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if distributed is None:
-        # streaming count pass, NOT materialize-then-count: pinning
+        # per-block partials can't exceed input rows, so when the
+        # input's row count is knowable from read metadata alone
+        # (pure parquet scan — the common query path) and fits the
+        # tree root, pick the tree with ZERO extra passes. Otherwise:
+        # streaming count pass, NOT materialize-then-count — pinning
         # the partials pins an input-sized dataset in the object
         # store (the sf4 soak ran the box out of disk that way in
         # dup_keys_from_partials). One extra scan of the cheap
         # partial stage decides the path without holding anything.
-        distributed = partials.count() > TREE_STATS_LIMIT
+        bound = _meta_row_bound(ds)
+        if bound is not None and bound <= TREE_STATS_LIMIT:
+            distributed = False
+        else:
+            distributed = partials.count() > TREE_STATS_LIMIT
     if distributed:
         return partials.groupby(key).aggregate(
             Min("min_order", alias_name="min_order"),
@@ -98,8 +118,16 @@ def combine_counts(
         return g.rename_columns([key, cnt])
 
     if distributed is None:
-        # streaming count pass — see key_stats for why no materialize
-        distributed = partials.count() > TREE_STATS_LIMIT
+        # partials rows ≤ their own input rows too, so the same
+        # metadata shortcut applies when the caller hands us a pure
+        # read (rare — most callers pre-aggregate, giving None here)
+        bound = _meta_row_bound(partials)
+        if bound is not None and bound <= TREE_STATS_LIMIT:
+            distributed = False
+        else:
+            # streaming count pass — see key_stats for why no
+            # materialize
+            distributed = partials.count() > TREE_STATS_LIMIT
     if distributed:
         return partials.groupby(key).aggregate(Sum(cnt, alias_name=cnt))
     return (

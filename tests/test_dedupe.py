@@ -95,3 +95,36 @@ def test_simhash_dedup(annotated):
     # survivor is the min id_int of the component
     assert len({"r1/a.py@c1", "r1/b.py@c2"} & set(out.doc_id)) == 1
     assert len(out) <= 4
+
+
+def test_key_stats_auto_sizes_pure_reads_from_metadata(tmp_path, monkeypatch):
+    """distributed=None on a pure parquet read must pick the tree from
+    plan metadata alone — no streaming count pass, no second execution
+    of the partial stage (the round-4 exact/line dedup regression)."""
+    import pyarrow.parquet as pq
+    from ray.data import Dataset
+
+    from redpajama_data_ray.dedupe.combine import key_stats
+
+    t = pa.table({"k": ["a", "a", "b"], "o": [2, 1, 5]})
+    pq.write_table(t, tmp_path / "x.parquet")
+    ds = ray.data.read_parquet(str(tmp_path / "x.parquet"))
+
+    def forbidden(self):
+        raise AssertionError("count pass on the metadata fast path")
+
+    monkeypatch.setattr(Dataset, "count", forbidden)
+    out = pa.concat_tables(
+        key_stats(ds, "k", "o", distributed=None).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    ).sort_by("k")
+    assert out.column("k").to_pylist() == ["a", "b"]
+    assert out.column("min_order").to_pylist() == [1, 5]
+    assert out.column("cnt").to_pylist() == [2, 1]
+
+    # negative control: a transformed input hides the row count, so
+    # auto sizing must still fall back to the streaming count pass
+    mapped = ds.map_batches(lambda b: b, batch_format="pyarrow")
+    with pytest.raises(AssertionError, match="count pass"):
+        key_stats(mapped, "k", "o", distributed=None)
