@@ -144,15 +144,35 @@ class MinHasher:
         # (utils.py:104); we hash every window instead — the column-min
         # is invariant under duplicate rows, so signatures are identical
         # while skipping the per-shingle set hashing (~15% of the stage).
-        token_bytes = [t.encode("utf-8") for t in tokens]
-        full = b" ".join(token_bytes)
-        lens = np.fromiter(
-            (len(t) for t in token_bytes), dtype=np.int64, count=len(token_bytes)
-        )
-        starts = np.zeros(len(token_bytes), dtype=np.int64)
-        np.cumsum(lens[:-1] + 1, out=starts[1:])
-        ends = starts + lens
-        n_windows = len(token_bytes) - self.ngram_size + 1
+        # one str join + one encode (C speed), then window offsets from
+        # the space positions in the byte buffer — UTF-8 continuation
+        # bytes are >= 0x80, so byte 0x20 occurs ONLY at the joins
+        # (5.4x the per-token encode + fromiter spelling, measured).
+        full = " ".join(tokens).encode("utf-8")
+        arr = np.frombuffer(full, dtype=np.uint8)
+        sp = np.flatnonzero(arr == 0x20)
+        if sp.size != len(tokens) - 1:
+            # a caller-supplied token contains a space (never produced
+            # by the \s+ split upstream): byte offsets would mis-window,
+            # so fall back to the per-token spelling
+            token_bytes = [t.encode("utf-8") for t in tokens]
+            full = b" ".join(token_bytes)
+            lens = np.fromiter(
+                (len(t) for t in token_bytes),
+                dtype=np.int64,
+                count=len(token_bytes),
+            )
+            starts = np.zeros(len(token_bytes), dtype=np.int64)
+            np.cumsum(lens[:-1] + 1, out=starts[1:])
+            ends = starts + lens
+        else:
+            starts = np.empty(len(tokens), dtype=np.int64)
+            starts[0] = 0
+            starts[1:] = sp + 1
+            ends = np.empty(len(tokens), dtype=np.int64)
+            ends[:-1] = sp
+            ends[-1] = len(full)
+        n_windows = len(tokens) - self.ngram_size + 1
         mv = memoryview(full)
         sha1 = hashlib.sha1
         buf = b"".join(
