@@ -41,17 +41,95 @@ from ray.data import Dataset
 # to the join fallback
 DEFAULT_MASK_BROADCAST_LIMIT = 50_000_000
 
+# fixed-width S-dtype member arrays are n x max_len bytes; above this
+# the probe switches to 16-byte blake2b digests of the values instead
+# (raw-content keys: one 900 KB member would otherwise blow the matrix
+# up to n x 900 KB — observed as a 385 GiB allocation at sf1). The
+# digest probe is exact up to blake2b-128 collisions (~n^2/2^129 —
+# 1.5e-15 at 10^12 keys; strictly stronger than the reference's Bloom
+# mode, whose ~1% false-positive rate is a design feature:
+# /root/reference/app/src/bloomfilter.py:140-143).
+FIXED_WIDTH_MASK_LIMIT = 1 << 28  # 256 MB
+
+
+class DigestKeys:
+    """Marker wrapper for a member array of 16-byte blake2b digests:
+    tells :func:`membership_mask` to digest the probe column too."""
+
+    __slots__ = ("sorted_digests",)
+
+    def __init__(self, sorted_digests: np.ndarray):
+        self.sorted_digests = sorted_digests
+
+
+def _digest_arrow(arr: "pa.Array") -> np.ndarray:
+    """S16 blake2b digests of a string/binary Arrow array, hashing
+    zero-copy memoryview slices of the single data buffer (nulls and
+    empties digest as b"" — callers mask nulls out separately)."""
+    from hashlib import blake2b
+
+    n = len(arr)
+    out = np.empty(n, dtype="S16")
+    if n == 0:
+        return out
+    off_dtype = (
+        np.int64
+        if pa.types.is_large_string(arr.type)
+        or pa.types.is_large_binary(arr.type)
+        else np.int32
+    )
+    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
+        arr.offset : arr.offset + n + 1
+    ]
+    data_buf = arr.buffers()[2]
+    mv = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+    o = offs.tolist()
+    for i in range(n):
+        out[i] = blake2b(mv[o[i] : o[i + 1]], digest_size=16).digest()
+    return out
+
+
+def _digest_values(vals) -> np.ndarray:
+    """S16 blake2b digests of an iterable of str/bytes (str -> UTF-8,
+    matching the S-dtype path's encode semantics)."""
+    from hashlib import blake2b
+
+    out = np.empty(len(vals), dtype="S16")
+    for i, v in enumerate(vals):
+        if isinstance(v, str):
+            v = v.encode()
+        out[i] = blake2b(v or b"", digest_size=16).digest()
+    return out
+
 
 # ------------------------------------------------------------------
 # broadcast membership masks
 # ------------------------------------------------------------------
 
-def as_key_array(values: "Iterable | np.ndarray") -> np.ndarray:
+def as_key_array(
+    values: "Iterable | np.ndarray",
+) -> "np.ndarray | DigestKeys":
     """Normalize a driver-side value collection (set / list / numpy /
-    pyarrow) to the numpy dtype the probe understands: unsigned ints to
-    uint64, strings/bytes to fixed-width ``S``."""
+    pyarrow) to the probe representation: unsigned ints to uint64,
+    strings/bytes to fixed-width ``S`` — or, when the fixed-width
+    matrix would exceed ``FIXED_WIDTH_MASK_LIMIT`` (one huge member
+    widens EVERY slot), to :class:`DigestKeys` blake2b-16 digests."""
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
-        values = values.to_pylist()
+        arr0 = (
+            values.combine_chunks()
+            if isinstance(values, pa.ChunkedArray)
+            else values
+        )
+        if pa.types.is_string(arr0.type) or pa.types.is_binary(
+            arr0.type
+        ) or pa.types.is_large_string(arr0.type) or pa.types.is_large_binary(
+            arr0.type
+        ):
+            if len(arr0):
+                max_len = int(pc.max(pc.binary_length(arr0)).as_py() or 0)
+                if len(arr0) * max_len > FIXED_WIDTH_MASK_LIMIT:
+                    return DigestKeys(_digest_arrow(arr0))
+        values = arr0.to_pylist()
     if isinstance(values, np.ndarray):
         arr = values
     else:
@@ -60,6 +138,11 @@ def as_key_array(values: "Iterable | np.ndarray") -> np.ndarray:
             return np.empty(0, np.uint64)
         probe = vals[0]
         if isinstance(probe, (str, bytes)):
+            max_len = max(
+                len(v.encode() if isinstance(v, str) else v) for v in vals
+            )
+            if len(vals) * max_len > FIXED_WIDTH_MASK_LIMIT:
+                return DigestKeys(_digest_values(vals))
             arr = np.asarray(
                 [v.encode() if isinstance(v, str) else v for v in vals],
                 dtype=np.bytes_,
@@ -77,7 +160,14 @@ def as_key_array(values: "Iterable | np.ndarray") -> np.ndarray:
 
 def broadcast_sorted(values) -> "ray.ObjectRef":
     """Sort once, put once. Workers binary-search the shared array."""
-    return ray.put(np.sort(as_key_array(values)))
+    keys = (
+        values
+        if isinstance(values, DigestKeys)
+        else as_key_array(values)
+    )
+    if isinstance(keys, DigestKeys):
+        return ray.put(DigestKeys(np.sort(keys.sorted_digests)))
+    return ray.put(np.sort(keys))
 
 
 def _binary_matrix(arr: "pa.Array", width: int):
@@ -128,9 +218,23 @@ def _column_probe(col: "pa.ChunkedArray", sorted_vals: np.ndarray):
 
 
 def membership_mask(
-    col: "pa.ChunkedArray", sorted_vals: np.ndarray
+    col: "pa.ChunkedArray", sorted_vals: "np.ndarray | DigestKeys"
 ) -> np.ndarray:
     """Vectorized ``value in sorted_vals`` per element (nulls False)."""
+    if isinstance(sorted_vals, DigestKeys):
+        sv = sorted_vals.sorted_digests
+        if len(sv) == 0:
+            return np.zeros(len(col), bool)
+        valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
+        arr = (
+            col.combine_chunks()
+            if isinstance(col, pa.ChunkedArray)
+            else col
+        )
+        probe = _digest_arrow(arr)
+        idx = np.searchsorted(sv, probe)
+        idx_c = np.minimum(idx, len(sv) - 1)
+        return (sv[idx_c] == probe) & (idx < len(sv)) & valid
     n = len(sorted_vals)
     if n == 0:
         return np.zeros(len(col), bool)

@@ -43,6 +43,7 @@ def key_stats(
     order_col: str,
     fanin: int = 8,
     distributed: "bool | None" = False,
+    track_ties: bool = False,
 ) -> Dataset:
     """Dataset of (key, min_order, cnt) — one row per distinct key.
 
@@ -50,7 +51,19 @@ def key_stats(
     streaming pass and pick the tree when they fit a single root task
     (``TREE_STATS_LIMIT``) — the tree is ~30x faster than the shuffle
     aggregate at 10^6-row scale (measured; see ``tune_shuffle_context``
-    notes)."""
+    notes).
+
+    ``track_ties=True`` adds a ``tie_cnt`` column — how many rows of
+    the key achieve ``min_order``. Keep-first delivery needs it when
+    the order column is not unique within a key (ties make "the"
+    winner row ill-defined for any value-based mask; exact.py routes
+    tied keys through a group-based resolution instead). The tracked
+    distributed path uses hash-repartition + per-block combine (whole
+    keys co-located — the pinned one-block-per-partition invariant)
+    because tie summation is conditional on the global min and can't
+    be expressed with builtin shuffle aggregates."""
+
+    import pyarrow.compute as pc
 
     def partial(t: pa.Table) -> pa.Table:
         if key == order_col:
@@ -63,11 +76,46 @@ def key_stats(
         g = t.group_by(key).aggregate(
             [(ocol, "min"), (ocol, "count")]
         )
-        return g.rename_columns([key, "min_order", "cnt"])
+        g = g.rename_columns([key, "min_order", "cnt"])
+        if not track_ties:
+            return g
+        idx = pc.index_in(t.column(key), value_set=g.column(key))
+        at_min = pc.equal(
+            t.column(ocol), pc.take(g.column("min_order"), idx)
+        )
+        tg = (
+            t.filter(pc.fill_null(at_min, False))
+            .group_by(key)
+            .aggregate([(ocol, "count")])
+            .rename_columns([key, "tie_cnt"])
+        )
+        # every key has >= 1 at-min row in its own block, so tg covers
+        # g's key set exactly; align by key
+        pos = pc.index_in(g.column(key), value_set=tg.column(key))
+        return g.append_column(
+            "tie_cnt", pc.take(tg.column("tie_cnt"), pos)
+        )
 
     def combine(t: pa.Table) -> pa.Table:
         g = t.group_by(key).aggregate([("min_order", "min"), ("cnt", "sum")])
-        return g.rename_columns([key, "min_order", "cnt"])
+        g = g.rename_columns([key, "min_order", "cnt"])
+        if not track_ties:
+            return g
+        idx = pc.index_in(t.column(key), value_set=g.column(key))
+        at_min = pc.equal(
+            t.column("min_order"), pc.take(g.column("min_order"), idx)
+        )
+        tg = (
+            t.filter(pc.fill_null(at_min, False))
+            .group_by(key)
+            .aggregate([("tie_cnt", "sum")])
+            .rename_columns([key, "tie_cnt"])
+        )
+        pos = pc.index_in(g.column(key), value_set=tg.column(key))
+        return g.append_column(
+            "tie_cnt",
+            pc.take(tg.column("tie_cnt"), pos).cast(pa.int64()),
+        )
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     if distributed is None:
@@ -86,10 +134,46 @@ def key_stats(
         else:
             distributed = partials.count() > TREE_STATS_LIMIT
     if distributed:
-        return partials.groupby(key).aggregate(
-            Min("min_order", alias_name="min_order"),
-            Sum("cnt", alias_name="cnt"),
+        if not track_ties:
+            return partials.groupby(key).aggregate(
+                Min("min_order", alias_name="min_order"),
+                Sum("cnt", alias_name="cnt"),
+            )
+        # tie summation is conditional on the per-key global min, so
+        # co-locate whole keys (hash repartition, eager under a scoped
+        # HASH_SHUFFLE override) and run the vectorized combine per
+        # block — the dup_keys_from_partials fallback pattern
+        from ray.data.context import ShuffleStrategy
+
+        ctx = partials.context
+        prev = (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
         )
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        if (
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
+            is None
+        ):
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
+                0.25
+            )
+        try:
+            return (
+                partials.repartition(auto_partitions(), keys=[key])
+                .map_batches(
+                    combine,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+        finally:
+            (
+                ctx.shuffle_strategy,
+                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+            ) = prev
     return (
         partials.repartition(fanin)
         .map_batches(combine, batch_format="pyarrow")

@@ -44,14 +44,18 @@ _MIN_ORDER_COL = "__dedup_min_order"
 def dup_key_stats(
     ds: Dataset, key: str, order_col: str, use_groupby: "bool | None" = None
 ) -> Dataset:
-    """Dataset of (key, min_order, cnt) for keys appearing > 1 time.
+    """Dataset of (key, min_order, cnt, tie_cnt) for keys appearing
+    > 1 time (``tie_cnt`` = rows achieving min_order — >1 means the
+    keep-first winner is ambiguous and needs group-based resolution).
 
     ``use_groupby=True`` is the scale path (hash-shuffled aggregate of
     per-block partials); ``False`` uses the small-input tree combine
     whose root is a single reduce task (``combine.key_stats``)."""
     from .combine import key_stats
 
-    stats = key_stats(ds, key, order_col, distributed=use_groupby)
+    stats = key_stats(
+        ds, key, order_col, distributed=use_groupby, track_ties=True
+    )
 
     def only_dups(t: pa.Table) -> pa.Table:
         return t.filter(pc.greater(t["cnt"], 1))
@@ -61,19 +65,25 @@ def dup_key_stats(
 
 def _collect_winners(
     dup: Dataset, key: str
-) -> "Tuple[pa.Array, pa.Array]":
-    """(keys, min_orders) as flat Arrow arrays — the broadcast object
-    for the vectorized index_in/take winner mask (no driver dict, no
-    per-row Python in the filter)."""
+) -> "Tuple[pa.Array, pa.Array, Optional[pa.Array]]":
+    """(keys, min_orders, tie_cnts|None) as flat Arrow arrays — the
+    broadcast object for the vectorized index_in/take winner mask (no
+    driver dict, no per-row Python in the filter)."""
     batches = list(
         dup.iter_batches(batch_size=65536, batch_format="pyarrow")
     )
     if not batches:
-        return pa.array([], pa.string()), pa.array([], pa.int64())
+        return pa.array([], pa.string()), pa.array([], pa.int64()), None
     t = pa.concat_tables(batches).combine_chunks()
+    ties = (
+        t.column("tie_cnt").combine_chunks()
+        if "tie_cnt" in t.column_names
+        else None
+    )
     return (
         t.column(key).combine_chunks(),
         t.column("min_order").combine_chunks(),
+        ties,
     )
 
 
@@ -85,8 +95,10 @@ def _broadcast_filter(
     keep_winners: bool,
 ) -> Dataset:
     """Vectorized semi-join against the broadcast winner table: one
-    ``index_in`` probe + ``take`` per batch (nulls -> not duplicated)."""
-    ref = ray.put(winners)
+    ``index_in`` probe + ``take`` per batch (nulls -> not duplicated).
+    At-min rows of TIED keys are kept here and handled by the caller's
+    tie-resolution branch."""
+    ref = ray.put(winners[:2])
 
     def fn(t: pa.Table) -> pa.Table:
         w_keys, w_orders = ray.get(ref)
@@ -261,6 +273,112 @@ def _direct_join_filter(
     return joined.map_batches(dups, batch_format="pyarrow")
 
 
+# ------------------------------------------------------------------
+# order-tie resolution: when >= 2 rows of a key achieve min_order, no
+# value-based mask can keep exactly one of them (identical rows are
+# indistinguishable by any filter). The tied keys — normally zero;
+# possible when callers pass a non-unique order column like a file
+# path — are routed through a group-based keep-first on just their
+# at-min rows and unioned back.
+# ------------------------------------------------------------------
+
+
+def _tied_winner_arrays(winners) -> "Optional[Tuple[pa.Array, pa.Array]]":
+    """(tied_keys, tied_min_orders) or None when no key is tied."""
+    w_keys, w_orders, ties = winners
+    if ties is None or len(w_keys) == 0:
+        return None
+    mask = pc.fill_null(pc.greater(ties, 1), False)
+    if pc.sum(mask).as_py() in (0, None):
+        return None
+    return w_keys.filter(mask), w_orders.filter(mask)
+
+
+def _tied_at_min_rows(
+    ds: Dataset, tied_ref, key: str, order_col: str, keep: bool
+) -> Dataset:
+    """Rows whose (key, order) hits a tied winner slot — or, with
+    ``keep=False``, the dataset WITHOUT those rows."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        t_keys, t_orders = ray.get(tied_ref)
+        pos = pc.index_in(t.column(key), value_set=t_keys)
+        at_min = pc.and_kleene(
+            pc.is_valid(pos),
+            pc.equal(pc.take(t_orders, pos), t.column(order_col)),
+        )
+        mask = pc.fill_null(at_min, False)
+        if not keep:
+            mask = pc.invert(mask)
+        return t.filter(mask)
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def _resolve_ties(ties_ds: Dataset, key: str, keep_winners: bool) -> Dataset:
+    """Group-based keep-first over the (tiny) tied at-min subset: each
+    group is sorted by every non-nested column (a deterministic total
+    order whenever the rows differ outside nested columns; fully
+    identical rows are interchangeable by definition), then the first
+    row survives (or, for the duplicates view, everything BUT it)."""
+
+    def pick(group: pa.Table) -> pa.Table:
+        if group.num_rows <= 1:
+            return group if keep_winners else group.slice(0, 0)
+        sort_keys = [
+            (f.name, "ascending")
+            for f in group.schema
+            if not pa.types.is_nested(f.type)
+        ]
+        if sort_keys:
+            group = group.sort_by(sort_keys)
+        return group.slice(0, 1) if keep_winners else group.slice(1)
+
+    return ties_ds.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
+def _groups_fallback(
+    ds: Dataset, key: str, order_col: str, keep_winners: bool
+) -> Dataset:
+    """Full group-based dedup — the semantic fallback when the tied
+    key set itself is too large to broadcast (e.g. a constant order
+    column ties EVERY duplicated key)."""
+
+    def pick(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group.column(order_col))
+        group = group.take(idx)
+        return group.slice(0, 1) if keep_winners else group.slice(1)
+
+    return ds.groupby(key).map_groups(pick, batch_format="pyarrow")
+
+
+def _with_tie_resolution(
+    main: Dataset,
+    ds: Dataset,
+    winners,
+    key: str,
+    order_col: str,
+    keep_winners: bool,
+) -> Dataset:
+    """Compose the mask/join delivery (``main``) with the group-based
+    resolution of tied keys. No-op (and no extra operators) when no
+    key is tied — the overwhelmingly common case."""
+    tied = _tied_winner_arrays(winners)
+    if tied is None:
+        return main
+    tied_ref = ray.put(tied)
+    if keep_winners:
+        # the mask/join paths keep EVERY at-min row of a tied key;
+        # drop them all, then add back exactly one per key
+        main = _tied_at_min_rows(main, tied_ref, key, order_col, False)
+    resolved = _resolve_ties(
+        _tied_at_min_rows(ds, tied_ref, key, order_col, True),
+        key,
+        keep_winners,
+    )
+    return main.union(resolved)
+
+
 def _dedup_impl(
     ds: Dataset,
     key: str,
@@ -285,7 +403,10 @@ def _dedup_impl(
         )
         if len(winners[0]) == 0:
             return ds if keep_winners else ds.limit(0)
-        return _broadcast_filter(ds, winners, key, order_col, keep_winners)
+        main = _broadcast_filter(ds, winners, key, order_col, keep_winners)
+        return _with_tie_resolution(
+            main, ds, winners, key, order_col, keep_winners
+        )
 
     dup = dup_key_stats(ds, key, order_col, use_groupby=None).materialize()
     n_dup = dup.count()
@@ -294,12 +415,52 @@ def _dedup_impl(
         # empty materialized dup table loses its schema and crashes the
         # join with "No match for key field" otherwise)
         return ds if keep_winners else ds.limit(0)
+    n_tied = dup.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        pc.sum(
+                            pc.fill_null(pc.greater(t["tie_cnt"], 1), False)
+                            .cast(pa.int64())
+                        ).as_py()
+                        or 0
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+    ).sum("n")
+    if n_tied and n_tied > broadcast_limit:
+        return _groups_fallback(ds, key, order_col, keep_winners)
+    tie_winners = None
+    if n_tied:
+        tie_winners = _collect_winners(
+            dup.map_batches(
+                lambda t: t.filter(
+                    pc.fill_null(pc.greater(t["tie_cnt"], 1), False)
+                ),
+                batch_format="pyarrow",
+            ),
+            key,
+        )
     if distributed is None and n_dup <= broadcast_limit:
         winners = _collect_winners(dup, key)
-        return _broadcast_filter(ds, winners, key, order_col, keep_winners)
-    return _join_filter(
+        main = _broadcast_filter(ds, winners, key, order_col, keep_winners)
+        if tie_winners is not None:
+            return _with_tie_resolution(
+                main, ds, tie_winners, key, order_col, keep_winners
+            )
+        return main
+    main = _join_filter(
         ds, dup, key, order_col, keep_winners, num_partitions, mask_limit
     )
+    if tie_winners is not None:
+        return _with_tie_resolution(
+            main, ds, tie_winners, key, order_col, keep_winners
+        )
+    return main
 
 
 def exact_dedup(

@@ -244,3 +244,112 @@ class TestExactNarrowJoinDelivery:
         )
         assert _ids(dup_mask) == _ids(dup_join)
         assert len(_ids(dup_mask)) == 10
+
+
+class TestDigestFallback:
+    """Wide/variable-width string keys must switch the broadcast mask
+    to blake2b-16 digests instead of allocating an n x max_len S-dtype
+    matrix (observed: a 903 KB content key x 457k members = a 385 GiB
+    allocation in incremental dedup at sf1)."""
+
+    def test_as_key_array_switches_on_wide_members(self):
+        from redpajama_data_ray.dedupe.apply import DigestKeys
+
+        giant = "g" * 3_000_000
+        vals = [giant] + [f"k{i}" for i in range(100)]
+        keys = as_key_array(vals)  # 101 x 3 MB > 256 MB limit
+        assert isinstance(keys, DigestKeys)
+        assert keys.sorted_digests.dtype == np.dtype("S16")
+        # narrow sets stay on the exact fixed-width path
+        assert isinstance(as_key_array(["a", "bb"]), np.ndarray)
+        # arrow input takes the same decision from the buffer lengths
+        assert isinstance(
+            as_key_array(pa.array(vals, pa.string())), DigestKeys
+        )
+
+    def test_digest_mask_equals_fixed_width_mask(self, monkeypatch):
+        import redpajama_data_ray.dedupe.apply as apply_mod
+
+        members = ["abc", "zz", "hello world", "abc"]
+        col = pa.chunked_array(
+            [pa.array(["abc", "abcd", None, "zz", "", "q"], pa.string())]
+        )
+        exact = membership_mask(
+            col, np.sort(as_key_array(set(members)))
+        )
+        monkeypatch.setattr(apply_mod, "FIXED_WIDTH_MASK_LIMIT", 1)
+        keys = apply_mod.as_key_array(set(members))
+        assert isinstance(keys, apply_mod.DigestKeys)
+        digest = membership_mask(
+            col,
+            apply_mod.DigestKeys(np.sort(keys.sorted_digests)),
+        )
+        assert digest.tolist() == exact.tolist()
+        # empty-string member: digest(b"") must match "" and not null
+        m = membership_mask(
+            pa.chunked_array([pa.array(["", None], pa.string())]),
+            apply_mod.DigestKeys(
+                np.sort(
+                    apply_mod._digest_values([""])
+                )
+            ),
+        )
+        assert m.tolist() == [True, False]
+
+    def test_filter_members_digest_roundtrip(self, monkeypatch):
+        import redpajama_data_ray.dedupe.apply as apply_mod
+
+        monkeypatch.setattr(apply_mod, "FIXED_WIDTH_MASK_LIMIT", 1)
+        ds = ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": ["a", "b", "c", "d"],
+                    "v": [1, 2, 3, 4],
+                }
+            )
+        )
+        out = filter_members(ds, "k", ["b", "d"], keep_members=False)
+        assert sorted(out.to_pandas().v.tolist()) == [1, 3]
+
+    def test_incremental_dedup_survives_giant_keys(
+        self, tmp_path, monkeypatch
+    ):
+        """The sf1 crash repro, shrunk: cross-run exact dedup keyed on
+        RAW content where one committed key is huge."""
+        import redpajama_data_ray.dedupe.apply as apply_mod
+        from redpajama_data_ray.state.incremental import (
+            commit_run_keys,
+            incremental_exact_dedup,
+        )
+
+        monkeypatch.setattr(apply_mod, "FIXED_WIDTH_MASK_LIMIT", 1024)
+        state = str(tmp_path / "state")
+        giant = "x" * 5000
+        r1 = ray.data.from_arrow(
+            pa.table(
+                {
+                    "content": [giant, "one", "two"],
+                    "doc_id": ["a", "b", "c"],
+                }
+            )
+        )
+        out1, rid1 = incremental_exact_dedup(
+            r1, state, key="content", order_col="doc_id", run_id="r1"
+        )
+        out1 = out1.materialize()
+        assert out1.count() == 3
+        commit_run_keys(out1, state, rid1, key="content")
+
+        r2 = ray.data.from_arrow(
+            pa.table(
+                {
+                    "content": [giant, "two", "three", "three"],
+                    "doc_id": ["d", "e", "f", "g"],
+                }
+            )
+        )
+        out2, _ = incremental_exact_dedup(
+            r2, state, key="content", order_col="doc_id", run_id="r2"
+        )
+        got = sorted(out2.to_pandas().doc_id.tolist())
+        assert got == ["f"]  # giant + "two" seen in r1; f dedups g

@@ -128,3 +128,63 @@ def test_key_stats_auto_sizes_pure_reads_from_metadata(tmp_path, monkeypatch):
     mapped = ds.map_batches(lambda b: b, batch_format="pyarrow")
     with pytest.raises(AssertionError, match="count pass"):
         key_stats(mapped, "k", "o", distributed=None)
+
+
+class TestOrderTies:
+    """Keep-first with a NON-unique order column: rows tying at the
+    min must yield exactly one survivor per key (sf1 repro: dedup by
+    raw content ordered by path kept 2-3 rows for 6 contents whose
+    min path appeared in several repos)."""
+
+    def _table(self):
+        return pa.table(
+            {
+                "k": ["a", "a", "a", "b", "b", "c", "d", "d"],
+                # a: tie at min order 1 (two rows), plus a loser at 2
+                # b: unique min          c: singleton
+                # d: FULLY identical rows (indistinguishable)
+                "o": [1, 1, 2, 5, 6, 9, 7, 7],
+                "v": ["x", "y", "z", "p", "q", "r", "s", "s"],
+            }
+        )
+
+    @pytest.mark.parametrize("distributed", [None, False, True])
+    def test_exact_dedup_ties(self, distributed):
+        ds = ray.data.from_arrow(self._table())
+        out = exact_dedup(
+            ds, key="k", order_col="o", distributed=distributed
+        ).to_pandas()
+        assert sorted(out.k.tolist()) == ["a", "b", "c", "d"]
+        a = out[out.k == "a"]
+        assert len(a) == 1 and a.o.iloc[0] == 1
+        # deterministic resolution: lexicographic over all columns
+        assert a.v.iloc[0] == "x"
+        d = out[out.k == "d"]
+        assert len(d) == 1 and d.v.iloc[0] == "s"
+
+    @pytest.mark.parametrize("distributed", [None, False, True])
+    def test_duplicate_rows_ties(self, distributed):
+        ds = ray.data.from_arrow(self._table())
+        out = duplicate_rows(
+            ds, key="k", order_col="o", distributed=distributed
+        ).to_pandas()
+        # complements: 8 rows total, 4 winners -> 4 duplicates
+        assert len(out) == 4
+        assert sorted(out.k.tolist()) == ["a", "a", "b", "d"]
+        a = out[out.k == "a"]
+        assert sorted(a.v.tolist()) == ["y", "z"]
+
+    def test_winner_plus_losers_partition_rows(self):
+        ds = ray.data.from_arrow(self._table())
+        kept = exact_dedup(ds, key="k", order_col="o").to_pandas()
+        dropped = duplicate_rows(ds, key="k", order_col="o").to_pandas()
+        assert len(kept) + len(dropped) == 8
+        import collections
+
+        all_rows = collections.Counter(
+            map(tuple, kept.values.tolist())
+        ) + collections.Counter(map(tuple, dropped.values.tolist()))
+        orig = collections.Counter(
+            map(tuple, self._table().to_pandas().values.tolist())
+        )
+        assert all_rows == orig
