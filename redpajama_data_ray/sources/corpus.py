@@ -282,11 +282,22 @@ def ensure_corpus_parquet(
 
 
 def sf_from_dir(sf_dir: str) -> float:
-    """Parse the scale factor out of a '/root/testdata/sf0.01' style path."""
+    """Parse the scale factor out of a '/root/testdata/sf0.01' style path.
+
+    An sf-prefixed basename that is NOT a pure scale factor (e.g. the
+    corpus cache's own 'sf1.0_seed42_n1000000_v4') raises instead of
+    silently defaulting — the old 0.001 fallback made a ``quality
+    --input <corpus cache dir>`` run quietly annotate the sf0.001
+    corpus instead of the pointed-at data (observed round 5)."""
     base = os.path.basename(sf_dir.rstrip("/"))
     if base.startswith("sf"):
         try:
             return float(base[2:])
         except ValueError:
-            pass
+            raise ValueError(
+                f"cannot parse a scale factor from {base!r}: an sf* "
+                "directory must be named sf<float> (e.g. sf0.01); for "
+                "arbitrary parquet inputs pass the directory to the "
+                "CLI, which reads it directly"
+            ) from None
     return 0.001

@@ -168,3 +168,27 @@ class TestUT1:
             "it was the best of times and it was the worst of times"
         )
         assert prose["rps_doc_stop_word_fraction"] > 0.5
+
+
+def test_sf_dir_sniffing_is_strict(tmp_path):
+    """A directory whose name merely STARTS with 'sf' (like the corpus
+    cache's sf1.0_seed42_n1000000_v4) must be read as the parquet it
+    contains, never silently rerouted to the sf0.001 synth corpus."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from redpajama_data_ray.cli import _read_input
+    from redpajama_data_ray.sources.corpus import sf_from_dir
+
+    d = tmp_path / "sf1.0_seed42_n77_v9"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"content": ["a", "b"], "path": ["p1", "p2"]}),
+        d / "part.parquet",
+    )
+    ds = _read_input(str(d), max_docs=None, shuffle_files=False)
+    assert ds.count() == 2
+
+    with pytest.raises(ValueError, match="scale factor"):
+        sf_from_dir(str(d))
+    assert sf_from_dir("/root/testdata/sf0.01") == 0.01
