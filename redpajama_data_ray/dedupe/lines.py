@@ -277,6 +277,17 @@ def drop_frequent_lines(
         bounds, _, keys, empty = _split_batch(t, text_col, sep)
         n_lines = np.diff(bounds)
         ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        # the join delivery is keyed on id_col: a duplicated id merges
+        # two docs' line positions into one payload (corruption far
+        # from the cause) — catch in-batch repeats here, out-of-range
+        # positions in apply_drops
+        if len(np.unique(ids)) != len(ids):
+            raise ValueError(
+                f"line_dedup join delivery requires a UNIQUE id "
+                f"column; {id_col!r} repeats within one batch (e.g. "
+                "a file path recurring across repos) — pass a "
+                "per-row-unique key such as doc_id"
+            )
         rid = np.repeat(ids, n_lines)
         idx = np.arange(bounds[-1], dtype=np.int64) - np.repeat(
             bounds[:-1], n_lines
@@ -340,6 +351,18 @@ def drop_frequent_lines(
         for d, blob in enumerate(payload.to_pylist()):
             if blob:
                 pos = np.frombuffer(blob, np.int64)
+                # pos is sorted by pack_positions: endpoint check
+                # catches payloads merged across docs by a duplicated
+                # id value that slipped past the per-batch guard
+                if pos.size and (
+                    pos[0] < 0 or pos[-1] >= bounds[d + 1] - bounds[d]
+                ):
+                    raise ValueError(
+                        f"dropped-line positions out of range for "
+                        f"{id_col}={t.column(id_col)[d]!s}: id values "
+                        "must be unique per row (a duplicated id "
+                        "merges two docs' line positions)"
+                    )
                 drop[bounds[d] + pos] = True
         return _rebuild(t, text_col, bounds, raw, drop, sep)
 

@@ -418,3 +418,25 @@ def test_cli_dedup_lines_paragraph_sep(tmp_path, capsys):
     assert res["lines_removed"] == 2
     t = pq_.read_table(str(tmp_path / "out"))
     assert sorted(t.column("text").to_pylist()) == ["end", "keep"]
+
+
+def test_join_delivery_rejects_duplicate_ids():
+    """A non-unique id column must fail LOUDLY on the join delivery —
+    silently merging two docs' line positions corrupted output (and
+    crashed with a bare IndexError) at sf1 with --id-col path."""
+    import pytest
+
+    from redpajama_data_ray.dedupe.lines import line_dedup
+
+    t = pa.table(
+        {
+            "doc": ["dup", "dup", "ok"],
+            "text": ["same\nline", "same\nline\nmore", "same\nother"],
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = line_dedup(
+        ds, text_col="text", id_col="doc", min_count=2, distributed=True
+    )
+    with pytest.raises(Exception, match="[Uu]nique"):
+        out.materialize()
