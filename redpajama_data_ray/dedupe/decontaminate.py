@@ -148,6 +148,19 @@ def decontaminate(
     if mode not in ("annotate", "filter"):
         raise ValueError(f"unknown mode {mode!r}")
     if isinstance(benchmark, Dataset):
+        # fail at the surface, not as a KeyError inside a Ray task:
+        # the benchmark shares text_col with the corpus by contract
+        bench_schema = benchmark.schema()
+        if (
+            bench_schema is not None
+            and text_col not in bench_schema.names
+        ):
+            raise ValueError(
+                f"benchmark has no column {text_col!r} (columns: "
+                f"{bench_schema.names}) — the benchmark parquet must "
+                "use the same text column name as the corpus "
+                "(--text-col)"
+            )
         keys = benchmark_ngram_keys(benchmark, text_col=text_col, n=n)
         ref = ray.put(keys)
     elif isinstance(benchmark, ray.ObjectRef):

@@ -440,3 +440,20 @@ def test_join_delivery_rejects_duplicate_ids():
     )
     with pytest.raises(Exception, match="[Uu]nique"):
         out.materialize()
+
+
+def test_decontaminate_rejects_wrong_benchmark_column():
+    """A benchmark parquet with a different text column name must fail
+    at the surface with the fix spelled out, not as a KeyError inside
+    a Ray task (observed at sf1 with a 'text' benchmark vs --text-col
+    content)."""
+    import pytest
+
+    from redpajama_data_ray.dedupe.decontaminate import decontaminate
+
+    corpus = ray.data.from_arrow(
+        pa.table({"content": ["a b c d e f g h i"]})
+    )
+    bench = ray.data.from_arrow(pa.table({"text": ["a b c d e f g h"]}))
+    with pytest.raises(ValueError, match="text column"):
+        decontaminate(corpus, bench, text_col="content")
