@@ -363,6 +363,16 @@ def apply_dup_fingerprints(
         return pa.array(hash_lines_signed(uniq)[inv], pa.int64())
 
     def explode(t: pa.Table) -> pa.Table:
+        # join delivery is keyed on id_col: a duplicated id merges two
+        # docs' span positions into one payload (see lines.py — same
+        # guard pair: in-batch repeats here, range check at apply)
+        raw_ids = t.column(id_col).to_numpy(zero_copy_only=False)
+        if len(np.unique(raw_ids)) != len(raw_ids):
+            raise ValueError(
+                f"substring_dedup join delivery requires a UNIQUE id "
+                f"column; {id_col!r} repeats within one batch — pass "
+                "a per-row-unique key such as doc_id"
+            )
         out_pos, out_fp, counts = [], [], []
         for x in t.column(text_col).to_pylist():
             pos, h = _doc_fingerprints(x, k, winnow_w)
@@ -452,6 +462,19 @@ def apply_dup_fingerprints(
             else np.empty(0, np.int64)
             for blob in payload.to_pylist()
         ]
+        lens = pc.utf8_length(
+            pc.fill_null(t.column(text_col), "")
+        ).to_numpy(zero_copy_only=False)
+        for d, pos in enumerate(per_doc):
+            # pos is sorted by pack_positions; a k-gram start past
+            # len-k means a payload merged across docs (duplicated id
+            # or a 64-bit id-hash collision that slipped the guard)
+            if pos.size and pos[-1] > lens[d] - k:
+                raise ValueError(
+                    f"span positions out of range for "
+                    f"{id_col}={t.column(id_col)[d]!s}: id values "
+                    "must be unique per row"
+                )
         return _annotate_batch(t, text_col, k, per_doc, mode)
 
     return joined.map_batches(apply_spans, batch_format="pyarrow")

@@ -533,3 +533,28 @@ def test_dup_keys_honors_env_spill_root(tmp_path, monkeypatch):
     assert dup == [2, 3]
     assert root.exists()  # user-owned root kept ...
     assert os.listdir(root) == []  # ... its run_* subdir cleaned up
+
+
+def test_join_delivery_rejects_duplicate_ids():
+    """Same contract as line dedup: the join delivery merges payloads
+    by id, so a repeated id value must fail loudly, not corrupt."""
+    import pytest
+
+    from redpajama_data_ray.dedupe.spans import substring_dedup
+
+    base = "x" * 80
+    t = pa.table(
+        {
+            "doc": ["dup", "dup", "ok"],
+            "text": [base + "abc", base + "def", base + "ghi"],
+        }
+    )
+    import ray.data
+
+    ds = ray.data.from_arrow(t)
+    out = substring_dedup(
+        ds, text_col="text", id_col="doc", k=50, winnow_w=4,
+        distributed=True,
+    )
+    with pytest.raises(Exception, match="[Uu]nique"):
+        out.materialize()
