@@ -81,14 +81,14 @@ def _read_input(
 
     from .pipelines.quality import filter_keep_patterns, read_corpus
 
-    import re
+    from .sources.corpus import parse_sf_basename
 
     # only a PURE scale-factor basename (sf0.01) is the synthesized
     # test-corpus convention; anything else sf-prefixed (e.g. the
     # corpus cache's sf1.0_seed42_n1000000_v4) is a real parquet dir
     # and must be read as given, not rerouted to a synth corpus
-    if os.path.isdir(path) and re.fullmatch(
-        r"sf\d+(\.\d+)?", os.path.basename(path.rstrip("/"))
+    if os.path.isdir(path) and (
+        parse_sf_basename(os.path.basename(path.rstrip("/"))) is not None
     ):
         return read_corpus(
             path,

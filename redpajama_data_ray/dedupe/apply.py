@@ -62,16 +62,11 @@ class DigestKeys:
         self.sorted_digests = sorted_digests
 
 
-def _digest_arrow(arr: "pa.Array") -> np.ndarray:
-    """S16 blake2b digests of a string/binary Arrow array, hashing
-    zero-copy memoryview slices of the single data buffer (nulls and
-    empties digest as b"" — callers mask nulls out separately)."""
-    from hashlib import blake2b
-
+def _string_offsets(arr: "pa.Array"):
+    """(offsets int array, data memoryview) straight from a
+    string/binary Array's buffers — shared by the fixed-width matrix
+    and the digest probe so the offset/layout handling lives once."""
     n = len(arr)
-    out = np.empty(n, dtype="S16")
-    if n == 0:
-        return out
     off_dtype = (
         np.int64
         if pa.types.is_large_string(arr.type)
@@ -83,6 +78,23 @@ def _digest_arrow(arr: "pa.Array") -> np.ndarray:
     ]
     data_buf = arr.buffers()[2]
     mv = memoryview(data_buf) if data_buf is not None else memoryview(b"")
+    return offs, mv
+
+
+def _digest_arrow(arr: "pa.Array") -> np.ndarray:
+    """S16 blake2b digests of a string/binary Arrow array, hashing
+    zero-copy memoryview slices of the single data buffer. Null slots
+    digest as b"" == the empty string; PROBE nulls are masked out by
+    the caller's validity mask, and MEMBER nulls must be dropped
+    before calling (as_key_array does) so a null member can never
+    admit empty-string probes."""
+    from hashlib import blake2b
+
+    n = len(arr)
+    out = np.empty(n, dtype="S16")
+    if n == 0:
+        return out
+    offs, mv = _string_offsets(arr)
     o = offs.tolist()
     for i in range(n):
         out[i] = blake2b(mv[o[i] : o[i + 1]], digest_size=16).digest()
@@ -91,14 +103,18 @@ def _digest_arrow(arr: "pa.Array") -> np.ndarray:
 
 def _digest_values(vals) -> np.ndarray:
     """S16 blake2b digests of an iterable of str/bytes (str -> UTF-8,
-    matching the S-dtype path's encode semantics)."""
+    matching the S-dtype path's encode semantics). Nulls are rejected
+    like the fixed-width path rejects them (a null member is
+    meaningless — nulls never match)."""
     from hashlib import blake2b
 
     out = np.empty(len(vals), dtype="S16")
     for i, v in enumerate(vals):
+        if v is None:
+            raise TypeError("membership values must not contain nulls")
         if isinstance(v, str):
             v = v.encode()
-        out[i] = blake2b(v or b"", digest_size=16).digest()
+        out[i] = blake2b(v, digest_size=16).digest()
     return out
 
 
@@ -128,7 +144,10 @@ def as_key_array(
             if len(arr0):
                 max_len = int(pc.max(pc.binary_length(arr0)).as_py() or 0)
                 if len(arr0) * max_len > FIXED_WIDTH_MASK_LIMIT:
-                    return DigestKeys(_digest_arrow(arr0))
+                    # null members never match, so drop them — the
+                    # fixed-width path rejects them; digesting them
+                    # as b"" would falsely admit empty-string probes
+                    return DigestKeys(_digest_arrow(arr0.drop_null()))
         values = arr0.to_pylist()
     if isinstance(values, np.ndarray):
         arr = values
@@ -138,15 +157,13 @@ def as_key_array(
             return np.empty(0, np.uint64)
         probe = vals[0]
         if isinstance(probe, (str, bytes)):
-            max_len = max(
-                len(v.encode() if isinstance(v, str) else v) for v in vals
-            )
+            encoded = [
+                v.encode() if isinstance(v, str) else v for v in vals
+            ]
+            max_len = max(len(v) for v in encoded)
             if len(vals) * max_len > FIXED_WIDTH_MASK_LIMIT:
-                return DigestKeys(_digest_values(vals))
-            arr = np.asarray(
-                [v.encode() if isinstance(v, str) else v for v in vals],
-                dtype=np.bytes_,
-            )
+                return DigestKeys(_digest_values(encoded))
+            arr = np.asarray(encoded, dtype=np.bytes_)
         else:
             arr = np.asarray(vals, np.uint64)
     if arr.dtype.kind in "iu":
@@ -174,16 +191,8 @@ def _binary_matrix(arr: "pa.Array", width: int):
     """string/binary Array -> (S{width} numpy array, lengths) straight
     from the Arrow buffers (no to_pylist; ~14x on 65k sha-hex rows)."""
     n = len(arr)
-    off_dtype = (
-        np.int64
-        if pa.types.is_large_string(arr.type)
-        or pa.types.is_large_binary(arr.type)
-        else np.int32
-    )
-    offs = np.frombuffer(arr.buffers()[1], off_dtype)[
-        arr.offset : arr.offset + n + 1
-    ]
-    data = np.frombuffer(arr.buffers()[2], np.uint8)
+    offs, mv = _string_offsets(arr)
+    data = np.frombuffer(mv, np.uint8) if len(mv) else np.empty(0, np.uint8)
     lengths = np.diff(offs)
     clipped = np.minimum(lengths, width)
     out = np.zeros((n, width), np.uint8)

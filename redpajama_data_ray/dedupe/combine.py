@@ -25,6 +25,34 @@ from ray.data import Dataset
 from ray.data.aggregate import Min, Sum
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def scoped_hash_shuffle(ctx):
+    """Key-based ``repartition(keys=...)`` requires the HASH_SHUFFLE
+    strategy; set it on ONE dataset's captured context, yield, restore
+    — downstream consumers plan under the caller's own strategy. The
+    dataset must execute EAGERLY inside the scope (materialize /
+    write): a lazy plan would execute after restore."""
+    from ray.data.context import ShuffleStrategy
+
+    prev = (
+        ctx.shuffle_strategy,
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+    )
+    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
+        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
+    try:
+        yield
+    finally:
+        (
+            ctx.shuffle_strategy,
+            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
+        ) = prev
+
+
 def _meta_row_bound(ds: Dataset) -> "int | None":
     """Row count from plan metadata alone (never triggers execution):
     an int for pure parquet scans and already-materialized datasets,
@@ -44,8 +72,18 @@ def key_stats(
     fanin: int = 8,
     distributed: "bool | None" = False,
     track_ties: bool = False,
+    min_cnt: "int | None" = None,
 ) -> Dataset:
     """Dataset of (key, min_order, cnt) — one row per distinct key.
+
+    ``min_cnt`` (with ``track_ties``) pushes the caller's count filter
+    INTO the per-block combine of the tracked distributed path, so
+    the eager materialize holds only the (tiny) filtered table — not
+    one row per distinct key, which at sf4 scale is an input-sized
+    object-store pin (the disk-exhaustion mode the spill-through
+    sizing work removed elsewhere). The tree path ignores it: its
+    intermediate combines see partial sums, where filtering would be
+    wrong, and its root is already bounded by TREE_STATS_LIMIT.
 
     ``distributed=None`` (auto): count the per-block partials with a
     streaming pass and pick the tree when they fit a single root task
@@ -143,37 +181,26 @@ def key_stats(
         # co-locate whole keys (hash repartition, eager under a scoped
         # HASH_SHUFFLE override) and run the vectorized combine per
         # block — the dup_keys_from_partials fallback pattern
-        from ray.data.context import ShuffleStrategy
 
-        ctx = partials.context
-        prev = (
-            ctx.shuffle_strategy,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        )
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        if (
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-            is None
-        ):
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
-                0.25
-            )
-        try:
+        def combine_filtered(t: pa.Table) -> pa.Table:
+            # whole keys are co-located here, so the per-block counts
+            # ARE the global counts — min_cnt filtering is exact
+            g = combine(t)
+            if min_cnt is not None:
+                g = g.filter(pc.greater_equal(g.column("cnt"), min_cnt))
+            return g
+
+        with scoped_hash_shuffle(partials.context):
             return (
                 partials.repartition(auto_partitions(), keys=[key])
                 .map_batches(
-                    combine,
+                    combine_filtered,
                     batch_format="pyarrow",
                     batch_size=None,
                     zero_copy_batch=True,
                 )
                 .materialize()
             )
-        finally:
-            (
-                ctx.shuffle_strategy,
-                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-            ) = prev
     return (
         partials.repartition(fanin)
         .map_batches(combine, batch_format="pyarrow")
@@ -402,8 +429,6 @@ def dup_keys_from_partials(
 
         # ---- horizontal fallback: hash-partition by key, combine per
         # block
-        from ray.data.context import ShuffleStrategy
-
         if num_partitions is None:
             num_partitions = auto_partitions()
 
@@ -417,24 +442,8 @@ def dup_keys_from_partials(
             ).select([key])
 
         # key-based repartition requires the hash-shuffle strategy;
-        # set it on THIS dataset's captured context (not the global
-        # one), run the exchange eagerly, then restore — downstream
-        # consumers of the returned dup set plan under the caller's
-        # own strategy
-        ctx = stored.context
-        prev = (
-            ctx.shuffle_strategy,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        )
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        if (
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-            is None
-        ):
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = (
-                0.25
-            )
-        try:
+        # scoped to THIS dataset's captured context, eager inside
+        with scoped_hash_shuffle(stored.context):
             return (
                 stored.repartition(num_partitions, keys=[key])
                 .map_batches(
@@ -445,11 +454,6 @@ def dup_keys_from_partials(
                 )
                 .materialize()
             )
-        finally:
-            (
-                ctx.shuffle_strategy,
-                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-            ) = prev
     finally:
         _cleanup()
 

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray
@@ -39,6 +40,48 @@ from ray.data import Dataset
 DEFAULT_BROADCAST_LIMIT = 2_000_000
 
 _MIN_ORDER_COL = "__dedup_min_order"
+_PAIR_DIG_COL = "__dedup_pair_dig"
+
+
+def _pair_digests(
+    key_col: "pa.ChunkedArray", order_col: "pa.ChunkedArray"
+) -> "Tuple[np.ndarray, np.ndarray]":
+    """(S16 blake2b digests of the length-prefixed (key, order) pair,
+    validity mask). Rows identify by the PAIR so order values shared
+    across keys never conflate; 2^-128 collision exactness — the risk
+    the engine already accepts for id_int. Null in either column is
+    marked invalid (nulls never duplicate) and must be masked or left
+    unmatched by the caller."""
+    from hashlib import blake2b
+
+    ks = key_col.to_pylist()
+    ovs = order_col.to_pylist()
+    out = np.empty(len(ks), dtype="S16")
+    valid = np.ones(len(ks), dtype=bool)
+    for i, (kv, ov) in enumerate(zip(ks, ovs)):
+        if kv is None or ov is None:
+            out[i] = b"\x00" * 16
+            valid[i] = False
+            continue
+        kb = (
+            kv.encode()
+            if isinstance(kv, str)
+            else (bytes(kv) if isinstance(kv, (bytes, bytearray)) else str(kv).encode())
+        )
+        if isinstance(ov, str):
+            ob = ov.encode()
+        elif isinstance(ov, (bytes, bytearray)):
+            ob = bytes(ov)
+        elif isinstance(ov, int):
+            ob = ov.to_bytes(16, "little", signed=True)
+        else:
+            ob = str(ov).encode()
+        h = blake2b(digest_size=16)
+        h.update(len(kb).to_bytes(8, "little"))
+        h.update(kb)
+        h.update(ob)
+        out[i] = h.digest()
+    return out, valid
 
 
 def dup_key_stats(
@@ -54,7 +97,12 @@ def dup_key_stats(
     from .combine import key_stats
 
     stats = key_stats(
-        ds, key, order_col, distributed=use_groupby, track_ties=True
+        ds,
+        key,
+        order_col,
+        distributed=use_groupby,
+        track_ties=True,
+        min_cnt=2,
     )
 
     def only_dups(t: pa.Table) -> pa.Table:
@@ -142,15 +190,15 @@ def _join_filter(
       signature columns vs the old full-width packed join (pickle per
       row).
 
-    Assumes ``order_col`` values identify rows uniquely (the engine's
-    doc ids are sha1-derived and unique by construction); with
-    ambiguous order values two rows of DIFFERENT keys sharing a value
-    could be conflated — pass a unique id column as ``order_col``."""
+    Losing rows are identified by their (key, order) PAIR — a 16-byte
+    blake2b digest of the length-prefixed pair, exact up to 2^-128
+    collisions (the risk already accepted engine-wide for id_int) —
+    so order values colliding ACROSS keys never conflate rows. Within
+    a key, rows tying at the min are the caller's tie-resolution
+    branch; identical loser pairs are all losers by definition."""
 
     from .apply import (
         DEFAULT_MASK_BROADCAST_LIMIT,
-        collect_column,
-        filter_members,
         nested_types,
         pack_nested,
         unpack_nested,
@@ -199,8 +247,15 @@ def _join_filter(
     )
 
     def losers_only(t: pa.Table) -> pa.Table:
-        mask = pc.not_equal(t.column(_MIN_ORDER_COL), t.column(order_col))
-        return pa.table({order_col: t.filter(mask).column(order_col)})
+        mask = pc.fill_null(
+            pc.not_equal(t.column(_MIN_ORDER_COL), t.column(order_col)),
+            False,
+        )
+        kept = t.filter(mask)
+        dig, _ = _pair_digests(kept.column(key), kept.column(order_col))
+        return pa.table(
+            {_PAIR_DIG_COL: pa.array(dig.tolist(), pa.binary())}
+        )
 
     losers = joined.map_batches(
         losers_only, batch_format="pyarrow"
@@ -209,25 +264,54 @@ def _join_filter(
     if n_losers == 0:
         return ds if keep_winners else ds.limit(0)
     if n_losers <= mask_limit:
-        vals = collect_column(losers, order_col)
-        # keep_winners: drop the losers; else: keep only the losers
-        return filter_members(ds, order_col, vals, not keep_winners)
+        chunks = [
+            np.asarray(b.column(_PAIR_DIG_COL).to_pylist(), dtype="S16")
+            for b in losers.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        ]
+        sv = np.sort(np.concatenate(chunks))
+        ref = ray.put(sv)
+
+        def pair_filter(t: pa.Table) -> pa.Table:
+            member = ray.get(ref)
+            dig, valid = _pair_digests(
+                t.column(key), t.column(order_col)
+            )
+            idx = np.searchsorted(member, dig)
+            idx_c = np.minimum(idx, len(member) - 1)
+            hit = (member[idx_c] == dig) & (idx < len(member)) & valid
+            # keep_winners: drop the losers; else: keep only them
+            return t.filter(pa.array(~hit if keep_winners else hit))
+
+        return ds.map_batches(pair_filter, batch_format="pyarrow")
 
     # loser set too large to broadcast: anti/semi join the full corpus
-    # on order_col, packing nested payload columns (Acero limitation)
+    # on the pair digest, packing nested payload columns (Acero
+    # limitation)
     losers = losers.repartition(num_partitions)
-    nested = nested_types(ds.schema().base_schema, exclude=(order_col,))
+
+    def add_dig(t: pa.Table) -> pa.Table:
+        dig, _ = _pair_digests(t.column(key), t.column(order_col))
+        return t.append_column(
+            _PAIR_DIG_COL, pa.array(dig.tolist(), pa.binary())
+        )
+
+    ds = ds.map_batches(add_dig, batch_format="pyarrow")
+    nested = nested_types(
+        ds.schema().base_schema, exclude=(_PAIR_DIG_COL,)
+    )
     if nested:
         ds = ds.map_batches(pack_nested(nested), batch_format="pyarrow")
     out = ds.join(
         losers,
         join_type="left_anti" if keep_winners else "left_semi",
         num_partitions=num_partitions,
-        on=(order_col,),
+        on=(_PAIR_DIG_COL,),
     )
     if nested:
         out = out.map_batches(unpack_nested(nested), batch_format="pyarrow")
-    return out
+    return out.drop_columns([_PAIR_DIG_COL])
 
 
 def _direct_join_filter(
@@ -317,21 +401,25 @@ def _tied_at_min_rows(
 
 def _resolve_ties(ties_ds: Dataset, key: str, keep_winners: bool) -> Dataset:
     """Group-based keep-first over the (tiny) tied at-min subset: each
-    group is sorted by every non-nested column (a deterministic total
-    order whenever the rows differ outside nested columns; fully
-    identical rows are interchangeable by definition), then the first
-    row survives (or, for the duplicates view, everything BUT it)."""
+    group is ordered by the pickled bytes of the WHOLE row — a total
+    order covering nested columns too, so exact_dedup and
+    duplicate_rows (independent runs, arbitrary shuffle arrival order)
+    pick the same winner even when tied rows differ only in a list
+    column; fully identical rows are interchangeable by definition.
+    Then the first row survives (or, for the duplicates view,
+    everything BUT it)."""
 
     def pick(group: pa.Table) -> pa.Table:
         if group.num_rows <= 1:
             return group if keep_winners else group.slice(0, 0)
-        sort_keys = [
-            (f.name, "ascending")
-            for f in group.schema
-            if not pa.types.is_nested(f.type)
-        ]
-        if sort_keys:
-            group = group.sort_by(sort_keys)
+        import pickle
+
+        rows = group.to_pylist()
+        order = sorted(
+            range(len(rows)),
+            key=lambda i: pickle.dumps(rows[i], protocol=4),
+        )
+        group = group.take(pa.array(order, pa.int64()))
         return group.slice(0, 1) if keep_winners else group.slice(1)
 
     return ties_ds.groupby(key).map_groups(pick, batch_format="pyarrow")

@@ -276,11 +276,18 @@ def drop_frequent_lines(
     def explode(t: pa.Table) -> pa.Table:
         bounds, _, keys, empty = _split_batch(t, text_col, sep)
         n_lines = np.diff(bounds)
-        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         # the join delivery is keyed on id_col: a duplicated id merges
         # two docs' line positions into one payload (corruption far
-        # from the cause) — catch in-batch repeats here, out-of-range
-        # positions in apply_drops
+        # from the cause) — catch nulls and in-batch repeats here,
+        # out-of-range positions in apply_drops. Null check first:
+        # np.unique on an object array containing None raises a bare
+        # TypeError, and a null id can't join its payload back anyway.
+        if t.column(id_col).null_count:
+            raise ValueError(
+                f"line_dedup join delivery: {id_col!r} contains null "
+                "values — every row needs a unique non-null id"
+            )
+        ids = t.column(id_col).to_numpy(zero_copy_only=False)
         if len(np.unique(ids)) != len(ids):
             raise ValueError(
                 f"line_dedup join delivery requires a UNIQUE id "

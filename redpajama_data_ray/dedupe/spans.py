@@ -365,7 +365,14 @@ def apply_dup_fingerprints(
     def explode(t: pa.Table) -> pa.Table:
         # join delivery is keyed on id_col: a duplicated id merges two
         # docs' span positions into one payload (see lines.py — same
-        # guard pair: in-batch repeats here, range check at apply)
+        # guard pair: nulls + in-batch repeats here, range check at
+        # apply; np.unique on object arrays with None raises a bare
+        # TypeError, so nulls check first)
+        if t.column(id_col).null_count:
+            raise ValueError(
+                f"substring_dedup join delivery: {id_col!r} contains "
+                "null values — every row needs a unique non-null id"
+            )
         raw_ids = t.column(id_col).to_numpy(zero_copy_only=False)
         if len(np.unique(raw_ids)) != len(raw_ids):
             raise ValueError(

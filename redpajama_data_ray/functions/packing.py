@@ -183,20 +183,10 @@ def pack_sequences(
     # strategy override is scoped to this dataset's captured context
     # and the exchange runs eagerly inside it, as dedupe/combine.py
     # does for the same reason.
-    from ray.data.context import ShuffleStrategy
-
-    from ..dedupe.combine import auto_partitions
+    from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
 
     bucketized = ds.map_batches(_bucketize, batch_format="pyarrow")
-    ctx = bucketized.context
-    prev = (
-        ctx.shuffle_strategy,
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-    )
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
-    try:
+    with scoped_hash_shuffle(bucketized.context):
         packed = (
             bucketized.repartition(
                 min(n_buckets, auto_partitions()),
@@ -213,11 +203,6 @@ def pack_sequences(
         if validate:
             _check_no_split_buckets(packed)
         return packed
-    finally:
-        (
-            ctx.shuffle_strategy,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        ) = prev
 
 
 # driver-side validation bound: one uint64 per packed window; 20M
@@ -269,9 +254,7 @@ def _check_no_split_buckets(packed: Dataset) -> None:
         )
         dups = int(tbl.num_rows - np.unique(tbl.column("enc")).size)
     else:
-        from ray.data.context import ShuffleStrategy
-
-        from ..dedupe.combine import auto_partitions
+        from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
 
         def _block_dups(t: pa.Table) -> pa.Table:
             enc = _enc(t).column("enc").to_numpy()
@@ -287,18 +270,7 @@ def _check_no_split_buckets(packed: Dataset) -> None:
         # self-scoped HASH_SHUFFLE override: keyed repartition
         # requires it, and callers (pack_summaries) may invoke this
         # AFTER restoring their own context
-        ctx = narrow.context
-        prev = (
-            ctx.shuffle_strategy,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        )
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        if (
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-            is None
-        ):
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
-        try:
+        with scoped_hash_shuffle(narrow.context):
             parts = narrow.repartition(
                 auto_partitions(), keys=["bucket"]
             ).map_batches(
@@ -308,11 +280,6 @@ def _check_no_split_buckets(packed: Dataset) -> None:
                 zero_copy_batch=True,
             )
             dups = sum(r["dups"] for r in parts.take_all())
-        finally:
-            (
-                ctx.shuffle_strategy,
-                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-            ) = prev
     if dups:
         raise RuntimeError(
             f"pack_sequences produced {dups} duplicate "
@@ -778,20 +745,11 @@ def pack_summaries(
         return pa.concat_tables(tables) if tables else _structure_empty()
 
     # ---- Phase A: narrow exchange + structure ----
-    from ray.data.context import ShuffleStrategy
-
-    from ..dedupe.combine import auto_partitions
+    from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
 
     narrow = ds.map_batches(_narrow, batch_format="pyarrow")
     ctx = narrow.context
-    prev = (
-        ctx.shuffle_strategy,
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-    )
-    ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-    if ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override is None:
-        ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
-    try:
+    with scoped_hash_shuffle(ctx):
         structure = (
             narrow.repartition(
                 min(n_buckets, auto_partitions()),
@@ -805,11 +763,6 @@ def pack_summaries(
             )
             .materialize()
         )
-    finally:
-        (
-            ctx.shuffle_strategy,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        ) = prev
 
     import pyarrow.compute as pc
 
@@ -879,17 +832,6 @@ def pack_summaries(
         sums = np.zeros(len(uniq), dtype=np.uint64)
         np.add.at(sums, inv, s)
     else:
-        ctx = partial_ds.context
-        prev = (
-            ctx.shuffle_strategy,
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-        )
-        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
-        if (
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override
-            is None
-        ):
-            ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override = 0.25
 
         def _combine(t: pa.Table) -> pa.Table:
             e = t.column("enc").to_numpy(zero_copy_only=False)
@@ -901,7 +843,7 @@ def pack_summaries(
                 {"enc": pa.array(uniq), "csum": pa.array(sums)}
             )
 
-        try:
+        with scoped_hash_shuffle(partial_ds.context):
             combined = (
                 partial_ds.repartition(
                     auto_partitions(), keys=["enc"]
@@ -914,11 +856,6 @@ def pack_summaries(
                 )
                 .materialize()
             )
-        finally:
-            (
-                ctx.shuffle_strategy,
-                ctx.hash_shuffle_operator_actor_num_cpus_per_partition_override,
-            ) = prev
         tbl = pa.concat_tables(
             list(combined.iter_batches(batch_format="pyarrow"))
         )

@@ -281,6 +281,20 @@ def ensure_corpus_parquet(
     return out_dir
 
 
+import re as _re
+
+# the ONE definition of "a scale-factor directory basename": sf<float>
+# in plain decimal form. cli.py's input sniffing and sf_from_dir both
+# use it so the two can't drift (a dir the CLI reads as raw parquet
+# must never parse as a scale factor elsewhere, and vice versa).
+_SF_BASENAME = _re.compile(r"sf\d+(\.\d+)?")
+
+
+def parse_sf_basename(base: str) -> "float | None":
+    """float(sf) for a pure 'sf0.01'-style basename, else None."""
+    return float(base[2:]) if _SF_BASENAME.fullmatch(base) else None
+
+
 def sf_from_dir(sf_dir: str) -> float:
     """Parse the scale factor out of a '/root/testdata/sf0.01' style path.
 
@@ -290,14 +304,14 @@ def sf_from_dir(sf_dir: str) -> float:
     --input <corpus cache dir>`` run quietly annotate the sf0.001
     corpus instead of the pointed-at data (observed round 5)."""
     base = os.path.basename(sf_dir.rstrip("/"))
+    sf = parse_sf_basename(base)
+    if sf is not None:
+        return sf
     if base.startswith("sf"):
-        try:
-            return float(base[2:])
-        except ValueError:
-            raise ValueError(
-                f"cannot parse a scale factor from {base!r}: an sf* "
-                "directory must be named sf<float> (e.g. sf0.01); for "
-                "arbitrary parquet inputs pass the directory to the "
-                "CLI, which reads it directly"
-            ) from None
+        raise ValueError(
+            f"cannot parse a scale factor from {base!r}: an sf* "
+            "directory must be named sf<float> (e.g. sf0.01); for "
+            "arbitrary parquet inputs pass the directory to the "
+            "CLI, which reads it directly"
+        )
     return 0.001

@@ -188,3 +188,48 @@ class TestOrderTies:
             map(tuple, self._table().to_pandas().values.tolist())
         )
         assert all_rows == orig
+
+
+class TestCrossKeyOrderCollision:
+    """Join delivery must identify losers by the (key, order) PAIR:
+    order values shared across keys used to conflate rows (key B's
+    winner dropped because key A's loser had the same order value)."""
+
+    def _table(self):
+        # A: orders [1, 2] (2 loses); B: orders [2, 3] (3 loses).
+        # B's winner has order 2 == A's loser order.
+        return pa.table(
+            {
+                "k": ["A", "A", "B", "B"],
+                "o": [1, 2, 2, 3],
+                "v": ["a1", "a2", "b2", "b3"],
+                # wide payload forces the narrow-probe path
+                "pad": ["x" * 10, "y" * 10, "z" * 10, "w" * 10],
+            }
+        )
+
+    def test_forced_join_keeps_colliding_winner(self):
+        ds = ray.data.from_arrow(self._table())
+        out = exact_dedup(
+            ds, key="k", order_col="o", distributed=True
+        ).to_pandas()
+        assert sorted(out.v.tolist()) == ["a1", "b2"]
+
+    def test_forced_join_duplicates_exact_complement(self):
+        ds = ray.data.from_arrow(self._table())
+        out = duplicate_rows(
+            ds, key="k", order_col="o", distributed=True
+        ).to_pandas()
+        assert sorted(out.v.tolist()) == ["a2", "b3"]
+
+    def test_forced_join_large_loser_set_via_digest_join(self):
+        ds = ray.data.from_arrow(self._table())
+        # mask_limit=0 forces the anti/semi JOIN variant
+        out = exact_dedup(
+            ds, key="k", order_col="o", distributed=True, mask_limit=0
+        ).to_pandas()
+        assert sorted(out.v.tolist()) == ["a1", "b2"]
+        dups = duplicate_rows(
+            ds, key="k", order_col="o", distributed=True, mask_limit=0
+        ).to_pandas()
+        assert sorted(dups.v.tolist()) == ["a2", "b3"]
