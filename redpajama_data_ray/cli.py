@@ -118,6 +118,21 @@ def _read_input(
     return ds
 
 
+def _require_columns(ds, cols, hint: str) -> None:
+    """Fail at the CLI surface when a named column is absent — the
+    alternative is a bare KeyError inside a Ray task with no hint
+    about which flag or input was wrong. Schema comes from read
+    metadata; nothing executes."""
+    schema = ds.schema()
+    names = list(schema.names) if schema is not None else []
+    missing = [c for c in cols if c and c not in names]
+    if missing:
+        raise SystemExit(
+            f"input is missing column(s) {missing} — it has {names}. "
+            + hint
+        )
+
+
 def _write_then_reread(
     out, output_dir: str, columns: Optional[List[str]], empty_types=None
 ):
@@ -217,6 +232,13 @@ def cmd_dedup_exact(args) -> dict:
     from .dedupe.exact import exact_dedup
 
     ds = rd.read_parquet(args.input)
+    _require_columns(
+        ds,
+        [args.key, args.order_col],
+        "dedup-exact needs --key and --order-col columns; for a raw "
+        "corpus use --key content --order-col doc_id (or annotate "
+        "with `quality` first for content_sha256/doc_id)",
+    )
     if args.state_dir:
         from .state.incremental import (
             commit_run_keys,
@@ -255,6 +277,13 @@ def cmd_dedup_fuzzy(args) -> dict:
     from .dedupe.lsh import clusters_table, fuzzy_dedup
 
     ds = rd.read_parquet(args.input)
+    _require_columns(
+        ds,
+        [args.signature, "id_int"],
+        "dedup-fuzzy consumes the ANNOTATED output of `quality` "
+        "(id_int + signature_sim* columns) — run `quality` on the "
+        "raw corpus first and point --input at its annotated/ dir",
+    )
     if args.state_dir:
         from .state.incremental import (
             commit_run_bands,
@@ -343,6 +372,7 @@ def cmd_dedup_lines(args) -> dict:
     from .dedupe.lines import line_dedup
 
     ds = _read_input(args.input, args.max_docs, False)
+    _require_columns(ds, [args.text_col, args.id_col], "dedup-lines needs --text-col (and --id-col for the join delivery / incremental mode)")
     distributed = (
         None if args.delivery == "auto" else args.delivery == "join"
     )
@@ -408,6 +438,7 @@ def cmd_dedup_spans(args) -> dict:
     from .dedupe.spans import substring_dedup
 
     ds = _read_input(args.input, args.max_docs, False)
+    _require_columns(ds, [args.text_col, args.id_col], "dedup-spans needs --text-col (and --id-col for the join delivery / incremental mode)")
     distributed = (
         None if args.delivery == "auto" else args.delivery == "join"
     )

@@ -94,6 +94,18 @@ def incremental_exact_dedup(
     if not files:
         return within, run_id
 
+    # fail with provenance, not a deep ArrowInvalid: a state dir
+    # written by another dedup family (fuzzy band state, line/span
+    # count state) has a different schema
+    state_cols = pq.ParquetFile(files[0]).schema_arrow.names
+    if "key" not in state_cols:
+        raise ValueError(
+            f"{state_dir!r} is not an exact-dedup state dir (columns "
+            f"{state_cols} lack 'key') — each dedup family keeps its "
+            "own state dir; point --state-dir at the one this "
+            "subcommand wrote"
+        )
+
     n_seen = seen_key_count(state_dir)
     if approximate:
         # reference-parity probabilistic path: filter built ONCE PER

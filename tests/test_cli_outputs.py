@@ -122,3 +122,23 @@ def test_write_then_reread_empty_output(tmp_path):
     assert dict(zip(sch.names, [str(t) for t in sch.types])) == {
         "k": "string", "n": "int64"
     }
+
+
+def test_missing_columns_fail_at_the_surface(tmp_path):
+    """Wrong --key / un-annotated input must exit with the flag and
+    the fix named, not a KeyError inside a Ray task."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [
+            sys.executable, "-m", "redpajama_data_ray.cli",
+            "--num-cpus", "2", "dedup-exact",
+            "--input", "/root/testdata/sf0.001/documents.parquet",
+            "--output", str(tmp_path / "o"),
+            "--key", "nosuchcol",
+        ],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert r.returncode != 0
+    assert "nosuchcol" in r.stderr and "dedup-exact needs" in r.stderr

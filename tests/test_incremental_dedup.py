@@ -361,3 +361,26 @@ def test_band_state_format_guard(tmp_path):
     open(os.path.join(d2, "old.parquet"), "wb").close()
     with _pytest.raises(ValueError, match="predates"):
         _bands_dir(state2)
+
+
+def test_exact_dedup_rejects_foreign_state_dir(tmp_path):
+    """Pointing dedup-exact at another family's state dir (e.g. the
+    fuzzy band state) must fail naming the problem, not as a deep
+    ArrowInvalid about FieldRef 'key'."""
+    import os
+
+    import pytest
+
+    os.makedirs(tmp_path / "keys", exist_ok=True)
+    pq.write_table(
+        pa.table({"band_hash": [1, 2, 3]}),
+        tmp_path / "keys" / "r0.parquet",
+    )
+    ds = ray.data.from_arrow(
+        pa.table({"content": ["a", "b"], "doc_id": ["1", "2"]})
+    )
+    with pytest.raises(ValueError, match="state dir"):
+        incremental_exact_dedup(
+            ds, str(tmp_path), key="content", order_col="doc_id",
+            run_id="r1",
+        )
