@@ -42,6 +42,52 @@ def _docs(sf_dir: str, columns=None) -> Dataset:
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=columns)
 
 
+# ------------------------------------------------------------------
+# dirty-input hardening (scripts/query_adversarial_soak.py): the
+# driver's tables are clean, so none of this changes an oracle
+# comparison — it pins down what the engine does on damaged inputs.
+# ------------------------------------------------------------------
+
+def _table_drop_nulls(t: pa.Table, cols) -> pa.Table:
+    mask = None
+    for c in cols:
+        v = pc.is_valid(t[c])
+        mask = v if mask is None else pc.and_(mask, v)
+    return t.filter(mask)
+
+
+def drop_null_keys(ds: Dataset, cols) -> Dataset:
+    """Drop rows whose key column(s) are null.
+
+    Two reasons, both structural: Ray Data's sort-based groupby/
+    aggregate exchange cannot partition blocks whose string key column
+    contains nulls (numpy ``searchsorted`` ends up comparing ``None``
+    against ``str``), and a null id / group key carries no identity
+    for dedup, join or grouping semantics. The paired sequential
+    oracle writers apply the same rule, so both sides of a driver
+    compare stay in lockstep on dirty inputs too.
+    """
+    cols = list(cols)
+
+    def f(t: pa.Table) -> pa.Table:
+        return _table_drop_nulls(t, cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def typed_pandas(df, schema: "pa.Schema"):
+    """Rebuild the typed empty frame when an aggregate ran on 0 rows.
+
+    ``groupby().aggregate()`` over an empty Dataset yields a ZERO-
+    column frame (there are no blocks to take a schema from), so
+    downstream ``df[col]`` access raises KeyError. Non-empty frames
+    pass through untouched.
+    """
+    if df.shape[1] == 0:
+        return schema.empty_table().to_pandas()
+    return df
+
+
 def _word_counts(texts: pa.ChunkedArray) -> pa.Array:
     """Whitespace word count, vectorized (count of \\S+ matches)."""
     return pc.cast(pc.count_substring_regex(texts, r"\S+"), pa.int64())
@@ -136,11 +182,11 @@ def q_doc_signal_summary(sf_dir: str) -> Dataset:
 
 
 def q_doc_fingerprint(sf_dir: str) -> Dataset:
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = drop_null_keys(_docs(sf_dir, ["doc_id", "text"]), ["doc_id"])
 
     def f(t: pa.Table) -> pa.Table:
         fps = [
-            hashlib.md5(x.encode("utf-8")).hexdigest()
+            hashlib.md5((x or "").encode("utf-8")).hexdigest()
             for x in t["text"].to_pylist()
         ]
         return pa.table(
@@ -155,7 +201,7 @@ def q_doc_fingerprint(sf_dir: str) -> Dataset:
 # ------------------------------------------------------------------
 
 def q_doc_stats_by_lang(sf_dir: str) -> "pa.Table":
-    ds = _docs(sf_dir, ["lang", "n_chars"])
+    ds = drop_null_keys(_docs(sf_dir, ["lang", "n_chars"]), ["lang"])
     out = (
         ds.groupby("lang")
         .aggregate(
@@ -164,6 +210,17 @@ def q_doc_stats_by_lang(sf_dir: str) -> "pa.Table":
             Mean("n_chars", alias_name="avg_chars"),
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("lang", pa.string()),
+                ("n_docs", pa.int64()),
+                ("total_chars", pa.int64()),
+                ("avg_chars", pa.float64()),
+            ]
+        ),
     )
     out["avg_chars"] = out["avg_chars"].round(6)
     out["n_docs"] = out["n_docs"].astype("int64")
@@ -174,12 +231,12 @@ def q_doc_stats_by_lang(sf_dir: str) -> "pa.Table":
 def q_token_totals_by_source(sf_dir: str) -> "pa.Table":
     """Partial aggregation inside map_batches (one row per source per
     batch), then a tiny groupby — the at-scale combiner pattern."""
-    ds = _docs(sf_dir, ["source", "text"])
+    ds = drop_null_keys(_docs(sf_dir, ["source", "text"]), ["source"])
 
     def partial(t: pa.Table) -> pa.Table:
         import pandas as pd
 
-        wc = _word_counts(t["text"]).to_pandas()
+        wc = pc.fill_null(_word_counts(t["text"]), 0).to_pandas()
         df = pd.DataFrame({"source": t["source"].to_pandas(), "wc": wc})
         g = df.groupby("source", as_index=False).agg(
             total_tokens=("wc", "sum"), n_docs=("wc", "size")
@@ -194,6 +251,16 @@ def q_token_totals_by_source(sf_dir: str) -> "pa.Table":
             Sum("n_docs", alias_name="n_docs"),
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("source", pa.string()),
+                ("total_tokens", pa.int64()),
+                ("n_docs", pa.int64()),
+            ]
+        ),
     )
     out["total_tokens"] = out["total_tokens"].astype("int64")
     out["n_docs"] = out["n_docs"].astype("int64")
@@ -264,7 +331,10 @@ def q_incremental_dedup_docs(sf_dir: str) -> "pa.Table":
         d2, _ = incremental_exact_dedup(
             run2, state, key="fp", order_col="doc_id", run_id="run2"
         )
-        out = d2.select_columns(["doc_id"]).to_pandas()
+        out = typed_pandas(
+            d2.to_pandas(),
+            pa.schema([("doc_id", pa.int64()), ("fp", pa.string())]),
+        )[["doc_id"]]
     finally:
         shutil.rmtree(state, ignore_errors=True)
     out = out.sort_values("doc_id").reset_index(drop=True)
@@ -373,7 +443,11 @@ def q_pii_scrub_docs(sf_dir: str) -> Dataset:
     ds = _docs(sf_dir, ["doc_id", "text"])
 
     def f(t: pa.Table) -> pa.Table:
-        scrubbed = [scrub_text(x)[0] for x in t["text"].to_pylist()]
+        # null in, null out — matches DuckDB's regexp_replace(NULL)
+        scrubbed = [
+            scrub_text(x)[0] if x is not None else None
+            for x in t["text"].to_pylist()
+        ]
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -403,9 +477,28 @@ def q_embedding_label_stats(sf_dir: str) -> "pa.Table":
     Dataset.join — documents is the BIG side of this join, so it is
     never materialized driver-side (a broadcast dict here would pull the
     whole doc table through the driver at scale)."""
-    docs = _docs(sf_dir, ["doc_id", "n_chars"])
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("label", pa.int64()),
+            ("n", pa.int64()),
+            ("avg_chars", pa.float64()),
+        ]
+    )
+    # Dataset.join cannot resolve key fields against an empty,
+    # schema-less side — metadata-only guard
+    if (
+        pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows == 0
+        or pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0
+    ):
+        return schema.empty_table()
+    docs = drop_null_keys(_docs(sf_dir, ["doc_id", "n_chars"]), ["doc_id"])
+    emb = drop_null_keys(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "label"]
+        ),
+        ["vec_id"],
     )
     from ..dedupe.combine import auto_partitions
 
@@ -440,7 +533,11 @@ def q_embedding_label_stats(sf_dir: str) -> "pa.Table":
 
 def q_orders_by_mktsegment(sf_dir: str) -> "pa.Table":
     """orders |><| customer broadcast join + groupby (J-family op)."""
-    cust = rd.read_parquet(
+    import pyarrow.parquet as pq
+
+    # the broadcast side is read driver-side anyway; pyarrow keeps the
+    # schema on an empty table where Dataset.to_pandas drops it
+    cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     lookup = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
@@ -451,12 +548,13 @@ def q_orders_by_mktsegment(sf_dir: str) -> "pa.Table":
     def join(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup)
         seg = [lk.get(k) for k in t["o_custkey"].to_pylist()]
-        return pa.table(
+        out = pa.table(
             {
                 "mktsegment": pa.array(seg, pa.string()),
                 "o_totalprice": t["o_totalprice"],
             }
         )
+        return _table_drop_nulls(out, ["mktsegment"])
 
     out = (
         orders.map_batches(join, batch_format="pyarrow")
@@ -467,6 +565,16 @@ def q_orders_by_mktsegment(sf_dir: str) -> "pa.Table":
         )
         .to_pandas()
     )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("mktsegment", pa.string()),
+                ("n_orders", pa.int64()),
+                ("total_price", pa.float64()),
+            ]
+        ),
+    )
     out["total_price"] = out["total_price"].round(2)
     out["n_orders"] = out["n_orders"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -475,6 +583,20 @@ def q_orders_by_mktsegment(sf_dir: str) -> "pa.Table":
 def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
     """Large x large hash join (lineitem |><| orders on l_orderkey) via
     Dataset.join, then grouped revenue per order priority."""
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [
+            ("orderpriority", pa.string()),
+            ("n_items", pa.int64()),
+            ("revenue", pa.float64()),
+        ]
+    )
+    if (
+        pq.read_metadata(f"{sf_dir}/lineitem.parquet").num_rows == 0
+        or pq.read_metadata(f"{sf_dir}/orders.parquet").num_rows == 0
+    ):
+        return schema.empty_table()
     li = rd.read_parquet(
         f"{sf_dir}/lineitem.parquet",
         columns=["l_orderkey", "l_extendedprice", "l_discount"],
@@ -484,11 +606,16 @@ def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
         rev = pc.multiply(
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
         )
-        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        out = pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+        return _table_drop_nulls(out, ["l_orderkey"])
 
     li = li.map_batches(proj, batch_format="pyarrow")
-    orders = rd.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    orders = drop_null_keys(
+        rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+        ),
+        ["o_orderkey"],
     )
     from ..dedupe.combine import auto_partitions
 
@@ -500,11 +627,22 @@ def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
         right_on=("o_orderkey",),
     )
     out = (
-        joined.groupby("o_orderpriority")
+        drop_null_keys(joined, ["o_orderpriority"])
+        .groupby("o_orderpriority")
         .aggregate(
             Count(alias_name="n_items"), Sum("rev", alias_name="revenue")
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("o_orderpriority", pa.string()),
+                ("n_items", pa.int64()),
+                ("revenue", pa.float64()),
+            ]
+        ),
     )
     out["revenue"] = out["revenue"].round(2)
     out["n_items"] = out["n_items"].astype("int64")
@@ -515,7 +653,9 @@ def q_order_priority_revenue(sf_dir: str) -> "pa.Table":
 def q_top_orders_per_segment(sf_dir: str) -> "pa.Table":
     """Grouped top-k (window-function shape): the 3 highest-value orders
     per market segment via broadcast join + groupby().map_groups."""
-    cust = rd.read_parquet(
+    import pyarrow.parquet as pq
+
+    cust = pq.read_table(
         f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
     ).to_pandas()
     lookup = ray.put(dict(zip(cust.c_custkey, cust.c_mktsegment)))
@@ -527,13 +667,14 @@ def q_top_orders_per_segment(sf_dir: str) -> "pa.Table":
     def join(t: pa.Table) -> pa.Table:
         lk = ray.get(lookup)
         seg = [lk.get(k) for k in t["o_custkey"].to_pylist()]
-        return pa.table(
+        out = pa.table(
             {
                 "mktsegment": pa.array(seg, pa.string()),
                 "o_orderkey": t["o_orderkey"],
                 "o_totalprice": t["o_totalprice"],
             }
         )
+        return _table_drop_nulls(out, ["mktsegment", "o_orderkey"])
 
     def top3(g: pa.Table) -> pa.Table:
         idx = pc.sort_indices(
@@ -550,6 +691,16 @@ def q_top_orders_per_segment(sf_dir: str) -> "pa.Table":
         .groupby("mktsegment")
         .map_groups(top3, batch_format="pyarrow")
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("mktsegment", pa.string()),
+                ("o_orderkey", pa.int64()),
+                ("o_totalprice", pa.float64()),
+            ]
+        ),
     )
     out["o_totalprice"] = out["o_totalprice"].round(2)
     out["o_orderkey"] = out["o_orderkey"].astype("int64")
@@ -570,7 +721,7 @@ def q_lineitem_pricing(sf_dir: str) -> "pa.Table":
         disc = pc.multiply(
             t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
         )
-        return pa.table(
+        out = pa.table(
             {
                 "l_returnflag": t["l_returnflag"],
                 "l_linestatus": t["l_linestatus"],
@@ -579,6 +730,7 @@ def q_lineitem_pricing(sf_dir: str) -> "pa.Table":
                 "disc_price": disc,
             }
         )
+        return _table_drop_nulls(out, ["l_returnflag", "l_linestatus"])
 
     out = (
         ds.map_batches(project, batch_format="pyarrow")
@@ -590,6 +742,19 @@ def q_lineitem_pricing(sf_dir: str) -> "pa.Table":
             Count(alias_name="count_order"),
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("l_returnflag", pa.string()),
+                ("l_linestatus", pa.string()),
+                ("sum_qty", pa.float64()),
+                ("sum_base_price", pa.float64()),
+                ("sum_disc_price", pa.float64()),
+                ("count_order", pa.int64()),
+            ]
+        ),
     )
     for c in ("sum_qty", "sum_base_price", "sum_disc_price"):
         out[c] = out[c].round(2)
@@ -609,13 +774,14 @@ def q_events_hourly(sf_dir: str) -> "pa.Table":
     def window(t: pa.Table) -> pa.Table:
         us = pc.cast(t["ts"], pa.int64())  # microseconds since epoch
         hour = pc.divide(us, 3_600_000_000)  # int division floors (>=0)
-        return pa.table(
+        out = pa.table(
             {
                 "event_type": t["event_type"],
                 "hour_bucket": pc.cast(hour, pa.int64()),
                 "value": t["value"],
             }
         )
+        return _table_drop_nulls(out, ["event_type", "hour_bucket"])
 
     out = (
         ds.map_batches(window, batch_format="pyarrow")
@@ -624,6 +790,17 @@ def q_events_hourly(sf_dir: str) -> "pa.Table":
             Count(alias_name="n"), Sum("value", alias_name="total_value")
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("hour_bucket", pa.int64()),
+                ("n", pa.int64()),
+                ("total_value", pa.float64()),
+            ]
+        ),
     )
     out["total_value"] = out["total_value"].round(6)
     out["n"] = out["n"].astype("int64")
@@ -656,7 +833,9 @@ def q_events_sliding_1h(sf_dir: str) -> "pa.Table":
                     }
                 )
             )
-        return pa.concat_tables(parts)
+        return _table_drop_nulls(
+            pa.concat_tables(parts), ["event_type", "window_id"]
+        )
 
     out = (
         ds.map_batches(explode, batch_format="pyarrow")
@@ -665,6 +844,17 @@ def q_events_sliding_1h(sf_dir: str) -> "pa.Table":
             Count(alias_name="n"), Sum("value", alias_name="total_value")
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("window_id", pa.int64()),
+                ("n", pa.int64()),
+                ("total_value", pa.float64()),
+            ]
+        ),
     )
     out["total_value"] = out["total_value"].round(6)
     out["n"] = out["n"].astype("int64")
@@ -682,26 +872,29 @@ def q_events_orders_asof(sf_dir: str) -> "pa.Table":
     )
 
     def tag_events(t: pa.Table) -> pa.Table:
-        return pa.table(
+        out = pa.table(
             {
                 "key": pc.cast(t["user_id"], pa.int64()),
                 "when_us": pc.cast(t["ts"], pa.int64()),
                 "event_id": pc.cast(t["event_id"], pa.int64()),
             }
         )
+        # a null event_id would be misread as an ORDER row downstream
+        return _table_drop_nulls(out, ["key", "when_us", "event_id"])
 
     orders = rd.read_parquet(
         f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
     )
 
     def tag_orders(t: pa.Table) -> pa.Table:
-        return pa.table(
+        out = pa.table(
             {
                 "key": pc.cast(t["o_custkey"], pa.int64()),
                 "when_us": pc.cast(t["o_orderdate"], pa.int64()),
                 "event_id": pa.array([None] * t.num_rows, pa.int64()),
             }
         )
+        return _table_drop_nulls(out, ["key", "when_us"])
 
     both = events.map_batches(tag_events, batch_format="pyarrow").union(
         orders.map_batches(tag_orders, batch_format="pyarrow")
@@ -743,6 +936,12 @@ def q_events_orders_asof(sf_dir: str) -> "pa.Table":
         .map_groups(asof, batch_format="pyarrow")
         .to_pandas()
     )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [("event_id", pa.int64()), ("order_date_us", pa.int64())]
+        ),
+    )
     out["event_id"] = out["event_id"].astype("int64")
     out["order_date_us"] = out["order_date_us"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -751,8 +950,11 @@ def q_events_orders_asof(sf_dir: str) -> "pa.Table":
 def q_events_sessions(sf_dir: str) -> "pa.Table":
     """Session windows (30-min gap) per user via groupby().map_groups
     over ts-sorted groups — the streaming-shaped operator pattern."""
-    ds = rd.read_parquet(
-        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+    ds = drop_null_keys(
+        rd.read_parquet(
+            f"{sf_dir}/events.parquet", columns=["user_id", "ts", "event_id"]
+        ),
+        ["user_id", "ts"],
     )
     gap_us = 30 * 60 * 1_000_000
 
@@ -778,6 +980,16 @@ def q_events_sessions(sf_dir: str) -> "pa.Table":
         ds.groupby("user_id")
         .map_groups(sessions, batch_format="pyarrow")
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("user_id", pa.int64()),
+                ("n_sessions", pa.int64()),
+                ("n_events", pa.int64()),
+            ]
+        ),
     )
     out["user_id"] = out["user_id"].astype("int64")
     out["n_sessions"] = out["n_sessions"].astype("int64")
@@ -827,7 +1039,10 @@ def q_stratified_sample_docs(sf_dir: str) -> Dataset:
         ids = t["doc_id"].to_pylist()
         langs = t["lang"].to_pylist()
         mask = [
-            (i % 1000) < quotas.get(lang, 0) for i, lang in zip(ids, langs)
+            i is not None
+            and lang is not None
+            and (i % 1000) < quotas.get(lang, 0)
+            for i, lang in zip(ids, langs)
         ]
         return t.filter(pa.array(mask, pa.bool_()))
 
@@ -848,9 +1063,10 @@ def q_token_counts(sf_dir: str) -> Dataset:
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "ws_tokens": _word_counts(t["text"]),
+                "ws_tokens": pc.fill_null(_word_counts(t["text"]), 0),
                 "bpe_tokens": pa.array(
-                    [bpe_like_token_count(x) for x in texts], pa.int64()
+                    [bpe_like_token_count(x or "") for x in texts],
+                    pa.int64(),
                 ),
             }
         )
@@ -860,6 +1076,15 @@ def q_token_counts(sf_dir: str) -> Dataset:
 
 def q_dedup_histogram(sf_dir: str) -> "pa.Table":
     """Group-size histogram of identical-content groups (G4 analog)."""
+    import pyarrow.parquet as pq
+
+    schema = pa.schema(
+        [("group_size", pa.int64()), ("n_groups", pa.int64())]
+    )
+    # a second-level groupby over an empty first aggregate has no
+    # schema to resolve "group_size" against — metadata-only guard
+    if pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows == 0:
+        return schema.empty_table()
     ds = q_doc_fingerprint(sf_dir)
     sizes = ds.groupby("fp").aggregate(Count(alias_name="group_size"))
     out = (
@@ -867,6 +1092,7 @@ def q_dedup_histogram(sf_dir: str) -> "pa.Table":
         .aggregate(Count(alias_name="n_groups"))
         .to_pandas()
     )
+    out = typed_pandas(out, schema)
     out["group_size"] = out["group_size"].astype("int64")
     out["n_groups"] = out["n_groups"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -878,7 +1104,7 @@ def q_jaccard_near_dup_pairs(sf_dir: str) -> "pa.Table":
     against a full SQL self-join oracle."""
     from ..dedupe.jaccard import distributed_jaccard_pairs
 
-    ds = _docs(sf_dir, ["doc_id", "text"])
+    ds = drop_null_keys(_docs(sf_dir, ["doc_id", "text"]), ["doc_id"])
     return distributed_jaccard_pairs(
         ds, text_col="text", id_col="doc_id", n=3, threshold=0.5
     )
@@ -887,23 +1113,35 @@ def q_jaccard_near_dup_pairs(sf_dir: str) -> "pa.Table":
 def q_distinct_langs(sf_dir: str) -> "pa.Table":
     """Distinct values (ds.unique — a shuffle-backed set op)."""
     langs = _docs(sf_dir, ["lang"]).unique("lang")
-    return pa.table({"lang": pa.array(sorted(langs), pa.string())})
+    # unique() returns None on an empty dataset; nulls have no place
+    # in a distinct-values listing (DuckDB's DISTINCT would keep one —
+    # dirty-input-only divergence, documented)
+    vals = sorted(x for x in (langs or []) if x is not None)
+    return pa.table({"lang": pa.array(vals, pa.string())})
 
 
 def q_supplier_region_stats(sf_dir: str) -> "pa.Table":
     """Three-way broadcast join supplier -> nation -> region (both dim
     tables are tiny: composed driver-side into one lookup, shipped via
     ray.put) + grouped stats per region."""
-    nation = rd.read_parquet(f"{sf_dir}/nation.parquet").to_pandas()
-    region = rd.read_parquet(f"{sf_dir}/region.parquet").to_pandas()
-    nation_to_region = dict(
-        zip(
-            nation.n_nationkey,
-            nation.n_regionkey.map(
-                dict(zip(region.r_regionkey, region.r_name))
-            ),
-        )
+    import pyarrow.parquet as pq
+
+    nation = pq.read_table(f"{sf_dir}/nation.parquet").to_pandas()
+    region = pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+    # null join keys have no identity — and NaN keys are each distinct
+    # to pandas, so a nulled key column would make the mapper index
+    # non-unique (InvalidIndexError in Series.map)
+    nation = nation.dropna(subset=["n_nationkey", "n_regionkey"])
+    region = region.dropna(subset=["r_regionkey"])
+    mapped = nation.n_regionkey.map(
+        dict(zip(region.r_regionkey, region.r_name))
     )
+    # an unmatched regionkey maps to float NaN — normalize to None so
+    # the downstream string-array build never sees a float
+    nation_to_region = {
+        k: (v if isinstance(v, str) else None)
+        for k, v in zip(nation.n_nationkey, mapped)
+    }
     ref = ray.put(nation_to_region)
     supp = rd.read_parquet(
         f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
@@ -912,12 +1150,13 @@ def q_supplier_region_stats(sf_dir: str) -> "pa.Table":
     def join(t: pa.Table) -> pa.Table:
         lk = ray.get(ref)
         names = [lk.get(k) for k in t["s_nationkey"].to_pylist()]
-        return pa.table(
+        out = pa.table(
             {
                 "region": pa.array(names, pa.string()),
                 "s_acctbal": t["s_acctbal"],
             }
         )
+        return _table_drop_nulls(out, ["region"])
 
     out = (
         supp.map_batches(join, batch_format="pyarrow")
@@ -928,14 +1167,28 @@ def q_supplier_region_stats(sf_dir: str) -> "pa.Table":
         )
         .to_pandas()
     )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("region", pa.string()),
+                ("n_suppliers", pa.int64()),
+                ("avg_acctbal", pa.float64()),
+            ]
+        ),
+    )
     out["avg_acctbal"] = out["avg_acctbal"].round(4)
     out["n_suppliers"] = out["n_suppliers"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_part_brand_stats(sf_dir: str) -> "pa.Table":
-    ds = rd.read_parquet(
-        f"{sf_dir}/part.parquet", columns=["p_brand", "p_size", "p_retailprice"]
+    ds = drop_null_keys(
+        rd.read_parquet(
+            f"{sf_dir}/part.parquet",
+            columns=["p_brand", "p_size", "p_retailprice"],
+        ),
+        ["p_brand"],
     )
     out = (
         ds.groupby("p_brand")
@@ -945,6 +1198,17 @@ def q_part_brand_stats(sf_dir: str) -> "pa.Table":
             Sum("p_retailprice", alias_name="total_price"),
         )
         .to_pandas()
+    )
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("n_parts", pa.int64()),
+                ("avg_size", pa.float64()),
+                ("total_price", pa.float64()),
+            ]
+        ),
     )
     out["avg_size"] = out["avg_size"].round(6)
     out["total_price"] = out["total_price"].round(2)
@@ -971,8 +1235,19 @@ def q_embedding_near_dups(sf_dir: str) -> "pa.Table":
     from ..dedupe.apply import DEFAULT_MASK_BROADCAST_LIMIT
     from ..similarity.knn import _batch_matrix, _cosine
 
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = drop_null_keys(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        ["vec_id", "embedding"],
+    )
     n = emb.count()
+    if n == 0:
+        return pa.schema(
+            [
+                ("vec_a", pa.int64()),
+                ("vec_b", pa.int64()),
+                ("cos", pa.float64()),
+            ]
+        ).empty_table()
     first = emb.take(1)[0]["embedding"]
     dim = len(first)
     if n * dim > DEFAULT_MASK_BROADCAST_LIMIT:
@@ -1017,12 +1292,19 @@ def q_embedding_near_dups(sf_dir: str) -> "pa.Table":
 
 def q_knn_cosine_top10(sf_dir: str) -> "pa.Table":
     """Exact cosine top-10 vs the vec_id=0 embedding (self excluded)."""
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = drop_null_keys(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        ["vec_id", "embedding"],
+    )
     q = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         .filter(lambda r: r["vec_id"] == 0)
         .to_pandas()
     )
+    if q.shape[1] == 0 or q.empty:
+        return pa.schema(
+            [("vec_id", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
     qvec = np.array(q.embedding.iloc[0], dtype=np.float64)
     out = brute_force_knn(emb, qvec, k=10, exclude_ids=[0])
     import pandas as pd
@@ -1603,7 +1885,10 @@ def q_vocab_top_tokens(sf_dir: str) -> "pa.Table":
     from ..functions.vocab import token_frequencies
 
     ds = _docs(sf_dir, ["text"])
-    out = token_frequencies(ds, text_col="text", top_k=100).to_pandas()
+    out = typed_pandas(
+        token_frequencies(ds, text_col="text", top_k=100).to_pandas(),
+        pa.schema([("token", pa.string()), ("cnt", pa.int64())]),
+    )
     out["cnt"] = out["cnt"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 

@@ -46,6 +46,18 @@ def q_langid_distribution(sf_dir: str) -> "pa.Table":
         .aggregate(Count(alias_name="n"), Mean("lang_score", alias_name="avg_score"))
         .to_pandas()
     )
+    from .analysis import typed_pandas
+
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("lang_pred", pa.string()),
+                ("n", pa.int64()),
+                ("avg_score", pa.float64()),
+            ]
+        ),
+    )
     out["avg_score"] = out["avg_score"].round(6)
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
@@ -68,25 +80,42 @@ def q_perplexity_buckets(sf_dir: str) -> "pa.Table":
         .aggregate(Count(alias_name="n"), Mean("ppl", alias_name="avg_ppl"))
         .to_pandas()
     )
+    from .analysis import typed_pandas
+
+    out = typed_pandas(
+        out,
+        pa.schema(
+            [
+                ("ppl_bucket", pa.string()),
+                ("n", pa.int64()),
+                ("avg_ppl", pa.float64()),
+            ]
+        ),
+    )
     out["avg_ppl"] = out["avg_ppl"].round(4)
     out["n"] = out["n"].astype("int64")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def _docs_with_ids(sf_dir: str) -> Dataset:
-    """documents table adapted to the corpus id/minhash schema."""
+    """documents table adapted to the corpus id/minhash schema.
+    Dirty-input policy matches _oracle_docs: null doc_id rows dropped,
+    null text/source read as empty strings."""
+    import pyarrow.compute as pc
+
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
 
     def adapt(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t["doc_id"]))
         return pa.table(
             {
-                "repo": t["source"],
-                "path": pa.compute.cast(t["doc_id"], pa.string()),
-                "commit": pa.compute.cast(t["doc_id"], pa.string()),
+                "repo": pc.fill_null(t["source"], ""),
+                "path": pc.cast(t["doc_id"], pa.string()),
+                "commit": pc.cast(t["doc_id"], pa.string()),
                 "lang": pa.array(["en"] * t.num_rows, pa.string()),
-                "content": t["text"],
+                "content": pc.fill_null(t["text"], ""),
             }
         )
 
@@ -164,16 +193,42 @@ def _seq_perms():
 
 
 def _oracle_docs(sf_dir: str):
+    """documents as (doc_ids, texts, sources) for the sequential oracle
+    writers. Dirty-input policy (mirrored by the Ray-side readers so
+    both sides of a driver compare stay in lockstep): rows with a null
+    doc_id are dropped — a null primary key has no dedup identity —
+    and null text/source read as the empty string."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     t = pq.read_table(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "source"]
     )
+    t = t.filter(pc.is_valid(t["doc_id"]))
     return (
         t.column("doc_id").to_pylist(),
-        t.column("text").to_pylist(),
-        t.column("source").to_pylist(),
+        [x or "" for x in t.column("text").to_pylist()],
+        [s or "" for s in t.column("source").to_pylist()],
     )
+
+
+def _oracle_embeddings(sf_dir: str):
+    """embeddings as (ids, matrix) for the sequential oracle writers,
+    with null vec_id / null embedding rows dropped (same policy as
+    _oracle_docs; the Ray-side ANN queries drop them identically)."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    t = t.filter(
+        pc.and_(pc.is_valid(t["vec_id"]), pc.is_valid(t["embedding"]))
+    )
+    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
+    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    return ids, mat
 
 
 def _oracle_path(sf_dir: str, name: str) -> str:
@@ -406,8 +461,16 @@ def write_ann_lsh_oracle(sf_dir: str) -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["embedding"])
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    _, mat = _oracle_embeddings(sf_dir)
+    if len(mat) == 0:
+        out = _oracle_path(sf_dir, "ann_lsh_buckets")
+        pq.write_table(
+            pa.schema(
+                [("bucket", pa.int64()), ("n", pa.int64())]
+            ).empty_table(),
+            out,
+        )
+        return out
     h = np.random.default_rng(42).standard_normal((64, 10))
     signs = (mat @ h) > 0
     weights = (1 << np.arange(10)).astype(np.uint32)
@@ -436,11 +499,16 @@ def write_ivf_knn_oracle(sf_dir: str) -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids, mat = _oracle_embeddings(sf_dir)
+    out = _oracle_path(sf_dir, "ann_ivf_knn")
+    if len(ids) == 0 or not (ids == 0).any():
+        pq.write_table(
+            pa.schema(
+                [("vec_id", pa.int64()), ("score", pa.float64())]
+            ).empty_table(),
+            out,
+        )
+        return out
 
     # deterministic sample: smallest blake2b(id) keys, tie-broken by id
     keys = np.array(
@@ -494,7 +562,6 @@ def write_ivf_knn_oracle(sf_dir: str) -> str:
     keep = ids[cand] != 0
     cand, scores = cand[keep], scores[keep]
     top = np.lexsort((ids[cand], -scores))[:10]
-    out = _oracle_path(sf_dir, "ann_ivf_knn")
     pq.write_table(
         pa.table(
             {
@@ -707,6 +774,8 @@ def q_fuzzy_dedup_docs(sf_dir: str) -> "pa.Table":
         MinHashStage, batch_format="pyarrow", batch_size=256,
         concurrency=(1, 4),
     ).materialize()
+    if ds.count() == 0:  # select_columns has no schema to resolve
+        return pa.schema([("doc_id", pa.int64())]).empty_table()
     deduped, _ = fuzzy_dedup(ds, "signature_sim0.8")
     out = deduped.select_columns(["path"]).to_pandas()
     out = out.rename(columns={"path": "doc_id"})
@@ -736,13 +805,21 @@ def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
     """LSH-bucketed ANN index stats over embeddings (scale path).
     SQL-oracled against a sequential hyperplane kernel
     (write_ann_lsh_oracle)."""
+    from .analysis import drop_null_keys, typed_pandas
+
     write_ann_lsh_oracle(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = drop_null_keys(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        ["vec_id", "embedding"],
+    )
     bucketed = add_lsh_bucket(emb, dim=64, bits=10, seed=42)
     out = (
         bucketed.groupby("bucket")
         .aggregate(Count(alias_name="n"))
         .to_pandas()
+    )
+    out = typed_pandas(
+        out, pa.schema([("bucket", pa.int64()), ("n", pa.int64())])
     )
     out["bucket"] = out["bucket"].astype("int64")
     out["n"] = out["n"].astype("int64")
@@ -783,14 +860,22 @@ def q_ivf_knn(sf_dir: str) -> "pa.Table":
     import numpy as np
 
     from ..similarity.ivf import assign_ivf_buckets, ivf_knn, train_centroids
+    from .analysis import drop_null_keys
 
     write_ivf_knn_oracle(sf_dir)
-    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    emb = drop_null_keys(
+        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        ["vec_id", "embedding"],
+    )
     q = (
         rd.read_parquet(f"{sf_dir}/embeddings.parquet")
         .filter(lambda r: r["vec_id"] == 0)
         .to_pandas()
     )
+    if q.shape[1] == 0 or q.empty:
+        return pa.schema(
+            [("vec_id", pa.int64()), ("score", pa.float64())]
+        ).empty_table()
     qvec = np.array(q.embedding.iloc[0], dtype=np.float64)
     cents = train_centroids(emb, dim=64, n_centroids=16, seed=42)
     indexed = assign_ivf_buckets(emb, cents)
@@ -1020,11 +1105,13 @@ def write_semdedup_oracle(sf_dir: str) -> str:
     import numpy as np
     import pyarrow.parquet as pq
 
-    t = pq.read_table(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
-    )
-    ids = np.array(t.column("vec_id").to_pylist(), dtype=np.int64)
-    mat = np.array(t.column("embedding").to_pylist(), dtype=np.float64)
+    ids, mat = _oracle_embeddings(sf_dir)
+    if len(ids) == 0:
+        out = _oracle_path(sf_dir, "semdedup_docs")
+        pq.write_table(
+            pa.schema([("vec_id", pa.int64())]).empty_table(), out
+        )
+        return out
 
     # deterministic hash-ranked sample + mini k-means (train_centroids
     # semantics, sequential)
@@ -1114,12 +1201,20 @@ def q_semdedup_docs(sf_dir: str) -> "pa.Table":
     paper keep policy (furthest-from-centroid survives). Returns the
     sorted dropped vec_ids; SQL-oracled against the sequential
     plain-python kernel (write_semdedup_oracle)."""
+    import pyarrow.parquet as pq
+
     from ..similarity.ivf import train_centroids
     from ..similarity.semdedup import semdedup
+    from .analysis import drop_null_keys
 
     write_semdedup_oracle(sf_dir)
-    emb = rd.read_parquet(
-        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    if pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows == 0:
+        return pa.schema([("vec_id", pa.int64())]).empty_table()
+    emb = drop_null_keys(
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ),
+        ["vec_id", "embedding"],
     )
     cents = train_centroids(emb, dim=0, n_centroids=16)
     _, dropped = semdedup(
@@ -1186,12 +1281,22 @@ def q_pack_sequences_docs(sf_dir: str) -> Dataset:
     """Sequence packing (functions/packing.py): 256-token windows over
     8 hash buckets of the documents table. SQL-oracled against the
     sequential python kernel (write_pack_oracle)."""
+    import pyarrow.compute as pc
+
     from ..functions.packing import pack_sequences
 
     write_pack_oracle(sf_dir)
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
     )
+
+    def sanitize(t: pa.Table) -> pa.Table:  # the _oracle_docs policy
+        t = t.filter(pc.is_valid(t["doc_id"]))
+        return pa.table(
+            {"doc_id": t["doc_id"], "text": pc.fill_null(t["text"], "")}
+        )
+
+    ds = ds.map_batches(sanitize, batch_format="pyarrow")
     return pack_sequences(ds, seq_len=256, n_buckets=8)
 
 

@@ -1,0 +1,209 @@
+"""Adversarial-input soak for the 50 registered driver queries.
+
+Round-6 candidate 1 (NOTES.md): the CLI surfaces were soaked with
+non-default parameters at sf1 last round (six real bugs); the QUERY
+layer has only ever seen the driver's clean synthetic tables. This
+script replays every registered query against mutated copies of the
+sf0.001 tables and classifies the outcome:
+
+  ok            query returned a result (rows >= 0)
+  named-error   ValueError/RuntimeError with a readable message
+                (acceptable: a validation surface rejected the input)
+  INTERNAL      anything else — IndexError/KeyError/TypeError/
+                ZeroDivision/ArrowInvalid escaping from a Ray task, a
+                hang, or a wrong-shaped crash. These are bugs.
+
+Variants (each is a full copy of the sf0.001 table dir under /tmp):
+
+  nulls    ~10% of the values of every nullable column nulled
+           (deterministic seed), in every table
+  empty    every table truncated to 0 rows, schema preserved
+  one      every table truncated to exactly 1 row
+  dup      every table doubled (full duplicate rows: duplicate
+           doc_id / vec_id / event_id / order keys)
+  weird    targeted dirty data: empty strings in text columns,
+           zero + ragged-length + null-element embedding vectors,
+           a 1 MiB document, identical timestamps in events
+
+Usage:  python scripts/query_adversarial_soak.py [variant ...]
+Exit 1 if any INTERNAL outcome was observed.
+
+The variant dirs deliberately do NOT start with 'sf' so corpus-backed
+queries (sources/corpus.sf_from_dir) fall back to the cached sf0.001
+synthetic corpus — mutations target the table-reading queries; the
+corpus pipeline's dirty-data behavior is covered by
+tests/test_robustness.py.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import shutil
+import sys
+import time
+import traceback
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.001"
+ROOT = "/tmp/advq"
+SEED = 20260819
+
+
+def _null_out(col: pa.ChunkedArray, frac: float, rng) -> pa.Array:
+    arr = col.combine_chunks()
+    n = len(arr)
+    if n == 0:
+        return arr
+    mask = rng.random(n) < frac
+    if not mask.any():
+        mask[rng.integers(0, n)] = True
+    return pa.array(
+        [None if m else v for m, v in zip(mask, arr.to_pylist())],
+        type=arr.type,
+    )
+
+
+def build_variant(name: str) -> str:
+    d = os.path.join(ROOT, name)
+    if os.path.isdir(d):
+        shutil.rmtree(d)
+    os.makedirs(d)
+    rng = np.random.default_rng(SEED)
+    for f in sorted(glob.glob(f"{SRC}/*.parquet")):
+        t = pq.read_table(f)
+        base = os.path.basename(f)
+        if name == "nulls":
+            cols = {}
+            for c in t.column_names:
+                cols[c] = _null_out(t.column(c), 0.1, rng)
+            t = pa.table(cols)
+        elif name == "empty":
+            t = t.slice(0, 0)
+        elif name == "one":
+            t = t.slice(0, 1)
+        elif name == "dup":
+            t = pa.concat_tables([t, t]).combine_chunks()
+        elif name == "weird":
+            if base == "documents.parquet":
+                cols = t.to_pydict()
+                cols["text"][0] = ""
+                cols["text"][1] = "x" * (1 << 20)
+                cols["text"][2] = "\n\n\n"
+                cols["n_chars"][1] = 1 << 20
+                t = pa.table(
+                    {c: pa.array(v, t.schema.field(c).type)
+                     for c, v in cols.items()}
+                )
+            elif base == "embeddings.parquet":
+                cols = t.to_pydict()
+                dim = len(cols["embedding"][0])
+                cols["embedding"][0] = [0.0] * dim          # zero vector
+                cols["embedding"][1] = [1.0] * (dim // 2)   # ragged
+                cols["embedding"][2] = [None] + [1.0] * (dim - 1)
+                cols["embedding"][3] = []                   # length 0
+                t = pa.table(
+                    {c: pa.array(v, t.schema.field(c).type)
+                     for c, v in cols.items()}
+                )
+            elif base == "events.parquet":
+                cols = t.to_pydict()
+                ts0 = cols["ts"][0]
+                cols["ts"] = [ts0] * len(cols["ts"])        # all-same ts
+                t = pa.table(
+                    {c: pa.array(v, t.schema.field(c).type)
+                     for c, v in cols.items()}
+                )
+        pq.write_table(t, os.path.join(d, base))
+    return d
+
+
+NAMED = (ValueError, RuntimeError, NotImplementedError)
+
+
+def classify(exc: BaseException) -> str:
+    """named-error for exceptions a validation surface raised on
+    purpose (including when Ray re-wraps them), INTERNAL otherwise."""
+    seen = set()
+    e: BaseException | None = exc
+    while e is not None and id(e) not in seen:
+        seen.add(id(e))
+        if isinstance(e, NAMED):
+            return "named-error"
+        cause = getattr(e, "cause", None)
+        e = e.__cause__ or e.__context__ or cause
+    # Ray flattens remote exceptions into RayTaskError whose .args
+    # embed the original traceback text; look for our named types.
+    txt = "".join(
+        traceback.format_exception_only(type(exc), exc)
+    )
+    for t in ("ValueError", "RuntimeError", "NotImplementedError"):
+        if f"{t}:" in txt:
+            return "named-error"
+    return "INTERNAL"
+
+
+def main() -> int:
+    variants = sys.argv[1:] or ["nulls", "empty", "one", "dup", "weird"]
+    os.makedirs(ROOT, exist_ok=True)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=8,
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
+    sys.path.insert(0, os.path.dirname(os.path.dirname(__file__)))
+    import __ray_entry__ as entry
+
+    qs = entry.queries()
+    internal = []
+    for v in variants:
+        d = build_variant(v)
+        print(f"== variant {v} ({d}) ==", flush=True)
+        for name in sorted(qs):
+            t0 = time.time()
+            try:
+                res = qs[name](d)
+                # force execution
+                import ray.data as rd
+
+                if isinstance(res, rd.Dataset):
+                    nrows = res.count()
+                elif isinstance(res, pa.Table):
+                    nrows = res.num_rows
+                else:
+                    nrows = len(res)
+                print(f"  ok           {name}  rows={nrows}  "
+                      f"{time.time()-t0:.1f}s", flush=True)
+            except BaseException as e:  # noqa: BLE001 — classifying
+                kind = classify(e)
+                first = "".join(
+                    traceback.format_exception_only(type(e), e)
+                ).strip().splitlines()
+                msg = first[0][:160] if first else repr(e)[:160]
+                print(f"  {kind:12s} {name}  {msg}  "
+                      f"{time.time()-t0:.1f}s", flush=True)
+                if kind == "INTERNAL":
+                    internal.append((v, name, msg))
+                    with open(
+                        os.path.join(ROOT, f"internal_{v}_{name}.txt"),
+                        "w",
+                    ) as fh:
+                        traceback.print_exception(
+                            type(e), e, e.__traceback__, file=fh
+                        )
+    print(f"\nINTERNAL: {len(internal)}")
+    for v, name, msg in internal:
+        print(f"  {v}/{name}: {msg}")
+    return 1 if internal else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,132 @@
+"""Dirty-input regression tests for the driver queries.
+
+The full sweep lives in scripts/query_adversarial_soak.py (all 50
+queries x 5 table mutations); these tests pin the REPRESENTATIVE
+failure classes it found so the pytest suite catches regressions:
+
+  * null group keys   — Ray Data's sort-based aggregate exchange
+                        cannot partition string-key blocks containing
+                        nulls (numpy searchsorted on None)
+  * null ids / text   — kernels hashing or arithmetic-ing None
+  * empty tables      — zero-row aggregates yield zero-COLUMN frames;
+                        broadcast dims read as schema-less frames
+  * single-row tables — empty joins / parity splits downstream
+
+Policy under test (documented on analysis.drop_null_keys and
+extras._oracle_docs): rows with null ids/group keys are dropped, null
+text reads as "", zero-row results come back typed.
+"""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from redpajama_data_ray.pipelines import analysis, extras
+
+SEED = 20260819
+
+
+def _mutate(src: str, dst: str, kind: str) -> str:
+    os.makedirs(dst, exist_ok=True)
+    rng = np.random.default_rng(SEED)
+    for f in sorted(glob.glob(f"{src}/*.parquet")):
+        t = pq.read_table(f)
+        if kind == "nulls":
+            cols = {}
+            for c in t.column_names:
+                arr = t.column(c).combine_chunks()
+                n = len(arr)
+                mask = rng.random(n) < 0.1
+                if n and not mask.any():
+                    mask[rng.integers(0, n)] = True
+                cols[c] = pa.array(
+                    [None if m else v for m, v in zip(mask, arr.to_pylist())],
+                    type=arr.type,
+                )
+            t = pa.table(cols)
+        elif kind == "empty":
+            t = t.slice(0, 0)
+        elif kind == "one":
+            t = t.slice(0, 1)
+        pq.write_table(t, os.path.join(dst, os.path.basename(f)))
+    return dst
+
+
+@pytest.fixture(scope="module")
+def dirty_dirs(sf_dir, tmp_path_factory):
+    root = tmp_path_factory.mktemp("dirty")
+    dirs = {
+        kind: _mutate(sf_dir, str(root / kind), kind)
+        for kind in ("nulls", "empty", "one")
+    }
+    yield dirs
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _rows(res) -> int:
+    import ray.data as rd
+
+    if isinstance(res, rd.Dataset):
+        return res.count()
+    if isinstance(res, pa.Table):
+        return res.num_rows
+    return len(res)
+
+
+# one query per failure class the soak found (cheap subset — the
+# soak script replays all 50)
+CASES = [
+    # string group key + Mean aggregate (null-key partition crash,
+    # zero-column empty frame)
+    ("doc_stats_by_lang", analysis.q_doc_stats_by_lang),
+    # TPC-H grouped aggregate, two string keys
+    ("lineitem_pricing", analysis.q_lineitem_pricing),
+    # broadcast-join dims read driver-side (schema-less when empty),
+    # NaN lookup values
+    ("supplier_region_stats", analysis.q_supplier_region_stats),
+    # map_groups as-of join (parity splits / empty groups)
+    ("events_orders_asof", analysis.q_events_orders_asof),
+    # ds.unique returning None on empty, None unsortable under nulls
+    ("distinct_langs", analysis.q_distinct_langs),
+    # md5-of-None kernel + two-level aggregate on empty
+    ("dedup_histogram", analysis.q_dedup_histogram),
+    # modulo-on-None sampling kernel
+    ("stratified_sample_docs", analysis.q_stratified_sample_docs),
+    # sequential oracle writer int(None) + Ray-side parity
+    ("pack_sequences_docs", extras.q_pack_sequences_docs),
+]
+
+
+@pytest.mark.parametrize("kind", ["nulls", "empty", "one"])
+@pytest.mark.parametrize("name,fn", CASES, ids=[c[0] for c in CASES])
+def test_query_survives_dirty_tables(dirty_dirs, kind, name, fn):
+    assert _rows(fn(dirty_dirs[kind])) >= 0
+
+
+def test_null_group_keys_are_dropped(dirty_dirs):
+    # nulled lang rows must not appear as a group; clean rows still do
+    t = analysis.q_doc_stats_by_lang(dirty_dirs["nulls"])
+    langs = t.column("lang").to_pylist()
+    assert None not in langs
+    assert len(langs) > 0
+
+
+def test_empty_aggregate_is_typed(dirty_dirs):
+    t = analysis.q_lineitem_pricing(dirty_dirs["empty"])
+    assert t.num_rows == 0
+    assert t.schema.field("sum_qty").type == pa.float64()
+    assert t.schema.field("count_order").type == pa.int64()
+
+
+def test_null_text_fingerprints_as_empty_string(dirty_dirs):
+    import hashlib
+
+    t = analysis.q_doc_fingerprint(dirty_dirs["nulls"]).to_pandas()
+    assert (t["fp"] == hashlib.md5(b"").hexdigest()).any()
+    # null doc_ids dropped, never emitted
+    assert t["doc_id"].notna().all()

@@ -384,3 +384,60 @@ def test_exact_dedup_rejects_foreign_state_dir(tmp_path):
             ds, str(tmp_path), key="content", order_col="doc_id",
             run_id="r1",
         )
+
+
+def test_counts_state_format_guard(tmp_path):
+    """The count-partial state families (line / substring-fingerprint /
+    vocab) share _counts_dir; a dir stamped under a different key
+    format — or unstamped legacy data — must be rejected loudly
+    through the PUBLIC incremental entry points, not just the helper
+    (silent cross-format mixing would under-deduplicate)."""
+    import os
+
+    import pytest as _pytest
+
+    from redpajama_data_ray.state.incremental import (
+        LINE_KEY_FORMAT,
+        _counts_dir,
+        incremental_line_dedup,
+        incremental_substring_dedup,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table({"content": ["a\nb", "b\nc"], "doc_id": ["1", "2"]})
+    )
+
+    # stamped mismatch: rewrite the marker to an older format
+    state = str(tmp_path / "st")
+    d = _counts_dir(state, "lines", LINE_KEY_FORMAT)
+    assert open(os.path.join(d, "FORMAT")).read() == LINE_KEY_FORMAT
+    with open(os.path.join(d, "FORMAT"), "w") as f:
+        f.write("sha1x8le-flip-v0")
+    with _pytest.raises(ValueError, match="key format"):
+        incremental_line_dedup(
+            ds, state, text_col="content", run_id="r1"
+        )
+
+    # unstamped legacy dir with data
+    state2 = str(tmp_path / "st2")
+    d2 = os.path.join(state2, "lines")
+    os.makedirs(d2)
+    open(os.path.join(d2, "old.parquet"), "wb").close()
+    with _pytest.raises(ValueError, match="predates"):
+        incremental_line_dedup(
+            ds, state2, text_col="content", run_id="r1"
+        )
+
+    # the fingerprint family's stamp additionally pins (k, winnow_w):
+    # same dir re-opened with different span parameters must reject
+    state3 = str(tmp_path / "st3")
+    out3, rid3, _counts3 = incremental_substring_dedup(
+        ds, state3, text_col="content", id_col="doc_id",
+        run_id="r1", k=8, winnow_w=0,
+    )
+    out3.materialize()
+    with _pytest.raises(ValueError, match="key format"):
+        incremental_substring_dedup(
+            ds, state3, text_col="content", id_col="doc_id",
+            run_id="r2", k=12, winnow_w=0,
+        )
