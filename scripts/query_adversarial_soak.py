@@ -87,6 +87,37 @@ def build_variant(name: str) -> str:
             t = t.slice(0, 1)
         elif name == "dup":
             t = pa.concat_tables([t, t]).combine_chunks()
+        elif name == "nonfinite":
+            # NaN / +-Inf sprinkled through every float column (and
+            # embedding list elements): aggregates, sorts, top-k and
+            # cosine kernels all see non-finite input
+            specials = [float("nan"), float("inf"), float("-inf")]
+            cols = {}
+            for c in t.column_names:
+                arr = t.column(c).combine_chunks()
+                typ = arr.type
+                if pa.types.is_floating(typ):
+                    vals = arr.to_pylist()
+                    n = len(vals)
+                    for j, i in enumerate(
+                        rng.permutation(n)[: max(1, n // 20)]
+                    ):
+                        vals[i] = specials[j % 3]
+                    cols[c] = pa.array(vals, typ)
+                elif pa.types.is_list(typ) and pa.types.is_floating(
+                    typ.value_type
+                ):
+                    vals = arr.to_pylist()
+                    for j, i in enumerate(range(0, len(vals), 17)):
+                        v = vals[i]
+                        if v:
+                            v[int(rng.integers(0, len(v)))] = specials[
+                                j % 3
+                            ]
+                    cols[c] = pa.array(vals, typ)
+                else:
+                    cols[c] = arr
+            t = pa.table(cols)
         elif name == "weird":
             if base == "documents.parquet":
                 cols = t.to_pydict()
