@@ -192,8 +192,23 @@ def cmd_quality(args) -> dict:
         langid_model_path=getattr(args, "langid_model", None),
         ppl_model_path=getattr(args, "ppl_model", None),
         classifier_model_path=getattr(args, "classifier_model", None),
+        minhash_shingle_hash=getattr(
+            args, "minhash_shingle_hash", "sha1"
+        ),
     )
     annotated = annotate(ds, QualityConfig(**model_kwargs))
+    # provenance sidecar: which shingle-hash mode produced the
+    # signature columns (modes are not comparable — dedup-fuzzy
+    # validates this stamp against its state dir)
+    from .functions.minhash import MinHasher
+
+    _hasher = MinHasher(
+        shingle_hash=model_kwargs["minhash_shingle_hash"]
+    )
+    minhash_provenance = {
+        "shingle_hash": _hasher.shingle_hash,
+        "checksum": _hasher.checksum,
+    }
     if args.resume:
         # partition-per-input-shard resumable mode
         import glob
@@ -221,8 +236,13 @@ def cmd_quality(args) -> dict:
                 lambda p: annotate(ray.data.read_parquet(p), cfg),
                 max_concurrent=workers,
             )
+            from .pipelines.outputs import write_minhash_provenance
+
+            write_minhash_provenance(args.output, minhash_provenance)
             return {"partitions": len(committed), "output": args.output}
-    paths = write_outputs(annotated, args.output)
+    paths = write_outputs(
+        annotated, args.output, minhash_provenance=minhash_provenance
+    )
     return {"outputs": paths}
 
 
@@ -285,12 +305,19 @@ def cmd_dedup_fuzzy(args) -> dict:
         "raw corpus first and point --input at its annotated/ dir",
     )
     if args.state_dir:
+        from .pipelines.outputs import read_minhash_provenance
         from .state.incremental import (
+            check_minhash_provenance,
             commit_run_bands,
             incremental_fuzzy_dedup,
             seen_band_count,
         )
 
+        # refuse to mix shingle-hash modes across runs (the sidecar is
+        # written by `quality`; legacy inputs without one skip the check)
+        check_minhash_provenance(
+            args.state_dir, read_minhash_provenance(args.input)
+        )
         out, run_id = incremental_fuzzy_dedup(
             ds, args.state_dir, sig_column=args.signature,
             run_id=args.run_id,
@@ -914,6 +941,15 @@ def build_parser() -> argparse.ArgumentParser:
         "--classifier-model", default=None, metavar="PATH",
         help="quality-classifier artifact: fastText .bin or saved "
         ".npy log-odds weights",
+    )
+    q.add_argument(
+        "--minhash-shingle-hash", default="sha1",
+        choices=("sha1", "poly64"), dest="minhash_shingle_hash",
+        help="shingle hash for minhash signatures: sha1 = reference "
+        "byte-parity (default); poly64 = documented ~12x-faster "
+        "vectorized deviation (signatures NOT comparable across "
+        "modes; the output's MINHASH_FORMAT sidecar records the "
+        "choice and dedup-fuzzy --state-dir enforces it)",
     )
     q.set_defaults(fn=cmd_quality)
 

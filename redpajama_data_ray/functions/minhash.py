@@ -14,6 +14,18 @@ byte-identical given the same tokens and seed:
 - documents with fewer than ``ngram_size`` tokens get null signatures
   (/root/reference/app/src/dedupe/minhash.py:74-75)
 
+DOCUMENTED DEVIATION — ``shingle_hash="poly64"`` (opt-in, default is
+reference parity): replaces the per-window sha1 with a vectorized
+64-bit polynomial rolling hash (invertible FNV-prime base mod 2^64,
+prefix-sum trick) finalized by splitmix64 to 32 bits. ~12x faster on
+the shingle stage (0.68 -> 0.06 ms per 1.1k-token doc, measured; whole
+signature kernel 1.35 -> 0.77 ms) with no per-window Python/OpenSSL
+call. Signatures are deterministic and
+of identical shape but NOT byte-comparable with sha1 signatures: a
+corpus must be deduped entirely in one mode, and incremental fuzzy
+state written in one mode must never be probed with the other (the
+minhash parquet's ``checksum`` metadata distinguishes the modes).
+
 ``optimal_param`` integrates the S-curve false-positive/negative
 probabilities numerically; we use composite Simpson quadrature instead of
 scipy.quad (scipy is not in this container) — the integrands are smooth
@@ -84,6 +96,25 @@ def sha1_hash32(data: bytes) -> int:
     return struct.unpack("<I", hashlib.sha1(data).digest()[:4])[0]
 
 
+# poly64 fast path: polynomial rolling hash over the window bytes with
+# base B (odd => invertible mod 2^64), H(i..j) = sum (byte[t]+1) *
+# B^(j-1-t) computed for ALL windows at once from one prefix sum:
+#   S[j]   = sum_{t<j} (byte[t]+1) * Binv^t        (cumsum, wrapping)
+#   H(i,j) = (S[j] - S[i]) * B^(j-1)               (elementwise)
+# then splitmix64-finalized and truncated to 32 bits so the value
+# distribution matches what the Mersenne permutations expect.
+_POLY_B = np.uint64(0x100000001B3)  # FNV-1a 64 prime
+_POLY_BINV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+
+
+def _splitmix64_final32(z: np.ndarray) -> np.ndarray:
+    z = z + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    z = z ^ (z >> np.uint64(31))
+    return z & np.uint64(0xFFFFFFFF)
+
+
 class MinHasher:
     """Banded minhash signature generator (seeded, deterministic)."""
 
@@ -95,7 +126,17 @@ class MinHasher:
         ngram_size: int = MINHASH_NGRAM_SIZE,
         num_permutations: int = MINHASH_NUM_PERMUTATIONS,
         seed: int = MINHASH_SEED,
+        shingle_hash: str = "sha1",
     ):
+        if shingle_hash not in ("sha1", "poly64"):
+            raise ValueError(
+                f"shingle_hash must be 'sha1' (reference parity) or "
+                f"'poly64' (documented fast deviation), got "
+                f"{shingle_hash!r}"
+            )
+        self.shingle_hash = shingle_hash
+        self._powB: Optional[np.ndarray] = None
+        self._powBinv: Optional[np.ndarray] = None
         self.ngram_size = ngram_size
         self.num_permutations = num_permutations
         rng = np.random.RandomState(seed)
@@ -112,7 +153,12 @@ class MinHasher:
         ).T
         self._a = perms[0]
         self._b = perms[1]
-        self.checksum = hashlib.sha256(perms.tobytes()).hexdigest()
+        # provenance: poly64 signatures are not comparable with sha1
+        # ones, so the checksum (written into the minhash parquet
+        # metadata) must differ between the modes; the sha1 value is
+        # unchanged from what earlier releases committed
+        tag = b"" if shingle_hash == "sha1" else shingle_hash.encode()
+        self.checksum = hashlib.sha256(perms.tobytes() + tag).hexdigest()
 
         self.bands_rows: Dict[str, Tuple[int, int]] = {
             str(s): optimal_param(s, num_permutations)
@@ -173,6 +219,9 @@ class MinHasher:
             ends[:-1] = sp
             ends[-1] = len(full)
         n_windows = len(tokens) - self.ngram_size + 1
+        if self.shingle_hash == "poly64":
+            h = self._poly64_window_hashes(full, starts, ends, n_windows)
+            return self._sig_from_hashes(h)
         mv = memoryview(full)
         sha1 = hashlib.sha1
         buf = b"".join(
@@ -189,6 +238,42 @@ class MinHasher:
         h = np.frombuffer(buf, dtype=np.uint32).reshape(-1, 5)[:, 0]
         h = h.astype(np.uint64)
         return self._sig_from_hashes(h)
+
+    def _ensure_poly_pows(self, n: int) -> None:
+        """Grow the cached B^t / Binv^t power tables to length >= n."""
+        if self._powB is not None and len(self._powB) >= n:
+            return
+        m = max(n, 4096)
+        base = np.full(m, _POLY_B, dtype=np.uint64)
+        base[0] = np.uint64(1)
+        self._powB = np.multiply.accumulate(base)
+        base_inv = np.full(m, _POLY_BINV, dtype=np.uint64)
+        base_inv[0] = np.uint64(1)
+        self._powBinv = np.multiply.accumulate(base_inv)
+
+    def _poly64_window_hashes(
+        self, full: bytes, starts: np.ndarray, ends: np.ndarray, n_windows: int
+    ) -> np.ndarray:
+        """All window hashes of the joined buffer from ONE prefix sum.
+
+        H(i, j) = sum_{t=i}^{j-1} (byte[t] + 1) * B^(j-1-t)  (mod 2^64)
+                = (S[j] - S[i]) * B^(j-1)
+        with S[j] = sum_{t<j} (byte[t] + 1) * Binv^t — everything wraps
+        mod 2^64 (numpy uint64 semantics), B odd so Binv exists. The +1
+        keeps leading NUL bytes from hashing equal across lengths. Each
+        window hash covers exactly the bytes sha1 mode would hash
+        (tokens joined by spaces), then splitmix64-finalizes to 32 bits.
+        """
+        arr = np.frombuffer(full, dtype=np.uint8).astype(np.uint64)
+        arr += np.uint64(1)
+        self._ensure_poly_pows(len(full) + 1)
+        pref = np.empty(len(full) + 1, dtype=np.uint64)
+        pref[0] = np.uint64(0)
+        np.cumsum(arr * self._powBinv[: len(full)], out=pref[1:])
+        i = starts[:n_windows]
+        j = ends[self.ngram_size - 1 :]
+        h = (pref[j] - pref[i]) * self._powB[j - 1]
+        return _splitmix64_final32(h)
 
     def _sig_from_hashes(self, h: np.ndarray) -> np.ndarray:
         """Column-min of ``(a*h + b) mod p & max32`` over hashed shingles.

@@ -12,8 +12,9 @@ columns it keeps, never re-running the models.
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import pyarrow as pa
 import ray.data as rd
@@ -26,13 +27,41 @@ SIGNATURE_COLUMNS = [
     "signature_sim0.7",
 ]
 
+# sidecar recording which shingle-hash mode produced the signature
+# columns (sha1 reference parity vs the documented poly64 deviation —
+# functions/minhash.py). Signatures from different modes are not
+# comparable; dedup-fuzzy --state-dir validates this stamp against the
+# state dir's copy so a mixed-mode probe fails loudly instead of
+# silently under-deduplicating. The underscore prefix keeps pyarrow's
+# dataset discovery (ignore_prefixes=['.', '_']) from treating the
+# sidecar as a parquet file when the dir is read back.
+MINHASH_FORMAT_FILE = "_MINHASH_FORMAT.json"
+
+
+def write_minhash_provenance(dir_path: str, provenance: Dict) -> None:
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, MINHASH_FORMAT_FILE), "w") as f:
+        json.dump(provenance, f)
+
+
+def read_minhash_provenance(dir_path: str) -> Optional[Dict]:
+    p = os.path.join(dir_path, MINHASH_FORMAT_FILE)
+    if not os.path.isfile(p):
+        return None  # legacy output (pre-stamping, sha1-only era)
+    with open(p) as f:
+        return json.load(f)
+
 KEPT_COLUMNS = [
     "doc_id", "id_int", "repo", "path", "commit", "lang",
     "content", "content_scrubbed_sha256",
 ]
 
 
-def write_outputs(annotated: Dataset, out_dir: str) -> Dict[str, str]:
+def write_outputs(
+    annotated: Dataset,
+    out_dir: str,
+    minhash_provenance: Optional[Dict] = None,
+) -> Dict[str, str]:
     """annotated -> {annotated, signals, minhash, kept} parquet dirs."""
     paths = {
         "annotated": os.path.join(out_dir, "annotated"),
@@ -42,6 +71,9 @@ def write_outputs(annotated: Dataset, out_dir: str) -> Dict[str, str]:
     }
     # single full pass (models run exactly once)
     annotated.write_parquet(paths["annotated"])
+    if minhash_provenance is not None:
+        write_minhash_provenance(paths["annotated"], minhash_provenance)
+        write_minhash_provenance(paths["minhash"], minhash_provenance)
 
     full = rd.read_parquet(paths["annotated"])
     all_cols: List[str] = full.schema().names

@@ -77,6 +77,11 @@ class QualityConfig:
     fused: "bool | str" = True  # True | False | "pairs"
     include_line_signals: bool = True
     include_minhash: bool = True
+    # "sha1" = reference byte-parity (default); "poly64" = the documented
+    # ~12x-faster vectorized shingle hash (functions/minhash.py module
+    # docstring) — signatures are NOT comparable across modes, so a corpus
+    # and its incremental fuzzy state must stay in one mode throughout
+    minhash_shingle_hash: str = "sha1"
     include_classifier: bool = True
     include_dsir: bool = True
     rules: RuleConfig = RuleConfig()
@@ -167,6 +172,7 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
             fn_constructor_kwargs=dict(
                 use_model_columns=True,
                 include_minhash=cfg.include_minhash,
+                minhash_shingle_hash=cfg.minhash_shingle_hash,
                 include_scrub=True,
                 rules=cfg.rules,
                 extra_signals=list(registered_signals().values()),
@@ -188,6 +194,7 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
             AnnotateStage,
             fn_constructor_kwargs=dict(
                 include_minhash=cfg.include_minhash,
+                minhash_shingle_hash=cfg.minhash_shingle_hash,
                 include_scrub=True,
                 rules=cfg.rules,
                 extra_signals=list(registered_signals().values()),
@@ -231,7 +238,13 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
             SignalStage, fn_constructor_kwargs=feature_kwargs, **pool
         )
         if cfg.include_minhash:
-            ds = ds.map_batches(MinHashStage, **pool)
+            ds = ds.map_batches(
+                MinHashStage,
+                fn_constructor_kwargs=dict(
+                    shingle_hash=cfg.minhash_shingle_hash
+                ),
+                **pool,
+            )
     ds = ds.map_batches(
         scrub_batch, batch_format="pyarrow", batch_size=cfg.batch_size
     )

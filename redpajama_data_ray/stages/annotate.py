@@ -75,6 +75,7 @@ class AnnotateStage:
         ppl_model_path=None,
         classifier_model_path=None,
         use_model_columns: bool = False,
+        minhash_shingle_hash: str = "sha1",
     ):
         """``*_model_path``: optional user-supplied model artifacts
         (fastText ``.bin`` / KenLM binary via try-import hooks, or this
@@ -129,7 +130,11 @@ class AnnotateStage:
             else:
                 self.pplx = PerplexityScorer()
         self.include_line_signals = include_line_signals
-        self.hasher = MinHasher() if include_minhash else None
+        self.hasher = (
+            MinHasher(shingle_hash=minhash_shingle_hash)
+            if include_minhash
+            else None
+        )
         if include_classifier:
             if classifier_model_path:
                 from ..functions.model_loading import load_classifier_model

@@ -267,6 +267,46 @@ def _bands_dir(state_dir: str) -> str:
     return d
 
 
+def check_minhash_provenance(state_dir: str, provenance) -> None:
+    """Pin the SHINGLE-hash mode of the signatures feeding this state.
+
+    sha1 (reference parity) and poly64 (the documented fast deviation,
+    functions/minhash.py) signatures are not comparable: probing sha1
+    state with poly64 bands silently under-deduplicates. The quality
+    pipeline stamps its outputs with a MINHASH_FORMAT sidecar
+    (pipelines/outputs.py); when the fuzzy CLI sees one on its input,
+    the first incremental run records it here and every later run must
+    match. Legacy inputs without a sidecar skip the check (sha1-only
+    era outputs).
+    """
+    if provenance is None:
+        return
+    d = os.path.join(state_dir, "bands")
+    os.makedirs(d, exist_ok=True)
+    marker = os.path.join(d, "_MINHASH_FORMAT.json")
+    if os.path.exists(marker):
+        import json
+
+        with open(marker) as f:
+            recorded = json.load(f)
+        if recorded.get("checksum") != provenance.get("checksum"):
+            raise ValueError(
+                f"fuzzy band state at {d!r} was built from minhash "
+                f"signatures with shingle_hash="
+                f"{recorded.get('shingle_hash')!r} (checksum "
+                f"{recorded.get('checksum', '')[:12]}…) but the input "
+                f"was produced with shingle_hash="
+                f"{provenance.get('shingle_hash')!r}; the two modes' "
+                "signatures are not comparable — re-run the dedup "
+                "from scratch in one mode"
+            )
+    else:
+        import json
+
+        with open(marker, "w") as f:
+            json.dump(provenance, f)
+
+
 def _band_files(state_dir: str):
     d = _bands_dir(state_dir)
     return [

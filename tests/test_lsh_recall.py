@@ -10,6 +10,7 @@ recall, and verify NO false merges between unrelated docs.
 
 import numpy as np
 import pyarrow as pa
+import pytest
 import ray.data
 
 from redpajama_data_ray.dedupe.jaccard import jaccard, shingle_set
@@ -44,7 +45,11 @@ def _planted_corpus():
     )
 
 
-def test_lsh_recall_and_precision():
+@pytest.mark.parametrize("shingle_hash", ["sha1", "poly64"])
+def test_lsh_recall_and_precision(shingle_hash):
+    # sha1 = reference parity; poly64 = the documented fast deviation
+    # (functions/minhash.py) — same banding math, so the planted-pair
+    # recall bound must hold identically in both modes
     table = _planted_corpus()
     # sanity: planted pairs really are high-Jaccard
     j = jaccard(
@@ -57,7 +62,12 @@ def test_lsh_recall_and_precision():
         ray.data.from_arrow(table)
         .repartition(4)
         .map_batches(assign_ids, batch_format="pyarrow")
-        .map_batches(MinHashStage, batch_format="pyarrow", concurrency=2)
+        .map_batches(
+            MinHashStage,
+            fn_constructor_kwargs=dict(shingle_hash=shingle_hash),
+            batch_format="pyarrow",
+            concurrency=2,
+        )
         .materialize()
     )
     ids = {

@@ -142,3 +142,109 @@ def test_signature_matches_naive_reference_math():
                     sig[j] = v
         got = m.signature(tokens)
         assert np.array_equal(got, np.array(sig, dtype=np.uint32)), tokens
+
+
+# ---------------------------------------------------------------------
+# poly64 shingle-hash deviation (documented in the module docstring)
+# ---------------------------------------------------------------------
+
+
+def test_poly64_window_hashes_match_naive_polynomial():
+    """Pin the prefix-sum trick against the direct Horner evaluation
+    H = sum (byte+1) * B^(len-1-t) mod 2^64 per window."""
+    from redpajama_data_ray.functions.minhash import (
+        _POLY_B,
+        _splitmix64_final32,
+    )
+
+    m = MinHasher(shingle_hash="poly64", ngram_size=3)
+    tokens = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "à"]
+    full = " ".join(tokens).encode("utf-8")
+    arr = np.frombuffer(full, dtype=np.uint8)
+    sp = np.flatnonzero(arr == 0x20)
+    starts = np.empty(len(tokens), dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = sp + 1
+    ends = np.empty(len(tokens), dtype=np.int64)
+    ends[:-1] = sp
+    ends[-1] = len(full)
+    n_windows = len(tokens) - 2
+
+    def naive(window: bytes) -> int:
+        h = 0
+        for byte in window:
+            h = (h * int(_POLY_B) + byte + 1) % (1 << 64)
+        return int(
+            _splitmix64_final32(np.array([h], dtype=np.uint64))[0]
+        )
+
+    expected = [
+        naive(" ".join(tokens[i : i + 3]).encode("utf-8"))
+        for i in range(n_windows)
+    ]
+    got = m._poly64_window_hashes(full, starts, ends, n_windows)
+    assert got.tolist() == expected
+
+
+def test_poly64_signature_deterministic_and_distinct_from_sha1():
+    tokens = [f"tok{i}" for i in range(40)]
+    p1 = MinHasher(shingle_hash="poly64")
+    p2 = MinHasher(shingle_hash="poly64")
+    s = MinHasher()  # sha1 default
+    sig_p = p1.signature(tokens)
+    assert sig_p is not None and sig_p.dtype == np.uint32
+    assert np.array_equal(sig_p, p2.signature(tokens))
+    assert not np.array_equal(sig_p, s.signature(tokens))
+    # provenance checksums must differ between modes; sha1's value is
+    # the historical one (asserted byte-exact elsewhere)
+    assert p1.checksum != s.checksum
+    assert p1.checksum == p2.checksum
+
+
+def test_poly64_near_dup_signatures_share_bands():
+    # 300 tokens -> 288 windows, 13 changed -> Jaccard ~0.91; band
+    # collision probability at sim0.7 is then >0.999 (the 100-token
+    # variant used for sha1 is only ~0.6 likely per hash function)
+    m = MinHasher(shingle_hash="poly64")
+    base = [f"word{i}" for i in range(300)]
+    near = list(base)
+    near[150] = "changed"
+    s1 = m.banded_signatures(base)
+    s2 = m.banded_signatures(near)
+    shared = sum(
+        b1 == b2
+        for b1, b2 in zip(s1["signature_sim0.7"], s2["signature_sim0.7"])
+    )
+    assert shared >= 1
+    assert m.banded_signatures(base) == s1
+
+
+def test_poly64_space_token_fallback_path():
+    """Caller-supplied tokens containing spaces take the per-token
+    offset fallback; the poly hash covers the same byte windows, so a
+    window whose joined bytes are identical must hash identically
+    regardless of how the offsets were derived."""
+    # ngram_size=2 over ["a b", "c"] -> one window "a b c" (via the
+    # fallback: token contains a space). ngram_size=3 over
+    # ["a", "b", "c"] -> the same window bytes via the offset path.
+    via_fallback = MinHasher(
+        shingle_hash="poly64", ngram_size=2
+    ).signature(["a b", "c"])
+    via_offsets = MinHasher(
+        shingle_hash="poly64", ngram_size=3
+    ).signature(["a", "b", "c"])
+    assert via_fallback is not None and via_offsets is not None
+    assert np.array_equal(via_fallback, via_offsets)
+
+
+def test_poly64_invalid_mode_rejected():
+    import pytest
+
+    with pytest.raises(ValueError, match="shingle_hash"):
+        MinHasher(shingle_hash="xxhash")
+
+
+def test_poly64_short_doc_null_signatures():
+    m = MinHasher(shingle_hash="poly64")
+    sigs = m.banded_signatures(["too", "short"])
+    assert all(v is None for v in sigs.values())

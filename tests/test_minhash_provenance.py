@@ -1,0 +1,115 @@
+"""Shingle-hash mode provenance: the _MINHASH_FORMAT.json sidecar and
+the incremental fuzzy state's mode pin (sha1 vs poly64 signatures are
+not comparable — a mixed-mode probe must fail loudly, never silently
+under-deduplicate)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from redpajama_data_ray.functions.minhash import MinHasher
+from redpajama_data_ray.pipelines.outputs import (
+    MINHASH_FORMAT_FILE,
+    read_minhash_provenance,
+    write_minhash_provenance,
+)
+from redpajama_data_ray.state.incremental import check_minhash_provenance
+
+
+def _prov(mode: str) -> dict:
+    m = MinHasher(shingle_hash=mode)
+    return {"shingle_hash": m.shingle_hash, "checksum": m.checksum}
+
+
+def test_sidecar_roundtrip(tmp_path):
+    d = str(tmp_path / "out")
+    prov = _prov("poly64")
+    write_minhash_provenance(d, prov)
+    assert read_minhash_provenance(d) == prov
+    # underscore prefix: pyarrow dataset discovery must ignore it
+    assert MINHASH_FORMAT_FILE.startswith("_")
+
+
+def test_sidecar_absent_is_none(tmp_path):
+    assert read_minhash_provenance(str(tmp_path)) is None
+
+
+def test_state_pin_first_run_stamps_then_enforces(tmp_path):
+    state = str(tmp_path / "state")
+    check_minhash_provenance(state, _prov("sha1"))  # stamps
+    marker = os.path.join(state, "bands", "_MINHASH_FORMAT.json")
+    assert json.load(open(marker))["shingle_hash"] == "sha1"
+    check_minhash_provenance(state, _prov("sha1"))  # same mode: ok
+    with pytest.raises(ValueError, match="not comparable"):
+        check_minhash_provenance(state, _prov("poly64"))
+
+
+def test_state_pin_legacy_input_skips_check(tmp_path):
+    state = str(tmp_path / "state")
+    check_minhash_provenance(state, _prov("poly64"))
+    # an input without a sidecar (legacy) is not blocked
+    check_minhash_provenance(state, None)
+
+
+def test_sidecar_does_not_break_parquet_reread(tmp_path, ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    d = str(tmp_path / "annotated")
+    os.makedirs(d)
+    pq.write_table(pa.table({"a": [1, 2, 3]}), os.path.join(d, "p.parquet"))
+    write_minhash_provenance(d, _prov("sha1"))
+    assert rd.read_parquet(d).count() == 3
+
+
+def test_quality_pipeline_poly64_mode(ray_session):
+    """End-to-end: annotate in poly64 mode yields valid banded
+    signatures that differ from sha1 mode, while every non-signature
+    column (signals, keep/drop) is identical."""
+    import ray.data as rd
+
+    from redpajama_data_ray.pipelines.quality import (
+        QualityConfig,
+        annotate,
+    )
+    from redpajama_data_ray.sources.corpus import generate_corpus_table
+
+    src = rd.from_arrow(generate_corpus_table(40, seed=7))
+    base_cfg = dict(
+        include_classifier=False, include_dsir=False,
+        include_line_signals=False, max_actors=2,
+    )
+    a_sha = annotate(
+        src, QualityConfig(**base_cfg)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    a_poly = annotate(
+        src, QualityConfig(minhash_shingle_hash="poly64", **base_cfg)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    sig_cols = [c for c in a_sha.columns if c.startswith("signature_sim")]
+    assert sig_cols
+    other = [c for c in a_sha.columns if c not in sig_cols]
+
+    def norm(v):
+        # list columns come back as numpy arrays whose == is elementwise
+        return list(v) if isinstance(v, np.ndarray) else v
+
+    for c in other:
+        assert [norm(v) for v in a_sha[c]] == [
+            norm(v) for v in a_poly[c]
+        ], c
+    # signatures present for long docs and mode-distinct
+    long_mask = a_sha["rps_doc_word_count"] >= 13
+    assert long_mask.any()
+    col = sig_cols[0]
+    sha_sigs = a_sha.loc[long_mask, col].tolist()
+    poly_sigs = a_poly.loc[long_mask, col].tolist()
+    assert all(s is not None and len(s) > 0 for s in sha_sigs)
+    assert all(s is not None and len(s) > 0 for s in poly_sigs)
+    diffs = sum(
+        not np.array_equal(x, y) for x, y in zip(sha_sigs, poly_sigs)
+    )
+    assert diffs == len(sha_sigs)  # every long doc's signature differs
