@@ -24,7 +24,9 @@ call. Signatures are deterministic and
 of identical shape but NOT byte-comparable with sha1 signatures: a
 corpus must be deduped entirely in one mode, and incremental fuzzy
 state written in one mode must never be probed with the other (the
-minhash parquet's ``checksum`` metadata distinguishes the modes).
+``_MINHASH_FORMAT.json`` sidecar written next to the quality outputs
+records the mode + permutation ``checksum``, and the fuzzy state dir
+pins it — pipelines/outputs.py, state/incremental.py).
 
 ``optimal_param`` integrates the S-curve false-positive/negative
 probabilities numerically; we use composite Simpson quadrature instead of
