@@ -742,6 +742,32 @@ def cmd_vocab(args) -> dict:
     return {"output": args.output}
 
 
+def cmd_train_bpe(args) -> dict:
+    """Train a BPE tokenizer from the corpus and export a real
+    tokenizer.json (functions/bpe_train.py) — loadable by
+    `token-count --tokenizer` and any HF loader."""
+    from .functions.bpe_train import train_bpe, write_tokenizer_json
+
+    ds = _read_input(args.input, args.max_docs, False)
+    spec = train_bpe(
+        ds,
+        text_col=args.text_column,
+        vocab_size=args.vocab_size,
+        min_frequency=args.min_frequency,
+        pretokenizer=args.pretokenizer,
+        lowercase=args.lowercase,
+        words_top_k=args.words_top_k,
+        special_tokens=tuple(args.special_token or ()),
+    )
+    path = write_tokenizer_json(spec, args.output)
+    model = spec["model"]
+    return {
+        "output": path,
+        "vocab_size": len(model["vocab"]),
+        "merges": len(model["merges"]),
+    }
+
+
 def cmd_semdedup(args) -> dict:
     """SemDeDup semantic dedup (similarity/semdedup.py)."""
     import ray.data as rd
@@ -1201,6 +1227,37 @@ def build_parser() -> argparse.ArgumentParser:
     )
     vb.add_argument("--approx-counters", type=int, default=4096)
     vb.set_defaults(fn=cmd_vocab)
+
+    tb = sub.add_parser(
+        "train-bpe",
+        help="train a BPE tokenizer from the corpus (exports a real "
+        "tokenizer.json; the corpus-sized pass is only the word "
+        "histogram)",
+    )
+    tb.add_argument("--input", required=True)
+    tb.add_argument("--output", required=True, metavar="TOKENIZER_JSON")
+    tb.add_argument("--text-column", default="content")
+    tb.add_argument("--vocab-size", type=int, default=8192)
+    tb.add_argument("--min-frequency", type=int, default=2)
+    tb.add_argument(
+        "--pretokenizer", choices=["bytelevel", "whitespace"],
+        default="bytelevel",
+        help="bytelevel seeds the full 256-byte alphabet (every text "
+        "encodes with zero unknowns)",
+    )
+    tb.add_argument("--lowercase", action="store_true")
+    tb.add_argument(
+        "--words-top-k", type=int, default=1_000_000,
+        help="bound on distinct pre-tokenized words reaching the "
+        "driver-side merge learner (count desc, word asc cut) — the "
+        "100-TB knob",
+    )
+    tb.add_argument(
+        "--special-token", action="append", metavar="TOKEN",
+        help="special token prepended to the vocab (repeatable)",
+    )
+    tb.add_argument("--max-docs", type=int, default=None)
+    tb.set_defaults(fn=cmd_train_bpe)
 
     sd = sub.add_parser(
         "semdedup", help="SemDeDup embedding-space semantic dedup"

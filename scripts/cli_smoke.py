@@ -188,6 +188,18 @@ run(
     "token-count tokenizer",
     ["token-count", "--input", CORPUS, "--tokenizer", tok_json],
 )
+trained_json = os.path.join(WORK, "trained_bpe", "tokenizer.json")
+run(
+    "train-bpe",
+    [
+        "train-bpe", "--input", CORPUS, "--output", trained_json,
+        "--vocab-size", "600", "--special-token", "<unk>",
+    ],
+)
+run(
+    "token-count trained-bpe",
+    ["token-count", "--input", CORPUS, "--tokenizer", trained_json],
+)
 run(
     "prep-artifacts",
     [

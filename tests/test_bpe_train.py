@@ -1,0 +1,212 @@
+"""BPE tokenizer training (functions/bpe_train.py): merge learning vs
+a from-scratch naive oracle, the hand-checked Sennrich/HF-course
+example, round-trip through the pure tokenizer.json reader, blocking
+invariance, and the full-byte-alphabet zero-unknown guarantee."""
+
+import json
+
+import numpy as np
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.functions.bpe_train import (
+    learn_merges,
+    make_spec,
+    train_bpe,
+    word_histogram,
+    write_tokenizer_json,
+)
+from redpajama_data_ray.functions.hf_tokenizer import (
+    HFTokenizer,
+    _byte_to_unicode,
+)
+
+
+def naive_learn(words, counts, vocab_size, min_frequency, alphabet, specials):
+    """O(merges x corpus) reference: recount every pair from scratch
+    each round — independent of the incremental index in
+    learn_merges."""
+    vocab = {}
+    for t in specials:
+        vocab.setdefault(t, len(vocab))
+    alpha = set(alphabet)
+    for w in words:
+        alpha.update(w)
+    for ch in sorted(alpha):
+        vocab.setdefault(ch, len(vocab))
+    sym = [list(w) for w in words]
+    merges = []
+    while len(vocab) < vocab_size:
+        pc = {}
+        for syms, c in zip(sym, counts):
+            for p in zip(syms, syms[1:]):
+                pc[p] = pc.get(p, 0) + int(c)
+        if not pc:
+            break
+        neg, best = min((-c, p) for p, c in pc.items())
+        if -neg < max(min_frequency, 1):
+            break
+        a, b = best
+        merged = a + b
+        merges.append(f"{a} {b}")
+        vocab.setdefault(merged, len(vocab))
+        for wi, syms in enumerate(sym):
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            sym[wi] = out
+    return vocab, merges
+
+
+def test_learn_merges_matches_naive_oracle():
+    rng = np.random.default_rng(7)
+    alphabet = list("abcdef")
+    words = []
+    seen = set()
+    while len(words) < 200:
+        n = int(rng.integers(1, 9))
+        w = "".join(rng.choice(alphabet, n))
+        if w not in seen:
+            seen.add(w)
+            words.append(w)
+    counts = rng.integers(1, 50, size=len(words)).astype(np.int64)
+    got = learn_merges(
+        words, counts, vocab_size=60, min_frequency=2,
+        initial_alphabet=alphabet, special_tokens=("<s>",),
+    )
+    want = naive_learn(words, counts, 60, 2, alphabet, ("<s>",))
+    assert got == want
+
+
+def test_hf_course_example_first_merges():
+    # the classic BPE teaching corpus: hug(10) pug(5) pun(12) bun(4)
+    # hugs(5). Pair counts: (u,g)=20, (u,n)=16, (h,u)=15, (p,u)=17 ...
+    # so the first merge is "u g", the second "p u"? no — after "ug",
+    # (p,u) only survives in pun (5+12 ... pug became p+ug). Recompute:
+    # after ug: hug->h,ug(10) pug->p,ug(5) pun->p,u,n(12) bun->b,u,n(4)
+    # hugs->h,ug,s(5); pairs: (u,n)=16, (h,ug)=15, (p,ug)=5, (p,u)=12,
+    # (b,u)=4, (ug,s)=5 -> second merge "u n".
+    words = ["hug", "pug", "pun", "bun", "hugs"]
+    counts = np.array([10, 5, 12, 4, 5], dtype=np.int64)
+    vocab, merges = learn_merges(
+        words, counts, vocab_size=11, min_frequency=1,
+    )
+    # alphabet: b,g,h,n,p,s,u = 7 symbols; 4 merges to reach 11
+    assert merges[:3] == ["u g", "u n", "h ug"]
+    assert vocab["ug"] == 7 and vocab["un"] == 8 and vocab["hug"] == 9
+
+
+def test_merge_id_reuse_on_colliding_surface():
+    # a merge whose surface already has an id (here: a special token
+    # "ug") must reuse it, not mint a duplicate — the
+    # huggingface/tokenizers word_to_id.get(&new_token) behavior
+    words = ["hug", "pug", "hugs"]
+    counts = np.array([10, 5, 5], dtype=np.int64)
+    vocab, merges = learn_merges(
+        words, counts, vocab_size=100, min_frequency=1,
+        special_tokens=("ug",),
+    )
+    assert vocab["ug"] == 0  # the special's id, not a new one
+    assert "u g" in merges
+    assert len(set(vocab.values())) == len(vocab)
+    assert sorted(vocab.values()) == list(range(len(vocab)))
+
+
+def test_repeated_pair_within_one_word():
+    # "aaaa" holds pair (a,a) three times; merging and re-merging runs
+    # of a repeated symbol is the classic BPE index-accounting trap
+    # (the indentation run "ĠĠĠĠ..." in real code corpora)
+    words = ["aaaa", "aaab", "ba"]
+    counts = np.array([10, 6, 3], dtype=np.int64)
+    got = learn_merges(words, counts, vocab_size=12, min_frequency=1)
+    want = naive_learn(words, counts, 12, 1, [], ())
+    assert got == want
+    # indentation-heavy corpus end-to-end (the crash repro shape)
+    docs = [{"content": "def f():\n        return 1\n" * 3}] * 4
+    spec = train_bpe(rd.from_items(docs), vocab_size=300, min_frequency=1)
+    tok = HFTokenizer(spec)
+    assert 0 < len(tok.encode(docs[0]["content"])) < len(
+        docs[0]["content"].encode("utf-8")
+    )
+
+
+def test_train_roundtrip_through_pure_reader(tmp_path):
+    docs = [
+        "def add(a, b):\n    return a + b\n",
+        "def sub(a, b):\n    return a - b\n",
+        "class Adder:\n    def add(self, x):\n        return x\n",
+        "print(add(1, 2))\n",
+    ] * 8
+    ds = rd.from_items([{"content": d} for d in docs])
+    spec = train_bpe(
+        ds, vocab_size=400, min_frequency=2, special_tokens=("<unk>",),
+    )
+    path = write_tokenizer_json(spec, str(tmp_path / "tokenizer.json"))
+    tok = HFTokenizer.from_file(path)
+    for text in docs[:4] + ["completely unseen soufflé text éµ"]:
+        ids = tok.encode(text)
+        # full byte alphabet: every symbol resolves, nothing drops
+        n_bytes = len((" " + text).encode("utf-8"))
+        assert 0 < len(ids) <= n_bytes
+    # merges actually fire: the training corpus encodes shorter than
+    # its byte count
+    assert len(tok.encode(docs[0])) < len(docs[0].encode("utf-8"))
+    # the spec survives a json round-trip identically
+    assert json.load(open(path)) == spec
+
+
+def test_training_blocking_invariance():
+    docs = [{"content": f"val{i % 7} = val{i % 5} + {i}"} for i in range(64)]
+    a = train_bpe(
+        rd.from_items(docs, override_num_blocks=1), vocab_size=320,
+    )
+    b = train_bpe(
+        rd.from_items(docs, override_num_blocks=16), vocab_size=320,
+    )
+    assert a == b
+
+
+def test_whitespace_pretokenizer_and_words_top_k():
+    docs = [{"content": "aa bb aa cc !! aa"}] * 4
+    ds = rd.from_items(docs)
+    spec = make_spec(pretokenizer="whitespace")
+    words, counts = word_histogram(ds, "content", spec, words_top_k=2)
+    # top-2 cut, count desc then word asc: aa(12), then bb/cc/!!(4 each)
+    assert words == ["aa", "!!"]
+    assert counts.tolist() == [12, 4]
+    trained = train_bpe(
+        ds, pretokenizer="whitespace", vocab_size=50, min_frequency=1,
+    )
+    tok = HFTokenizer(trained)
+    assert tok.encode("aa bb cc") != []
+
+
+def test_bytelevel_histogram_matches_reader_pretokenize():
+    text = "x = 1  # comment\nprint(x)"
+    ds = rd.from_items([{"content": text}])
+    spec = make_spec()
+    words, counts = word_histogram(ds, "content", spec, None)
+    tok = HFTokenizer(spec)
+    expect = {}
+    for p in tok._pretokenize(tok._normalize(text)):
+        expect[p] = expect.get(p, 0) + 1
+    assert dict(zip(words, counts.tolist())) == expect
+
+
+def test_empty_and_null_content():
+    ds = rd.from_items([{"content": None}, {"content": ""}])
+    spec = train_bpe(ds, vocab_size=300)
+    # no words: vocab is exactly the seeded byte alphabet, no merges
+    assert len(spec["model"]["vocab"]) == 256
+    assert spec["model"]["merges"] == []
+    assert set(spec["model"]["vocab"]) == set(_byte_to_unicode().values())
+
+
+def test_bad_pretokenizer_rejected():
+    with pytest.raises(ValueError, match="pretokenizer"):
+        make_spec(pretokenizer="sentencepiece")
