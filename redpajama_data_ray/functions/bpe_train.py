@@ -43,6 +43,7 @@ with HF's merge list.
 
 from __future__ import annotations
 
+import heapq
 import json
 import os
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -240,20 +241,31 @@ def learn_merges(
             pair_words.setdefault(p, set()).add(wi)
 
     merges: List[str] = []
-    while len(vocab) < vocab_size and pair_counts:
-        # max by count, ties by smallest pair: a single min() over a
-        # (-count, pair) view is deterministic whatever the dict's
-        # insertion order was
-        best_neg, best = min(
-            (-c, p) for p, c in pair_counts.items()
-        )
-        if -best_neg < min_frequency:
+    # lazy-invalidation max-heap on (-count, pair): pops are verified
+    # against the live pair_counts and stale entries discarded, so
+    # each merge costs O(touched log heap) instead of a full
+    # O(|pairs|) scan (the scan made merge learning ~30x slower than
+    # the distributed histogram at sf0.1). Ordering on (-count, pair)
+    # IS the selection rule — max count, ties by smallest pair — so
+    # determinism is unchanged
+    heap: List[Tuple[int, Tuple[str, str]]] = [
+        (-c, p) for p, c in pair_counts.items()
+    ]
+    heapq.heapify(heap)
+    while len(vocab) < vocab_size and heap:
+        best_neg, best = heapq.heappop(heap)
+        cur = pair_counts.get(best)
+        if cur is None or cur != -best_neg:
+            continue  # stale entry; the live count was re-pushed
+        if cur < min_frequency:
+            # the heap top is the max live count: nothing qualifies
             break
         first, second = best
         merged = first + second
         merges.append(f"{first} {second}")
         if merged not in vocab:
             vocab[merged] = len(vocab)
+        touched: set = set()
         for wi in sorted(pair_words.get(best, ())):
             syms = sym[wi]
             c = int(cnt[wi])
@@ -269,6 +281,7 @@ def learn_merges(
                     pair_counts[p] = left
                 else:
                     del pair_counts[p]
+                touched.add(p)
             for p in set(old_pairs):
                 s = pair_words[p]
                 s.discard(wi)
@@ -291,10 +304,16 @@ def learn_merges(
             sym[wi] = out
             for p in zip(out, out[1:]):
                 pair_counts[p] = pair_counts.get(p, 0) + c
+                touched.add(p)
             for p in set(zip(out, out[1:])):
                 pair_words.setdefault(p, set()).add(wi)
         pair_words.pop(best, None)
         pair_counts.pop(best, None)
+        touched.discard(best)
+        for p in touched:
+            c2 = pair_counts.get(p)
+            if c2 is not None:
+                heapq.heappush(heap, (-c2, p))
     return vocab, merges
 
 
