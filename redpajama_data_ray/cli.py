@@ -644,6 +644,13 @@ def cmd_pack(args) -> dict:
                 "exclusive: emitting token windows requires the "
                 "co-locating text exchange"
             )
+        if getattr(args, "tokenizer", None):
+            raise SystemExit(
+                "--tokenizer applies to the co-locating pack "
+                "(--summaries-only phase B re-tokenizes with the "
+                "crc32 stand-in; real-id windows need the text "
+                "exchange)"
+            )
         # two-phase offsets exchange: identical summary rows, the
         # text never enters a shuffle (functions/packing.py
         # pack_summaries)
@@ -666,6 +673,7 @@ def cmd_pack(args) -> dict:
             ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
             text_col=args.text_column, id_col=args.id_column,
             emit_tokens=args.emit_tokens,
+            tokenizer=getattr(args, "tokenizer", None),
         )
     out.write_parquet(args.output)
     return {"output": args.output}
@@ -1167,6 +1175,13 @@ def build_parser() -> argparse.ArgumentParser:
         "--emit-tokens", action="store_true",
         help="emit the packed token-hash sequences (training samples),"
         " not just the window summary",
+    )
+    pk.add_argument(
+        "--tokenizer", default=None, metavar="PATH",
+        help="real tokenizer artifact (e.g. train-bpe output): pack "
+        "REAL token ids instead of the crc32 stand-in vocabulary; "
+        'the vocab must contain "<|endofdoc|>" (train-bpe '
+        "--special-token)",
     )
     pk.add_argument(
         "--summaries-only", action="store_true",

@@ -342,3 +342,59 @@ def load_token_counter(name_or_path: str) -> Callable[[str], int]:
             "parses dependency-free; tokens.bpe_like_token_count is "
             "the vocab-free proxy."
         ) from e
+
+
+class TokenEncoder:
+    """Uniform encode/token_to_id facade over whichever tokenizer
+    backend is installed (tokenizers -> transformers -> the pure
+    tokenizer.json reader). ``encode`` returns the id list;
+    ``token_to_id`` returns None for unknown surface forms."""
+
+    def __init__(self, encode, token_to_id):
+        self.encode = encode
+        self.token_to_id = token_to_id
+
+
+def load_token_encoder(name_or_path: str) -> TokenEncoder:
+    """Like :func:`load_token_counter` but returning the token IDS —
+    what sequence packing needs to emit real training samples."""
+    try:
+        from tokenizers import Tokenizer  # type: ignore
+
+        tok = (
+            Tokenizer.from_file(name_or_path)
+            if name_or_path.endswith(".json")
+            else Tokenizer.from_pretrained(name_or_path)
+        )
+        return TokenEncoder(
+            lambda text: tok.encode(text).ids, tok.token_to_id
+        )
+    except ImportError:
+        pass
+    try:
+        from transformers import AutoTokenizer  # type: ignore
+
+        tok = AutoTokenizer.from_pretrained(name_or_path)
+
+        def _to_id(t):
+            i = tok.convert_tokens_to_ids(t)
+            return None if i == tok.unk_token_id and t != tok.unk_token else i
+
+        return TokenEncoder(
+            lambda text: tok(text)["input_ids"], _to_id
+        )
+    except ImportError as e:
+        if name_or_path.endswith(".json"):
+            from .hf_tokenizer import HFTokenizer
+
+            t = HFTokenizer.from_file(name_or_path)
+            return TokenEncoder(
+                t.encode,
+                lambda s: t.added.get(s, t.vocab.get(s)),
+            )
+        raise RuntimeError(
+            "loading a pretrained tokenizer by hub name requires the "
+            "'tokenizers' or 'transformers' package (not installed); "
+            f"cannot load {name_or_path!r}. A local tokenizer.json "
+            "parses dependency-free."
+        ) from e

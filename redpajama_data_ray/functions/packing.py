@@ -28,6 +28,7 @@ materializing token arrays.
 from __future__ import annotations
 
 import zlib
+from functools import lru_cache
 from typing import Optional
 
 import numpy as np
@@ -73,6 +74,38 @@ def _doc_token_hashes(text: Optional[str]) -> np.ndarray:
     return out
 
 
+@lru_cache(maxsize=4)
+def _cached_encoder(path: str):
+    """One parsed tokenizer per worker process (workers are reused
+    across blocks, so the json parse amortizes like actor-pool
+    __init__ state)."""
+    from .model_loading import load_token_encoder
+
+    return load_token_encoder(path)
+
+
+def _tokenizer_fns(path: str):
+    """(per-doc id array fn, EOS id) for a real tokenizer artifact.
+    The EOS sentinel must be a real token of the vocabulary so packed
+    windows are valid training samples — train with
+    ``train-bpe --special-token "<|endofdoc|>"`` (or any tokenizer
+    whose vocab contains that surface form)."""
+    enc = _cached_encoder(path)
+    eos = enc.token_to_id(EOS_TOKEN)
+    if eos is None:
+        raise ValueError(
+            f"tokenizer {path!r} has no {EOS_TOKEN!r} token: packing "
+            "joins documents with that sentinel, and under a real "
+            "tokenizer it must be a real vocab id — train with "
+            f'--special-token "{EOS_TOKEN}"'
+        )
+
+    def doc_ids(text: Optional[str]) -> np.ndarray:
+        return np.asarray(enc.encode(text or ""), dtype=np.uint64)
+
+    return doc_ids, np.uint64(eos)
+
+
 def pack_sequences(
     ds: Dataset,
     seq_len: int,
@@ -81,6 +114,7 @@ def pack_sequences(
     id_col: str = "doc_id",
     emit_tokens: bool = False,
     validate: bool = True,
+    tokenizer: Optional[str] = None,
 ) -> Dataset:
     """Pack ``ds`` into ``seq_len``-token windows per hash bucket.
 
@@ -92,9 +126,21 @@ def pack_sequences(
     ``emit_tokens=True`` each row also carries ``token_hashes``
     (list<uint64>) — the window's actual token-id sequence under the
     crc32 hash vocabulary, i.e. ready-to-consume packed training
-    samples rather than a summary."""
+    samples rather than a summary.
+
+    ``tokenizer`` (a tokenizer.json path — e.g. one trained by
+    ``train-bpe`` — or a hub name when the real packages are
+    installed) replaces the crc32 stand-in vocabulary with REAL token
+    ids: ``token_hashes`` then holds the tokenizer's id sequence and
+    the EOS sentinel is the tokenizer's own ``<|endofdoc|>`` token
+    (required — a named error otherwise). The tokenizer parses once
+    per worker process, not per block."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if tokenizer is not None:
+        # resolve eagerly so a bad artifact / missing EOS fails at
+        # the driver with a named error, not inside a Ray task
+        _tokenizer_fns(tokenizer)
 
     def _bucketize(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
@@ -105,13 +151,17 @@ def pack_sequences(
         order = np.argsort(ids, kind="stable")
         _require_unique_ids(ids[order], id_col)
 
+        if tokenizer is not None:
+            doc_tokens, eos = _tokenizer_fns(tokenizer)
+        else:
+            doc_tokens, eos = _doc_token_hashes, EOS_HASH
         # token stream: per-doc hashes + one EOS after every doc
         streams = []
         doc_lens = np.empty(len(order), dtype=np.int64)
         for k, i in enumerate(order):
-            h = _doc_token_hashes(texts[i])
+            h = doc_tokens(texts[i])
             streams.append(h)
-            streams.append(np.array([EOS_HASH], dtype=np.uint64))
+            streams.append(np.array([eos], dtype=np.uint64))
             doc_lens[k] = len(h) + 1
         stream = (
             np.concatenate(streams)

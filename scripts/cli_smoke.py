@@ -200,6 +200,23 @@ run(
     "token-count trained-bpe",
     ["token-count", "--input", CORPUS, "--tokenizer", trained_json],
 )
+trained_eos = os.path.join(WORK, "trained_bpe_eos", "tokenizer.json")
+run(
+    "train-bpe with EOS special",
+    [
+        "train-bpe", "--input", CORPUS, "--output", trained_eos,
+        "--vocab-size", "600", "--special-token", "<|endofdoc|>",
+        "--max-docs", "200",
+    ],
+)
+run(
+    "pack real-tokenizer ids",
+    [
+        "pack", "--input", CORPUS, "--output", "{OUT}",
+        "--seq-len", "128", "--n-buckets", "4", "--emit-tokens",
+        "--tokenizer", trained_eos, "--max-docs", "200",
+    ],
+)
 run(
     "prep-artifacts",
     [

@@ -210,3 +210,53 @@ def test_empty_and_null_content():
 def test_bad_pretokenizer_rejected():
     with pytest.raises(ValueError, match="pretokenizer"):
         make_spec(pretokenizer="sentencepiece")
+
+
+class TestPackWithTrainedTokenizer:
+    def _trained(self, tmp_path, docs):
+        spec = train_bpe(
+            rd.from_items([{"content": d} for d in docs]),
+            vocab_size=400, min_frequency=1,
+            special_tokens=("<|endofdoc|>",),
+        )
+        return write_tokenizer_json(spec, str(tmp_path / "tok.json"))
+
+    def test_packed_windows_are_real_ids(self, tmp_path):
+        from redpajama_data_ray.functions.model_loading import (
+            load_token_encoder,
+        )
+        from redpajama_data_ray.functions.packing import pack_sequences
+
+        docs = [f"def f{i}(x):\n    return x + {i}\n" for i in range(9)]
+        path = self._trained(tmp_path, docs)
+        ds = rd.from_items(
+            [{"doc_id": i, "content": d} for i, d in enumerate(docs)]
+        )
+        out = pack_sequences(
+            ds, seq_len=16, n_buckets=1, text_col="content",
+            emit_tokens=True, tokenizer=path,
+        ).to_pandas().sort_values("seq_idx")
+        enc = load_token_encoder(path)
+        eos = enc.token_to_id("<|endofdoc|>")
+        want = []
+        for d in docs:  # n_buckets=1, within-bucket order = sorted ids
+            want.extend(enc.encode(d))
+            want.append(eos)
+        got = [int(t) for w in out["token_hashes"] for t in w]
+        assert got == want
+        assert got.count(eos) == len(docs)
+        assert max(got) < 400
+        assert out["n_tokens"].sum() == len(want)
+
+    def test_missing_eos_special_rejected(self, tmp_path):
+        from redpajama_data_ray.functions.packing import pack_sequences
+
+        spec = train_bpe(
+            rd.from_items([{"content": "a b c"}]), vocab_size=300,
+        )
+        path = write_tokenizer_json(spec, str(tmp_path / "noeos.json"))
+        ds = rd.from_items([{"doc_id": 0, "content": "a b"}])
+        with pytest.raises(ValueError, match="endofdoc"):
+            pack_sequences(
+                ds, seq_len=8, text_col="content", tokenizer=path,
+            )
