@@ -246,6 +246,115 @@ def cmd_quality(args) -> dict:
     return {"outputs": paths}
 
 
+def cmd_redecide(args) -> dict:
+    """Re-apply the keep/drop rule layer with NEW thresholds over an
+    already-annotated dir — the threshold-tuning loop. The signals
+    (models, kernels) are never recomputed: this pass is the
+    vectorized ``decide_table`` over the signal columns plus a
+    parquet rewrite, so iterating on RuleConfig costs IO, not model
+    time, at any corpus size."""
+    import dataclasses
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from .functions.rules import RuleConfig, decide_table
+    from .pipelines.outputs import KEPT_COLUMNS
+
+    ds = rd.read_parquet(args.input)
+    _require_columns(
+        ds,
+        ["rps_doc_word_count", "rps_doc_frac_unique_words"],
+        "redecide consumes the ANNOTATED output of `quality` (signal "
+        "columns already computed) and re-applies the rule layer "
+        "without re-running models — run `quality` first and point "
+        "--input at its annotated/ dir",
+    )
+    fields = {f.name for f in dataclasses.fields(RuleConfig)}
+    base = {}
+    if args.rules_json:
+        with open(args.rules_json) as f:
+            base = json.load(f)
+        unknown = sorted(set(base) - fields)
+        if unknown:
+            raise SystemExit(
+                f"--rules-json has unknown rule field(s) {unknown}; "
+                f"valid: {sorted(fields)}"
+            )
+    for name in fields:
+        v = getattr(args, name, None)
+        if v is not None:
+            base[name] = v
+    cfg = RuleConfig(**base)
+
+    def _decide(t: pa.Table) -> pa.Table:
+        keep, reasons = decide_table(t, cfg)
+        stale = [
+            c for c in ("keep", "drop_reasons") if c in t.schema.names
+        ]
+        if stale:
+            t = t.drop_columns(stale)
+        return t.append_column(
+            "keep", pa.array(keep, pa.bool_())
+        ).append_column(
+            "drop_reasons", pa.array(reasons, pa.list_(pa.string()))
+        )
+
+    out_annotated = os.path.join(args.output, "annotated")
+    out_kept = os.path.join(args.output, "kept")
+    ds.map_batches(_decide, batch_format="pyarrow").write_parquet(
+        out_annotated
+    )
+    full = rd.read_parquet(out_annotated)
+
+    # drop-reason histogram: fixed-width per-batch partials (<= one
+    # row per rule id + 2 counters per block) through the standard
+    # tree combine — nothing row-scaled reaches the driver
+    def _partials(t: pa.Table) -> pa.Table:
+        vc = pc.list_flatten(t.column("drop_reasons")).value_counts()
+        keys = vc.field("values").to_pylist()
+        cnts = [int(c) for c in vc.field("counts").to_pylist()]
+        keys += ["__kept__", "__total__"]
+        cnts += [
+            int(pc.sum(t.column("keep")).as_py() or 0), t.num_rows,
+        ]
+        return pa.table(
+            {"reason": pa.array(keys, pa.string()),
+             "cnt": pa.array(cnts, pa.int64())}
+        )
+
+    from .dedupe.combine import combine_counts
+
+    hist = {
+        r["reason"]: r["cnt"]
+        for r in combine_counts(
+            full.select_columns(["keep", "drop_reasons"]).map_batches(
+                _partials, batch_format="pyarrow"
+            ),
+            "reason",
+            distributed=False,
+        ).take_all()
+    }
+    kept_n = hist.pop("__kept__", 0)
+    total = hist.pop("__total__", 0)
+
+    kept_cols = [c for c in KEPT_COLUMNS if c in full.schema().names]
+    rd.read_parquet(out_annotated, columns=kept_cols + ["keep"]).map_batches(
+        lambda t: t.filter(pc.equal(t["keep"], True)).drop_columns(
+            ["keep"]
+        ),
+        batch_format="pyarrow",
+    ).write_parquet(out_kept)
+    return {
+        "outputs": {"annotated": out_annotated, "kept": out_kept},
+        "total": total,
+        "kept": kept_n,
+        "drop_reasons": dict(sorted(hist.items())),
+        "rules": dataclasses.asdict(cfg),
+    }
+
+
 def cmd_dedup_exact(args) -> dict:
     import ray.data as rd
 
@@ -986,6 +1095,48 @@ def build_parser() -> argparse.ArgumentParser:
         "choice and dedup-fuzzy --state-dir enforces it)",
     )
     q.set_defaults(fn=cmd_quality)
+
+    rrd = sub.add_parser(
+        "redecide",
+        help="re-apply the keep/drop rule layer with new thresholds "
+        "over an annotated dir (signals reused, models never re-run)",
+    )
+    rrd.add_argument(
+        "--input", required=True, help="quality's annotated/ output dir"
+    )
+    rrd.add_argument("--output", required=True)
+    rrd.add_argument(
+        "--rules-json", default=None, metavar="FILE",
+        help="JSON object of RuleConfig fields (individual flags below "
+        "override it); unknown fields are rejected",
+    )
+    # one flag per RuleConfig threshold, generated from the dataclass
+    # so the CLI can never drift from the rule layer
+    import dataclasses as _dc
+
+    from .functions.rules import RuleConfig as _RC
+
+    for _f in _dc.fields(_RC):
+        _flag = "--" + _f.name.replace("_", "-")
+        if _f.name == "drop_bucket":
+            rrd.add_argument(
+                _flag, default=None, metavar="BUCKET",
+                help="perplexity bucket dropped (default tail)",
+            )
+        elif _f.name == "max_pii_total":
+            rrd.add_argument(
+                _flag, type=int, default=None, metavar="N",
+                help="drop docs with more than N PII hits "
+                "(default: scrub but keep)",
+            )
+        else:
+            rrd.add_argument(
+                _flag, type=type(_f.default), default=None,
+                metavar="X",
+                help=f"override RuleConfig.{_f.name} "
+                f"(default {_f.default})",
+            )
+    rrd.set_defaults(fn=cmd_redecide)
 
     de = sub.add_parser("dedup-exact", help="exact dedup by content hash")
     de.add_argument("--input", required=True)

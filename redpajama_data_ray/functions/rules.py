@@ -140,3 +140,163 @@ def decide(
             reasons.append("pii_total")
 
     return len(reasons) == 0, reasons
+
+
+def decide_table(batch, config: RuleConfig = RuleConfig()):
+    """Vectorized :func:`decide` over a whole Arrow table.
+
+    Returns ``(keep, reasons)`` — a bool numpy array and a per-row
+    list of violated rule ids, bit-identical to calling the scalar
+    ``decide`` on every row (the scalar stays the test oracle; parity
+    is asserted in tests/test_pii_rules.py). Null/NaN semantics match
+    the scalar exactly: None fails the word-count / mean-word-length
+    minimums (an empty doc is dropped) but passes every other rule,
+    and a column absent from the table behaves as all-None. The only
+    per-row work left is assembling reason lists for DROPPED rows, so
+    a signals-only re-decision pass (cli `redecide`) runs at numpy
+    speed instead of ~10 us/row of dict building."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    n = batch.num_rows
+    names = set(batch.schema.names)
+
+    def col(name):
+        if name not in names:
+            return None  # absent column == all-None signal
+        return (
+            pc.cast(batch.column(name), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)  # nulls -> NaN
+        )
+
+    true = np.ones(n, dtype=bool)
+    false = np.zeros(n, dtype=bool)
+
+    def min_fail_on_none(x, lo):
+        # scalar: `x is None or x < lo`
+        if x is None:
+            return true
+        return np.isnan(x) | (x < lo)
+
+    def min_pass_on_none(x, lo):
+        # scalar: `x is not None and x < lo`
+        if x is None:
+            return false
+        return x < lo  # NaN < lo is False
+
+    def max_rule(x, hi):
+        # scalar: `x is not None and x > hi`
+        if x is None:
+            return false
+        return x > hi  # NaN > hi is False
+
+    wc = col("rps_doc_word_count")
+    mwl = col("rps_doc_mean_word_length")
+    wc_low = min_fail_on_none(wc, config.min_word_count)
+    mwl_low = min_fail_on_none(mwl, config.min_mean_word_length)
+    viols = [
+        ("word_count_low", wc_low),
+        # elif in the scalar: the high bound is only reached when the
+        # low bound passed (matters if a config inverts the bounds)
+        ("word_count_high", max_rule(wc, config.max_word_count) & ~wc_low),
+        ("mean_word_length_low", mwl_low),
+        (
+            "mean_word_length_high",
+            max_rule(mwl, config.max_mean_word_length) & ~mwl_low,
+        ),
+        (
+            "symbol_to_word_ratio",
+            max_rule(
+                col("rps_doc_symbol_to_word_ratio"),
+                config.max_symbol_to_word_ratio,
+            ),
+        ),
+        (
+            "frac_lines_end_ellipsis",
+            max_rule(
+                col("rps_doc_frac_lines_end_with_ellipsis"),
+                config.max_frac_lines_end_ellipsis,
+            ),
+        ),
+        (
+            "frac_no_alph_words",
+            max_rule(
+                col("rps_doc_frac_no_alph_words"),
+                config.max_frac_no_alph_words,
+            ),
+        ),
+        (
+            "frac_unique_words",
+            min_pass_on_none(
+                col("rps_doc_frac_unique_words"),
+                config.min_frac_unique_words,
+            ),
+        ),
+        (
+            "frac_chars_dupe_10grams",
+            max_rule(
+                col("rps_doc_frac_chars_dupe_10grams"),
+                config.max_frac_chars_dupe_10grams,
+            ),
+        ),
+        (
+            "frac_chars_top_2gram",
+            max_rule(
+                col("rps_doc_frac_chars_top_2gram"),
+                config.max_frac_chars_top_2gram,
+            ),
+        ),
+        (
+            "lorem_ipsum",
+            max_rule(col("rps_doc_lorem_ipsum"), config.max_lorem_ipsum),
+        ),
+        (
+            "ldnoobw",
+            max_rule(col("rps_doc_ldnoobw_words"), config.max_ldnoobw_words),
+        ),
+        (
+            "lang_score",
+            min_pass_on_none(col("lang_score"), config.min_lang_score),
+        ),
+    ]
+    if "ppl_bucket" in names:
+        viols.append(
+            (
+                "ppl_bucket",
+                pc.fill_null(
+                    pc.equal(batch.column("ppl_bucket"), config.drop_bucket),
+                    False,
+                )
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                .astype(bool),
+            )
+        )
+    if config.max_pii_total is not None:
+        from .pii import PII_COUNT_COLUMNS
+
+        total = np.zeros(n, dtype=np.int64)
+        for k in PII_COUNT_COLUMNS:
+            if k in names:
+                total += (
+                    pc.fill_null(
+                        pc.cast(batch.column(k), pa.int64()), 0
+                    )
+                    .combine_chunks()
+                    .to_numpy(zero_copy_only=False)
+                )
+        viols.append(("pii_total", total > config.max_pii_total))
+
+    firing = [(name, v) for name, v in viols if v.any()]
+    any_viol = np.zeros(n, dtype=bool)
+    for _, v in firing:
+        any_viol |= v
+    reasons: List[List[str]] = [[] for _ in range(n)]
+    # outer loop rule-by-rule in RULE_IDS order == the scalar's
+    # append order within each row; cost is per VIOLATION, not per row
+    for name, v in firing:
+        for r in np.nonzero(v)[0]:
+            reasons[r].append(name)
+    return ~any_viol, reasons

@@ -1,16 +1,17 @@
 """Keep/drop decision stage (north-rule X4).
 
-Evaluates the rule layer over the signal columns of each row; adds
-``keep: bool`` and ``drop_reasons: list<string>``. The same ``decide``
-function is the test oracle, so pipeline labels match fixtures exactly.
+Evaluates the rule layer over the signal columns of each batch; adds
+``keep: bool`` and ``drop_reasons: list<string>``. The batch kernel is
+the vectorized :func:`~redpajama_data_ray.functions.rules.decide_table`;
+the scalar ``decide`` stays the test oracle and parity is asserted in
+tests, so pipeline labels match fixtures exactly.
 """
 
 from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.pii import PII_COUNT_COLUMNS
-from ..functions.rules import RuleConfig, decide
+from ..functions.rules import RuleConfig, decide_table
 
 _NEEDED = [
     "rps_doc_word_count",
@@ -32,20 +33,14 @@ def decide_batch(
     batch: pa.Table, config: RuleConfig = RuleConfig()
 ) -> pa.Table:
     """Append keep / drop_reasons columns to an annotated Arrow batch."""
-    cols = {}
+    keep, reasons = decide_table(batch, config)
     names = set(batch.schema.names)
-    for name in _NEEDED + PII_COUNT_COLUMNS:
-        if name in names:
-            cols[name] = batch.column(name).to_pylist()
-    n = batch.num_rows
-    keeps, reasons = [], []
-    for i in range(n):
-        row = {k: v[i] for k, v in cols.items()}
-        k, r = decide(row, config)
-        keeps.append(k)
-        reasons.append(r)
+    for stale in ("keep", "drop_reasons"):
+        # re-deciding an already-decided table replaces the columns
+        if stale in names:
+            batch = batch.drop_columns([stale])
     return batch.append_column(
-        "keep", pa.array(keeps, pa.bool_())
+        "keep", pa.array(keep, pa.bool_())
     ).append_column("drop_reasons", pa.array(reasons, pa.list_(pa.string())))
 
 

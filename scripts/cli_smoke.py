@@ -95,6 +95,17 @@ run(
 )
 ANN = os.path.join(WORK, "quality", "annotated")
 run(
+    "redecide default",
+    ["redecide", "--input", ANN, "--output", "{OUT}"],
+)
+run(
+    "redecide tightened",
+    [
+        "redecide", "--input", ANN, "--output", "{OUT}",
+        "--min-word-count", "100", "--max-pii-total", "0",
+    ],
+)
+run(
     "dedup-exact",
     ["dedup-exact", "--input", ANN, "--output", "{OUT}"],
 )

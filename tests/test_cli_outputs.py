@@ -142,3 +142,106 @@ def test_missing_columns_fail_at_the_surface(tmp_path):
     )
     assert r.returncode != 0
     assert "nosuchcol" in r.stderr and "dedup-exact needs" in r.stderr
+
+
+def test_cli_redecide_threshold_tuning(tmp_path, capsys):
+    """redecide re-applies the rule layer over an annotated dir
+    without re-running models: default thresholds must reproduce
+    quality's own keep labels exactly; a tightened threshold must
+    flip exactly the rows the scalar oracle says it flips."""
+    import pandas as pd
+
+    from redpajama_data_ray.functions.rules import RuleConfig, decide
+
+    src = _corpus_dir(tmp_path)
+    out = str(tmp_path / "q")
+    assert main(["quality", "--input", src, "--output", out]) == 0
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ann_dir = res["outputs"]["annotated"]
+
+    rd_out = str(tmp_path / "re_default")
+    assert main(
+        ["redecide", "--input", ann_dir, "--output", rd_out]
+    ) == 0
+    r = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    orig = (
+        ray.data.read_parquet(ann_dir)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    redecided = (
+        ray.data.read_parquet(os.path.join(rd_out, "annotated"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_series_equal(orig.keep, redecided.keep)
+    assert r["total"] == len(orig)
+    assert r["kept"] == int(orig.keep.sum())
+    # histogram == exploded drop_reasons counts
+    exploded = orig.drop_reasons.explode().dropna().value_counts()
+    assert r["drop_reasons"] == {
+        k: int(v) for k, v in exploded.items()
+    }
+    # kept/ holds exactly the keep rows, minus decision columns
+    kept = ray.data.read_parquet(os.path.join(rd_out, "kept")).to_pandas()
+    assert len(kept) == r["kept"]
+    assert "keep" not in kept.columns
+
+    # tightened threshold: expected flips from the scalar oracle
+    cfg = RuleConfig(min_word_count=100)
+    sig_cols = [
+        c
+        for c in orig.columns
+        if c.startswith(("rps_", "pii_")) or c in ("lang_score", "ppl_bucket")
+    ]
+    expect_keep = [
+        decide({k: row[k] for k in sig_cols}, cfg)[0]
+        for row in orig.to_dict("records")
+    ]
+    rd2 = str(tmp_path / "re_tight")
+    assert main(
+        ["redecide", "--input", ann_dir, "--output", rd2,
+         "--min-word-count", "100"]
+    ) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = (
+        ray.data.read_parquet(os.path.join(rd2, "annotated"))
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(got.keep) == expect_keep
+    assert r2["kept"] == sum(expect_keep)
+    assert r2["rules"]["min_word_count"] == 100
+
+    # --rules-json equivalent, flags override the file
+    rules_file = str(tmp_path / "rules.json")
+    with open(rules_file, "w") as f:
+        json.dump({"min_word_count": 100}, f)
+    rd3 = str(tmp_path / "re_json")
+    assert main(
+        ["redecide", "--input", ann_dir, "--output", rd3,
+         "--rules-json", rules_file]
+    ) == 0
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["kept"] == r2["kept"]
+
+    # unknown field in the json must be rejected loudly
+    bad = str(tmp_path / "bad.json")
+    with open(bad, "w") as f:
+        json.dump({"min_word_cnt": 5}, f)
+    import pytest
+
+    with pytest.raises(SystemExit, match="unknown rule field"):
+        main(
+            ["redecide", "--input", ann_dir, "--output",
+             str(tmp_path / "re_bad"), "--rules-json", bad]
+        )
+
+    # raw (un-annotated) input rejected at the surface
+    with pytest.raises(SystemExit, match="missing column"):
+        main(
+            ["redecide", "--input", src, "--output",
+             str(tmp_path / "re_raw")]
+        )

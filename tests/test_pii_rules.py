@@ -80,3 +80,98 @@ def test_pii_rule_optional():
     assert reasons == ["pii_total"]
     keep, _ = decide(_good_row(pii_email_count=2))  # default: scrub, keep
     assert keep
+
+
+# ---------------------------------------------------------------
+# vectorized decide_table parity vs the scalar oracle
+# ---------------------------------------------------------------
+
+
+def _random_signal_table(n, seed):
+    import random
+
+    import pyarrow as pa
+
+    from redpajama_data_ray.functions.pii import PII_COUNT_COLUMNS
+    from redpajama_data_ray.stages.decide import _NEEDED
+
+    rng = random.Random(seed)
+    cols = {}
+    for name in _NEEDED:
+        if name == "ppl_bucket":
+            cols[name] = [
+                rng.choice(["head", "middle", "tail", None])
+                for _ in range(n)
+            ]
+            continue
+        vals = []
+        for _ in range(n):
+            r = rng.random()
+            if r < 0.08:
+                vals.append(None)
+            elif r < 0.12:
+                vals.append(float("nan"))
+            else:
+                vals.append(rng.random() * 30)
+        cols[name] = vals
+    for name in PII_COUNT_COLUMNS:
+        cols[name] = [rng.choice([None, 0, 1, 2, 5]) for _ in range(n)]
+    return pa.table(cols)
+
+
+def test_decide_table_matches_scalar_oracle():
+    """decide_batch (vectorized decide_table) must be bit-identical to
+    per-row scalar decide — keep AND the ordered drop_reasons lists —
+    across nulls, NaNs and threshold variants (including inverted
+    bounds, where the scalar's elif chain suppresses the high rule)."""
+    from redpajama_data_ray.stages.decide import decide_batch
+
+    t = _random_signal_table(4000, seed=11)
+    rows = {k: v.to_pylist() for k, v in zip(t.column_names, t.columns)}
+    for cfg in (
+        RuleConfig(),
+        RuleConfig(max_pii_total=2),
+        RuleConfig(min_word_count=50, max_word_count=20),
+        RuleConfig(drop_bucket="middle", min_lang_score=25.0),
+    ):
+        out = decide_batch(t, cfg)
+        keeps = out.column("keep").to_pylist()
+        reasons = out.column("drop_reasons").to_pylist()
+        for i in range(t.num_rows):
+            ek, er = decide({k: rows[k][i] for k in rows}, cfg)
+            assert keeps[i] == ek
+            assert reasons[i] == er
+
+
+def test_decide_table_absent_column_is_all_none():
+    import pyarrow as pa
+
+    from redpajama_data_ray.stages.decide import decide_batch
+
+    t = pa.table({"rps_doc_word_count": [5.0, 20.0]})
+    out = decide_batch(t)
+    for i, wc in enumerate((5.0, 20.0)):
+        ek, er = decide({"rps_doc_word_count": wc})
+        assert out.column("keep")[i].as_py() == ek
+        assert out.column("drop_reasons")[i].as_py() == er
+
+
+def test_decide_batch_replaces_stale_decision_columns():
+    import pyarrow as pa
+
+    from redpajama_data_ray.stages.decide import decide_batch
+
+    t = pa.table(
+        {
+            "rps_doc_word_count": [3.0],
+            "keep": [True],  # stale decision from a previous config
+            "drop_reasons": pa.array([[]], pa.list_(pa.string())),
+        }
+    )
+    out = decide_batch(t)
+    assert out.column("keep").to_pylist() == [False]
+    # absent mean_word_length is all-None, which fails its minimum too
+    assert out.column("drop_reasons").to_pylist() == [
+        ["word_count_low", "mean_word_length_low"]
+    ]
+    assert out.schema.names.count("keep") == 1

@@ -1,0 +1,185 @@
+"""Cross-version / cross-parameter incremental-state rejection at the
+CLI surface.
+
+The library guards are unit-tested (tests/test_incremental_dedup.py
+rewrites FORMAT markers around the private helpers); these tests model
+the flow a real user hits: a state dir committed by an OLDER engine
+version (same parquet layout, different hash semantics — exactly the
+splitmix64-v1 → v2 history) or by the SAME engine with different
+parameters, probed through ``python -m redpajama_data_ray.cli``. Every
+case must fail loudly with the named provenance error BEFORE any
+output is written — silent acceptance would under-deduplicate (the
+old hashes never match the new ones)."""
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from redpajama_data_ray.cli import main
+
+
+def _fuzzy_input(d, ids, salt=b"A"):
+    """Annotated-shaped minhash input: id_int + one signature column
+    (9 bands of 8 raw bytes — the LSH layer only compares band
+    bytes, so synthetic distinct signatures exercise the real path)."""
+    os.makedirs(d)
+    sigs = [
+        [salt + bytes([i]) * 7 + bytes([b]) for b in range(9)]
+        for i in ids
+    ]
+    pq.write_table(
+        pa.table(
+            {
+                "id_int": pa.array(ids, pa.uint64()),
+                "signature_sim0.8": pa.array(
+                    sigs, pa.large_list(pa.binary())
+                ),
+            }
+        ),
+        os.path.join(d, "part.parquet"),
+    )
+    return str(d)
+
+
+def _run(argv, capsys):
+    assert main(argv) == 0
+    return json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+
+def test_fuzzy_band_state_from_older_engine_rejected(tmp_path, capsys):
+    state = str(tmp_path / "state")
+    _run(
+        ["dedup-fuzzy", "--input", _fuzzy_input(tmp_path / "in1", [1, 2]),
+         "--output", str(tmp_path / "o1"), "--state-dir", state,
+         "--run-id", "r1"],
+        capsys,
+    )
+    marker = os.path.join(state, "bands", "FORMAT")
+    assert open(marker).read() == "splitmix64-v2"
+
+    # the v1-era engine wrote the same (band_hash) parquet layout with
+    # a different collapse hash — only the stamp distinguishes them
+    with open(marker, "w") as f:
+        f.write("splitmix64-v1")
+    out2 = str(tmp_path / "o2")
+    with pytest.raises(ValueError, match="band-hash format"):
+        main(
+            ["dedup-fuzzy", "--input",
+             _fuzzy_input(tmp_path / "in2", [3, 4], salt=b"B"),
+             "--output", out2, "--state-dir", state, "--run-id", "r2"]
+        )
+    assert not os.path.exists(out2)  # rejected before any write
+
+
+def test_fuzzy_unstamped_legacy_band_state_rejected(tmp_path, capsys):
+    state = str(tmp_path / "state")
+    _run(
+        ["dedup-fuzzy", "--input", _fuzzy_input(tmp_path / "in1", [1, 2]),
+         "--output", str(tmp_path / "o1"), "--state-dir", state,
+         "--run-id", "r1"],
+        capsys,
+    )
+    os.remove(os.path.join(state, "bands", "FORMAT"))
+    with pytest.raises(ValueError, match="predates"):
+        main(
+            ["dedup-fuzzy", "--input",
+             _fuzzy_input(tmp_path / "in2", [3, 4], salt=b"B"),
+             "--output", str(tmp_path / "o2"), "--state-dir", state,
+             "--run-id", "r2"]
+        )
+
+
+def _text_input(d, texts):
+    os.makedirs(d)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": list(range(len(texts))),
+                "text": texts,
+            }
+        ),
+        os.path.join(d, "docs.parquet"),
+    )
+    return str(d)
+
+
+def test_line_state_from_older_engine_rejected(tmp_path, capsys):
+    state = str(tmp_path / "state")
+    _run(
+        ["dedup-lines", "--input",
+         _text_input(tmp_path / "in1", ["a\nb", "c"]),
+         "--output", str(tmp_path / "o1"), "--state-dir", state,
+         "--run-id", "r1"],
+        capsys,
+    )
+    marker = os.path.join(state, "lines", "FORMAT")
+    assert open(marker).read() == "sha1x8le-flip-v1"
+    with open(marker, "w") as f:
+        f.write("sha1x8le-flip-v0")
+    out2 = str(tmp_path / "o2")
+    with pytest.raises(ValueError, match="key format"):
+        main(
+            ["dedup-lines", "--input",
+             _text_input(tmp_path / "in2", ["d\ne"]),
+             "--output", out2, "--state-dir", state, "--run-id", "r2"]
+        )
+    assert not os.path.exists(out2)
+
+
+def test_spans_state_parameter_change_rejected(tmp_path, capsys):
+    """Same engine, different (k, winnow_w): winnowing selection is
+    content-defined PER parameter set, so counts from a k=50 run must
+    never merge with a k=30 probe."""
+    state = str(tmp_path / "state")
+    doc = " ".join(f"tok{i}" for i in range(40))  # > k chars
+    _run(
+        ["dedup-spans", "--input", _text_input(tmp_path / "in1", [doc]),
+         "--output", str(tmp_path / "o1"), "--state-dir", state,
+         "--run-id", "r1"],
+        capsys,
+    )
+    with pytest.raises(ValueError, match="key format"):
+        main(
+            ["dedup-spans", "--input",
+             _text_input(tmp_path / "in2", [doc + " tail"]),
+             "--output", str(tmp_path / "o2"), "--state-dir", state,
+             "--run-id", "r2", "--k", "30"]
+        )
+    with pytest.raises(ValueError, match="key format"):
+        main(
+            ["dedup-spans", "--input",
+             _text_input(tmp_path / "in3", [doc + " tail"]),
+             "--output", str(tmp_path / "o3"), "--state-dir", state,
+             "--run-id", "r3", "--winnow-w", "4"]
+        )
+
+
+def _content_input(d, texts):
+    os.makedirs(d)
+    pq.write_table(
+        pa.table({"content": texts}), os.path.join(d, "docs.parquet")
+    )
+    return str(d)
+
+
+def test_vocab_state_lowercase_change_rejected(tmp_path, capsys):
+    """Token counts accumulated case-sensitive are a different
+    histogram from lowercased ones; flipping --lowercase against the
+    same state dir must be refused, not silently mixed."""
+    state = str(tmp_path / "state")
+    _run(
+        ["vocab", "--input", _content_input(tmp_path / "in1", ["A b A"]),
+         "--output", str(tmp_path / "o1"), "--state-dir", state,
+         "--run-id", "r1"],
+        capsys,
+    )
+    with pytest.raises(ValueError, match="key format"):
+        main(
+            ["vocab", "--input",
+             _content_input(tmp_path / "in2", ["a c"]),
+             "--output", str(tmp_path / "o2"), "--state-dir", state,
+             "--run-id", "r2", "--lowercase"]
+        )
