@@ -753,13 +753,6 @@ def cmd_pack(args) -> dict:
                 "exclusive: emitting token windows requires the "
                 "co-locating text exchange"
             )
-        if getattr(args, "tokenizer", None):
-            raise SystemExit(
-                "--tokenizer applies to the co-locating pack "
-                "(--summaries-only phase B re-tokenizes with the "
-                "crc32 stand-in; real-id windows need the text "
-                "exchange)"
-            )
         # two-phase offsets exchange: identical summary rows, the
         # text never enters a shuffle (functions/packing.py
         # pack_summaries)
@@ -770,6 +763,7 @@ def cmd_pack(args) -> dict:
             text_col=args.text_column, id_col=args.id_column,
             delivery=args.seg_delivery,
             spill_dir=args.rendezvous_dir,
+            tokenizer=getattr(args, "tokenizer", None),
         )
     else:
         if args.seg_delivery != "auto" or args.rendezvous_dir:

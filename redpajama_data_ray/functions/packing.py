@@ -388,12 +388,17 @@ def _sorted_probe(segs: pa.Table):
 
 
 def _partials_table(
-    t: pa.Table, ids_s, enc_s, st_s, en_s, id_col: str, text_col: str
+    t: pa.Table, ids_s, enc_s, st_s, en_s, id_col: str, text_col: str,
+    tokenizer: "Optional[str]" = None,
 ) -> pa.Table:
     """Per-window partial checksums for the docs of ``t`` that appear
     in the segment probe: each doc's token-hash cumsum turns a segment
     into ``cs[end] - cs[start]`` (uint64 wraps both ways), pre-combined
     by window key within the table."""
+    if tokenizer is not None:
+        doc_tokens, eos = _tokenizer_fns(tokenizer)
+    else:
+        doc_tokens, eos = _doc_token_hashes, EOS_HASH
     ids = t.column(id_col).to_pylist()
     texts = t.column(text_col).to_pylist()
     out_enc = []
@@ -407,7 +412,7 @@ def _partials_table(
         hi = np.searchsorted(ids_s, key, side="right")
         if hi == lo:
             continue
-        h = np.append(_doc_token_hashes(texts[i]), EOS_HASH)
+        h = np.append(doc_tokens(texts[i]), eos)
         cs = np.zeros(len(h) + 1, dtype=np.uint64)
         np.cumsum(h, out=cs[1:])
         sl = slice(lo, hi)
@@ -457,7 +462,8 @@ def _block_ids_task(idx: int, block: pa.Table, id_col: str) -> pa.Table:
 
 @_ray.remote
 def _block_seg_partials_task(
-    block: pa.Table, piece_dir: str, id_col: str, text_col: str
+    block: pa.Table, piece_dir: str, id_col: str, text_col: str,
+    tokenizer: "Optional[str]" = None,
 ) -> pa.Table:
     """Per-window partials for one pinned corpus block, probing only
     ITS OWN segment slice (read back from the rendezvous directory).
@@ -472,7 +478,7 @@ def _block_seg_partials_task(
     )
     ids_s, enc_s, st_s, en_s = _sorted_probe(piece)
     return _partials_table(
-        block, ids_s, enc_s, st_s, en_s, id_col, text_col
+        block, ids_s, enc_s, st_s, en_s, id_col, text_col, tokenizer
     )
 
 
@@ -482,6 +488,7 @@ def _segjoin_partials(
     id_col: str,
     text_col: str,
     spill_dir: "str | None",
+    tokenizer: "Optional[str]" = None,
 ) -> Dataset:
     """Above-broadcast-limit segment delivery (the 100-TB path): the
     per-doc window-segment rows reach the documents WITHOUT a corpus
@@ -590,6 +597,7 @@ def _segjoin_partials(
                 f"block_idx={idx}",
                 id_col,
                 text_col,
+                tokenizer,
             )
             for idx, p in piece_dirs
         ]
@@ -628,9 +636,17 @@ def pack_summaries(
     validate: bool = True,
     delivery: str = "auto",
     spill_dir: "str | None" = None,
+    tokenizer: "Optional[str]" = None,
 ) -> Dataset:
     """``pack_sequences(..., emit_tokens=False)`` outputs — IDENTICAL
     rows — without moving any document text through the exchange.
+
+    ``tokenizer`` mirrors :func:`pack_sequences`: window structure and
+    checksums are computed over the REAL token ids of the artifact
+    (phase A counts ``encode(text)`` lengths, phase B cumsums the id
+    stream; the EOS sentinel must be a vocab token). The path must be
+    readable from every worker node — on a multi-node cluster put the
+    tokenizer.json on shared storage, like ``spill_dir``.
 
     The text-shuffle in :func:`pack_sequences` exists only to
     co-locate each bucket's tokens; when the product is window
@@ -676,15 +692,25 @@ def pack_summaries(
         )
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
+    if tokenizer is not None:
+        # resolve eagerly: bad artifact / missing EOS fails at the
+        # driver with a named error, not inside a Ray task
+        _tokenizer_fns(tokenizer)
 
     def _narrow(t: pa.Table) -> pa.Table:
         ids = t.column(id_col).to_pylist()
         b = (pack_bucket_of(ids) % np.uint64(n_buckets)).astype(np.int32)
+        if tokenizer is not None:
+            doc_tokens, _ = _tokenizer_fns(tokenizer)
+
+            def _ntok(x):
+                return len(doc_tokens(x)) + 1  # + trailing EOS
+        else:
+            # the crc32 stand-in vocabulary is one id per ws token
+            def _ntok(x):
+                return len((x or "").split()) + 1
         n_tok = np.fromiter(
-            (
-                len((x or "").split()) + 1  # + trailing EOS
-                for x in t.column(text_col).to_pylist()
-            ),
+            (_ntok(x) for x in t.column(text_col).to_pylist()),
             dtype=np.int64,
             count=len(ids),
         )
@@ -835,7 +861,7 @@ def pack_summaries(
     if use_segjoin:
         # ---- Phase B (segjoin): per-block slice delivery ----
         partial_ds = _segjoin_partials(
-            ds, seg_view, id_col, text_col, spill_dir
+            ds, seg_view, id_col, text_col, spill_dir, tokenizer
         )
     else:
         if n_seg > broadcast_limit:
@@ -861,7 +887,7 @@ def pack_summaries(
         def _partials(t: pa.Table) -> pa.Table:
             ids_s, enc_s, st_s, en_s = _ray.get(seg_ref)
             return _partials_table(
-                t, ids_s, enc_s, st_s, en_s, id_col, text_col
+                t, ids_s, enc_s, st_s, en_s, id_col, text_col, tokenizer
             )
 
         partial_ds = ds.map_batches(

@@ -229,6 +229,15 @@ run(
     ],
 )
 run(
+    "pack summaries real-tokenizer",
+    [
+        "pack", "--input", CORPUS, "--output", "{OUT}",
+        "--seq-len", "128", "--n-buckets", "4", "--summaries-only",
+        "--text-column", "content",
+        "--tokenizer", trained_eos, "--max-docs", "200",
+    ],
+)
+run(
     "prep-artifacts",
     [
         "prep-artifacts", "--input", CORPUS, "--output", "{OUT}",

@@ -260,3 +260,57 @@ class TestPackWithTrainedTokenizer:
             pack_sequences(
                 ds, seq_len=8, text_col="content", tokenizer=path,
             )
+
+    def test_summaries_match_sequences_under_real_tokenizer(
+        self, tmp_path
+    ):
+        """pack_summaries must emit byte-identical window summaries to
+        pack_sequences under a real tokenizer too — phase A counts
+        encode() lengths and phase B cumsums real ids, on BOTH segment
+        deliveries."""
+        import pandas as pd
+
+        from redpajama_data_ray.functions.packing import (
+            pack_sequences,
+            pack_summaries,
+        )
+
+        docs = [
+            f"def g{i}(y):\n    return y * {i} + {i % 3}\n"
+            for i in range(17)
+        ]
+        path = self._trained(tmp_path, docs)
+        ds = rd.from_items(
+            [{"doc_id": i, "content": d} for i, d in enumerate(docs)]
+        )
+
+        def _norm(d):
+            return (
+                d.to_pandas()
+                .sort_values(["bucket", "seq_idx"])
+                .reset_index(drop=True)
+            )
+
+        want = _norm(
+            pack_sequences(
+                ds, seq_len=24, n_buckets=3, text_col="content",
+                tokenizer=path,
+            )
+        )
+        for delivery in ("broadcast", "segjoin"):
+            got = _norm(
+                pack_summaries(
+                    ds, seq_len=24, n_buckets=3, text_col="content",
+                    tokenizer=path, delivery=delivery,
+                )
+            )
+            pd.testing.assert_frame_equal(got, want[got.columns])
+        # real ids give a different window structure than the crc32
+        # stand-in (BPE merges shift token counts) — prove the
+        # tokenizer actually flowed through phase A
+        standin = _norm(
+            pack_summaries(
+                ds, seq_len=24, n_buckets=3, text_col="content",
+            )
+        )
+        assert standin.n_tokens.sum() != want.n_tokens.sum()
