@@ -232,17 +232,18 @@ class CountMinSketch:
         return cls(depth, width, counts.copy())
 
 
-def approx_token_counts(
+def merged_token_cms(
     ds,
     text_col: str,
-    probes,
     depth: int = 4,
     width: int = 1 << 16,
-) -> np.ndarray:
-    """CMS estimates for ``probes`` over the whitespace tokens of a
+    lowercase: bool = False,
+) -> "CountMinSketch":
+    """One corpus-wide Count-Min sketch over the whitespace tokens of a
     Dataset text column: one fixed-size sketch per batch (pre-counted
     with np.unique so np.add.at touches each distinct token once),
-    merged on the driver — nothing token-scale ever shuffles."""
+    merged on the driver — nothing token-scale ever shuffles, and the
+    elementwise-add merge makes the result blocking-independent."""
     import re
 
     import pyarrow as pa
@@ -256,6 +257,8 @@ def approx_token_counts(
         joined = "\n".join(
             x or "" for x in t.column(text_col).to_pylist()
         )
+        if lowercase:
+            joined = joined.lower()
         toks = token_re.findall(joined)
         if toks:
             uniq, cnt = np.unique(
@@ -270,7 +273,19 @@ def approx_token_counts(
     ):
         for blob in b.column("sketch").to_pylist():
             merged = merged.merge(CountMinSketch.from_bytes(blob))
-    return merged.estimate(probes)
+    return merged
+
+
+def approx_token_counts(
+    ds,
+    text_col: str,
+    probes,
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> np.ndarray:
+    """CMS estimates for ``probes`` over the whitespace tokens of a
+    Dataset text column (see :func:`merged_token_cms`)."""
+    return merged_token_cms(ds, text_col, depth, width).estimate(probes)
 
 
 # ------------------------------------------------------------------
@@ -542,3 +557,153 @@ def approx_top_tokens(
             ),
         }
     )
+
+
+# ------------------------------------------------------------------
+# exact heavy hitters: CMS-pruned candidates + exact recount
+# ------------------------------------------------------------------
+
+
+class _CmsProbePartials:
+    """Actor-pool probe stage for :func:`exact_heavy_hitters`: holds
+    the deserialized corpus-wide CMS (fetched from the object store
+    ONCE per actor) and, per block, emits exact per-block counts for
+    only the tokens whose global CMS upper bound clears the threshold.
+    """
+
+    def __init__(self, blob_ref, text_col, threshold, lowercase):
+        import re
+
+        import ray
+
+        from .code_signals import WS_REGEX_CLASS
+
+        blob = blob_ref
+        if not isinstance(blob, (bytes, bytearray)):
+            blob = ray.get(blob_ref)
+        self.cms = CountMinSketch.from_bytes(bytes(blob))
+        self.text_col = text_col
+        self.threshold = np.uint64(max(int(threshold), 1))
+        self.lowercase = lowercase
+        self.token_re = re.compile(WS_REGEX_CLASS)
+
+    def __call__(self, t: "pa.Table") -> "pa.Table":
+        import pyarrow as pa
+
+        joined = "\n".join(
+            x or "" for x in t.column(self.text_col).to_pylist()
+        )
+        if self.lowercase:
+            joined = joined.lower()
+        toks = self.token_re.findall(joined)
+        if not toks:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        uniq, cnt = np.unique(
+            np.asarray(toks, dtype=object), return_counts=True
+        )
+        # the estimate upper-bounds each token's GLOBAL count, so every
+        # block agrees on candidacy: a true heavy hitter's partials are
+        # emitted by every block that saw it (no false negatives), and
+        # false positives die in the exact HAVING filter downstream
+        keep = self.cms.estimate(uniq.tolist()) >= self.threshold
+        return pa.table(
+            {
+                "token": pa.array(uniq[keep].tolist(), pa.string()),
+                "cnt": pa.array(cnt[keep].astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def exact_heavy_hitters(
+    ds,
+    text_col: str,
+    threshold: int,
+    depth: int = 4,
+    width: int = 1 << 16,
+    lowercase: bool = False,
+) -> "pa.Table":
+    """Tokens with true corpus count >= ``threshold``, with EXACT
+    counts, without ever materializing the full vocabulary histogram —
+    the exact-output sibling of :func:`approx_top_tokens` (reference
+    scale context: the exact path is ``functions/vocab.py``; at 100 TB
+    the distinct-token table stops fitting a shuffle, this doesn't).
+
+    Two streaming passes over ``ds`` (lazy Datasets re-execute the
+    read; materialize upstream first if it is expensive):
+
+    1. :func:`merged_token_cms` — fixed-size sketch partials, driver
+       merge. ``estimate`` never undercounts, so "estimate >=
+       threshold" admits every true heavy hitter under any blocking.
+    2. Broadcast the merged sketch via ``ray.put`` (fetched once per
+       actor, never re-shipped per batch); each block re-counts its
+       tokens and emits ``(token, cnt)`` partials ONLY for candidates
+       — the exact recount shuffle is candidate-sized, bounded by
+       N/threshold + CMS false positives (~e*N/width each row), not
+       vocabulary-sized.
+
+    The final exact combine drops false positives (``HAVING cnt >=
+    threshold``), so the result is deterministic and blocking-
+    independent: exactly the tokens a full GROUP BY ... HAVING would
+    return, with exact counts. Returned sorted by (-cnt, token).
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..dedupe.combine import combine_counts
+
+    threshold = int(threshold)
+    if threshold < 1:
+        raise ValueError("threshold must be >= 1")
+    merged = merged_token_cms(
+        ds, text_col, depth=depth, width=width, lowercase=lowercase
+    )
+    blob_ref = ray.put(merged.to_bytes())
+    partials = ds.map_batches(
+        _CmsProbePartials,
+        fn_constructor_kwargs=dict(
+            blob_ref=blob_ref,
+            text_col=text_col,
+            threshold=threshold,
+            lowercase=lowercase,
+        ),
+        batch_format="pyarrow",
+        batch_size=None,
+        concurrency=(1, 8),
+    )
+    counts = combine_counts(partials, key="token", cnt="cnt")
+
+    def _having(t: "pa.Table") -> "pa.Table":
+        import pyarrow.compute as pc
+
+        return t.filter(pc.greater_equal(t.column("cnt"), threshold))
+
+    # the exact filter runs distributed, so only true heavy hitters
+    # (<= N/threshold rows) ever reach the driver
+    out = pa.Table.from_pandas(
+        counts.map_batches(_having, batch_format="pyarrow").to_pandas(),
+        preserve_index=False,
+    )
+    if out.num_rows == 0:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+    out = out.set_column(
+        out.schema.get_field_index("cnt"),
+        "cnt",
+        out.column("cnt").cast(pa.int64()),
+    )
+    idx = np.lexsort(
+        (
+            np.asarray(out.column("token").to_pylist(), dtype=object),
+            -out.column("cnt").to_numpy(zero_copy_only=False),
+        )
+    )
+    return out.take(idx).select(["token", "cnt"])

@@ -1875,6 +1875,20 @@ ORACLE_SQL: Dict[str, str] = {
             order by score desc, a.vec_id asc limit 10
         )
     """,
+    # exact heavy hitters: same ASCII-whitespace token class as
+    # vocab_top_tokens; threshold = corpus doc count (scale-free), the
+    # exact GROUP BY ... HAVING the CMS-pruned recount must reproduce
+    "heavy_hitter_tokens": """
+        select token, count(*)::bigint as cnt from (
+            select unnest(
+                regexp_extract_all(text, '[^ \t\n\r\f\v]+')
+            ) as token
+            from documents
+        )
+        group by token
+        having count(*) >= (select count(*) from documents)
+        order by cnt desc, token asc
+    """,
 }
 
 def q_vocab_top_tokens(sf_dir: str) -> "pa.Table":

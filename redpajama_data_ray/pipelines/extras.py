@@ -1418,6 +1418,21 @@ def q_repo_stats(sf_dir: str) -> "pa.Table":
     return repo_stats(ds)
 
 
+def q_heavy_hitter_tokens(sf_dir: str) -> "pa.Table":
+    """Tokens whose exact corpus frequency >= the document count,
+    computed WITHOUT the full vocabulary histogram
+    (functions/sketches.py exact_heavy_hitters: CMS-pruned candidates
+    + exact recount of candidates only). Direct SQL oracle: GROUP BY
+    token HAVING count(*) >= (select count(*) from documents) — the
+    sketch prunes, the output is exact, so the oracle needs no
+    tolerance."""
+    from ..functions.sketches import exact_heavy_hitters
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    n_docs = ds.count()  # parquet metadata, no scan
+    return exact_heavy_hitters(ds, "text", threshold=max(n_docs, 1))
+
+
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
     "repo_stats": q_repo_stats,
@@ -1435,4 +1450,8 @@ EXTRA_QUERIES = {
     "approx_distinct_texts": q_approx_distinct_texts,
     "corpus_flagship": q_corpus_flagship,
     "media_decode": q_media_decode,
+    # registered PAST the driver's 50-query report window (NOTES.md
+    # round-6 item 1) — covered by gate_preflight + the pytest oracle
+    # replica; do not reorder the first 50
+    "heavy_hitter_tokens": q_heavy_hitter_tokens,
 }

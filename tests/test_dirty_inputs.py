@@ -99,6 +99,8 @@ CASES = [
     ("stratified_sample_docs", analysis.q_stratified_sample_docs),
     # sequential oracle writer int(None) + Ray-side parity
     ("pack_sequences_docs", extras.q_pack_sequences_docs),
+    # two-pass CMS probe (null texts, empty corpus -> threshold 1)
+    ("heavy_hitter_tokens", extras.q_heavy_hitter_tokens),
 ]
 
 

@@ -301,3 +301,100 @@ class TestHeavyHitters:
         # the final ranking is identical across blockings (CMS
         # estimates are layout-independent)
         assert tops[0] == tops[1] == tops[2]
+
+
+class TestExactHeavyHitters:
+    def _brute(self, texts, threshold):
+        import re
+        from collections import Counter
+
+        from redpajama_data_ray.functions.code_signals import (
+            WS_REGEX_CLASS,
+        )
+
+        c = Counter()
+        for tx in texts:
+            c.update(re.findall(WS_REGEX_CLASS, tx or ""))
+        rows = sorted(
+            ((t, n) for t, n in c.items() if n >= threshold),
+            key=lambda r: (-r[1], r[0]),
+        )
+        return rows
+
+    def test_matches_counter_oracle_any_blocking(self):
+        from redpajama_data_ray.functions.sketches import (
+            exact_heavy_hitters,
+        )
+
+        rng = np.random.RandomState(5)
+        noise = [f"n{i:04d}" for i in range(800)]
+        texts = [
+            "the quick " + " ".join(rng.choice(noise, size=15).tolist())
+            for _ in range(300)
+        ]
+        table = pa.table({"text": texts})
+        for threshold in (3, 50, 300):
+            expect = self._brute(texts, threshold)
+            for nblocks in (1, 9):
+                got = exact_heavy_hitters(
+                    ray.data.from_arrow(table).repartition(nblocks),
+                    "text",
+                    threshold,
+                )
+                assert (
+                    list(
+                        zip(
+                            got.column("token").to_pylist(),
+                            got.column("cnt").to_pylist(),
+                        )
+                    )
+                    == expect
+                ), (threshold, nblocks)
+
+    def test_exact_despite_tiny_sketch(self):
+        # width=16 forces CMS collisions -> false-positive candidates;
+        # the exact recount + HAVING filter must still be exact
+        from redpajama_data_ray.functions.sketches import (
+            exact_heavy_hitters,
+        )
+
+        rng = np.random.RandomState(7)
+        noise = [f"x{i:03d}" for i in range(500)]
+        texts = [
+            "hot " + " ".join(rng.choice(noise, size=10).tolist())
+            for _ in range(200)
+        ]
+        expect = self._brute(texts, 150)
+        got = exact_heavy_hitters(
+            ray.data.from_arrow(pa.table({"text": texts})).repartition(5),
+            "text",
+            150,
+            width=16,
+        )
+        assert (
+            list(
+                zip(
+                    got.column("token").to_pylist(),
+                    got.column("cnt").to_pylist(),
+                )
+            )
+            == expect
+        )
+        assert got.column("cnt").to_pylist()[0] == 200  # "hot"
+
+    def test_empty_nulls_and_threshold_validation(self):
+        import pytest as _pytest
+
+        from redpajama_data_ray.functions.sketches import (
+            exact_heavy_hitters,
+        )
+
+        ds = ray.data.from_arrow(
+            pa.table({"text": pa.array([None, "", "a b", None], pa.string())})
+        )
+        got = exact_heavy_hitters(ds, "text", 10)
+        assert got.num_rows == 0
+        assert got.schema.names == ["token", "cnt"]
+        assert got.schema.types == [pa.string(), pa.int64()]
+        with _pytest.raises(ValueError):
+            exact_heavy_hitters(ds, "text", 0)
