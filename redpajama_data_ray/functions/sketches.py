@@ -130,6 +130,114 @@ def approx_distinct(ds, column: str, p: int = 12) -> float:
     return merged.estimate()
 
 
+def approx_distinct_by(
+    ds,
+    key_col: str,
+    value_col: str,
+    p: int = 12,
+    distributed: "bool | None" = None,
+) -> "pa.Table":
+    """Per-key distinct-count estimates — the at-scale
+    ``groupby(key).count_distinct(value)`` when the per-key distinct
+    value sets are too large to shuffle (e.g. distinct tokens or URLs
+    per language over 100 TB): each block emits one 4-KiB HLL sketch
+    per key it saw, and only sketches move. Register max-merge makes
+    the result independent of blocking — identical estimates for any
+    partitioning of the same rows.
+
+    Null keys are dropped (the repo-wide null-group policy); null
+    values don't count. ``distributed=None`` merges driver-side below
+    50k partial rows (dict of sketches), else through
+    ``groupby(key).map_groups`` so no single process holds all keys.
+    Returns ``(key, n_distinct: double)`` sorted by key.
+    """
+    import pyarrow as pa
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        keys = np.asarray(t.column(key_col).to_pylist(), dtype=object)
+        vals = np.asarray(t.column(value_col).to_pylist(), dtype=object)
+        ok = np.array(
+            [k is not None and v is not None for k, v in zip(keys, vals)],
+            dtype=bool,
+        )
+        keys, vals = keys[ok], vals[ok]
+        if keys.size == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], pa.string()),
+                    "sketch": pa.array([], pa.binary()),
+                }
+            )
+        uniq, inv = np.unique(keys.astype(str), return_inverse=True)
+        order = np.argsort(inv, kind="stable")
+        bounds = np.searchsorted(inv[order], np.arange(uniq.size + 1))
+        blobs = []
+        for i in range(uniq.size):
+            h = HyperLogLog(p)
+            h.update(vals[order[bounds[i] : bounds[i + 1]]])
+            blobs.append(h.to_bytes())
+        return pa.table(
+            {
+                "key": pa.array(uniq.tolist(), pa.string()),
+                "sketch": pa.array(blobs, pa.binary()),
+            }
+        )
+
+    # partials are sketch-sized (blocks x keys-per-block rows), never
+    # input-sized — materializing them is the cheap part
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+    if distributed is None:
+        distributed = partials.count() > 50_000
+
+    if not distributed:
+        merged: dict = {}
+        for b in partials.iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        ):
+            for k, blob in zip(
+                b.column("key").to_pylist(), b.column("sketch").to_pylist()
+            ):
+                h = HyperLogLog.from_bytes(blob)
+                merged[k] = merged[k].merge(h) if k in merged else h
+        keys = sorted(merged)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.string()),
+                "n_distinct": pa.array(
+                    [merged[k].estimate() for k in keys], pa.float64()
+                ),
+            }
+        )
+
+    def _merge_group(g: "pa.Table") -> "pa.Table":
+        h = HyperLogLog(p)
+        for blob in g.column("sketch").to_pylist():
+            h = h.merge(HyperLogLog.from_bytes(blob))
+        return pa.table(
+            {
+                "key": pa.array([g.column("key")[0].as_py()], pa.string()),
+                "n_distinct": pa.array([h.estimate()], pa.float64()),
+            }
+        )
+
+    out = (
+        partials.groupby("key")
+        .map_groups(_merge_group, batch_format="pyarrow")
+        .sort("key")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "key": pa.array(out["key"].tolist(), pa.string()),
+            "n_distinct": pa.array(
+                out["n_distinct"].to_numpy(), pa.float64()
+            ),
+        }
+    )
+
+
 # ------------------------------------------------------------------
 # mergeable frequency sketch (Count-Min)
 # ------------------------------------------------------------------

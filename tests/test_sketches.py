@@ -398,3 +398,94 @@ class TestExactHeavyHitters:
         assert got.schema.types == [pa.string(), pa.int64()]
         with _pytest.raises(ValueError):
             exact_heavy_hitters(ds, "text", 0)
+
+
+class TestApproxDistinctBy:
+    TRUE = {"de": 900, "en": 4000, "fr": 37}
+
+    def _table(self):
+        rng = np.random.RandomState(13)
+        keys, vals = [], []
+        for k, n in self.TRUE.items():
+            draw = rng.randint(0, n, size=n * 3)  # duplicates included
+            # every value 0..n-1 appears at least once so the true
+            # per-key distinct count is exactly n
+            draw = np.concatenate([draw, np.arange(n)])
+            keys += [k] * len(draw)
+            vals += [f"{k}_v{int(i)}" for i in draw]
+        return pa.table({"lang": keys, "tok": vals})
+
+    def test_accuracy_and_layout_independence(self):
+        from redpajama_data_ray.functions.sketches import (
+            approx_distinct_by,
+        )
+
+        t = self._table()
+        results = []
+        for nblocks in (1, 6, 17):
+            got = approx_distinct_by(
+                ray.data.from_arrow(t).repartition(nblocks), "lang", "tok"
+            )
+            assert got.column("key").to_pylist() == sorted(self.TRUE)
+            est = dict(
+                zip(
+                    got.column("key").to_pylist(),
+                    got.column("n_distinct").to_pylist(),
+                )
+            )
+            for k, n in self.TRUE.items():
+                assert abs(est[k] - n) / n < 0.08, (k, est[k], n)
+            results.append(est)
+        # register max-merge: identical estimates under any blocking
+        assert results[0] == results[1] == results[2]
+
+    def test_distributed_path_matches_driver_path(self):
+        from redpajama_data_ray.functions.sketches import (
+            approx_distinct_by,
+        )
+
+        ds = ray.data.from_arrow(self._table()).repartition(5)
+        a = approx_distinct_by(ds, "lang", "tok", distributed=False)
+        b = approx_distinct_by(ds, "lang", "tok", distributed=True)
+        assert a.column("key").to_pylist() == b.column("key").to_pylist()
+        assert (
+            a.column("n_distinct").to_pylist()
+            == b.column("n_distinct").to_pylist()
+        )
+
+    def test_null_keys_and_values_dropped(self):
+        from redpajama_data_ray.functions.sketches import (
+            approx_distinct_by,
+        )
+
+        t = pa.table(
+            {
+                "k": pa.array(["a", None, "a", "b", "b"], pa.string()),
+                "v": pa.array(["x", "y", None, "z", "z"], pa.string()),
+            }
+        )
+        got = approx_distinct_by(ray.data.from_arrow(t), "k", "v")
+        est = dict(
+            zip(
+                got.column("key").to_pylist(),
+                got.column("n_distinct").to_pylist(),
+            )
+        )
+        assert set(est) == {"a", "b"}
+        # small-range linear counting is exact at these sizes
+        assert round(est["a"]) == 1 and round(est["b"]) == 1
+
+    def test_empty_input_typed(self):
+        from redpajama_data_ray.functions.sketches import (
+            approx_distinct_by,
+        )
+
+        t = pa.table(
+            {
+                "k": pa.array([], pa.string()),
+                "v": pa.array([], pa.string()),
+            }
+        )
+        got = approx_distinct_by(ray.data.from_arrow(t), "k", "v")
+        assert got.num_rows == 0
+        assert got.schema.names == ["key", "n_distinct"]
