@@ -804,6 +804,13 @@ def cmd_vocab(args) -> dict:
     from .functions.vocab import token_frequencies
 
     ds = _read_input(args.input, args.max_docs, False)
+    if getattr(args, "heavy_min_count", None) and (
+        args.state_dir or getattr(args, "approx_top", None)
+    ):
+        raise SystemExit(
+            "--heavy-min-count is its own mode; combine with neither "
+            "--state-dir nor --approx-top"
+        )
     if args.state_dir:
         from .state.incremental import (
             commit_run_token_counts,
@@ -845,6 +852,24 @@ def cmd_vocab(args) -> dict:
         )
         rd.from_arrow(top).write_parquet(args.output)
         return {"output": args.output, "rows": top.num_rows}
+    if getattr(args, "heavy_min_count", None):
+        # exact heavy hitters: CMS prunes candidates, exact recount of
+        # candidates only — GROUP BY ... HAVING without the histogram
+        import ray.data as rd
+
+        from .functions.sketches import exact_heavy_hitters
+
+        if args.min_count != 1 or args.top_k is not None:
+            raise SystemExit(
+                "--min-count/--top-k configure the exact histogram; "
+                "--heavy-min-count IS the threshold"
+            )
+        hh = exact_heavy_hitters(
+            ds, text_col=args.text_column,
+            threshold=args.heavy_min_count, lowercase=args.lowercase,
+        )
+        rd.from_arrow(hh).write_parquet(args.output)
+        return {"output": args.output, "rows": hh.num_rows}
     out = token_frequencies(
         ds, text_col=args.text_column, min_count=args.min_count,
         top_k=args.top_k, lowercase=args.lowercase,
@@ -1386,6 +1411,12 @@ def build_parser() -> argparse.ArgumentParser:
         "histogram — the path when distinct tokens stop fitting",
     )
     vb.add_argument("--approx-counters", type=int, default=4096)
+    vb.add_argument(
+        "--heavy-min-count", type=int, default=None, metavar="N",
+        help="exact-heavy-hitter mode: tokens with exact corpus count "
+        ">= N via CMS-pruned candidate recount — exact GROUP BY ... "
+        "HAVING output without a vocabulary-sized shuffle",
+    )
     vb.set_defaults(fn=cmd_vocab)
 
     tb = sub.add_parser(

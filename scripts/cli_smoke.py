@@ -187,6 +187,13 @@ run(
     ],
 )
 run(
+    "vocab heavy",
+    [
+        "vocab", "--input", CORPUS, "--output", "{OUT}",
+        "--text-column", "content", "--heavy-min-count", "500",
+    ],
+)
+run(
     "semdedup",
     [
         "semdedup", "--input", os.path.join(SF, "embeddings.parquet"),

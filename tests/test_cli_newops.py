@@ -6,6 +6,7 @@ import json
 import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
+import pytest
 import ray.data
 
 from redpajama_data_ray.cli import main
@@ -78,6 +79,22 @@ def test_cli_pack_chunk_vocab(tmp_path, capsys):
     assert got == {
         "alpha": 60, "beta": 60, "gamma": 60, "delta": 60
     }
+
+    out = str(tmp_path / "heavy")
+    assert main(
+        ["vocab", "--input", src, "--output", out,
+         "--text-column", "text", "--heavy-min-count", "60"]
+    ) == 0
+    hh = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert dict(zip(hh.token, hh.cnt)) == {
+        "alpha": 60, "beta": 60, "gamma": 60, "delta": 60
+    }
+    with pytest.raises(SystemExit):
+        main(
+            ["vocab", "--input", src, "--output", out,
+             "--text-column", "text", "--heavy-min-count", "60",
+             "--approx-top", "5"]
+        )
 
 
 def test_cli_semdedup(tmp_path, capsys):
