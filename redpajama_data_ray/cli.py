@@ -811,6 +811,42 @@ def cmd_vocab(args) -> dict:
             "--heavy-min-count is its own mode; combine with neither "
             "--state-dir nor --approx-top"
         )
+    if args.state_dir and getattr(args, "approx_top", None):
+        # incremental sketch mode: fixed-size (MG + CMS) state per
+        # committed run — cross-corpus top-k without re-reading old
+        # text and without vocabulary-sized state
+        import ray.data as rd
+
+        from .state.incremental import (
+            commit_run_top_summary,
+            incremental_top_tokens,
+            seen_topk_runs,
+        )
+
+        if args.min_count != 1 or args.top_k is not None:
+            raise SystemExit(
+                "--min-count/--top-k configure the exact histogram; "
+                "with --approx-top, K is the cut"
+            )
+        result, run_id, summary = incremental_top_tokens(
+            ds, args.state_dir, text_col=args.text_column,
+            k=args.approx_top, counters=args.approx_counters,
+            lowercase=args.lowercase, run_id=args.run_id,
+        )
+        rd.from_arrow(result).write_parquet(args.output)
+        commit_run_top_summary(  # data first, then state
+            summary, args.state_dir, run_id,
+            lowercase=args.lowercase, counters=args.approx_counters,
+        )
+        return {
+            "output": args.output,
+            "run_id": run_id,
+            "rows": result.num_rows,
+            "state_runs": seen_topk_runs(
+                args.state_dir, lowercase=args.lowercase,
+                counters=args.approx_counters,
+            ),
+        }
     if args.state_dir:
         from .state.incremental import (
             commit_run_token_counts,

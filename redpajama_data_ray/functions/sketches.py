@@ -542,6 +542,172 @@ def mg_reduce(tokens: "np.ndarray", counts: "np.ndarray", m: int):
     return tokens[keep], counts[keep] - d
 
 
+def _mg_cms_partials(
+    ds, text_col, counters, depth, width, lowercase
+):
+    """One streaming pass over the text emitting, per BLOCK, a
+    Misra-Gries summary (rows with non-null ``token``) and one
+    Count-Min sketch (the single null-token row) in a union schema —
+    the shared front half of :func:`approx_top_tokens` and
+    :func:`top_token_summaries`. ``batch_size=None``: one summary +
+    one sketch per block (a 2 MB sketch per small default batch would
+    dominate the output)."""
+    import re
+
+    import pyarrow as pa
+
+    from .code_signals import WS_REGEX_CLASS
+
+    token_re = re.compile(WS_REGEX_CLASS)
+
+    def partial(t: "pa.Table") -> "pa.Table":
+        joined = "\n".join(
+            x or "" for x in t.column(text_col).to_pylist()
+        )
+        if lowercase:
+            joined = joined.lower()
+        toks = token_re.findall(joined)
+        cms = CountMinSketch(depth, width)
+        if toks:
+            uniq, cnt = np.unique(
+                np.asarray(toks, dtype=object), return_counts=True
+            )
+            cms.update(uniq.tolist(), cnt)
+            uniq, cnt = mg_reduce(uniq, cnt, counters)
+            token_col = uniq.tolist() + [None]
+            cnt_col = cnt.astype(np.int64).tolist() + [0]
+        else:
+            token_col, cnt_col = [None], [0]
+        sketch_col = [None] * (len(token_col) - 1) + [cms.to_bytes()]
+        return pa.table(
+            {
+                "token": pa.array(token_col, pa.string()),
+                "cnt": pa.array(cnt_col, pa.int64()),
+                "sketch": pa.array(sketch_col, pa.binary()),
+            }
+        )
+
+    return ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=None
+    ).materialize()
+
+
+def _merge_partial_sketches(both, depth, width) -> "CountMinSketch":
+    import pyarrow.compute as pc
+
+    def _sketch_rows(t):
+        return t.filter(pc.is_valid(t.column("sketch"))).select(
+            ["sketch"]
+        )
+
+    merged = CountMinSketch(depth, width)
+    for b in both.map_batches(
+        _sketch_rows, batch_format="pyarrow"
+    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for raw in b.column("sketch").to_pylist():
+            merged = merged.merge(CountMinSketch.from_bytes(raw))
+    return merged
+
+
+def top_token_summaries(
+    ds,
+    text_col: str,
+    counters: int = 4096,
+    depth: int = 4,
+    width: int = 1 << 16,
+    lowercase: bool = False,
+):
+    """One corpus pass -> ``(mg_table, cms)``: a PROPER Misra-Gries
+    summary of at most ``counters`` residual rows (per-block summaries
+    sum-combined, then one global reduce — the mergeable-summaries
+    merge of Agarwal et al. 2012, so any token with true count >
+    N/(counters+1) keeps a positive residual) and the merged Count-Min
+    sketch. Both are fixed-size and MERGE across corpora/runs: sum
+    residuals per token then :func:`mg_reduce`; add sketches — the
+    state the incremental cross-run top-k persists."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..dedupe.combine import combine_counts
+
+    both = _mg_cms_partials(ds, text_col, counters, depth, width, lowercase)
+    cms = _merge_partial_sketches(both, depth, width)
+
+    def _mg(t: "pa.Table") -> "pa.Table":
+        return t.filter(pc.is_valid(t.column("token"))).select(
+            ["token", "cnt"]
+        )
+
+    # only the top counters+1 combined rows matter: the global reduce
+    # subtracts the (counters+1)-th largest value, so everything below
+    # it dies anyway — the driver never holds more than counters+1 rows
+    head = (
+        combine_counts(both.map_batches(_mg, batch_format="pyarrow"),
+                       key="token")
+        .sort(["cnt", "token"], descending=[True, False])
+        .limit(counters + 1)
+        .to_pandas()
+    )
+    if not len(head):
+        mg = pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "cnt": pa.array([], pa.int64()),
+            }
+        )
+        return mg, cms
+    toks, cnts = mg_reduce(
+        head["token"].to_numpy(dtype=object),
+        head["cnt"].to_numpy().astype(np.int64),
+        counters,
+    )
+    mg = pa.table(
+        {
+            "token": pa.array(toks.tolist(), pa.string()),
+            "cnt": pa.array(cnts.astype(np.int64), pa.int64()),
+        }
+    )
+    return mg, cms
+
+
+def rank_top_tokens(
+    mg_table,
+    cms: "CountMinSketch",
+    k: int,
+    candidate_pool: Optional[int] = None,
+) -> "pa.Table":
+    """Rank a (possibly merged) MG summary by CMS point estimates —
+    the back half of :func:`approx_top_tokens`, reused by the
+    incremental cross-run path. Returns ``(token, est_count,
+    lower_bound)`` sorted by (-est_count, token), cut to ``k``."""
+    import pyarrow as pa
+
+    pool = int(candidate_pool or max(4 * k, 1024))
+    if mg_table.num_rows == 0:
+        return pa.table(
+            {
+                "token": pa.array([], pa.string()),
+                "est_count": pa.array([], pa.int64()),
+                "lower_bound": pa.array([], pa.int64()),
+            }
+        )
+    toks = np.asarray(mg_table.column("token").to_pylist(), dtype=object)
+    res = mg_table.column("cnt").to_numpy(zero_copy_only=False).astype(
+        np.int64
+    )
+    cut = np.lexsort((toks, -res))[:pool]
+    toks, res = toks[cut], res[cut]
+    est = cms.estimate(toks.tolist()).astype(np.int64)
+    order = np.lexsort((toks, -est))[:k]
+    return pa.table(
+        {
+            "token": pa.array(toks[order].tolist(), pa.string()),
+            "est_count": pa.array(est[order], pa.int64()),
+            "lower_bound": pa.array(res[order], pa.int64()),
+        }
+    )
+
+
 def approx_top_tokens(
     ds,
     text_col: str,
@@ -572,71 +738,21 @@ def approx_top_tokens(
     bound w.h.p.), ``lower_bound`` the combined MG residual (a
     certain lower bound).
     """
-    import re
-
     import pyarrow as pa
 
     from ..dedupe.combine import combine_counts
-    from .code_signals import WS_REGEX_CLASS
 
-    token_re = re.compile(WS_REGEX_CLASS)
     pool = int(candidate_pool or max(4 * k, 1024))
-
-    def partial(t: "pa.Table") -> "pa.Table":
-        joined = "\n".join(
-            x or "" for x in t.column(text_col).to_pylist()
-        )
-        if lowercase:
-            joined = joined.lower()
-        toks = token_re.findall(joined)
-        cms = CountMinSketch(depth, width)
-        if toks:
-            uniq, cnt = np.unique(
-                np.asarray(toks, dtype=object), return_counts=True
-            )
-            cms.update(uniq.tolist(), cnt)
-            uniq, cnt = mg_reduce(uniq, cnt, counters)
-            token_col = uniq.tolist() + [None]
-            cnt_col = cnt.astype(np.int64).tolist() + [0]
-        else:
-            token_col, cnt_col = [None], [0]
-        # union schema: MG rows carry (token, cnt); the one sketch row
-        # carries (null token, sketch) — one pass over the text feeds
-        # both summaries
-        sketch_col = [None] * (len(token_col) - 1) + [cms.to_bytes()]
-        return pa.table(
-            {
-                "token": pa.array(token_col, pa.string()),
-                "cnt": pa.array(cnt_col, pa.int64()),
-                "sketch": pa.array(sketch_col, pa.binary()),
-            }
-        )
-
-    # batch_size=None: one MG summary + one sketch per BLOCK (a
-    # 2 MB sketch per small default batch would dominate the output)
-    both = ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=None
-    ).materialize()
+    both = _mg_cms_partials(ds, text_col, counters, depth, width, lowercase)
 
     import pyarrow.compute as pc
-
-    def _sketch_rows(t: "pa.Table") -> "pa.Table":
-        return t.filter(pc.is_valid(t.column("sketch"))).select(
-            ["sketch"]
-        )
 
     def _mg(t: "pa.Table") -> "pa.Table":
         return t.filter(pc.is_valid(t.column("token"))).select(
             ["token", "cnt"]
         )
 
-    merged = CountMinSketch(depth, width)
-    for b in both.map_batches(
-        _sketch_rows, batch_format="pyarrow"
-    ).iter_batches(batch_size=4096, batch_format="pyarrow"):
-        for raw in b.column("sketch").to_pylist():
-            merged = merged.merge(CountMinSketch.from_bytes(raw))
-
+    merged = _merge_partial_sketches(both, depth, width)
     mg_rows = both.map_batches(_mg, batch_format="pyarrow")
     cands = (
         combine_counts(mg_rows, key="token")

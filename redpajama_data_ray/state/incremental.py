@@ -905,3 +905,236 @@ def compact_vocab_state(
         state_dir, "vocab", _vocab_format(lowercase), "token",
         max_files,
     )
+
+
+# ------------------------------------------------------------------
+# incremental cross-run approximate top-k tokens (MG + CMS state)
+# ------------------------------------------------------------------
+
+
+def _topk_format(
+    lowercase: bool, counters: int, depth: int, width: int
+) -> str:
+    # MG residuals only merge under the same counter budget, and CMS
+    # sketches only merge at the same (depth, width); the token class
+    # and case fold must match for counts to mean the same thing
+    return (
+        f"topk-ws-ascii-v1-lc{int(lowercase)}"
+        f"-c{counters}-d{depth}-w{width}"
+    )
+
+
+def seen_topk_runs(
+    state_dir: str,
+    lowercase: bool = False,
+    counters: int = 4096,
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> int:
+    """Committed run-summary files (one per committed run until
+    compaction merges them into one)."""
+    return len(
+        _counts_files(
+            state_dir, "topk", _topk_format(lowercase, counters, depth, width)
+        )
+    )
+
+
+def _read_topk_state(files):
+    """Split committed run-summary files into (mg tables, cms blobs).
+    Each file is the union schema commit_run_top_summary writes: MG
+    rows carry (token, cnt); sketch rows carry (null, 0, blob)."""
+    mg_tables, blobs = [], []
+    for f in files:
+        t = pq.read_table(f)
+        tok = t.column("token")
+        mg_tables.append(
+            t.filter(tok.is_valid()).select(["token", "cnt"])
+        )
+        for blob in t.filter(tok.is_null()).column("sketch").to_pylist():
+            if blob is not None:
+                blobs.append(blob)
+    return mg_tables, blobs
+
+
+def incremental_top_tokens(
+    ds: Dataset,
+    state_dir: str,
+    text_col: str = "text",
+    k: int = 100,
+    counters: int = 4096,
+    depth: int = 4,
+    width: int = 1 << 16,
+    lowercase: bool = False,
+    candidate_pool: Optional[int] = None,
+    run_id: Optional[str] = None,
+):
+    """Cross-run approximate top-k: every committed run contributed one
+    fixed-size (MG summary + CMS sketch) pair, so the heavy hitters of
+    the WHOLE corpus so far rank without re-reading old text and with
+    state that stays O(counters + depth*width) regardless of corpus
+    size — the sketch sibling of :func:`incremental_vocab` (which keeps
+    exact counts at vocabulary-sized state). The mergeable-summaries
+    guarantee (Agarwal et al. 2012) survives the merge: any token with
+    total count > N_total/(counters+1) keeps a positive residual, even
+    when its mass is spread across runs so thinly that no single run
+    would surface it.
+
+    Returns ``(result, run_id, summary)``: write/consume ``result``
+    first, then pass ``summary`` to :func:`commit_run_top_summary`
+    (the crash-safe order every incremental variant uses)."""
+    from ..functions.sketches import (
+        CountMinSketch,
+        mg_reduce,
+        rank_top_tokens,
+        top_token_summaries,
+    )
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+
+    run_mg, run_cms = top_token_summaries(
+        ds, text_col, counters=counters, depth=depth, width=width,
+        lowercase=lowercase,
+    )
+    files = _counts_files(
+        state_dir, "topk", _topk_format(lowercase, counters, depth, width)
+    )
+    mg_tables, blobs = _read_topk_state(files)
+    merged_cms = run_cms
+    for blob in blobs:
+        merged_cms = merged_cms.merge(CountMinSketch.from_bytes(blob))
+
+    # state is runs x counters rows at most — driver-side combine
+    import numpy as np
+
+    all_mg = pa.concat_tables([run_mg, *mg_tables])
+    if all_mg.num_rows:
+        summed = all_mg.group_by("token").aggregate([("cnt", "sum")])
+        toks, cnts = mg_reduce(
+            np.asarray(summed.column("token").to_pylist(), dtype=object),
+            summed.column("cnt_sum").to_numpy(zero_copy_only=False)
+            .astype(np.int64),
+            counters,
+        )
+        order = np.lexsort((toks, -cnts))
+        merged_mg = pa.table(
+            {
+                "token": pa.array(toks[order].tolist(), pa.string()),
+                "cnt": pa.array(
+                    cnts[order].astype(np.int64), pa.int64()
+                ),
+            }
+        )
+    else:
+        merged_mg = run_mg
+    result = rank_top_tokens(
+        merged_mg, merged_cms, k, candidate_pool=candidate_pool
+    )
+    return result, run_id, (run_mg, run_cms)
+
+
+def commit_run_top_summary(
+    summary,
+    state_dir: str,
+    run_id: str,
+    lowercase: bool = False,
+    counters: int = 4096,
+) -> str:
+    """Append one run's (MG table, CMS sketch) pair as a single
+    union-schema parquet file (atomic rename; rerunning the same
+    run_id overwrites). The sketch shape is read from the sketch
+    itself so the format stamp can't drift from the payload."""
+    run_mg, run_cms = summary
+    d = _counts_dir(
+        state_dir, "topk",
+        _topk_format(lowercase, counters, run_cms.depth, run_cms.width),
+    )
+    tmp = os.path.join(d, f".{run_id}.parquet.tmp")
+    final = os.path.join(d, f"{run_id}.parquet")
+    n = run_mg.num_rows
+    t = pa.table(
+        {
+            "token": pa.concat_arrays(
+                [
+                    run_mg.column("token").combine_chunks(),
+                    pa.array([None], pa.string()),
+                ]
+            ),
+            "cnt": pa.concat_arrays(
+                [
+                    run_mg.column("cnt").combine_chunks(),
+                    pa.array([0], pa.int64()),
+                ]
+            ),
+            "sketch": pa.array(
+                [None] * n + [run_cms.to_bytes()], pa.binary()
+            ),
+        }
+    )
+    pq.write_table(t, tmp)
+    os.replace(tmp, final)
+    return final
+
+
+def compact_topk_state(
+    state_dir: str,
+    max_files: int = 16,
+    lowercase: bool = False,
+    counters: int = 4096,
+    depth: int = 4,
+    width: int = 1 << 16,
+) -> int:
+    """Merge per-run summary files past ``max_files`` into one:
+    sum-only for MG rows (the query-side combine does the reduce, so
+    results are IDENTICAL pre/post compaction) and elementwise-add for
+    the sketches. Atomic like the count-state compactions."""
+    from ..functions.sketches import CountMinSketch
+
+    fmt = _topk_format(lowercase, counters, depth, width)
+    files = _counts_files(state_dir, "topk", fmt)
+    if len(files) <= max_files:
+        return len(files)
+    mg_tables, blobs = _read_topk_state(files)
+    merged_cms = CountMinSketch(depth, width)
+    for blob in blobs:
+        merged_cms = merged_cms.merge(CountMinSketch.from_bytes(blob))
+    all_mg = pa.concat_tables(mg_tables)
+    summed = (
+        all_mg.group_by("token").aggregate([("cnt", "sum")])
+        if all_mg.num_rows
+        else None
+    )
+    d = _counts_dir(state_dir, "topk", fmt)
+    n = summed.num_rows if summed is not None else 0
+    tokens = (
+        summed.column("token").combine_chunks()
+        if summed is not None
+        else pa.array([], pa.string())
+    )
+    cnts = (
+        summed.column("cnt_sum").cast(pa.int64()).combine_chunks()
+        if summed is not None
+        else pa.array([], pa.int64())
+    )
+    t = pa.table(
+        {
+            "token": pa.concat_arrays(
+                [tokens, pa.array([None], pa.string())]
+            ),
+            "cnt": pa.concat_arrays([cnts, pa.array([0], pa.int64())]),
+            "sketch": pa.array(
+                [None] * n + [merged_cms.to_bytes()], pa.binary()
+            ),
+        }
+    )
+    tmp = os.path.join(d, ".compact.parquet.tmp")
+    final = os.path.join(d, "compact-0000.parquet")
+    pq.write_table(t, tmp)
+    os.replace(tmp, final)
+    for f in files:
+        if os.path.abspath(f) != os.path.abspath(final):
+            os.remove(f)
+    return len(_counts_files(state_dir, "topk", fmt))

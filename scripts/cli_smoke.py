@@ -187,6 +187,14 @@ run(
     ],
 )
 run(
+    "vocab approx incremental",
+    [
+        "vocab", "--input", CORPUS, "--output", "{OUT}",
+        "--text-column", "content", "--approx-top", "50",
+        "--state-dir", os.path.join(WORK, "topk_state"),
+    ],
+)
+run(
     "vocab heavy",
     [
         "vocab", "--input", CORPUS, "--output", "{OUT}",

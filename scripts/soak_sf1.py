@@ -26,6 +26,10 @@ SF = float(os.environ.get("SOAK_SF", "1.0"))
 # root-vs-fallback equality pass can be skipped with SOAK_DUAL_DUP=0.
 DUAL_DUP = os.environ.get("SOAK_DUAL_DUP", "1") != "0"
 PACK_BUCKETS = int(os.environ.get("SOAK_PACK_BUCKETS", "512"))
+# The substring stages' spill-through scratch grows ~24 GB per sf
+# unit; past the box's free disk (sf8 needs ~95 GB), skip them with
+# SOAK_SKIP_SUBSTRING=1 and soak the linear stages only.
+SKIP_SUBSTRING = os.environ.get("SOAK_SKIP_SUBSTRING", "0") == "1"
 
 
 def _init():
@@ -78,33 +82,40 @@ def main() -> None:
     def corp(cols):
         return rd.read_parquet(out_dir, columns=cols)
 
-    t0 = time.time()
-    substring_dedup(
-        corp(["doc_id", "content"]), text_col="content",
-        id_col="doc_id", k=50, winnow_w=8,
-    ).count()
-    timings["substring_dedup_root"] = round(time.time() - t0, 1)
-    print("substring root", timings["substring_dedup_root"], flush=True)
+    if not SKIP_SUBSTRING:
+        t0 = time.time()
+        substring_dedup(
+            corp(["doc_id", "content"]), text_col="content",
+            id_col="doc_id", k=50, winnow_w=8,
+        ).count()
+        timings["substring_dedup_root"] = round(time.time() - t0, 1)
+        print(
+            "substring root", timings["substring_dedup_root"], flush=True
+        )
 
-    # ---- the root/fallback switch, observed firing ------------------
-    # dup-key extraction is the stage the switch guards; run it both
-    # ways on identical partials and require identical dup-key counts
-    t0 = time.time()
-    parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
-    n_root = dup_keys_from_partials(parts, key="fp").count()
-    timings["dup_keys_root"] = round(time.time() - t0, 1)
-    timings["dup_keys_count"] = n_root
-    if DUAL_DUP:
+        # ---- the root/fallback switch, observed firing --------------
+        # dup-key extraction is the stage the switch guards; run it
+        # both ways on identical partials and require identical counts
         t0 = time.time()
         parts = fingerprint_partials(corp(["content"]), "content", 50, 8)
-        n_fb = dup_keys_from_partials(parts, key="fp", root_limit=0).count()
-        timings["dup_keys_fallback"] = round(time.time() - t0, 1)
-        assert n_root == n_fb, (n_root, n_fb)
-    print(
-        "dup_keys",
-        timings["dup_keys_root"], timings.get("dup_keys_fallback"),
-        "keys", n_root, flush=True,
-    )
+        n_root = dup_keys_from_partials(parts, key="fp").count()
+        timings["dup_keys_root"] = round(time.time() - t0, 1)
+        timings["dup_keys_count"] = n_root
+        if DUAL_DUP:
+            t0 = time.time()
+            parts = fingerprint_partials(
+                corp(["content"]), "content", 50, 8
+            )
+            n_fb = dup_keys_from_partials(
+                parts, key="fp", root_limit=0
+            ).count()
+            timings["dup_keys_fallback"] = round(time.time() - t0, 1)
+            assert n_root == n_fb, (n_root, n_fb)
+        print(
+            "dup_keys",
+            timings["dup_keys_root"], timings.get("dup_keys_fallback"),
+            "keys", n_root, flush=True,
+        )
 
     # ---- vocabulary build -------------------------------------------
     from redpajama_data_ray.functions.vocab import token_frequencies

@@ -489,3 +489,128 @@ class TestApproxDistinctBy:
         got = approx_distinct_by(ray.data.from_arrow(t), "k", "v")
         assert got.num_rows == 0
         assert got.schema.names == ["key", "n_distinct"]
+
+
+class TestIncrementalTopTokens:
+    def _run(self, texts, state, **kw):
+        from redpajama_data_ray.state.incremental import (
+            commit_run_top_summary,
+            incremental_top_tokens,
+        )
+
+        ds = ray.data.from_arrow(pa.table({"text": texts})).repartition(3)
+        result, run_id, summary = incremental_top_tokens(
+            ds, state, k=kw.pop("k", 10), **kw
+        )
+        commit_run_top_summary(
+            summary, state, run_id,
+            counters=kw.get("counters", 4096),
+            lowercase=kw.get("lowercase", False),
+        )
+        return result
+
+    def test_exact_when_counters_cover_union(self, tmp_path):
+        from redpajama_data_ray.functions.sketches import (
+            approx_top_tokens,
+        )
+
+        a = ["alpha beta gamma", "beta alpha", "delta"] * 10
+        b = ["beta epsilon", "alpha epsilon zeta"] * 10
+        state = str(tmp_path / "st")
+        self._run(a, state)
+        got = self._run(b, state)
+        both = ray.data.from_arrow(pa.table({"text": a + b}))
+        expect = approx_top_tokens(both, "text", k=10)
+        assert got.column("token").to_pylist() == expect.column(
+            "token"
+        ).to_pylist()
+        assert got.column("est_count").to_pylist() == expect.column(
+            "est_count"
+        ).to_pylist()
+        # counters cover the union vocab: residuals are exact totals
+        assert got.column("lower_bound").to_pylist() == expect.column(
+            "est_count"
+        ).to_pylist()
+
+    def test_cross_run_heavy_mass_surfaces(self, tmp_path):
+        # the heavy token is thin in EVERY run (rank ~50 within each
+        # run's noise) but dominant in total — only merged state sees it
+        rng = np.random.RandomState(23)
+        state = str(tmp_path / "st")
+        noise_pool = [f"n{i:05d}" for i in range(3000)]
+        got = None
+        for r in range(4):
+            rows = [
+                "hot_total " + " ".join(
+                    rng.choice(noise_pool, size=25).tolist()
+                )
+                for _ in range(120)
+            ]
+            got = self._run(rows, state, k=1, counters=256)
+        assert got.column("token").to_pylist() == ["hot_total"]
+        assert got.column("est_count").to_pylist()[0] >= 480
+
+    def test_format_guard_and_compaction_invariance(self, tmp_path):
+        import pytest as _pytest
+
+        from redpajama_data_ray.state.incremental import (
+            compact_topk_state,
+            incremental_top_tokens,
+            seen_topk_runs,
+        )
+
+        a = ["x y z", "x y", "x"] * 5
+        b = ["y q", "q r s"] * 5
+        c = ["z z y", "x r"] * 5
+        state = str(tmp_path / "st")
+        self._run(a, state)
+        self._run(b, state)
+        assert seen_topk_runs(state) == 2
+        # mixed sketch shape rejected loudly
+        with _pytest.raises(ValueError, match="key format"):
+            self._run(c, state, width=1 << 10)
+        # compaction changes files, never results
+        ds_c = ray.data.from_arrow(pa.table({"text": c})).repartition(2)
+        before, _, _ = incremental_top_tokens(ds_c, state, k=10)
+        assert compact_topk_state(state, max_files=1) == 1
+        after, _, _ = incremental_top_tokens(ds_c, state, k=10)
+        assert before.equals(after)
+
+    def test_cli_two_runs(self, tmp_path, capsys):
+        import json
+
+        from redpajama_data_ray.cli import main
+
+        import pyarrow.parquet as pq
+
+        src1 = str(tmp_path / "c1")
+        src2 = str(tmp_path / "c2")
+        for src, texts in (
+            (src1, ["foo bar baz"] * 20),
+            (src2, ["bar qux"] * 20),
+        ):
+            ray.data.from_arrow(
+                pa.table({"text": texts})
+            ).write_parquet(src)
+        state = str(tmp_path / "st")
+        out1, out2 = str(tmp_path / "o1"), str(tmp_path / "o2")
+        assert main(
+            ["vocab", "--input", src1, "--output", out1,
+             "--text-column", "text", "--approx-top", "3",
+             "--state-dir", state]
+        ) == 0
+        r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert r1["state_runs"] == 1
+        assert main(
+            ["vocab", "--input", src2, "--output", out2,
+             "--text-column", "text", "--approx-top", "3",
+             "--state-dir", state]
+        ) == 0
+        r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert r2["state_runs"] == 2
+        t = ray.data.read_parquet(out2).to_pandas()
+        got = dict(zip(t.token, t.est_count))
+        # bar: 20 + 20 across runs; foo/baz 20; qux 20 — top-3 by
+        # (-est, token) = bar, then three ties cut at baz/foo
+        assert got["bar"] == 40
+        assert t.token.tolist() == ["bar", "baz", "foo"]
