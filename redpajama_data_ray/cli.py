@@ -804,14 +804,14 @@ def cmd_vocab(args) -> dict:
     from .functions.vocab import token_frequencies
 
     ds = _read_input(args.input, args.max_docs, False)
-    if getattr(args, "heavy_min_count", None) and (
-        args.state_dir or getattr(args, "approx_top", None)
+    if getattr(args, "heavy_min_count", None) is not None and (
+        args.state_dir or getattr(args, "approx_top", None) is not None
     ):
         raise SystemExit(
             "--heavy-min-count is its own mode; combine with neither "
             "--state-dir nor --approx-top"
         )
-    if args.state_dir and getattr(args, "approx_top", None):
+    if args.state_dir and getattr(args, "approx_top", None) is not None:
         # incremental sketch mode: fixed-size (MG + CMS) state per
         # committed run — cross-corpus top-k without re-reading old
         # text and without vocabulary-sized state
@@ -870,7 +870,7 @@ def cmd_vocab(args) -> dict:
                 args.state_dir, args.lowercase
             ),
         }
-    if getattr(args, "approx_top", None):
+    if getattr(args, "approx_top", None) is not None:
         # sketch path: Misra-Gries candidates + Count-Min estimates —
         # top-k without the exact corpus histogram
         import ray.data as rd
@@ -888,7 +888,7 @@ def cmd_vocab(args) -> dict:
         )
         rd.from_arrow(top).write_parquet(args.output)
         return {"output": args.output, "rows": top.num_rows}
-    if getattr(args, "heavy_min_count", None):
+    if getattr(args, "heavy_min_count", None) is not None:
         # exact heavy hitters: CMS prunes candidates, exact recount of
         # candidates only — GROUP BY ... HAVING without the histogram
         import ray.data as rd

@@ -592,6 +592,16 @@ def _mg_cms_partials(
     ).materialize()
 
 
+def _mg_only(t):
+    """Keep the Misra-Gries rows of a union-schema partial block
+    (the single sketch row carries a null token)."""
+    import pyarrow.compute as pc
+
+    return t.filter(pc.is_valid(t.column("token"))).select(
+        ["token", "cnt"]
+    )
+
+
 def _merge_partial_sketches(both, depth, width) -> "CountMinSketch":
     import pyarrow.compute as pc
 
@@ -626,23 +636,17 @@ def top_token_summaries(
     residuals per token then :func:`mg_reduce`; add sketches — the
     state the incremental cross-run top-k persists."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
     from ..dedupe.combine import combine_counts
 
     both = _mg_cms_partials(ds, text_col, counters, depth, width, lowercase)
     cms = _merge_partial_sketches(both, depth, width)
 
-    def _mg(t: "pa.Table") -> "pa.Table":
-        return t.filter(pc.is_valid(t.column("token"))).select(
-            ["token", "cnt"]
-        )
-
     # only the top counters+1 combined rows matter: the global reduce
     # subtracts the (counters+1)-th largest value, so everything below
     # it dies anyway — the driver never holds more than counters+1 rows
     head = (
-        combine_counts(both.map_batches(_mg, batch_format="pyarrow"),
+        combine_counts(both.map_batches(_mg_only, batch_format="pyarrow"),
                        key="token")
         .sort(["cnt", "token"], descending=[True, False])
         .limit(counters + 1)
@@ -744,43 +748,29 @@ def approx_top_tokens(
 
     pool = int(candidate_pool or max(4 * k, 1024))
     both = _mg_cms_partials(ds, text_col, counters, depth, width, lowercase)
-
-    import pyarrow.compute as pc
-
-    def _mg(t: "pa.Table") -> "pa.Table":
-        return t.filter(pc.is_valid(t.column("token"))).select(
-            ["token", "cnt"]
-        )
-
     merged = _merge_partial_sketches(both, depth, width)
-    mg_rows = both.map_batches(_mg, batch_format="pyarrow")
+    mg_rows = both.map_batches(_mg_only, batch_format="pyarrow")
+    # pool cut on the COMBINED (un-reduced) residuals, then the shared
+    # CMS ranking — rank_top_tokens' own residual cut is the identity
+    # here because the rows arrive already sorted and pool-limited
     cands = (
         combine_counts(mg_rows, key="token")
         .sort(["cnt", "token"], descending=[True, False])
         .limit(pool)
         .to_pandas()
     )
-    if not len(cands):
-        return pa.table(
-            {
-                "token": pa.array([], pa.string()),
-                "est_count": pa.array([], pa.int64()),
-                "lower_bound": pa.array([], pa.int64()),
-            }
-        )
-    tokens = cands["token"].tolist()
-    est = merged.estimate(tokens).astype(np.int64)
-    order = np.lexsort((np.asarray(tokens, dtype=object), -est))[:k]
-    return pa.table(
+    mg = pa.table(
         {
-            "token": pa.array([tokens[i] for i in order], pa.string()),
-            "est_count": pa.array(est[order], pa.int64()),
-            "lower_bound": pa.array(
-                cands["cnt"].to_numpy().astype(np.int64)[order],
+            "token": pa.array(cands["token"].tolist(), pa.string()),
+            "cnt": pa.array(
+                cands["cnt"].to_numpy().astype(np.int64)
+                if len(cands)
+                else [],
                 pa.int64(),
             ),
         }
     )
+    return rank_top_tokens(mg, merged, k, candidate_pool=pool)
 
 
 # ------------------------------------------------------------------
@@ -887,6 +877,9 @@ def exact_heavy_hitters(
         ds, text_col, depth=depth, width=width, lowercase=lowercase
     )
     blob_ref = ray.put(merged.to_bytes())
+    # materialize: the partials are candidate-sized, and without a
+    # pinned row count combine_counts' auto-sizing would re-execute
+    # the whole read+probe pipeline (a third corpus scan)
     partials = ds.map_batches(
         _CmsProbePartials,
         fn_constructor_kwargs=dict(
@@ -898,7 +891,7 @@ def exact_heavy_hitters(
         batch_format="pyarrow",
         batch_size=None,
         concurrency=(1, 8),
-    )
+    ).materialize()
     counts = combine_counts(partials, key="token", cnt="cnt")
 
     def _having(t: "pa.Table") -> "pa.Table":

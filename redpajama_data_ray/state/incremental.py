@@ -43,12 +43,20 @@ def _keys_dir(state_dir: str) -> str:
     return d
 
 
-def _state_files(state_dir: str):
+def _state_files(
+    state_dir: str, exclude_run_id: "str | None" = None
+):
+    """``exclude_run_id`` drops that run's own committed file: a retry
+    of an already-committed run_id would otherwise dedup the snapshot
+    against its OWN keys and emit nothing (see _counts_files)."""
     d = _keys_dir(state_dir)
+    skip = (
+        f"{exclude_run_id}.parquet" if exclude_run_id is not None else None
+    )
     return [
         os.path.join(d, f)
         for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
+        if f.endswith(".parquet") and f != skip
     ]
 
 
@@ -90,7 +98,7 @@ def incremental_exact_dedup(
         ds, key=key, order_col=order_col, num_partitions=num_partitions
     )
 
-    files = _state_files(state_dir)
+    files = _state_files(state_dir, exclude_run_id=run_id)
     if not files:
         return within, run_id
 
@@ -307,12 +315,18 @@ def check_minhash_provenance(state_dir: str, provenance) -> None:
             json.dump(provenance, f)
 
 
-def _band_files(state_dir: str):
+def _band_files(
+    state_dir: str, exclude_run_id: "str | None" = None
+):
+    """``exclude_run_id``: same retry contract as _state_files."""
     d = _bands_dir(state_dir)
+    skip = (
+        f"{exclude_run_id}.parquet" if exclude_run_id is not None else None
+    )
     return [
         os.path.join(d, f)
         for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
+        if f.endswith(".parquet") and f != skip
     ]
 
 
@@ -356,7 +370,7 @@ def incremental_fuzzy_dedup(
     within, _ = fuzzy_dedup(
         ds, sig_column, id_column=id_column, num_partitions=num_partitions
     )
-    files = _band_files(state_dir)
+    files = _band_files(state_dir, exclude_run_id=run_id)
     if not files:
         return within, run_id
 
@@ -557,12 +571,24 @@ def _counts_dir(state_dir: str, subdir: str, fmt: str) -> str:
     return d
 
 
-def _counts_files(state_dir: str, subdir: str, fmt: str):
+def _counts_files(
+    state_dir: str, subdir: str, fmt: str,
+    exclude_run_id: "str | None" = None,
+):
+    """List committed state files. ``exclude_run_id`` drops that run's
+    own file: an orchestrator retry of an already-committed run_id
+    recomputes the run's partials from the same snapshot, so including
+    the prior commit would double-count the snapshot (wrong dup
+    decisions / inflated counts) even though the re-commit itself
+    safely overwrites."""
     d = _counts_dir(state_dir, subdir, fmt)
+    skip = (
+        f"{exclude_run_id}.parquet" if exclude_run_id is not None else None
+    )
     return [
         os.path.join(d, f)
         for f in sorted(os.listdir(d))
-        if f.endswith(".parquet")
+        if f.endswith(".parquet") and f != skip
     ]
 
 
@@ -680,7 +706,9 @@ def incremental_line_dedup(
     # the frequent set comes from a HAVING over the unioned partials —
     # the full combine of dominant once-only keys is never paid
     run_counts = line_partials(ds, text_col, sep=sep).materialize()
-    files = _counts_files(state_dir, "lines", LINE_KEY_FORMAT)
+    files = _counts_files(
+        state_dir, "lines", LINE_KEY_FORMAT, exclude_run_id=run_id
+    )
     total = (
         run_counts.union(rd.read_parquet(files)) if files else run_counts
     )
@@ -783,7 +811,10 @@ def incremental_substring_dedup(
     run_counts = fingerprint_partials(
         ds, text_col=text_col, k=k, winnow_w=winnow_w
     ).materialize()
-    files = _counts_files(state_dir, "substrings", _fp_format(k, winnow_w))
+    files = _counts_files(
+        state_dir, "substrings", _fp_format(k, winnow_w),
+        exclude_run_id=run_id,
+    )
     total = (
         run_counts.union(rd.read_parquet(files)) if files else run_counts
     )
@@ -869,7 +900,10 @@ def incremental_vocab(
     run_counts = token_count_partials(
         ds, text_col, lowercase
     ).materialize()
-    files = _counts_files(state_dir, "vocab", _vocab_format(lowercase))
+    files = _counts_files(
+        state_dir, "vocab", _vocab_format(lowercase),
+        exclude_run_id=run_id,
+    )
     total = (
         run_counts.union(rd.read_parquet(files)) if files else run_counts
     )
@@ -995,12 +1029,19 @@ def incremental_top_tokens(
 
         run_id = uuid.uuid4().hex[:12]
 
+    # validate the state dir's format stamp BEFORE the corpus pass —
+    # a counters/shape mismatch must fail fast, not after the scan.
+    # exclude_run_id: a retry of an already-committed run_id would
+    # otherwise merge the snapshot's own prior summary and ~double
+    # every count (see _counts_files)
+    files = _counts_files(
+        state_dir, "topk",
+        _topk_format(lowercase, counters, depth, width),
+        exclude_run_id=run_id,
+    )
     run_mg, run_cms = top_token_summaries(
         ds, text_col, counters=counters, depth=depth, width=width,
         lowercase=lowercase,
-    )
-    files = _counts_files(
-        state_dir, "topk", _topk_format(lowercase, counters, depth, width)
     )
     mg_tables, blobs = _read_topk_state(files)
     merged_cms = run_cms

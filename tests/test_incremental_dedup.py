@@ -60,14 +60,22 @@ def test_two_run_flow(tmp_path):
     commit_run_keys(d2, state, rid2)
     assert seen_key_count(state) == 5
 
-    # rerunning run2 (same run_id) is idempotent on state
+    # rerunning run2 (same run_id) is a RETRY: the state read excludes
+    # run2's own committed file, so the snapshot dedups against run1
+    # only and reproduces the first attempt's output; the re-commit
+    # overwrites with the same keys (round 7 — previously the retry
+    # emitted nothing and the overwrite WIPED run2's keys from state)
     d2b, _ = incremental_exact_dedup(
         ray.data.from_arrow(t2), state, run_id="run2"
     )
     d2b = d2b.materialize()
-    assert d2b.count() == 0  # everything now seen
+    assert sorted(
+        x
+        for b in d2b.iter_batches(batch_format="pyarrow")
+        for x in b.column("content_sha256").to_pylist()
+    ) == ["k4", "k5"]
     commit_run_keys(d2b, state, "run2")
-    assert seen_key_count(state) == 3 + 0  # run2 file overwritten
+    assert seen_key_count(state) == 5  # overwrite, not add
 
 
 def test_join_path_above_broadcast_limit(tmp_path):
@@ -441,3 +449,57 @@ def test_counts_state_format_guard(tmp_path):
             ds, state3, text_col="content", id_col="doc_id",
             run_id="r2", k=12, winnow_w=0,
         )
+
+
+def test_same_run_id_retry_is_idempotent(tmp_path):
+    # an orchestrator retry recomputes the SAME snapshot under the
+    # SAME run_id after a successful commit; the state read must
+    # exclude the run's own prior file or the snapshot dedups against
+    # its own keys and emits nothing
+    state = str(tmp_path / "st")
+    ds = ray.data.from_arrow(_table(["a", "b", "c", "a"]))
+    d1, rid = incremental_exact_dedup(ds, state, run_id="r1")
+    first = _ids(d1)
+    assert len(first) == 3
+    commit_run_keys(d1.materialize(), state, "r1")
+    d1b, _ = incremental_exact_dedup(ds, state, run_id="r1")
+    assert _ids(d1b) == first  # was: [] before the exclude fix
+    commit_run_keys(d1b.materialize(), state, "r1")  # overwrite, not add
+    assert seen_key_count(state) == 3
+    # a DIFFERENT run_id on the same snapshot still dedups fully
+    d2, _ = incremental_exact_dedup(ds, state, run_id="r2")
+    assert _ids(d2) == []
+
+
+def test_same_run_id_retry_vocab_and_topk(tmp_path):
+    from redpajama_data_ray.state.incremental import (
+        commit_run_token_counts,
+        commit_run_top_summary,
+        incremental_top_tokens,
+        incremental_vocab,
+    )
+
+    texts = ["x x y", "y z"] * 4
+    ds = ray.data.from_arrow(pa.table({"text": texts}))
+
+    state = str(tmp_path / "vocab")
+    tot1, rid, rc = incremental_vocab(ds, state, run_id="v1")
+    t1 = sorted(
+        zip(
+            tot1.to_pandas()["token"], tot1.to_pandas()["cnt"]
+        )
+    )
+    commit_run_token_counts(rc, state, "v1")
+    tot2, _, _ = incremental_vocab(ds, state, run_id="v1")
+    t2 = sorted(
+        zip(
+            tot2.to_pandas()["token"], tot2.to_pandas()["cnt"]
+        )
+    )
+    assert t1 == t2  # was: doubled counts before the exclude fix
+
+    state = str(tmp_path / "topk")
+    r1, _, summ = incremental_top_tokens(ds, state, k=5, run_id="t1")
+    commit_run_top_summary(summ, state, "t1")
+    r2, _, _ = incremental_top_tokens(ds, state, k=5, run_id="t1")
+    assert r1.equals(r2)  # was: ~2x est_count before the exclude fix
