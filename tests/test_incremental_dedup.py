@@ -503,3 +503,35 @@ def test_same_run_id_retry_vocab_and_topk(tmp_path):
     commit_run_top_summary(summ, state, "t1")
     r2, _, _ = incremental_top_tokens(ds, state, k=5, run_id="t1")
     assert r1.equals(r2)  # was: ~2x est_count before the exclude fix
+
+
+def test_same_run_id_retry_fuzzy(tmp_path):
+    # retry contract for the band-state variant (same mechanism as
+    # exact/vocab/topk but its own listing): rerunning a committed
+    # run_id must reproduce the first attempt, not drop everything
+    # against its own bands
+    state = str(tmp_path / "state")
+    t1, _ = _sig_rows([("a", 3), ("b", 2)], "q1", 1)
+    d1, rid = incremental_fuzzy_dedup(
+        ray.data.from_arrow(t1), state, run_id="fr1"
+    )
+    d1 = d1.materialize()
+    ids_first = sorted(
+        x
+        for b in d1.iter_batches(batch_format="pyarrow")
+        for x in b.column("id_int").to_pylist()
+    )
+    assert ids_first  # within-run survivors exist
+    commit_run_bands(d1, state, "fr1")
+    n_bands = seen_band_count(state)
+    d1b, _ = incremental_fuzzy_dedup(
+        ray.data.from_arrow(t1), state, run_id="fr1"
+    )
+    ids_retry = sorted(
+        x
+        for b in d1b.materialize().iter_batches(batch_format="pyarrow")
+        for x in b.column("id_int").to_pylist()
+    )
+    assert ids_retry == ids_first  # was: [] before the exclude fix
+    commit_run_bands(d1b.materialize(), state, "fr1")
+    assert seen_band_count(state) == n_bands  # overwrite, not add
