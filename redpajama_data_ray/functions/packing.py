@@ -366,11 +366,28 @@ def _sorted_probe(segs: pa.Table):
     window key (``bucket << 40 | seq_idx``), start and end arrays in
     the same order. Explicit UTF-8 encode (numpy ``astype("S")`` is
     ASCII-only and would crash on non-ASCII repo/path ids), sorted
-    AFTER the bytes conversion so probe and sort order agree."""
-    seg_ids_b = np.array(
-        [s.encode("utf-8") for s in segs.column("seg_id").to_pylist()],
-        dtype="S",
-    )
+    AFTER the bytes conversion so probe and sort order agree.
+
+    Returns ``(ids_sorted, enc, start, end, digest)``. One long
+    path/URL id would widen EVERY slot of the fixed-width matrix, so
+    past ``FIXED_WIDTH_MASK_LIMIT`` bytes the ids are blake2b-16
+    digests instead (matching here is equality-only, exactly the
+    apply.py DigestKeys rationale) and ``digest=True`` tells the
+    doc side to hash its keys the same way."""
+    from hashlib import blake2b
+
+    from ..dedupe.apply import FIXED_WIDTH_MASK_LIMIT
+
+    encoded = [
+        s.encode("utf-8") for s in segs.column("seg_id").to_pylist()
+    ]
+    max_len = max((len(v) for v in encoded), default=0)
+    digest = len(encoded) * max_len > FIXED_WIDTH_MASK_LIMIT
+    if digest:
+        encoded = [
+            blake2b(v, digest_size=16).digest() for v in encoded
+        ]
+    seg_ids_b = np.array(encoded, dtype="S")
     sort_idx = np.argsort(seg_ids_b, kind="stable")
     enc = (
         segs.column("bucket").to_numpy(zero_copy_only=False)[sort_idx]
@@ -384,12 +401,13 @@ def _sorted_probe(segs: pa.Table):
         enc,
         segs.column("seg_start").to_numpy(zero_copy_only=False)[sort_idx],
         segs.column("seg_end").to_numpy(zero_copy_only=False)[sort_idx],
+        digest,
     )
 
 
 def _partials_table(
     t: pa.Table, ids_s, enc_s, st_s, en_s, id_col: str, text_col: str,
-    tokenizer: "Optional[str]" = None,
+    tokenizer: "Optional[str]" = None, digest: bool = False,
 ) -> pa.Table:
     """Per-window partial checksums for the docs of ``t`` that appear
     in the segment probe: each doc's token-hash cumsum turns a segment
@@ -403,9 +421,14 @@ def _partials_table(
     texts = t.column(text_col).to_pylist()
     out_enc = []
     out_sum = []
+    if digest:
+        from hashlib import blake2b
     width = ids_s.dtype.itemsize if ids_s.size else 0
     for i, did in enumerate(ids):
-        key = np.bytes_(str(did).encode("utf-8"))
+        raw = str(did).encode("utf-8")
+        if digest:
+            raw = blake2b(raw, digest_size=16).digest()
+        key = np.bytes_(raw)
         if width == 0 or len(key) > width:
             continue  # cannot be a known doc id
         lo = np.searchsorted(ids_s, key, side="left")
@@ -439,9 +462,13 @@ import ray as _ray
 
 @_ray.remote
 def _block_ids_task(idx: int, block: pa.Table, id_col: str) -> pa.Table:
-    """Narrow (seg_id, block_idx) rows for one pinned corpus block."""
-    import pyarrow.compute as pc
+    """Narrow (seg_id, block_idx) rows for one pinned corpus block.
 
+    seg_id MUST stringify exactly like the other two id sites —
+    Python ``str()`` (phase A's _structure_block and the probe's
+    _partials_table) — or the rendezvous join matches nothing for id
+    types where ``pc.cast`` renders differently (bool 'True'/'true',
+    binary "b'x'"/'x', float repr edge cases)."""
     if block.num_rows == 0 or id_col not in block.schema.names:
         # empty blocks may carry an empty schema
         return pa.table(
@@ -452,7 +479,10 @@ def _block_ids_task(idx: int, block: pa.Table, id_col: str) -> pa.Table:
         )
     return pa.table(
         {
-            "seg_id": pc.cast(block.column(id_col), pa.string()),
+            "seg_id": pa.array(
+                [str(x) for x in block.column(id_col).to_pylist()],
+                pa.string(),
+            ),
             "block_idx": pa.array(
                 np.full(block.num_rows, idx, dtype=np.int32)
             ),
@@ -476,9 +506,10 @@ def _block_seg_partials_task(
         piece_dir,
         columns=["bucket", "seq_idx", "seg_id", "seg_start", "seg_end"],
     )
-    ids_s, enc_s, st_s, en_s = _sorted_probe(piece)
+    ids_s, enc_s, st_s, en_s, dig = _sorted_probe(piece)
     return _partials_table(
-        block, ids_s, enc_s, st_s, en_s, id_col, text_col, tokenizer
+        block, ids_s, enc_s, st_s, en_s, id_col, text_col, tokenizer,
+        digest=dig,
     )
 
 
@@ -885,9 +916,10 @@ def pack_summaries(
 
         # ---- Phase B: local second pass, per-segment partials ----
         def _partials(t: pa.Table) -> pa.Table:
-            ids_s, enc_s, st_s, en_s = _ray.get(seg_ref)
+            ids_s, enc_s, st_s, en_s, dig = _ray.get(seg_ref)
             return _partials_table(
-                t, ids_s, enc_s, st_s, en_s, id_col, text_col, tokenizer
+                t, ids_s, enc_s, st_s, en_s, id_col, text_col, tokenizer,
+                digest=dig,
             )
 
         partial_ds = ds.map_batches(

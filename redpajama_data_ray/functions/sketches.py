@@ -108,7 +108,10 @@ def _to_bytes(item) -> bytes:
         return item
     if isinstance(item, str):
         return item.encode("utf-8")
-    return int(item).to_bytes(8, "little", signed=True)
+    # 9 bytes covers the union of the int64 and uint64 ranges
+    # injectively; 8-byte signed overflowed on full-range uint64 hash
+    # columns (band_hash, fp — ~half their values are >= 2^63)
+    return int(item).to_bytes(9, "little", signed=True)
 
 
 def approx_distinct(ds, column: str, p: int = 12) -> float:
@@ -352,26 +355,16 @@ def merged_token_cms(
     with np.unique so np.add.at touches each distinct token once),
     merged on the driver — nothing token-scale ever shuffles, and the
     elementwise-add merge makes the result blocking-independent."""
-    import re
-
     import pyarrow as pa
 
-    from .code_signals import WS_REGEX_CLASS
-
-    token_re = re.compile(WS_REGEX_CLASS)
+    from .code_signals import block_token_counts
 
     def partial(t: "pa.Table") -> "pa.Table":
         cms = CountMinSketch(depth, width)
-        joined = "\n".join(
-            x or "" for x in t.column(text_col).to_pylist()
+        uniq, cnt = block_token_counts(
+            t.column(text_col).to_pylist(), lowercase
         )
-        if lowercase:
-            joined = joined.lower()
-        toks = token_re.findall(joined)
-        if toks:
-            uniq, cnt = np.unique(
-                np.asarray(toks, dtype=object), return_counts=True
-            )
+        if len(uniq):
             cms.update(uniq.tolist(), cnt)
         return pa.table({"sketch": pa.array([cms.to_bytes()], pa.binary())})
 
@@ -431,8 +424,12 @@ class LogHistogramQuantiles:
         self.lo = float(lo)
         self.hi = float(hi)
         self.n_bins = int(np.ceil(np.log2(hi / lo) * self.k)) + 1
+        # copy like the HLL/CMS siblings — aliasing the caller's array
+        # would let add_many/merge corrupt it in place
         self.counts = (
-            np.zeros(self.n_bins, np.int64) if counts is None else counts
+            np.zeros(self.n_bins, np.int64)
+            if counts is None
+            else np.array(counts, np.int64, copy=True)
         )
 
     def _bin(self, v: np.ndarray) -> np.ndarray:
@@ -452,10 +449,14 @@ class LogHistogramQuantiles:
         return self
 
     def merge(self, other: "LogHistogramQuantiles") -> "LogHistogramQuantiles":
+        """Return a NEW merged sketch (like HyperLogLog.merge /
+        CountMinSketch.merge — ``merged = merged.merge(other)`` must
+        not mutate other references to ``merged``)."""
         if (other.k, other.lo, other.hi) != (self.k, self.lo, self.hi):
             raise ValueError("cannot merge sketches with different bins")
-        self.counts += other.counts
-        return self
+        return LogHistogramQuantiles(
+            self.k, self.lo, self.hi, self.counts + other.counts
+        )
 
     @property
     def total(self) -> int:
@@ -518,7 +519,9 @@ def approx_quantiles(
         partial, batch_format="pyarrow"
     ).iter_batches(batch_size=4096, batch_format="pyarrow"):
         for raw in b.column("sketch").to_pylist():
-            merged.merge(LogHistogramQuantiles.from_bytes(raw))
+            merged = merged.merge(
+                LogHistogramQuantiles.from_bytes(raw)
+            )
     return merged.quantiles(qs)
 
 
@@ -552,26 +555,16 @@ def _mg_cms_partials(
     :func:`top_token_summaries`. ``batch_size=None``: one summary +
     one sketch per block (a 2 MB sketch per small default batch would
     dominate the output)."""
-    import re
-
     import pyarrow as pa
 
-    from .code_signals import WS_REGEX_CLASS
-
-    token_re = re.compile(WS_REGEX_CLASS)
+    from .code_signals import block_token_counts
 
     def partial(t: "pa.Table") -> "pa.Table":
-        joined = "\n".join(
-            x or "" for x in t.column(text_col).to_pylist()
+        uniq, cnt = block_token_counts(
+            t.column(text_col).to_pylist(), lowercase
         )
-        if lowercase:
-            joined = joined.lower()
-        toks = token_re.findall(joined)
         cms = CountMinSketch(depth, width)
-        if toks:
-            uniq, cnt = np.unique(
-                np.asarray(toks, dtype=object), return_counts=True
-            )
+        if len(uniq):
             cms.update(uniq.tolist(), cnt)
             uniq, cnt = mg_reduce(uniq, cnt, counters)
             token_col = uniq.tolist() + [None]
@@ -786,11 +779,7 @@ class _CmsProbePartials:
     """
 
     def __init__(self, blob_ref, text_col, threshold, lowercase):
-        import re
-
         import ray
-
-        from .code_signals import WS_REGEX_CLASS
 
         blob = blob_ref
         if not isinstance(blob, (bytes, bytearray)):
@@ -799,27 +788,22 @@ class _CmsProbePartials:
         self.text_col = text_col
         self.threshold = np.uint64(max(int(threshold), 1))
         self.lowercase = lowercase
-        self.token_re = re.compile(WS_REGEX_CLASS)
 
     def __call__(self, t: "pa.Table") -> "pa.Table":
         import pyarrow as pa
 
-        joined = "\n".join(
-            x or "" for x in t.column(self.text_col).to_pylist()
+        from .code_signals import block_token_counts
+
+        uniq, cnt = block_token_counts(
+            t.column(self.text_col).to_pylist(), self.lowercase
         )
-        if self.lowercase:
-            joined = joined.lower()
-        toks = self.token_re.findall(joined)
-        if not toks:
+        if not len(uniq):
             return pa.table(
                 {
                     "token": pa.array([], pa.string()),
                     "cnt": pa.array([], pa.int64()),
                 }
             )
-        uniq, cnt = np.unique(
-            np.asarray(toks, dtype=object), return_counts=True
-        )
         # the estimate upper-bounds each token's GLOBAL count, so every
         # block agrees on candidacy: a true heavy hitter's partials are
         # emitted by every block that saw it (no false negatives), and

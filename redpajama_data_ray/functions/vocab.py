@@ -18,17 +18,12 @@ not a precomputed table.
 
 from __future__ import annotations
 
-import re
 from typing import Optional
 
-import numpy as np
 import pyarrow as pa
 from ray.data import Dataset
 
 from ..dedupe.combine import combine_counts
-from .code_signals import WS_REGEX_CLASS
-
-_TOKEN_RE = re.compile(WS_REGEX_CLASS)
 
 
 def token_count_partials(
@@ -37,23 +32,15 @@ def token_count_partials(
     """One (token, cnt) row per distinct token per batch."""
 
     def _partial(t: pa.Table) -> pa.Table:
-        texts = t.column(text_col).to_pylist()
-        joined = "\n".join(x or "" for x in texts)
-        if lowercase:
-            joined = joined.lower()
-        toks = _TOKEN_RE.findall(joined)
-        if not toks:
-            return pa.table(
-                {
-                    "token": pa.array([], pa.string()),
-                    "cnt": pa.array([], pa.int64()),
-                }
-            )
-        uniq, counts = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+        from .code_signals import block_token_counts
+
+        uniq, counts = block_token_counts(
+            t.column(text_col).to_pylist(), lowercase
+        )
         return pa.table(
             {
                 "token": pa.array(uniq.tolist(), pa.string()),
-                "cnt": pa.array(counts.astype(np.int64)),
+                "cnt": pa.array(counts, pa.int64()),
             }
         )
 

@@ -194,7 +194,9 @@ def build_ppl_thresholds(
             sk_partial, batch_format="pyarrow"
         ).iter_batches(batch_size=4096, batch_format="pyarrow"):
             for raw in b.column("sketch").to_pylist():
-                merged.merge(LogHistogramQuantiles.from_bytes(raw))
+                merged = merged.merge(
+                    LogHistogramQuantiles.from_bytes(raw)
+                )
         meta = {
             "head_threshold": float(merged.quantile(head_quantile)),
             "middle_threshold": float(merged.quantile(middle_quantile)),

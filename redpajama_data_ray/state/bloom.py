@@ -64,8 +64,30 @@ class BloomFilter:
         )
 
     def update(self, items: Iterable) -> None:
-        for it in items:
-            self.add(it)
+        self.add_many(list(items))
+
+    def add_many(self, items: Sequence) -> None:
+        """Vectorized bulk add: one blake2b per item (C speed), then
+        ONE positions matrix + ONE scatter per chunk — the per-item
+        ``add`` loop paid ~10 small numpy ops per key, minutes of
+        actor ``__init__`` at millions of state keys. Chunked so the
+        k-wide index matrix stays ~50 MB."""
+        chunk = 1 << 20
+        ks = np.arange(self.k, dtype=np.uint64)[None, :]
+        for lo in range(0, len(items), chunk):
+            part = items[lo: lo + chunk]
+            pairs = np.array(
+                [_hash64_pair(_to_bytes(i)) for i in part],
+                dtype=np.uint64,
+            )
+            idx = (pairs[:, 0:1] + ks * pairs[:, 1:2]) % np.uint64(
+                self.n_bits
+            )
+            np.bitwise_or.at(
+                self.bits,
+                (idx >> np.uint64(6)).astype(np.int64),
+                np.uint64(1) << (idx & np.uint64(63)),
+            )
 
     def might_contain(self, item: "bytes | str | int") -> bool:
         idx = self._positions(_to_bytes(item))
@@ -92,4 +114,8 @@ def _to_bytes(item) -> bytes:
         return item
     if isinstance(item, str):
         return item.encode("utf-8")
-    return int(item).to_bytes(8, "little", signed=False)
+    # 9-byte signed covers int64 AND uint64 ranges injectively —
+    # 8-byte unsigned crashed on negative int64 keys (flipped
+    # line_keys); the filter is rebuilt from state parquet per run,
+    # so the encoding is not a persisted format
+    return int(item).to_bytes(9, "little", signed=True)

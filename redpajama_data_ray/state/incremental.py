@@ -43,13 +43,13 @@ def _keys_dir(state_dir: str) -> str:
     return d
 
 
-def _state_files(
-    state_dir: str, exclude_run_id: "str | None" = None
-):
-    """``exclude_run_id`` drops that run's own committed file: a retry
-    of an already-committed run_id would otherwise dedup the snapshot
-    against its OWN keys and emit nothing (see _counts_files)."""
-    d = _keys_dir(state_dir)
+def _list_state(d: str, exclude_run_id: "str | None" = None):
+    """List a state dir's parquet files, dropping ``exclude_run_id``'s
+    own committed file (the same-run_id retry contract: a retry would
+    otherwise compare the snapshot against its OWN prior commit).
+    Raises if that run was folded into a compact file — its
+    contribution can no longer be excluded."""
+    _check_run_excludable(d, exclude_run_id)
     skip = (
         f"{exclude_run_id}.parquet" if exclude_run_id is not None else None
     )
@@ -58,6 +58,12 @@ def _state_files(
         for f in sorted(os.listdir(d))
         if f.endswith(".parquet") and f != skip
     ]
+
+
+def _state_files(
+    state_dir: str, exclude_run_id: "str | None" = None
+):
+    return _list_state(_keys_dir(state_dir), exclude_run_id)
 
 
 def seen_key_count(state_dir: str) -> int:
@@ -219,6 +225,7 @@ def commit_run_keys(
 ) -> str:
     """Append the run's surviving keys to the state (atomic rename;
     rerunning the same run_id overwrites — idempotent resume)."""
+    _check_run_id(run_id)
     d = _keys_dir(state_dir)
     tmp = os.path.join(d, f".{run_id}.parquet.tmp")
     final = os.path.join(d, f"{run_id}.parquet")
@@ -231,7 +238,15 @@ def commit_run_keys(
     if tables:
         col = pa.concat_tables(tables).column(key)
     else:
-        col = pa.array([], pa.string())
+        # an all-duplicate snapshot commits zero survivors — keep the
+        # key column's REAL type (int64 ids, binary digests); a
+        # hard-coded string here would poison every later run's
+        # concat/union over the state files
+        try:
+            key_type = deduped.schema().base_schema.field(key).type
+        except Exception:
+            key_type = pa.string()
+        col = pa.array([], key_type)
     pq.write_table(pa.table({"key": col}), tmp)
     os.replace(tmp, final)
     return final
@@ -249,30 +264,12 @@ BAND_HASH_FORMAT = "splitmix64-v2"
 
 
 def _bands_dir(state_dir: str) -> str:
-    d = os.path.join(state_dir, "bands")
-    os.makedirs(d, exist_ok=True)
-    marker = os.path.join(d, "FORMAT")
-    existing = [f for f in os.listdir(d) if f.endswith(".parquet")]
-    if os.path.exists(marker):
-        with open(marker) as f:
-            found = f.read().strip()
-        if found != BAND_HASH_FORMAT:
-            raise ValueError(
-                f"fuzzy band state at {d!r} was written with band-hash "
-                f"format {found!r}; this engine uses "
-                f"{BAND_HASH_FORMAT!r} — re-run the dedup from scratch "
-                "(band hashes are not comparable across formats)"
-            )
-    elif existing:
-        raise ValueError(
-            f"fuzzy band state at {d!r} predates band-hash format "
-            f"stamping (engine < {BAND_HASH_FORMAT!r}); re-run the "
-            "dedup from scratch"
-        )
-    else:
-        with open(marker, "w") as f:
-            f.write(BAND_HASH_FORMAT)
-    return d
+    return _stamped_dir(
+        os.path.join(state_dir, "bands"),
+        BAND_HASH_FORMAT,
+        "fuzzy band state",
+        "band-hash format",
+    )
 
 
 def check_minhash_provenance(state_dir: str, provenance) -> None:
@@ -319,15 +316,7 @@ def _band_files(
     state_dir: str, exclude_run_id: "str | None" = None
 ):
     """``exclude_run_id``: same retry contract as _state_files."""
-    d = _bands_dir(state_dir)
-    skip = (
-        f"{exclude_run_id}.parquet" if exclude_run_id is not None else None
-    )
-    return [
-        os.path.join(d, f)
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet") and f != skip
-    ]
+    return _list_state(_bands_dir(state_dir), exclude_run_id)
 
 
 def seen_band_count(state_dir: str) -> int:
@@ -507,6 +496,7 @@ def commit_run_bands(
     """Append the surviving docs' band hashes to the state (atomic)."""
     from ..dedupe.lsh import explode_bands
 
+    _check_run_id(run_id)
     d = _bands_dir(state_dir)
     tmp = os.path.join(d, f".{run_id}.parquet.tmp")
     final = os.path.join(d, f"{run_id}.parquet")
@@ -542,12 +532,10 @@ def commit_run_bands(
 LINE_KEY_FORMAT = "sha1x8le-flip-v1"
 
 
-def _counts_dir(state_dir: str, subdir: str, fmt: str) -> str:
-    """FORMAT-stamped per-run count-partial directory (shared by the
-    line and substring-fingerprint incremental variants — the stamp
-    guards against mixing keys hashed under different schemes or, for
-    fingerprints, different (k, winnow_w) parameters)."""
-    d = os.path.join(state_dir, subdir)
+def _stamped_dir(d: str, fmt: str, label: str, fmt_word: str) -> str:
+    """Create-or-validate a FORMAT-stamped state directory (the ONE
+    copy of the stamp-check contract — count, band and topk state all
+    route through here), then run compaction crash recovery."""
     os.makedirs(d, exist_ok=True)
     marker = os.path.join(d, "FORMAT")
     existing = [f for f in os.listdir(d) if f.endswith(".parquet")]
@@ -556,19 +544,195 @@ def _counts_dir(state_dir: str, subdir: str, fmt: str) -> str:
             found = f.read().strip()
         if found != fmt:
             raise ValueError(
-                f"count state at {d!r} was written with key format "
-                f"{found!r}; this engine uses {fmt!r} — "
-                "re-run the dedup from scratch"
+                f"{label} at {d!r} was written with {fmt_word} "
+                f"{found!r}; this engine uses {fmt!r} — re-run from "
+                "scratch (state written under different formats is "
+                "not comparable)"
             )
     elif existing:
         raise ValueError(
-            f"count state at {d!r} predates key-format stamping "
+            f"{label} at {d!r} predates {fmt_word} stamping "
             f"(engine < {fmt!r}); re-run from scratch"
         )
     else:
         with open(marker, "w") as f:
             f.write(fmt)
+    _recover_compaction(d)
     return d
+
+
+def _counts_dir(state_dir: str, subdir: str, fmt: str) -> str:
+    """FORMAT-stamped per-run count-partial directory (shared by the
+    line and substring-fingerprint incremental variants — the stamp
+    guards against mixing keys hashed under different schemes or, for
+    fingerprints, different (k, winnow_w) parameters)."""
+    return _stamped_dir(
+        os.path.join(state_dir, subdir), fmt, "count state", "key format"
+    )
+
+
+# --- compaction bookkeeping -----------------------------------------
+#
+# The same-run_id retry contract (``exclude_run_id`` in _counts_files /
+# _state_files) relies on a committed run's contribution living in its
+# OWN file. Compaction folds runs together, after which a run's counts
+# can never be excluded again — so compaction records the folded
+# run_ids in a sidecar and retries/re-commits of those runs fail
+# LOUDLY instead of silently double-counting the snapshot. The newest
+# run file is always kept out of the merge, so the common orchestrator
+# retry (of the latest run) keeps working after compaction.
+
+_COMPACTED_RUNS = "COMPACTED_RUNS.json"
+_COMPACT_JOURNAL = ".compact.journal.json"
+
+
+def _compacted_runs(d: str) -> set:
+    import json
+
+    p = os.path.join(d, _COMPACTED_RUNS)
+    if os.path.exists(p):
+        with open(p) as f:
+            return set(json.load(f))
+    return set()
+
+
+def _record_compacted_runs(d: str, runs) -> None:
+    import json
+
+    p = os.path.join(d, _COMPACTED_RUNS)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(sorted(_compacted_runs(d) | set(runs)), f)
+    os.replace(tmp, p)
+
+
+def _check_run_excludable(d: str, run_id: "str | None") -> None:
+    """Raise if ``run_id``'s prior contribution cannot be excluded from
+    the state at ``d`` (it was folded into a compact file)."""
+    if run_id is None:
+        return
+    if run_id in _compacted_runs(d):
+        raise ValueError(
+            f"run_id {run_id!r} was committed and then folded into the "
+            f"compacted state at {d!r}; its contribution can no longer "
+            "be excluded, so a same-run_id retry/re-commit would "
+            "double-count that snapshot. Use a fresh run_id (the "
+            "snapshot's keys are already in state) or rebuild the "
+            "state dir."
+        )
+    has_compact = any(
+        f.startswith("compact-") and f.endswith(".parquet")
+        for f in os.listdir(d)
+    )
+    if has_compact and not os.path.exists(
+        os.path.join(d, _COMPACTED_RUNS)
+    ):
+        raise ValueError(
+            f"state at {d!r} holds compacted files written before "
+            "folded-run tracking; it cannot be proven that run_id "
+            f"{run_id!r} is not already folded in, so a same-run_id "
+            "retry is unsafe — use a fresh run_id or rebuild the "
+            "state dir."
+        )
+
+
+def _check_run_id(run_id: str) -> None:
+    if (
+        not run_id
+        or run_id.startswith(".")
+        or run_id.startswith("compact-")
+        or os.sep in run_id
+        or "\x00" in run_id
+    ):
+        raise ValueError(
+            f"invalid run_id {run_id!r}: must be non-empty, not start "
+            "with '.' or 'compact-', and contain no path separators"
+        )
+
+
+def _recover_compaction(d: str) -> None:
+    """Finish or roll back a compaction interrupted mid-sequence.
+
+    The journal is written before the merged file lands and removed
+    after the inputs are deleted; without it, a crash between those
+    two steps would leave the compact file AND its inputs both listed
+    — every folded count doubled on the next read."""
+    import json
+
+    j = os.path.join(d, _COMPACT_JOURNAL)
+    if not os.path.exists(j):
+        return
+    with open(j) as f:
+        rec = json.load(f)
+    target = os.path.join(d, rec["target"])
+    if os.path.exists(target):
+        # merge landed: finish removing inputs, then record the runs
+        for name in rec["inputs"]:
+            p = os.path.join(d, name)
+            if os.path.abspath(p) != os.path.abspath(target) and (
+                os.path.exists(p)
+            ):
+                os.remove(p)
+        _record_compacted_runs(d, rec["runs"])
+    # else: merge never landed — inputs are intact, just drop the plan
+    os.remove(j)
+
+
+def _compact_inputs(files):
+    """All state files except the newest run file (kept un-compacted
+    so the latest run's same-run_id retry survives compaction)."""
+    run_files = [
+        f
+        for f in files
+        if not os.path.basename(f).startswith("compact-")
+    ]
+    keep = max(run_files, key=os.path.getmtime) if run_files else None
+    return [f for f in files if f != keep]
+
+
+def _finalize_compact(d: str, table: pa.Table, inputs) -> None:
+    """Journaled, crash-safe landing of one merged compact file:
+    journal → write tmp → rename → remove inputs → record folded
+    runs → drop journal. Any crash point recovers cleanly in
+    :func:`_recover_compaction`."""
+    import json
+
+    nums = [
+        int(f[len("compact-"): -len(".parquet")])
+        for f in os.listdir(d)
+        if f.startswith("compact-") and f.endswith(".parquet")
+        and f[len("compact-"): -len(".parquet")].isdigit()
+    ]
+    target = os.path.join(
+        d, f"compact-{(max(nums) + 1 if nums else 0):04d}.parquet"
+    )
+    runs = [
+        os.path.basename(f)[: -len(".parquet")]
+        for f in inputs
+        if not os.path.basename(f).startswith("compact-")
+    ]
+    j = os.path.join(d, _COMPACT_JOURNAL)
+    tmpj = j + ".tmp"
+    with open(tmpj, "w") as f:
+        json.dump(
+            {
+                "target": os.path.basename(target),
+                "inputs": [os.path.basename(f) for f in inputs],
+                "runs": runs,
+            },
+            f,
+        )
+    os.replace(tmpj, j)
+    tmp = target + ".tmp"
+    pq.write_table(table, tmp)
+    os.replace(tmp, target)
+    for f in inputs:
+        if os.path.abspath(f) != os.path.abspath(target) and (
+            os.path.exists(f)
+        ):
+            os.remove(f)
+    _record_compacted_runs(d, runs)
+    os.remove(j)
 
 
 def _counts_files(
@@ -580,16 +744,11 @@ def _counts_files(
     recomputes the run's partials from the same snapshot, so including
     the prior commit would double-count the snapshot (wrong dup
     decisions / inflated counts) even though the re-commit itself
-    safely overwrites."""
-    d = _counts_dir(state_dir, subdir, fmt)
-    skip = (
-        f"{exclude_run_id}.parquet" if exclude_run_id is not None else None
+    safely overwrites. Raises if ``exclude_run_id`` was folded into a
+    compact file (its contribution can no longer be excluded)."""
+    return _list_state(
+        _counts_dir(state_dir, subdir, fmt), exclude_run_id
     )
-    return [
-        os.path.join(d, f)
-        for f in sorted(os.listdir(d))
-        if f.endswith(".parquet") and f != skip
-    ]
 
 
 def _seen_counts(state_dir: str, subdir: str, fmt: str) -> int:
@@ -604,8 +763,12 @@ def _commit_counts(
     fmt: str, key_col: str,
 ) -> str:
     """Append one run's ``(key, cnt)`` partials (atomic rename;
-    rerunning the same run_id overwrites)."""
+    rerunning the same run_id overwrites — unless that run was already
+    folded into a compact file, which raises: the fresh file would
+    land NEXT TO the folded counts and double them forever)."""
+    _check_run_id(run_id)
     d = _counts_dir(state_dir, subdir, fmt)
+    _check_run_excludable(d, run_id)
     tmp = os.path.join(d, f".{run_id}.parquet.tmp")
     final = os.path.join(d, f"{run_id}.parquet")
     tables = list(
@@ -636,9 +799,12 @@ def _compact_counts(
     state_dir: str, subdir: str, fmt: str, key_col: str,
     max_files: int,
 ) -> int:
-    """Merge per-run count files into one once there are more than
-    ``max_files``. Atomic: the merged file lands under a fresh name
-    before the inputs are removed. Returns the file count after."""
+    """Merge per-run count files past ``max_files`` into one compact
+    file, journaled for crash safety and recording the folded run_ids
+    (their same-run_id retry contract dies with the fold — see
+    :func:`_check_run_excludable`). The newest run file stays out of
+    the merge so the latest run remains retryable. Returns the file
+    count after."""
     import ray.data as rd
 
     from ..dedupe.combine import combine_counts
@@ -647,18 +813,15 @@ def _compact_counts(
     if len(files) <= max_files:
         return len(files)
     d = _counts_dir(state_dir, subdir, fmt)
-    merged = combine_counts(rd.read_parquet(files), key=key_col)
+    inputs = _compact_inputs(files)
+    if len(inputs) < 2:
+        return len(files)
+    merged = combine_counts(rd.read_parquet(inputs), key=key_col)
     tables = list(
         merged.iter_batches(batch_size=65536, batch_format="pyarrow")
     )
     t = pa.concat_tables(tables)
-    tmp = os.path.join(d, ".compact.parquet.tmp")
-    final = os.path.join(d, "compact-0000.parquet")
-    pq.write_table(t, tmp)
-    os.replace(tmp, final)
-    for f in files:
-        if os.path.abspath(f) != os.path.abspath(final):
-            os.remove(f)
+    _finalize_compact(d, t, inputs)
     return len(_counts_files(state_dir, subdir, fmt))
 
 
@@ -1086,38 +1249,44 @@ def commit_run_top_summary(
 ) -> str:
     """Append one run's (MG table, CMS sketch) pair as a single
     union-schema parquet file (atomic rename; rerunning the same
-    run_id overwrites). The sketch shape is read from the sketch
-    itself so the format stamp can't drift from the payload."""
+    run_id overwrites — unless the run was folded into a compact file,
+    which raises; see :func:`_check_run_excludable`). The sketch shape
+    is read from the sketch itself so the format stamp can't drift
+    from the payload."""
     run_mg, run_cms = summary
+    _check_run_id(run_id)
     d = _counts_dir(
         state_dir, "topk",
         _topk_format(lowercase, counters, run_cms.depth, run_cms.width),
     )
+    _check_run_excludable(d, run_id)
     tmp = os.path.join(d, f".{run_id}.parquet.tmp")
     final = os.path.join(d, f"{run_id}.parquet")
-    n = run_mg.num_rows
-    t = pa.table(
-        {
-            "token": pa.concat_arrays(
-                [
-                    run_mg.column("token").combine_chunks(),
-                    pa.array([None], pa.string()),
-                ]
-            ),
-            "cnt": pa.concat_arrays(
-                [
-                    run_mg.column("cnt").combine_chunks(),
-                    pa.array([0], pa.int64()),
-                ]
-            ),
-            "sketch": pa.array(
-                [None] * n + [run_cms.to_bytes()], pa.binary()
-            ),
-        }
+    t = _topk_union_table(
+        run_mg.column("token").combine_chunks(),
+        run_mg.column("cnt").combine_chunks(),
+        run_cms,
     )
     pq.write_table(t, tmp)
     os.replace(tmp, final)
     return final
+
+
+def _topk_union_table(tokens: pa.Array, cnts: pa.Array, cms) -> pa.Table:
+    """The ONE (token, cnt, sketch) union-schema layout for topk state
+    files: MG rows first, then the single null-token sketch row —
+    shared by the per-run commit and compaction so the two writers
+    can't drift."""
+    n = len(tokens)
+    return pa.table(
+        {
+            "token": pa.concat_arrays(
+                [tokens, pa.array([None], pa.string())]
+            ),
+            "cnt": pa.concat_arrays([cnts, pa.array([0], pa.int64())]),
+            "sketch": pa.array([None] * n + [cms.to_bytes()], pa.binary()),
+        }
+    )
 
 
 def compact_topk_state(
@@ -1128,17 +1297,22 @@ def compact_topk_state(
     depth: int = 4,
     width: int = 1 << 16,
 ) -> int:
-    """Merge per-run summary files past ``max_files`` into one:
-    sum-only for MG rows (the query-side combine does the reduce, so
-    results are IDENTICAL pre/post compaction) and elementwise-add for
-    the sketches. Atomic like the count-state compactions."""
+    """Merge per-run summary files past ``max_files`` into one compact
+    file: sum-only for MG rows (the query-side combine does the
+    reduce, so results are IDENTICAL pre/post compaction) and
+    elementwise-add for the sketches. Journaled + folded-run tracking
+    like the count-state compactions; the newest run file stays out of
+    the merge so the latest run remains retryable."""
     from ..functions.sketches import CountMinSketch
 
     fmt = _topk_format(lowercase, counters, depth, width)
     files = _counts_files(state_dir, "topk", fmt)
     if len(files) <= max_files:
         return len(files)
-    mg_tables, blobs = _read_topk_state(files)
+    inputs = _compact_inputs(files)
+    if len(inputs) < 2:
+        return len(files)
+    mg_tables, blobs = _read_topk_state(inputs)
     merged_cms = CountMinSketch(depth, width)
     for blob in blobs:
         merged_cms = merged_cms.merge(CountMinSketch.from_bytes(blob))
@@ -1149,7 +1323,6 @@ def compact_topk_state(
         else None
     )
     d = _counts_dir(state_dir, "topk", fmt)
-    n = summed.num_rows if summed is not None else 0
     tokens = (
         summed.column("token").combine_chunks()
         if summed is not None
@@ -1160,22 +1333,6 @@ def compact_topk_state(
         if summed is not None
         else pa.array([], pa.int64())
     )
-    t = pa.table(
-        {
-            "token": pa.concat_arrays(
-                [tokens, pa.array([None], pa.string())]
-            ),
-            "cnt": pa.concat_arrays([cnts, pa.array([0], pa.int64())]),
-            "sketch": pa.array(
-                [None] * n + [merged_cms.to_bytes()], pa.binary()
-            ),
-        }
-    )
-    tmp = os.path.join(d, ".compact.parquet.tmp")
-    final = os.path.join(d, "compact-0000.parquet")
-    pq.write_table(t, tmp)
-    os.replace(tmp, final)
-    for f in files:
-        if os.path.abspath(f) != os.path.abspath(final):
-            os.remove(f)
+    t = _topk_union_table(tokens, cnts, merged_cms)
+    _finalize_compact(d, t, inputs)
     return len(_counts_files(state_dir, "topk", fmt))

@@ -298,8 +298,11 @@ def test_compact_line_state_preserves_totals(tmp_path):
         commit_run_line_counts(counts, state, rid)
     assert seen_line_count(state) == 10  # 5 x (only_i + shared)
     n_files = compact_line_state(state, max_files=2)
-    assert n_files == 1
-    assert seen_line_count(state) == 6  # 5 distinct only_i + shared
+    # the newest run file stays out of the fold (keeps the latest run
+    # retryable), so compaction lands at 2 files: compact + newest
+    assert n_files == 2
+    # compact file: 4 distinct only_i + shared; newest: only4 + shared
+    assert seen_line_count(state) == 7
     # totals survive: shared has count 5 -> frequent at min_count=5
     out, _, _ = incremental_line_dedup(
         _mk(["shared\nfresh"]), state, min_count=6, run_id="r9"

@@ -78,8 +78,18 @@ class TestLogHistogramQuantiles:
         whole = LogHistogramQuantiles().add_many(vals)
         parts = LogHistogramQuantiles()
         for chunk in np.array_split(rng.permutation(vals), 13):
-            parts.merge(LogHistogramQuantiles().add_many(chunk))
+            parts = parts.merge(LogHistogramQuantiles().add_many(chunk))
         assert np.array_equal(whole.counts, parts.counts)
+        # merge returns a NEW sketch and __init__ copies: neither the
+        # operands nor a caller-supplied counts array are aliased
+        base = LogHistogramQuantiles()
+        arr = np.zeros(base.n_bins, np.int64)
+        aliased = LogHistogramQuantiles(counts=arr)
+        aliased.add_many([5.0])
+        assert arr.sum() == 0
+        before = parts.counts.copy()
+        parts.merge(whole)
+        assert np.array_equal(parts.counts, before)
         # serialization roundtrip
         back = LogHistogramQuantiles.from_bytes(whole.to_bytes())
         assert np.array_equal(back.counts, whole.counts)
@@ -569,10 +579,14 @@ class TestIncrementalTopTokens:
         # mixed sketch shape rejected loudly
         with _pytest.raises(ValueError, match="key format"):
             self._run(c, state, width=1 << 10)
-        # compaction changes files, never results
+        # compaction changes files, never results (a third run so the
+        # merge has >= 2 inputs — the newest run file always stays out
+        # of the fold to keep the latest run retryable)
+        self._run(c, state)
+        assert seen_topk_runs(state) == 3
         ds_c = ray.data.from_arrow(pa.table({"text": c})).repartition(2)
         before, _, _ = incremental_top_tokens(ds_c, state, k=10)
-        assert compact_topk_state(state, max_files=1) == 1
+        assert compact_topk_state(state, max_files=1) == 2
         after, _, _ = incremental_top_tokens(ds_c, state, k=10)
         assert before.equals(after)
 

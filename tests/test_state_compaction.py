@@ -1,0 +1,264 @@
+"""Compaction vs the same-run_id retry contract, compaction crash
+recovery, and the round-8 review-pass fixes (empty-commit key typing,
+full-range int sketch/bloom keys, digest packing probe)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.state.incremental import (
+    commit_run_keys,
+    commit_run_line_counts,
+    compact_line_state,
+    incremental_exact_dedup,
+    incremental_line_dedup,
+)
+
+
+def _mk(docs):
+    return rd.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(docs)]
+    )
+
+
+def _line_state(tmp_path, n_runs=4):
+    state = str(tmp_path / "state")
+    for i in range(n_runs):
+        _, rid, counts = incremental_line_dedup(
+            _mk([f"only{i}\nshared"]), state, min_count=99,
+            run_id=f"r{i}",
+        )
+        commit_run_line_counts(counts, state, rid)
+    return state
+
+
+def test_retry_of_folded_run_raises(tmp_path):
+    state = _line_state(tmp_path)
+    assert compact_line_state(state, max_files=1) == 2
+    # r0..r2 are folded; excluding their contribution is impossible,
+    # so a same-run_id retry must fail loudly, not double-count
+    with pytest.raises(ValueError, match="folded into the compacted"):
+        incremental_line_dedup(
+            _mk(["shared\nx"]), state, min_count=2, run_id="r0"
+        )
+    # ... and so must a bare re-commit (it would land NEXT TO the
+    # folded counts and double them forever)
+    _, _, counts = incremental_line_dedup(
+        _mk(["y"]), state, min_count=2, run_id="fresh"
+    )
+    with pytest.raises(ValueError, match="folded into the compacted"):
+        commit_run_line_counts(counts, state, "r1")
+
+
+def test_retry_of_newest_run_survives_compaction(tmp_path):
+    state = _line_state(tmp_path)
+    # pre-compaction retry of the newest run
+    before, _, _ = incremental_line_dedup(
+        _mk(["shared\nnew"]), state, min_count=4, run_id="r3"
+    )
+    compact_line_state(state, max_files=1)
+    # the newest run file (r3) stays out of the fold: retry still
+    # reproduces the identical result
+    after, _, _ = incremental_line_dedup(
+        _mk(["shared\nnew"]), state, min_count=4, run_id="r3"
+    )
+    assert before.to_pandas().equals(after.to_pandas())
+
+
+def test_legacy_compact_without_sidecar_rejects_retry(tmp_path):
+    state = _line_state(tmp_path)
+    compact_line_state(state, max_files=1)
+    d = os.path.join(state, "lines")
+    os.remove(os.path.join(d, "COMPACTED_RUNS.json"))
+    # cannot prove ANY run_id is not folded in -> refuse retries
+    with pytest.raises(ValueError, match="cannot be proven"):
+        incremental_line_dedup(
+            _mk(["z"]), state, min_count=2, run_id="whatever"
+        )
+    # fresh runs without retry semantics still work (no exclusion
+    # needed when the run was never committed — but the API can't
+    # know that, so the caller uses a run_id it never used before
+    # and the read path must raise all the same for safety)
+
+
+def test_compaction_crash_recovery_completes(tmp_path):
+    state = _line_state(tmp_path)
+    d = os.path.join(state, "lines")
+    # simulate a crash AFTER the merged file landed but BEFORE the
+    # inputs were removed: both would be listed -> double counts
+    files = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    victim = files[0]
+    merged = pq.read_table(os.path.join(d, victim))
+    target = "compact-0007.parquet"
+    pq.write_table(merged, os.path.join(d, target))
+    with open(os.path.join(d, ".compact.journal.json"), "w") as f:
+        json.dump(
+            {
+                "target": target,
+                "inputs": [victim],
+                "runs": [victim[: -len(".parquet")]],
+            },
+            f,
+        )
+    # any state access recovers: victim removed, run recorded
+    _, _, _ = incremental_line_dedup(
+        _mk(["q"]), state, min_count=2, run_id="post"
+    )
+    assert not os.path.exists(os.path.join(d, victim))
+    assert not os.path.exists(
+        os.path.join(d, ".compact.journal.json")
+    )
+    runs = json.load(open(os.path.join(d, "COMPACTED_RUNS.json")))
+    assert victim[: -len(".parquet")] in runs
+
+
+def test_compaction_crash_recovery_rolls_back(tmp_path):
+    state = _line_state(tmp_path)
+    d = os.path.join(state, "lines")
+    files_before = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    # crash BEFORE the merged file landed: journal only
+    with open(os.path.join(d, ".compact.journal.json"), "w") as f:
+        json.dump(
+            {
+                "target": "compact-0009.parquet",
+                "inputs": files_before[:2],
+                "runs": ["r0", "r1"],
+            },
+            f,
+        )
+    incremental_line_dedup(
+        _mk(["q"]), state, min_count=2, run_id="post2"
+    )
+    files_after = sorted(
+        f for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    assert files_after == files_before  # inputs intact
+    assert not os.path.exists(
+        os.path.join(d, ".compact.journal.json")
+    )
+    assert not os.path.exists(
+        os.path.join(d, "COMPACTED_RUNS.json")
+    )
+
+
+def test_bad_run_ids_rejected(tmp_path):
+    state = str(tmp_path / "state")
+    _, _, counts = incremental_line_dedup(
+        _mk(["a"]), state, min_count=2, run_id="ok"
+    )
+    for bad in ("compact-0000", ".hidden", "a/b", ""):
+        with pytest.raises(ValueError, match="invalid run_id"):
+            commit_run_line_counts(counts, state, bad)
+
+
+def test_empty_commit_keeps_key_type(tmp_path):
+    state = str(tmp_path / "state")
+    t1 = pa.table(
+        {"key_int": [1, 2, 3], "doc_id": ["a", "b", "c"]}
+    )
+    d1, rid1 = incremental_exact_dedup(
+        rd.from_arrow(t1), state, key="key_int", run_id="run1"
+    )
+    commit_run_keys(d1.materialize(), state, rid1, key="key_int")
+    # run 2: every row is a dup -> ZERO survivors committed; the
+    # empty state file must keep int64 (a string-typed empty file
+    # would wedge every later run's concat over the state)
+    d2, rid2 = incremental_exact_dedup(
+        rd.from_arrow(t1), state, key="key_int", run_id="run2"
+    )
+    d2 = d2.materialize()
+    assert d2.count() == 0
+    commit_run_keys(d2, state, rid2, key="key_int")
+    key_file = os.path.join(state, "keys", "run2.parquet")
+    assert pq.read_schema(key_file).field("key").type == pa.int64()
+    # run 3 reads the mixed state (non-empty + empty files) fine
+    t3 = pa.table({"key_int": [3, 4], "doc_id": ["x", "y"]})
+    d3, _ = incremental_exact_dedup(
+        rd.from_arrow(t3), state, key="key_int", run_id="run3"
+    )
+    ids = sorted(
+        x
+        for b in d3.iter_batches(batch_format="pyarrow")
+        for x in b.column("doc_id").to_pylist()
+    )
+    assert ids == ["y"]
+
+
+def test_sketch_and_bloom_accept_full_int_range():
+    from redpajama_data_ray.functions.sketches import (
+        CountMinSketch,
+        HyperLogLog,
+    )
+    from redpajama_data_ray.state.bloom import BloomFilter
+
+    vals = [0, -1, -(2**63), 2**63, 2**64 - 1, 12345]
+    h = HyperLogLog(12)
+    h.update(vals)  # formerly OverflowError at >= 2^63
+    assert h.estimate() > 0
+    c = CountMinSketch(4, 1 << 12)
+    c.update(vals)
+    assert int(c.estimate([2**63])[0]) >= 1
+    bf = BloomFilter(1024)
+    bf.update(vals)  # formerly OverflowError on negatives
+    assert bool(np.all(bf.might_contain_many(vals)))
+    # distinct values stay distinct through the 9-byte encoding
+    assert not bf.might_contain(2**63 - 12)
+
+
+def test_bloom_add_many_matches_per_item_add():
+    from redpajama_data_ray.state.bloom import BloomFilter
+
+    keys = [f"k{i}" for i in range(500)] + [7, -9, 2**63 + 5]
+    a = BloomFilter(2048)
+    for k in keys:
+        a.add(k)
+    b = BloomFilter(2048)
+    b.add_many(keys)
+    assert np.array_equal(a.bits, b.bits)
+
+
+def test_sorted_probe_digest_mode_matches(monkeypatch):
+    """Force the blake2b digest fallback and check pack summaries are
+    identical to the fixed-width path."""
+    import redpajama_data_ray.functions.packing as packing
+    from redpajama_data_ray.functions.packing import pack_summaries
+
+    docs = rd.from_items(
+        [
+            {"doc_id": f"repo/path-{i:03d}/file.py", "text": t}
+            for i, t in enumerate(
+                ["alpha beta gamma", "delta epsilon", "zeta eta theta"]
+                * 7
+            )
+        ]
+    )
+    wide = pack_summaries(
+        docs, seq_len=8, n_buckets=4
+    ).to_pandas().sort_values(["bucket", "seq_idx"]).reset_index(
+        drop=True
+    )
+
+    orig = packing._sorted_probe
+
+    def tiny_limit_probe(segs):
+        import redpajama_data_ray.dedupe.apply as apply_mod
+
+        monkeypatch.setattr(apply_mod, "FIXED_WIDTH_MASK_LIMIT", 8)
+        return orig(segs)
+
+    monkeypatch.setattr(packing, "_sorted_probe", tiny_limit_probe)
+    digested = pack_summaries(
+        docs, seq_len=8, n_buckets=4
+    ).to_pandas().sort_values(["bucket", "seq_idx"]).reset_index(
+        drop=True
+    )
+    assert wide.equals(digested)
