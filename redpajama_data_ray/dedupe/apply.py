@@ -122,14 +122,34 @@ def _digest_values(vals) -> np.ndarray:
 # broadcast membership masks
 # ------------------------------------------------------------------
 
+# numpy S-dtype treats trailing NUL bytes as padding (b"foo\x00"
+# reads back as b"foo"), so raw fixed-width keys would alias values
+# that differ only in trailing NULs — a SILENT false duplicate drop.
+# Every S-bound key therefore gets a 0x01 terminator appended (on
+# both the member and the probe side), which makes the padding
+# unambiguous: b"foo" -> b"foo\x01", b"foo\x00" -> b"foo\x00\x01".
+_KEY_SENTINEL = b"\x01"
+
+
+class NormalizedKeys(np.ndarray):
+    """Marker subclass for ``as_key_array``'s sentinel-terminated S
+    output: normalization must be IDEMPOTENT (``filter_members`` /
+    ``broadcast_sorted`` re-normalize whatever they receive, and a
+    second sentinel would silently unmatch every key)."""
+
+
 def as_key_array(
     values: "Iterable | np.ndarray",
 ) -> "np.ndarray | DigestKeys":
     """Normalize a driver-side value collection (set / list / numpy /
     pyarrow) to the probe representation: unsigned ints to uint64,
-    strings/bytes to fixed-width ``S`` — or, when the fixed-width
-    matrix would exceed ``FIXED_WIDTH_MASK_LIMIT`` (one huge member
-    widens EVERY slot), to :class:`DigestKeys` blake2b-16 digests."""
+    strings/bytes to sentinel-terminated fixed-width ``S`` — or, when
+    the keys are wide enough that blake2b-16 digests are smaller than
+    the fixed-width matrix AND that matrix would exceed
+    ``FIXED_WIDTH_MASK_LIMIT`` (one huge member widens EVERY slot),
+    to :class:`DigestKeys`."""
+    if isinstance(values, (NormalizedKeys, DigestKeys)):
+        return values  # already normalized — MUST NOT re-sentinel
     if isinstance(values, (pa.Array, pa.ChunkedArray)):
         arr0 = (
             values.combine_chunks()
@@ -143,12 +163,23 @@ def as_key_array(
         ):
             if len(arr0):
                 max_len = int(pc.max(pc.binary_length(arr0)).as_py() or 0)
-                if len(arr0) * max_len > FIXED_WIDTH_MASK_LIMIT:
-                    # null members never match, so drop them — the
-                    # fixed-width path rejects them; digesting them
-                    # as b"" would falsely admit empty-string probes
+                if max_len > 16 and (
+                    len(arr0) * (max_len + 1) > FIXED_WIDTH_MASK_LIMIT
+                ):
+                    # digests only pay when they SHRINK the slots
+                    # (max_len > 16); null members never match, so
+                    # drop them — digesting them as b"" would
+                    # falsely admit empty-string probes
                     return DigestKeys(_digest_arrow(arr0.drop_null()))
-        values = arr0.to_pylist()
+            values = arr0.to_pylist()
+        elif pa.types.is_integer(arr0.type):
+            # zero-copy-ish numeric path: to_pylist would build tens
+            # of millions of Python ints just to rebuild this array
+            return arr0.drop_null().to_numpy(
+                zero_copy_only=False
+            ).astype(np.uint64, copy=False)
+        else:
+            values = arr0.to_pylist()
     if isinstance(values, np.ndarray):
         arr = values
     else:
@@ -161,16 +192,30 @@ def as_key_array(
                 v.encode() if isinstance(v, str) else v for v in vals
             ]
             max_len = max(len(v) for v in encoded)
-            if len(vals) * max_len > FIXED_WIDTH_MASK_LIMIT:
+            if max_len > 16 and (
+                len(vals) * (max_len + 1) > FIXED_WIDTH_MASK_LIMIT
+            ):
                 return DigestKeys(_digest_values(encoded))
-            arr = np.asarray(encoded, dtype=np.bytes_)
+            return np.asarray(
+                [v + _KEY_SENTINEL for v in encoded], dtype=np.bytes_
+            ).view(NormalizedKeys)
         else:
             arr = np.asarray(vals, np.uint64)
     if arr.dtype.kind in "iu":
         arr = arr.astype(np.uint64, copy=False)
-    elif arr.dtype.kind == "U":
-        arr = arr.astype(np.bytes_)
-    elif arr.dtype.kind != "S":
+    elif arr.dtype.kind in "US":
+        # a caller-supplied string/bytes numpy array has not been
+        # sentinel-terminated yet (and S-dtype construction already
+        # stripped any trailing NULs — nothing left to preserve)
+        arr = np.asarray(
+            [
+                (v.encode() if isinstance(v, str) else v)
+                + _KEY_SENTINEL
+                for v in arr.tolist()
+            ],
+            dtype=np.bytes_,
+        ).view(NormalizedKeys)
+    else:
         raise TypeError(f"unsupported membership dtype {arr.dtype}")
     return arr
 
@@ -189,7 +234,10 @@ def broadcast_sorted(values) -> "ray.ObjectRef":
 
 def _binary_matrix(arr: "pa.Array", width: int):
     """string/binary Array -> (S{width} numpy array, lengths) straight
-    from the Arrow buffers (no to_pylist; ~14x on 65k sha-hex rows)."""
+    from the Arrow buffers (no to_pylist; ~14x on 65k sha-hex rows).
+    Each value gets the 0x01 sentinel at its true length (member keys
+    carry the same terminator), so trailing-NUL keys cannot alias
+    shorter keys through S-dtype padding."""
     n = len(arr)
     offs, mv = _string_offsets(arr)
     data = np.frombuffer(mv, np.uint8) if len(mv) else np.empty(0, np.uint8)
@@ -199,6 +247,8 @@ def _binary_matrix(arr: "pa.Array", width: int):
     pos = offs[:-1, None] + np.arange(width)[None, :]
     mask = np.arange(width)[None, :] < clipped[:, None]
     out[mask] = data[pos[mask]]
+    fits = lengths < width
+    out[fits, lengths[fits]] = _KEY_SENTINEL[0]
     return out.view(f"S{width}")[:, 0], lengths
 
 
@@ -214,9 +264,10 @@ def _column_probe(col: "pa.ChunkedArray", sorted_vals: np.ndarray):
             else col
         )
         probe, lengths = _binary_matrix(arr, width)
-        # values longer than the widest member cannot be members; the
-        # truncating copy above would otherwise alias them onto one
-        valid = valid & (lengths <= width)
+        # member slots are (key + sentinel), so a probe longer than
+        # width-1 cannot be a member; the truncating copy above would
+        # otherwise alias it onto one
+        valid = valid & (lengths <= width - 1)
         return probe, valid
     valid = pc.is_valid(col).to_numpy(zero_copy_only=False)
     # fill nulls in Arrow first: to_numpy on a nullable int column

@@ -119,6 +119,19 @@ def explode_bands(sig_column: str):
         n_bands = len(flat)
         if n_bands == 0:
             return empty
+        if flat.null_count or int(lengths.sum()) != n_bands:
+            # a null INSIDE a signature list would flow into the hash
+            # kernels as None/b"" (bare TypeError in the scalar path,
+            # a silently wrong hash in the vectorized one) — and on
+            # pyarrow versions where list_flatten drops inner nulls,
+            # the index math below would misalign every band after
+            # the first null. MinHasher never emits inner nulls;
+            # reject corrupt input loudly.
+            raise ValueError(
+                f"signature column {sig_column!r} contains null "
+                "elements inside signature lists; signatures must be "
+                "fully materialized byte-strings"
+            )
         rep_ids = np.repeat(ids, lengths)
         starts = np.concatenate([[0], np.cumsum(lengths)[:-1]])
         band_idx = (
@@ -321,7 +334,12 @@ def cluster_labels(
     prop_partitions = max(
         2, min(num_partitions, int(members // 500_000) + 2)
     )
-    dup_keys = dup.select_columns(["band_hash"])
+    # repartition the small side: Ray 2.49's hash-shuffle join rejects
+    # inputs whose empty partitions lost their schema (the cnt>1
+    # filter above can leave such partitions in the materialized dup)
+    dup_keys = dup.select_columns(["band_hash"]).repartition(
+        ex_partitions
+    )
     dup_pairs = exploded_signed.join(
         dup_keys,
         join_type="left_semi",
@@ -350,11 +368,21 @@ def clusters_table(clusters: "Dict[int, int] | Dataset") -> pa.Table:
     Dataset (collected — for large label sets write the Dataset with
     ``write_parquet`` instead)."""
     if isinstance(clusters, Dataset):
-        t = pa.concat_tables(
+        batches = list(
             clusters.select_columns(["id_int", "cluster_id"]).iter_batches(
                 batch_size=65536, batch_format="pyarrow"
             )
-        ).combine_chunks()
+        )
+        if not batches:
+            # match the dict branch's {} contract (concat_tables([])
+            # raises instead of producing the typed empty table)
+            return pa.table(
+                {
+                    "id_int": pa.array([], pa.uint64()),
+                    "cluster_id": pa.array([], pa.uint64()),
+                }
+            )
+        t = pa.concat_tables(batches).combine_chunks()
         return t.sort_by("id_int")
     items = sorted(clusters.items())
     return pa.table(
@@ -388,12 +416,39 @@ def _drop_ids(
     dupes_ds = dupes_ds.repartition(num_partitions)
     nested = nested_types(ds.schema().base_schema, exclude=(id_column,))
     packed = ds.map_batches(pack_nested(nested), batch_format="pyarrow")
+    # the module's uint64 constraint applies here too: hash-shuffle
+    # joins pickle uint64 values above int64-max into python-object
+    # columns that cannot join — run the join on the signed bijection
+    # and map back after (ids >= 2^63 are ~half of all sha-derived
+    # id_int values)
+    id_type = ds.schema().base_schema.field(id_column).type
+    sign_ids = pa.types.is_uint64(id_type)
+    if sign_ids:
+        from .components import _to_signed, _to_unsigned
+
+        def _sign(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(id_column)
+            return t.set_column(
+                i, id_column, _to_signed(t.column(id_column))
+            )
+
+        packed = packed.map_batches(_sign, batch_format="pyarrow")
+        dupes_ds = dupes_ds.map_batches(_sign, batch_format="pyarrow")
     deduped = packed.join(
         dupes_ds,
         join_type="left_anti",
         num_partitions=num_partitions,
         on=(id_column,),
     )
+    if sign_ids:
+
+        def _unsign(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index(id_column)
+            return t.set_column(
+                i, id_column, _to_unsigned(t.column(id_column))
+            )
+
+        deduped = deduped.map_batches(_unsign, batch_format="pyarrow")
     return deduped.map_batches(unpack_nested(nested), batch_format="pyarrow")
 
 
@@ -559,7 +614,16 @@ def write_cluster_outputs(
                     }
                 )
 
-            ds.map_batches(
+            # narrow projection first: member_rows reads only the id
+            # and shard columns — streaming text + every signature
+            # list column through the pool per threshold is pure I/O
+            # waste (the distributed branch already projects narrow)
+            need = [id_column, "id_int"]
+            if shard_column and shard_column not in need:
+                need.append(shard_column)
+            ds.select_columns(
+                list(dict.fromkeys(need))
+            ).map_batches(
                 member_rows, batch_format="pyarrow"
             ).write_parquet(tdir)
             out[str(t)] = tdir

@@ -355,7 +355,16 @@ def apply_dup_fingerprints(
 
     def _id_hash_col(col: pa.ChunkedArray) -> pa.Array:
         if not id_is_str:
-            return pc.cast(col.combine_chunks(), pa.int64())
+            arr = col.combine_chunks()
+            if pa.types.is_unsigned_integer(arr.type):
+                # safe cast raises ArrowInvalid on uint64 ids >= 2^63
+                # (~half of all sha-derived id_int values); the
+                # engine's standard top-bit bijection is injective
+                # and both join sides map through THIS function
+                from .components import _to_signed
+
+                return _to_signed(pc.cast(arr, pa.uint64()))
+            return pc.cast(arr, pa.int64())
         from .lines import hash_lines_signed
 
         vals = col.to_numpy(zero_copy_only=False)

@@ -270,9 +270,23 @@ class TestDigestFallback:
     def test_digest_mask_equals_fixed_width_mask(self, monkeypatch):
         import redpajama_data_ray.dedupe.apply as apply_mod
 
-        members = ["abc", "zz", "hello world", "abc"]
+        # one member wider than 16 bytes: digest mode only pays (and
+        # only triggers) when digests SHRINK the fixed-width slots
+        members = ["abc", "zz", "a key wider than sixteen", "abc"]
         col = pa.chunked_array(
-            [pa.array(["abc", "abcd", None, "zz", "", "q"], pa.string())]
+            [
+                pa.array(
+                    [
+                        "abc",
+                        "abcd",
+                        None,
+                        "zz",
+                        "",
+                        "a key wider than sixteen",
+                    ],
+                    pa.string(),
+                )
+            ]
         )
         exact = membership_mask(
             col, np.sort(as_key_array(set(members)))
@@ -300,15 +314,18 @@ class TestDigestFallback:
         import redpajama_data_ray.dedupe.apply as apply_mod
 
         monkeypatch.setattr(apply_mod, "FIXED_WIDTH_MASK_LIMIT", 1)
+        keys = [k * 20 for k in ("a", "b", "c", "d")]  # wide -> digest
         ds = ray.data.from_arrow(
             pa.table(
                 {
-                    "k": ["a", "b", "c", "d"],
+                    "k": keys,
                     "v": [1, 2, 3, 4],
                 }
             )
         )
-        out = filter_members(ds, "k", ["b", "d"], keep_members=False)
+        out = filter_members(
+            ds, "k", [keys[1], keys[3]], keep_members=False
+        )
         assert sorted(out.to_pandas().v.tolist()) == [1, 3]
 
     def test_incremental_dedup_survives_giant_keys(
