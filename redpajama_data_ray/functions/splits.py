@@ -1,0 +1,306 @@
+"""Leakage-safe dataset splits and per-group quotas.
+
+Two deterministic GROUP-keyed operators a training-data pipeline needs
+beyond row-level sampling (functions/mixing.py):
+
+- :func:`grouped_split` — assign every row to train/val/test by
+  hashing its group key (repo, domain, source) so a group never
+  straddles splits: near-duplicate files of one repository cannot leak
+  from train into eval. Pure per-row predicate over the group key —
+  no shuffle, no driver state, identical output for any Ray blocking,
+  cluster shape or resume point (the same properties
+  functions/mixing.py pins for row-level mixing).
+
+- :func:`cap_per_group` — per-domain quota (the cc_net-style "at most
+  N pages per domain" guard the reference's listings selection feeds;
+  motivated by /root/reference/app/src/pipeline.py's per-listing
+  sharding, no direct reference counterpart file). Keeps at most
+  ``cap`` rows per group, chosen uniformly-at-random but
+  deterministically: the rows with the ``cap`` smallest
+  ``md5(f"{seed}:{id}")`` values survive (ties broken by ``str(id)``).
+
+Scale design of :func:`cap_per_group` (rows never shuffle):
+
+1. one streaming pass emits NARROW partials — per (batch, group) the
+   up-to-``cap`` smallest ``(hex16, id)`` keys plus the batch-group
+   row count. Keeping the cap smallest per batch provably preserves
+   the global cap smallest, so partial volume per group is bounded by
+   ``cap × blocks_touching_group`` while document text stays put.
+2. partials hash-repartition by group (the only all-to-all, and it
+   moves ~40-byte rows); one kernel per co-located group computes the
+   quota threshold = the cap-th smallest composite key — emitted ONLY
+   for groups whose total exceeds ``cap`` (in web corpora the heavy
+   tail, a small fraction of all domains).
+3. thresholds broadcast once (``ray.put``) and a second streaming
+   pass filters: keep iff ``(hex16, str(id)) <=`` the group's
+   threshold, vectorized per distinct group in the batch. Groups
+   without a threshold pass through untouched.
+
+Contracts: group keys are compared as ``str(key)`` on every side
+(None → 'None', deterministic). Duplicate ``(group, id)`` rows make
+the quota approximate at the boundary (every copy of the threshold id
+is kept) — assign unique ids first (stages/ids.py) for an exact cap.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+import pyarrow as pa
+import ray
+from ray.data import Dataset
+
+from .mixing import weight_threshold_hex
+
+# one threshold row (~50 B) per over-cap group; 5M over-cap groups
+# (~250 MB broadcast) is the documented driver/worker comfort bound.
+# Above it, raise a named error rather than silently OOM — the join
+# delivery used by dedupe/apply.py is the escape hatch if a corpus
+# ever has more over-cap domains than this.
+MAX_BROADCAST_GROUPS = 5_000_000
+
+_PARTIAL_SCHEMA = pa.schema(
+    [
+        ("g", pa.string()),
+        ("h", pa.string()),
+        ("id_s", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def _hex16(values, seed: int) -> np.ndarray:
+    """First 16 md5 hex digits of ``f"{seed}:{value}"`` (S16 array) —
+    the 16-hex prefix of the same digest family mixing.py uses, wide
+    enough (64 bits) that within-group collisions are negligible and
+    cheap enough to recompute instead of shipping."""
+    out = np.empty(len(values), dtype="S16")
+    pre = f"{seed}:".encode()
+    for i, v in enumerate(values):
+        out[i] = (
+            hashlib.md5(pre + str(v).encode("utf-8"))
+            .hexdigest()[:16]
+            .encode()
+        )
+    return out
+
+
+def grouped_split(
+    ds: Dataset,
+    fractions: Mapping[str, float],
+    group_col: str = "source",
+    seed: int = 42,
+    out_col: str = "split",
+) -> Dataset:
+    """Add ``out_col`` assigning each row's GROUP to a named split.
+
+    ``fractions`` maps split name → fraction of GROUPS (insertion
+    order is the contract; must sum to 1). Every row of a group gets
+    the same split — the leakage-safe property — and the predicate is
+    a pure function of ``(seed, group)``: ``u = md5hex8(seed:group)``
+    lands in the cumulative-threshold bucket, exactly expressible in
+    ANSI SQL (md5 + substr + string compare, see the
+    ``grouped_split_docs`` oracle)."""
+    names = list(fractions)
+    if not names:
+        raise ValueError("grouped_split: fractions must be non-empty")
+    cum = 0.0
+    thrs = []
+    for name in names:
+        w = float(fractions[name])
+        if w < 0 or not np.isfinite(w):
+            raise ValueError(
+                f"grouped_split: fraction for {name!r} must be a "
+                f"finite non-negative number, got {fractions[name]!r}"
+            )
+        cum += w
+        thrs.append(weight_threshold_hex(cum))
+    if abs(cum - 1.0) > 1e-9:
+        raise ValueError(
+            f"grouped_split: fractions must sum to 1 (got {cum!r}) — "
+            "splits partition the corpus"
+        )
+    thrs[-1] = "g"  # absorbs rounding: every hex digit < 'g'
+    thr_arr = np.array([t.encode() for t in thrs], dtype="S16")
+
+    def _assign(t: pa.Table) -> pa.Table:
+        keys = t.column(group_col).to_pylist()
+        cache: Dict[object, str] = {}
+        pre = f"{seed}:"
+        vals = []
+        for k in keys:
+            s = cache.get(k)
+            if s is None:
+                u = np.bytes_(
+                    hashlib.md5(
+                        (pre + str(k)).encode("utf-8")
+                    ).hexdigest()[:8]
+                )
+                # first threshold strictly above u = this group's split
+                s = names[int(np.searchsorted(thr_arr, u, side="right"))]
+                cache[k] = s
+            vals.append(s)
+        return t.append_column(out_col, pa.array(vals, pa.string()))
+
+    return ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def _cap_partials(group_col: str, id_col: str, seed: int, cap: int):
+    def _partial(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return _PARTIAL_SCHEMA.empty_table()
+        ids = t.column(id_col).to_pylist()
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        h = _hex16(ids, seed)
+        id_s = np.array([str(v) for v in ids], dtype=object)
+        order = np.lexsort((id_s, h, g))
+        gs = g[order]
+        # segment boundaries of the (group-major, composite-minor) sort
+        starts = np.flatnonzero(
+            np.concatenate(([True], gs[1:] != gs[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(gs)]))
+        keep_idx = []
+        counts = []
+        for s, e in zip(starts, ends):
+            take = min(cap, e - s)
+            keep_idx.extend(order[s : s + take])
+            # the segment-first partial row carries the batch-group
+            # row count; the final kernel sums them for the total
+            counts.extend([e - s] + [0] * (take - 1))
+        keep = np.asarray(keep_idx, dtype=np.int64)
+        return pa.table(
+            {
+                "g": pa.array(g[keep], pa.string()),
+                "h": pa.array(
+                    [x.decode() for x in h[keep]], pa.string()
+                ),
+                "id_s": pa.array(id_s[keep], pa.string()),
+                "n": pa.array(counts, pa.int64()),
+            }
+        )
+
+    return _partial
+
+
+def _cap_thresholds(cap: int):
+    def _finalize(t: pa.Table) -> pa.Table:
+        out_g, out_h, out_id = [], [], []
+        if t.num_rows:
+            g = np.array(t.column("g").to_pylist(), dtype=object)
+            h = np.array(t.column("h").to_pylist(), dtype="S16")
+            id_s = np.array(t.column("id_s").to_pylist(), dtype=object)
+            n = t.column("n").to_numpy(zero_copy_only=False)
+            order = np.lexsort((id_s, h, g))
+            g, h, id_s, n = g[order], h[order], id_s[order], n[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], g[1:] != g[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(g)]))
+            for s, e in zip(starts, ends):
+                if int(n[s:e].sum()) <= cap:
+                    continue  # group under quota: keep everything
+                k = s + cap - 1  # cap-th smallest composite key
+                out_g.append(g[s])
+                out_h.append(h[k].decode())
+                out_id.append(id_s[k])
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "h": pa.array(out_h, pa.string()),
+                "id_s": pa.array(out_id, pa.string()),
+            }
+        )
+
+    return _finalize
+
+
+def cap_per_group(
+    ds: Dataset,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
+) -> Dataset:
+    """Keep at most ``cap`` rows per group, deterministically (the
+    ``cap`` smallest ``(md5hex16(seed:id), str(id))`` keys win). See
+    the module docstring for the three-stage scale design; the SQL
+    equivalent is ``row_number() OVER (PARTITION BY group ORDER BY
+    substr(md5(seed||':'||id),1,16), id) <= cap``."""
+    if cap < 1:
+        raise ValueError(
+            f"cap_per_group: cap must be >= 1, got {cap!r} "
+            "(use Dataset.filter to drop everything)"
+        )
+    from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
+
+    partials = ds.map_batches(
+        _cap_partials(group_col, id_col, seed, cap),
+        batch_format="pyarrow",
+    )
+    with scoped_hash_shuffle(partials.context):
+        thr_tbl = (
+            partials.repartition(auto_partitions(), keys=["g"])
+            .map_batches(
+                _cap_thresholds(cap),
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    n_thr = thr_tbl.count()
+    if n_thr == 0:
+        return ds  # no group exceeds the quota
+    if n_thr > max_broadcast_groups:
+        raise ValueError(
+            f"cap_per_group: {n_thr} groups exceed the quota — above "
+            f"max_broadcast_groups={max_broadcast_groups}; raise the "
+            "bound or deliver thresholds via a key join "
+            "(dedupe/apply.py pattern)"
+        )
+    rows = thr_tbl.take_all()
+    thr: Dict[str, Tuple[bytes, str]] = {
+        r["g"]: (r["h"].encode(), r["id_s"]) for r in rows
+    }
+    if len(thr) != len(rows):
+        raise RuntimeError(
+            "cap_per_group: duplicate group in the threshold table — "
+            "the keyed repartition split a group across blocks "
+            "(one-block-per-partition invariant violated)"
+        )
+    thr_ref = ray.put(thr)
+
+    def _filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        thr_map = ray.get(thr_ref)
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        hit_groups = [u for u in set(g.tolist()) if u in thr_map]
+        if not hit_groups:
+            return t
+        ids = t.column(id_col).to_pylist()
+        h = _hex16(ids, seed)
+        keep = np.ones(len(g), dtype=bool)
+        for u in hit_groups:
+            thr_h, thr_id = thr_map[u]
+            sel = g == u
+            below = h < thr_h
+            at = h == np.bytes_(thr_h)
+            keep[sel] = below[sel]
+            if at.any():
+                bnd = np.flatnonzero(sel & at)
+                for i in bnd:
+                    keep[i] = str(ids[i]) <= thr_id
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1889,6 +1889,34 @@ ORACLE_SQL: Dict[str, str] = {
         having count(*) >= (select count(*) from documents)
         order by cnt desc, token asc
     """,
+    # identical predicate as functions/splits.py grouped_split: the
+    # GROUP key (not the row) hashes into cumulative hex buckets —
+    # 0.8 -> 'cccccccc', 0.9 -> 'e6666666', last bucket catches all
+    "grouped_split_docs": """
+        select doc_id, source,
+               case when u < 'cccccccc' then 'train'
+                    when u < 'e6666666' then 'val'
+                    else 'test' end as split
+        from (
+            select doc_id, source,
+                   substr(md5('7:' || source), 1, 8) as u
+            from documents
+        )
+    """,
+    # identical ordering key as functions/splits.py cap_per_group:
+    # the 7 rows per source with the smallest (md5hex16, id) survive
+    "domain_cap_docs": """
+        select doc_id, source from (
+            select doc_id, source,
+                   row_number() over (
+                       partition by source
+                       order by substr(
+                           md5('42:' || cast(doc_id as varchar)), 1, 16
+                       ) asc, cast(doc_id as varchar) asc
+                   ) as rk
+            from documents
+        ) where rk <= 7
+    """,
 }
 
 def q_vocab_top_tokens(sf_dir: str) -> "pa.Table":

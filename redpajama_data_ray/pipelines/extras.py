@@ -1433,6 +1433,40 @@ def q_heavy_hitter_tokens(sf_dir: str) -> "pa.Table":
     return exact_heavy_hitters(ds, "text", threshold=max(n_docs, 1))
 
 
+def q_grouped_split_docs(sf_dir: str) -> Dataset:
+    """Leakage-safe train/val/test assignment by GROUP key
+    (functions/splits.py grouped_split): every row of a source lands
+    in the same split via a pure md5-of-group predicate. Direct SQL
+    oracle: identical md5 + substr + cumulative hex-threshold CASE."""
+    from ..functions.splits import grouped_split
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return grouped_split(
+        ds,
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+        group_col="source",
+        seed=7,
+    )
+
+
+def q_domain_cap_docs(sf_dir: str) -> Dataset:
+    """Per-domain quota (functions/splits.py cap_per_group): keep the
+    7 deterministically-sampled docs per source (smallest
+    md5(seed:id); narrow partials shuffle, text never moves). Direct
+    SQL oracle: row_number() over (partition by source order by the
+    identical md5 prefix, id) <= 7."""
+    from ..functions.splits import cap_per_group
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+    return cap_per_group(
+        ds, cap=7, group_col="source", id_col="doc_id", seed=42
+    )
+
+
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
     "repo_stats": q_repo_stats,
@@ -1454,4 +1488,6 @@ EXTRA_QUERIES = {
     # round-6 item 1) — covered by gate_preflight + the pytest oracle
     # replica; do not reorder the first 50
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
+    "grouped_split_docs": q_grouped_split_docs,
+    "domain_cap_docs": q_domain_cap_docs,
 }

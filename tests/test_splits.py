@@ -1,0 +1,152 @@
+"""Leakage-safe grouped splits and per-group quotas
+(functions/splits.py): leakage property, fraction accuracy,
+partition invariance, exact brute-force parity for the cap, and the
+named validation errors."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.functions.splits import cap_per_group, grouped_split
+
+
+def _docs(n_rows, n_groups, seed=0):
+    rng = np.random.default_rng(seed)
+    gids = rng.integers(0, n_groups, n_rows)
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n_rows, dtype=np.int64)),
+            "source": pa.array([f"grp{int(g)}" for g in gids]),
+        }
+    )
+
+
+def test_grouped_split_leakage_free():
+    t = _docs(4000, 200)
+    ds = rd.from_arrow(t).map_batches(
+        lambda b: b, batch_size=97, batch_format="pyarrow"
+    )
+    out = grouped_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3
+    ).to_pandas()
+    per_group = out.groupby("source")["split"].nunique()
+    assert (per_group == 1).all()  # a group never straddles splits
+    assert set(out["split"]).issubset({"train", "val", "test"})
+
+
+def test_grouped_split_fractions_and_determinism():
+    t = _docs(6000, 3000, seed=1)
+    ds = rd.from_arrow(t)
+    a = grouped_split(
+        ds, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=42
+    ).to_pandas()
+    # group-level fractions approximate the weights (3000 groups,
+    # binomial tolerance)
+    g = a.drop_duplicates("source")
+    frac = g["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.03
+    assert abs(frac["val"] - 0.1) < 0.02
+    assert abs(frac["test"] - 0.1) < 0.02
+    # partition invariance: same assignment under a different blocking
+    b = (
+        grouped_split(
+            ds.repartition(13),
+            {"train": 0.8, "val": 0.1, "test": 0.1},
+            seed=42,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    a = a.sort_values("doc_id").reset_index(drop=True)
+    assert (a["split"] == b["split"]).all()
+
+
+def test_grouped_split_zero_weight_and_validation():
+    t = _docs(300, 50)
+    ds = rd.from_arrow(t)
+    out = grouped_split(
+        ds, {"train": 1.0, "val": 0.0}, seed=5
+    ).to_pandas()
+    assert (out["split"] == "train").all()  # zero-weight split empty
+    with pytest.raises(ValueError, match="sum to 1"):
+        grouped_split(ds, {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="non-negative"):
+        grouped_split(ds, {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        grouped_split(ds, {})
+
+
+def _expected_cap(t, cap, seed):
+    """Brute-force reference: per group the cap smallest
+    (md5hex16, str(id)) composites."""
+    ids = t.column("doc_id").to_pylist()
+    groups = t.column("source").to_pylist()
+    by_group = {}
+    for i, (g, v) in enumerate(zip(groups, ids)):
+        h = hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16]
+        by_group.setdefault(str(g), []).append((h, str(v), i))
+    keep = set()
+    for rows in by_group.values():
+        for _, _, i in sorted(rows)[:cap]:
+            keep.add(i)
+    return keep
+
+
+@pytest.mark.parametrize("cap", [1, 5, 40])
+def test_cap_per_group_matches_bruteforce(cap):
+    t = _docs(1500, 30, seed=2)  # ~50 rows/group: caps 1/5 cut, 40 mixed
+    expected = _expected_cap(t, cap, seed=11)
+    out = cap_per_group(
+        rd.from_arrow(t).repartition(7), cap, seed=11
+    ).to_pandas()
+    got = set(out["doc_id"])
+    assert got == {t.column("doc_id")[i].as_py() for i in expected}
+    assert out.groupby("source").size().max() <= cap
+
+
+def test_cap_per_group_under_quota_passthrough_and_invariance():
+    t = _docs(200, 100, seed=3)  # ~2 rows/group, cap 10: nothing cut
+    ds = rd.from_arrow(t)
+    out = cap_per_group(ds, 10, seed=1).to_pandas()
+    assert len(out) == 200
+    # partition invariance where the cap does cut
+    t2 = _docs(1200, 10, seed=4)
+    a = cap_per_group(rd.from_arrow(t2), 9, seed=7).to_pandas()
+    b = cap_per_group(
+        rd.from_arrow(t2).repartition(17), 9, seed=7
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    assert len(a) == 90
+
+
+def test_cap_per_group_validation_and_broadcast_limit():
+    t = _docs(400, 4, seed=5)
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="cap must be >= 1"):
+        cap_per_group(ds, 0)
+    with pytest.raises(ValueError, match="max_broadcast_groups"):
+        cap_per_group(ds, 3, max_broadcast_groups=1)
+
+
+def test_cap_per_group_string_ids_and_null_groups():
+    t = pa.table(
+        {
+            "doc_id": pa.array(
+                [f"d{i:03d}" for i in range(60)], pa.string()
+            ),
+            "source": pa.array(
+                [None if i % 3 == 0 else f"s{i % 2}" for i in range(60)]
+            ),
+        }
+    )
+    out = cap_per_group(rd.from_arrow(t), 5).to_pandas()
+    # null group keys hash as str(None) — one deterministic group
+    # (_expected_cap applies the same str() normalization)
+    expected = _expected_cap(t, 5, seed=42)
+    assert set(out["doc_id"]) == {
+        t.column("doc_id")[i].as_py() for i in expected
+    }
