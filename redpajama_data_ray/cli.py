@@ -738,6 +738,80 @@ def cmd_mix(args) -> dict:
     return {"output": args.output}
 
 
+def cmd_split(args) -> dict:
+    """Leakage-safe grouped train/val/test split (functions/splits.py
+    grouped_split). Fractions are NAME=FRACTION pairs in order, e.g.
+    --fraction train=0.9 --fraction val=0.1; they must sum to 1."""
+    from .functions.splits import grouped_split
+
+    fractions = {}
+    for spec in args.fractions or []:
+        name, sep, frac = spec.partition("=")
+        if not sep:
+            raise SystemExit(
+                f"--fraction needs NAME=FRACTION, got {spec!r}"
+            )
+        fractions[name] = float(frac)
+    ds = _read_input(args.input, args.max_docs, False)
+    _require_columns(
+        ds, [args.group_column],
+        "split hashes the GROUP key — point --group-column at the "
+        "repo/domain/source column",
+    )
+    try:
+        out = grouped_split(
+            ds, fractions, group_col=args.group_column,
+            seed=args.seed, out_col=args.split_column,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if args.only:
+        if args.only not in fractions:
+            raise SystemExit(
+                f"--only {args.only!r} is not a declared split "
+                f"(have {sorted(fractions)})"
+            )
+        import pyarrow.compute as pc
+
+        col = args.split_column
+        want = args.only
+        out = out.map_batches(
+            lambda t: t.filter(pc.equal(t[col], want)),
+            batch_format="pyarrow",
+        )
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
+def cmd_domain_cap(args) -> dict:
+    """Per-domain quota (functions/splits.py cap_per_group): keep at
+    most --cap rows per group, deterministically sampled by
+    md5(seed:id)."""
+    from .functions.splits import cap_per_group
+
+    ds = _read_input(args.input, args.max_docs, False)
+    # validate on the READ schema (metadata-only), then derive the
+    # standard repo/path@commit id for raw corpora if needed
+    need = [args.group_column]
+    if args.id_column != "doc_id":
+        need.append(args.id_column)
+    _require_columns(
+        ds, need,
+        "domain-cap needs the group key (--group-column) and a row id "
+        "(--id-column) for the deterministic within-group sample",
+    )
+    ds = _ensure_doc_ids(ds, args.id_column)
+    try:
+        out = cap_per_group(
+            ds, args.cap, group_col=args.group_column,
+            id_col=args.id_column, seed=args.seed,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
 def cmd_pack(args) -> dict:
     """Sequence packing (functions/packing.py)."""
     from .functions.packing import pack_sequences
@@ -1366,6 +1440,38 @@ def build_parser() -> argparse.ArgumentParser:
     mx.add_argument("--seed", type=int, default=42)
     mx.add_argument("--max-docs", type=int, default=None)
     mx.set_defaults(fn=cmd_mix)
+
+    sp = sub.add_parser(
+        "split", help="leakage-safe grouped train/val/test split"
+    )
+    sp.add_argument("--input", required=True)
+    sp.add_argument("--output", required=True)
+    sp.add_argument(
+        "--fraction", action="append", dest="fractions", default=None,
+        metavar="NAME=FRACTION",
+        help="split fractions in order; must sum to 1",
+    )
+    sp.add_argument("--group-column", default="source")
+    sp.add_argument("--split-column", default="split")
+    sp.add_argument(
+        "--only", default=None,
+        help="write only this split instead of all rows + split column",
+    )
+    sp.add_argument("--seed", type=int, default=42)
+    sp.add_argument("--max-docs", type=int, default=None)
+    sp.set_defaults(fn=cmd_split)
+
+    dcap = sub.add_parser(
+        "domain-cap", help="per-group quota (at most N rows per domain)"
+    )
+    dcap.add_argument("--input", required=True)
+    dcap.add_argument("--output", required=True)
+    dcap.add_argument("--cap", type=int, required=True)
+    dcap.add_argument("--group-column", default="source")
+    dcap.add_argument("--id-column", default="doc_id")
+    dcap.add_argument("--seed", type=int, default=42)
+    dcap.add_argument("--max-docs", type=int, default=None)
+    dcap.set_defaults(fn=cmd_domain_cap)
 
     pk = sub.add_parser(
         "pack", help="pack docs into fixed-length token windows"

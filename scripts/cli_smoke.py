@@ -160,6 +160,21 @@ run(
         "--key-column", "lang", "--default-weight", "0.5",
     ],
 )
+run(
+    "split",
+    [
+        "split", "--input", CORPUS, "--output", "{OUT}",
+        "--group-column", "repo",
+        "--fraction", "train=0.9", "--fraction", "val=0.1",
+    ],
+)
+run(
+    "domain-cap",
+    [
+        "domain-cap", "--input", CORPUS, "--output", "{OUT}",
+        "--cap", "3", "--group-column", "repo",
+    ],
+)
 run("pack", ["pack", "--input", CORPUS, "--output", "{OUT}",
              "--text-column", "content"])
 run(

@@ -122,3 +122,57 @@ def test_cli_semdedup(tmp_path, capsys):
     assert res["dropped"] == 2
     kept = ray.data.read_parquet(res["output"]).to_pandas()
     assert len(kept) == len(vecs) - 2
+
+
+def test_cli_split(tmp_path, capsys):
+    src = _docs_dir(tmp_path)
+    out = str(tmp_path / "split")
+    assert main(
+        ["split", "--input", src, "--output", out,
+         "--fraction", "train=0.8", "--fraction", "val=0.1",
+         "--fraction", "test=0.1"]
+    ) == 0
+    df = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert len(df) == 60
+    assert (df.groupby("source")["split"].nunique() == 1).all()
+    # --only writes one split; the split column survives for lineage.
+    # seed 1 puts exactly source s1 in val (md5('1:s1') >= 'e6666666')
+    out2 = str(tmp_path / "split_only")
+    assert main(
+        ["split", "--input", src, "--output", out2,
+         "--fraction", "train=0.9", "--fraction", "val=0.1",
+         "--only", "val", "--seed", "1"]
+    ) == 0
+    only = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert set(only["split"]) == {"val"}
+    assert set(only["source"]) == {"s1"}
+    assert len(only) == 20
+    # bad fractions / unknown --only fail at the surface
+    with pytest.raises(SystemExit, match="sum to 1"):
+        main(["split", "--input", src, "--output", out,
+              "--fraction", "train=0.5"])
+    with pytest.raises(SystemExit, match="not a declared split"):
+        main(["split", "--input", src, "--output", out,
+              "--fraction", "train=1.0", "--only", "dev"])
+    with pytest.raises(SystemExit, match="NAME=FRACTION"):
+        main(["split", "--input", src, "--output", out,
+              "--fraction", "train"])
+
+
+def test_cli_domain_cap(tmp_path, capsys):
+    src = _docs_dir(tmp_path)
+    out = str(tmp_path / "cap")
+    assert main(
+        ["domain-cap", "--input", src, "--output", out, "--cap", "4"]
+    ) == 0
+    df = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert df.groupby("source").size().max() <= 4
+    assert len(df) == 12  # 3 sources x cap 4, all over quota
+    # cap validation surfaces as a CLI error, not a Ray traceback
+    with pytest.raises(SystemExit, match="cap must be >= 1"):
+        main(["domain-cap", "--input", src, "--output", out,
+              "--cap", "0"])
+    # missing group column fails at the surface with the schema hint
+    with pytest.raises(SystemExit, match="missing column"):
+        main(["domain-cap", "--input", src, "--output", out,
+              "--cap", "2", "--group-column", "domain"])
