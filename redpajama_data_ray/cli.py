@@ -801,6 +801,39 @@ def cmd_domain_cap(args) -> dict:
         "(--id-column) for the deterministic within-group sample",
     )
     ds = _ensure_doc_ids(ds, args.id_column)
+    if args.state_dir:
+        # cross-run quota: previously-banked kept counts charge
+        # against each group's cap (state/incremental.py)
+        from .functions.splits import group_kept_counts
+        from .state.incremental import (
+            commit_run_quota_counts,
+            incremental_domain_cap,
+            seen_quota_rows,
+        )
+
+        try:
+            out, run_id = incremental_domain_cap(
+                ds, args.state_dir, args.cap,
+                group_col=args.group_column, id_col=args.id_column,
+                seed=args.seed, run_id=args.run_id,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        # write data THEN commit state — the committed counts come
+        # from the written files, so they equal the output exactly
+        written = _write_then_reread(
+            out, args.output, [args.group_column]
+        )
+        commit_run_quota_counts(
+            group_kept_counts(written, args.group_column),
+            args.state_dir, run_id,
+        )
+        return {
+            "rows": written.count(),
+            "output": args.output,
+            "run_id": run_id,
+            "state_rows": seen_quota_rows(args.state_dir),
+        }
     try:
         out = cap_per_group(
             ds, args.cap, group_col=args.group_column,
@@ -1471,6 +1504,12 @@ def build_parser() -> argparse.ArgumentParser:
     dcap.add_argument("--id-column", default="doc_id")
     dcap.add_argument("--seed", type=int, default=42)
     dcap.add_argument("--max-docs", type=int, default=None)
+    dcap.add_argument(
+        "--state-dir", default=None,
+        help="cross-run quota state: previously-kept counts charge "
+        "against each group's cap",
+    )
+    dcap.add_argument("--run-id", default=None)
     dcap.set_defaults(fn=cmd_domain_cap)
 
     pk = sub.add_parser(

@@ -67,6 +67,7 @@ _PARTIAL_SCHEMA = pa.schema(
         ("h", pa.string()),
         ("id_s", pa.string()),
         ("n", pa.int64()),
+        ("prev", pa.int64()),
     ]
 )
 
@@ -182,13 +183,45 @@ def _cap_partials(group_col: str, id_col: str, seed: int, cap: int):
                 ),
                 "id_s": pa.array(id_s[keep], pa.string()),
                 "n": pa.array(counts, pa.int64()),
+                "prev": pa.array(
+                    np.zeros(len(keep), dtype=np.int64)
+                ),
             }
         )
 
     return _partial
 
 
+def _prev_count_rows(prev_counts: Dataset) -> Dataset:
+    """Map cross-run state ``(group_key, cnt)`` rows into the partial
+    schema so they ride the same keyed exchange: ``h = ''`` marks a
+    state row (a real md5 hex16 is never empty) and ``prev`` carries
+    the previously-kept count. State files hold PARTIALS — the same
+    group may appear in several rows; the finalize sums them."""
+
+    def _mk(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "g": t.column("group_key").cast(pa.string()),
+                "h": pa.array([""] * n, pa.string()),
+                "id_s": pa.array([""] * n, pa.string()),
+                "n": pa.array(np.zeros(n, dtype=np.int64)),
+                "prev": t.column("cnt").cast(pa.int64()),
+            }
+        )
+
+    return prev_counts.map_batches(_mk, batch_format="pyarrow")
+
+
 def _cap_thresholds(cap: int):
+    """Per co-located group: this run's composite keys (+ optional
+    cross-run state rows, marked ``h == ''`` and sorting first within
+    the group) → at most one threshold row. ``thr_h == ''`` is the
+    DROP-ALL marker (no md5 hex compares below the empty string, so
+    the unchanged filter kernel keeps nothing); no row means the
+    group is under its remaining quota."""
+
     def _finalize(t: pa.Table) -> pa.Table:
         out_g, out_h, out_id = [], [], []
         if t.num_rows:
@@ -196,16 +229,30 @@ def _cap_thresholds(cap: int):
             h = np.array(t.column("h").to_pylist(), dtype="S16")
             id_s = np.array(t.column("id_s").to_pylist(), dtype=object)
             n = t.column("n").to_numpy(zero_copy_only=False)
+            prev = t.column("prev").to_numpy(zero_copy_only=False)
             order = np.lexsort((id_s, h, g))
-            g, h, id_s, n = g[order], h[order], id_s[order], n[order]
+            g, h, id_s = g[order], h[order], id_s[order]
+            n, prev = n[order], prev[order]
             starts = np.flatnonzero(
                 np.concatenate(([True], g[1:] != g[:-1]))
             )
             ends = np.concatenate((starts[1:], [len(g)]))
+            is_state = h == b""
             for s, e in zip(starts, ends):
-                if int(n[s:e].sum()) <= cap:
+                total = int(n[s:e].sum())
+                if total == 0:
+                    continue  # state-only group: absent this run
+                remaining = cap - int(prev[s:e].sum())
+                if remaining <= 0:
+                    out_g.append(g[s])
+                    out_h.append("")  # quota exhausted: drop all
+                    out_id.append("")
+                    continue
+                if total <= remaining:
                     continue  # group under quota: keep everything
-                k = s + cap - 1  # cap-th smallest composite key
+                # remaining-th smallest composite key of THIS run's
+                # rows (state rows sort first in the segment — skip)
+                k = s + int(is_state[s:e].sum()) + remaining - 1
                 out_g.append(g[s])
                 out_h.append(h[k].decode())
                 out_id.append(id_s[k])
@@ -227,12 +274,19 @@ def cap_per_group(
     id_col: str = "doc_id",
     seed: int = 42,
     max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
+    prev_counts: "Dataset | None" = None,
 ) -> Dataset:
     """Keep at most ``cap`` rows per group, deterministically (the
     ``cap`` smallest ``(md5hex16(seed:id), str(id))`` keys win). See
     the module docstring for the three-stage scale design; the SQL
     equivalent is ``row_number() OVER (PARTITION BY group ORDER BY
-    substr(md5(seed||':'||id),1,16), id) <= cap``."""
+    substr(md5(seed||':'||id),1,16), id) <= cap``.
+
+    ``prev_counts`` (columns ``group_key``/``cnt``, str-normalized
+    group keys, possibly PARTIAL rows — the same group may repeat)
+    charges previously-kept rows against each group's quota: a group
+    keeps at most ``cap - sum(prev cnt)`` rows this run (first-come
+    across runs; state/incremental.py wires the cross-run commit)."""
     if cap < 1:
         raise ValueError(
             f"cap_per_group: cap must be >= 1, got {cap!r} "
@@ -244,6 +298,8 @@ def cap_per_group(
         _cap_partials(group_col, id_col, seed, cap),
         batch_format="pyarrow",
     )
+    if prev_counts is not None:
+        partials = partials.union(_prev_count_rows(prev_counts))
     with scoped_hash_shuffle(partials.context):
         thr_tbl = (
             partials.repartition(auto_partitions(), keys=["g"])
@@ -304,3 +360,33 @@ def cap_per_group(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def group_kept_counts(ds: Dataset, group_col: str) -> Dataset:
+    """Narrow ``(group_key, cnt)`` partials over ``ds`` (one row per
+    distinct group per block, str-normalized like
+    :func:`cap_per_group`) — what a cross-run quota commit stores.
+    Rows are PARTIAL by design: the incremental finalize sums every
+    matching state row, so no global combine is paid here."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "group_key": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.int64()),
+                }
+            )
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        u, c = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "group_key": pa.array(u, pa.string()),
+                "cnt": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_p, batch_format="pyarrow")

@@ -1336,3 +1336,91 @@ def compact_topk_state(
     t = _topk_union_table(tokens, cnts, merged_cms)
     _finalize_compact(d, t, inputs)
     return len(_counts_files(state_dir, "topk", fmt))
+
+
+# ------------------------------------------------------------------
+# incremental cross-run per-group quota (domain cap)
+# ------------------------------------------------------------------
+
+# state rows are (group_key, cnt) with str-normalized group keys —
+# comparable across runs regardless of the sampling seed (the seed
+# picks WHICH rows a run keeps, not how many were kept)
+GROUP_QUOTA_FORMAT = "grpquota-str-v1"
+
+
+def seen_quota_rows(state_dir: str) -> int:
+    """Committed quota-count rows from parquet footers (PARTIAL rows:
+    the same group may appear in several run files until
+    :func:`compact_quota_state` merges them)."""
+    return _seen_counts(state_dir, "quota", GROUP_QUOTA_FORMAT)
+
+
+def incremental_domain_cap(
+    ds: "Dataset",
+    state_dir: str,
+    cap: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    run_id: Optional[str] = None,
+    max_broadcast_groups: Optional[int] = None,
+) -> "Tuple[Dataset, str]":
+    """Cross-run per-group quota (first-come across snapshots): a
+    group that already banked ``k`` kept rows in previous runs keeps
+    at most ``cap - k`` rows of THIS snapshot (within-run selection
+    stays deterministic by smallest md5(seed:id)); exhausted groups
+    drop entirely. State is a tiny (group_key, cnt) table — old text
+    is never re-read.
+
+    Returns ``(kept, run_id)``. Crash-safe order: write the output
+    parquet FIRST, then commit ``group_kept_counts(written)`` via
+    :func:`commit_run_quota_counts` — the committed counts then equal
+    exactly what was written (same contract as the dedup variants;
+    a same-run_id retry excludes its own prior commit and reproduces
+    the identical output from the same snapshot).
+
+    Note: count-only state cannot recognise row IDENTITY — re-ingest
+    of an already-kept row in a later snapshot competes for the
+    remaining quota like any new row. Compose with
+    :func:`incremental_exact_dedup` first when snapshots overlap."""
+    import ray.data as rd
+
+    from ..functions.splits import cap_per_group
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+    files = _counts_files(
+        state_dir, "quota", GROUP_QUOTA_FORMAT, exclude_run_id=run_id
+    )
+    prev = rd.read_parquet(files) if files else None
+    kwargs = {}
+    if max_broadcast_groups is not None:
+        kwargs["max_broadcast_groups"] = max_broadcast_groups
+    out = cap_per_group(
+        ds, cap, group_col=group_col, id_col=id_col, seed=seed,
+        prev_counts=prev, **kwargs,
+    )
+    return out, run_id
+
+
+def commit_run_quota_counts(
+    run_counts: "Dataset", state_dir: str, run_id: str
+) -> str:
+    """Append one run's kept ``(group_key, cnt)`` partials (atomic
+    rename; rerunning the same run_id overwrites — unless the run was
+    folded into a compact file, which raises)."""
+    return _commit_counts(
+        run_counts, state_dir, run_id, "quota", GROUP_QUOTA_FORMAT,
+        "group_key",
+    )
+
+
+def compact_quota_state(state_dir: str, max_files: int = 16) -> int:
+    """Merge per-run quota-count files past ``max_files`` (kept counts
+    are additive across runs, so the standard journaled count
+    compaction applies; the newest run file stays retryable)."""
+    return _compact_counts(
+        state_dir, "quota", GROUP_QUOTA_FORMAT, "group_key", max_files
+    )

@@ -175,6 +175,23 @@ run(
         "--cap", "3", "--group-column", "repo",
     ],
 )
+qstate = os.path.join(WORK, "quota_state")
+run(
+    "domain-cap incr r1",
+    [
+        "domain-cap", "--input", CORPUS, "--output", "{OUT}",
+        "--cap", "3", "--group-column", "repo",
+        "--state-dir", qstate, "--run-id", "r1",
+    ],
+)
+run(
+    "domain-cap incr r2 exhausted",
+    [
+        "domain-cap", "--input", CORPUS, "--output", "{OUT}",
+        "--cap", "3", "--group-column", "repo",
+        "--state-dir", qstate, "--run-id", "r2",
+    ],
+)
 run("pack", ["pack", "--input", CORPUS, "--output", "{OUT}",
              "--text-column", "content"])
 run(

@@ -1,0 +1,162 @@
+"""Cross-run per-group quota (state/incremental.py
+incremental_domain_cap): first-come semantics across snapshots,
+same-run_id retry, exhausted-group drop, format guard, compaction,
+and the CLI two-run flow."""
+
+import hashlib
+import json
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+import ray.data as rd
+
+from redpajama_data_ray.functions.splits import (
+    cap_per_group,
+    group_kept_counts,
+)
+from redpajama_data_ray.state.incremental import (
+    commit_run_quota_counts,
+    compact_quota_state,
+    incremental_domain_cap,
+    seen_quota_rows,
+)
+
+SEED = 11
+
+
+def _t(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+
+
+def _smallest(rows, group, k):
+    """ids of the k smallest (md5hex16, str(id)) in `group`."""
+    cand = sorted(
+        (
+            hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()[:16],
+            str(i),
+            i,
+        )
+        for i, g in rows
+        if g == group
+    )
+    return {i for _, _, i in cand[:k]}
+
+
+def _run_and_commit(t, state, cap, run_id):
+    out, rid = incremental_domain_cap(
+        rd.from_arrow(t), str(state), cap,
+        seed=SEED, run_id=run_id,
+    )
+    kept = out.to_pandas()
+    commit_run_quota_counts(
+        group_kept_counts(rd.from_arrow(pa.Table.from_pandas(kept)),
+                          "source"),
+        str(state), rid,
+    )
+    return set(kept["doc_id"])
+
+
+def test_two_run_first_come_semantics(tmp_path):
+    state = tmp_path / "q"
+    a = [(i, "x") for i in range(8)] + [(100 + i, "y") for i in range(3)]
+    b = [(20 + i, "x") for i in range(4)] + [
+        (200 + i, "y") for i in range(4)
+    ] + [(300 + i, "z") for i in range(6)]
+
+    kept1 = _run_and_commit(_t(a), state, 5, "r1")
+    # run 1 == the plain (stateless) cap on snapshot A
+    plain = cap_per_group(
+        rd.from_arrow(_t(a)), 5, seed=SEED
+    ).to_pandas()
+    assert kept1 == set(plain["doc_id"])
+    assert kept1 == _smallest(a, "x", 5) | _smallest(a, "y", 3)
+
+    kept2 = _run_and_commit(_t(b), state, 5, "r2")
+    # x exhausted (5 banked) -> drop-all; y keeps 2 = 5-3; z under cap
+    assert kept2 == _smallest(b, "y", 2) | _smallest(b, "z", 5)
+
+
+def test_same_run_id_retry_is_idempotent(tmp_path):
+    state = tmp_path / "q"
+    a = [(i, "x") for i in range(6)]
+    b = [(50 + i, "x") for i in range(6)]
+    _run_and_commit(_t(a), state, 4, "r1")
+    kept2 = _run_and_commit(_t(b), state, 7, "r2")
+    assert len(kept2) == 3  # 7 - 4 banked
+    rows_after = seen_quota_rows(str(state))
+    # retry r2: prior r2 commit excluded -> identical output; the
+    # re-commit overwrites, leaving state rows unchanged
+    kept2_retry = _run_and_commit(_t(b), state, 7, "r2")
+    assert kept2_retry == kept2
+    assert seen_quota_rows(str(state)) == rows_after
+
+
+def test_format_stamp_rejected(tmp_path):
+    state = tmp_path / "q"
+    d = state / "quota"
+    d.mkdir(parents=True)
+    (d / "FORMAT").write_text("grpquota-other-v0")
+    with pytest.raises(ValueError, match="re-run from scratch"):
+        incremental_domain_cap(
+            rd.from_arrow(_t([(1, "x")])), str(state), 3, run_id="r1"
+        )
+
+
+def test_compaction_preserves_semantics_and_retry_contract(tmp_path):
+    state = tmp_path / "q"
+    snaps = [
+        [(100 * r + i, "x") for i in range(3)] for r in range(4)
+    ]
+    for r, snap in enumerate(snaps[:3]):
+        _run_and_commit(_t(snap), state, 10, f"r{r}")
+    # 3 runs x 3 rows banked = 9; compact to fewer files
+    n = compact_quota_state(str(state), max_files=1)
+    assert n < 3
+    # retry of a FOLDED run raises loudly
+    with pytest.raises(ValueError, match="folded"):
+        incremental_domain_cap(
+            rd.from_arrow(_t(snaps[0])), str(state), 10, run_id="r0"
+        )
+    # a new run sees the same banked total: 10 - 9 = 1 kept
+    kept = _run_and_commit(_t(snaps[3]), state, 10, "r9")
+    assert kept == _smallest(snaps[3], "x", 1)
+
+
+def test_cli_two_run_flow(tmp_path, capsys):
+    from redpajama_data_ray.cli import main
+
+    def snap(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(_t(rows), str(d / "a.parquet"))
+        return str(d)
+
+    s1 = snap("s1", [(i, "x") for i in range(5)])
+    s2 = snap("s2", [(10 + i, "x") for i in range(5)])
+    state = str(tmp_path / "state")
+
+    assert main(
+        ["domain-cap", "--input", s1, "--output",
+         str(tmp_path / "o1"), "--cap", "6", "--state-dir", state,
+         "--run-id", "r1"]
+    ) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["rows"] == 5 and r1["run_id"] == "r1"
+
+    assert main(
+        ["domain-cap", "--input", s2, "--output",
+         str(tmp_path / "o2"), "--cap", "6", "--state-dir", state,
+         "--run-id", "r2"]
+    ) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows"] == 1  # 6 - 5 banked
+    total = rd.read_parquet(r1["output"]).count() + rd.read_parquet(
+        r2["output"]
+    ).count()
+    assert total == 6
