@@ -728,7 +728,10 @@ def cmd_mix(args) -> dict:
         name, _, frac = spec.partition("=")
         if not _:
             raise SystemExit(f"--weight needs NAME=FRACTION, got {spec!r}")
-        weights[name] = float(frac)
+        try:
+            weights[name] = float(frac)
+        except ValueError:
+            raise SystemExit(f"--weight {name}: {frac!r} is not a number")
     ds = _read_input(args.input, args.max_docs, False)
     out = weighted_sample(
         ds, weights, default_weight=args.default_weight,
@@ -751,7 +754,12 @@ def cmd_split(args) -> dict:
             raise SystemExit(
                 f"--fraction needs NAME=FRACTION, got {spec!r}"
             )
-        fractions[name] = float(frac)
+        try:
+            fractions[name] = float(frac)
+        except ValueError:
+            raise SystemExit(
+                f"--fraction {name}: {frac!r} is not a number"
+            )
     ds = _read_input(args.input, args.max_docs, False)
     _require_columns(
         ds, [args.group_column],

@@ -40,14 +40,27 @@ def weight_threshold_hex(weight: float) -> str:
     return format(int(w * (1 << 32)), "08x")
 
 
-def sample_hex(ids, seed: int) -> np.ndarray:
-    """First 8 md5 hex digits of ``f"{seed}:{id}"`` per id (S8 array)."""
-    out = np.empty(len(ids), dtype="S8")
+def hex_prefix(value, seed: int, n_hex: int = 8) -> bytes:
+    """First ``n_hex`` md5 hex digits of ``f"{seed}:{value}"`` — the
+    ONE definition of the engine's deterministic-sampling digest
+    (mixing, grouped splits and per-group quotas all key on it, and
+    the paired SQL oracles replay it via md5 + substr)."""
+    return (
+        hashlib.md5(f"{seed}:{value}".encode("utf-8"))
+        .hexdigest()[:n_hex]
+        .encode()
+    )
+
+
+def sample_hex(ids, seed: int, n_hex: int = 8) -> np.ndarray:
+    """:func:`hex_prefix` per id (fixed-width ``S{n_hex}`` array; the
+    loop body is inlined for the per-row hot path)."""
+    out = np.empty(len(ids), dtype=f"S{n_hex}")
     pre = f"{seed}:".encode()
     for i, v in enumerate(ids):
         out[i] = hashlib.md5(
             pre + str(v).encode("utf-8")
-        ).hexdigest()[:8].encode()
+        ).hexdigest()[:n_hex].encode()
     return out
 
 

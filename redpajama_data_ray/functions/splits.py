@@ -44,7 +44,6 @@ is kept) — assign unique ids first (stages/ids.py) for an exact cap.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Dict, Mapping, Tuple
 
 import numpy as np
@@ -52,7 +51,7 @@ import pyarrow as pa
 import ray
 from ray.data import Dataset
 
-from .mixing import weight_threshold_hex
+from .mixing import hex_prefix, sample_hex, weight_threshold_hex
 
 # one threshold row (~50 B) per over-cap group; 5M over-cap groups
 # (~250 MB broadcast) is the documented driver/worker comfort bound.
@@ -73,19 +72,11 @@ _PARTIAL_SCHEMA = pa.schema(
 
 
 def _hex16(values, seed: int) -> np.ndarray:
-    """First 16 md5 hex digits of ``f"{seed}:{value}"`` (S16 array) —
-    the 16-hex prefix of the same digest family mixing.py uses, wide
-    enough (64 bits) that within-group collisions are negligible and
-    cheap enough to recompute instead of shipping."""
-    out = np.empty(len(values), dtype="S16")
-    pre = f"{seed}:".encode()
-    for i, v in enumerate(values):
-        out[i] = (
-            hashlib.md5(pre + str(v).encode("utf-8"))
-            .hexdigest()[:16]
-            .encode()
-        )
-    return out
+    """16-hex prefix of the shared sampling digest (mixing.py
+    :func:`sample_hex`) — wide enough (64 bits) that within-group
+    collisions are negligible and cheap enough to recompute instead
+    of shipping."""
+    return sample_hex(values, seed, 16)
 
 
 def grouped_split(
@@ -127,18 +118,19 @@ def grouped_split(
     thr_arr = np.array([t.encode() for t in thrs], dtype="S16")
 
     def _assign(t: pa.Table) -> pa.Table:
+        if out_col in t.column_names:
+            raise ValueError(
+                f"grouped_split: input already has a {out_col!r} "
+                "column — pass a different out_col (or drop the "
+                "existing one) instead of silently shadowing it"
+            )
         keys = t.column(group_col).to_pylist()
         cache: Dict[object, str] = {}
-        pre = f"{seed}:"
         vals = []
         for k in keys:
             s = cache.get(k)
             if s is None:
-                u = np.bytes_(
-                    hashlib.md5(
-                        (pre + str(k)).encode("utf-8")
-                    ).hexdigest()[:8]
-                )
+                u = np.bytes_(hex_prefix(k, seed))
                 # first threshold strictly above u = this group's split
                 s = names[int(np.searchsorted(thr_arr, u, side="right"))]
                 cache[k] = s
@@ -344,19 +336,26 @@ def cap_per_group(
         hit_groups = [u for u in set(g.tolist()) if u in thr_map]
         if not hit_groups:
             return t
+        # hash only rows whose group HAS a threshold — everything
+        # else passes through without paying the per-row digest
+        idx = np.flatnonzero(
+            np.isin(g, np.array(hit_groups, dtype=object))
+        )
         ids = t.column(id_col).to_pylist()
-        h = _hex16(ids, seed)
-        keep = np.ones(len(g), dtype=bool)
+        sub_ids = [ids[i] for i in idx]
+        h = _hex16(sub_ids, seed)
+        g_sub = g[idx]
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep_sub = np.zeros(len(idx), dtype=bool)
         for u in hit_groups:
             thr_h, thr_id = thr_map[u]
-            sel = g == u
-            below = h < thr_h
-            at = h == np.bytes_(thr_h)
-            keep[sel] = below[sel]
+            m = g_sub == u
+            keep_sub[m] = h[m] < thr_h
+            at = m & (h == np.bytes_(thr_h))
             if at.any():
-                bnd = np.flatnonzero(sel & at)
-                for i in bnd:
-                    keep[i] = str(ids[i]) <= thr_id
+                for j in np.flatnonzero(at):
+                    keep_sub[j] = str(sub_ids[j]) <= thr_id
+        keep[idx] = keep_sub
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")

@@ -1900,7 +1900,7 @@ ORACLE_SQL: Dict[str, str] = {
         from (
             select doc_id, source,
                    substr(md5('7:' || source), 1, 8) as u
-            from documents
+            from documents where source is not null
         )
     """,
     # identical ordering key as functions/splits.py cap_per_group:
@@ -1915,6 +1915,7 @@ ORACLE_SQL: Dict[str, str] = {
                        ) asc, cast(doc_id as varchar) asc
                    ) as rk
             from documents
+            where doc_id is not null and source is not null
         ) where rk <= 7
     """,
 }

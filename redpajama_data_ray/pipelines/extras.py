@@ -1439,10 +1439,12 @@ def q_grouped_split_docs(sf_dir: str) -> Dataset:
     in the same split via a pure md5-of-group predicate. Direct SQL
     oracle: identical md5 + substr + cumulative hex-threshold CASE."""
     from ..functions.splits import grouped_split
+    from .analysis import drop_null_keys
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
+    ds = drop_null_keys(ds, ["source"])  # SQL lockstep on dirty inputs
     return grouped_split(
         ds,
         {"train": 0.8, "val": 0.1, "test": 0.1},
@@ -1458,10 +1460,12 @@ def q_domain_cap_docs(sf_dir: str) -> Dataset:
     SQL oracle: row_number() over (partition by source order by the
     identical md5 prefix, id) <= 7."""
     from ..functions.splits import cap_per_group
+    from .analysis import drop_null_keys
 
     ds = rd.read_parquet(
         f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
     )
+    ds = drop_null_keys(ds, ["doc_id", "source"])  # SQL lockstep
     return cap_per_group(
         ds, cap=7, group_col="source", id_col="doc_id", seed=42
     )

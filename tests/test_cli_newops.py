@@ -176,3 +176,10 @@ def test_cli_domain_cap(tmp_path, capsys):
     with pytest.raises(SystemExit, match="missing column"):
         main(["domain-cap", "--input", src, "--output", out,
               "--cap", "2", "--group-column", "domain"])
+
+
+def test_cli_split_bad_fraction_number(tmp_path):
+    src = _docs_dir(tmp_path)
+    with pytest.raises(SystemExit, match="is not a number"):
+        main(["split", "--input", src, "--output",
+              str(tmp_path / "o"), "--fraction", "train=0.9x"])

@@ -150,3 +150,17 @@ def test_cap_per_group_string_ids_and_null_groups():
     assert set(out["doc_id"]) == {
         t.column("doc_id")[i].as_py() for i in expected
     }
+
+
+def test_grouped_split_existing_out_col_rejected():
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["a", "b"]),
+            "split": pa.array(["x", "y"]),
+        }
+    )
+    with pytest.raises(Exception, match="already has a 'split' column"):
+        grouped_split(
+            rd.from_arrow(t), {"train": 1.0}
+        ).materialize()
