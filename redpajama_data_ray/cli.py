@@ -853,6 +853,57 @@ def cmd_domain_cap(args) -> dict:
     return {"output": args.output}
 
 
+def cmd_token_budget(args) -> dict:
+    """Token-budget sampling (functions/splits.py
+    token_budget_sample): per group, keep documents in deterministic
+    hash order until the token budget is met."""
+    from .functions.splits import token_budget_sample
+
+    group_budgets = {}
+    for spec in args.group_budgets or []:
+        name, sep, val = spec.partition("=")
+        if not sep:
+            raise SystemExit(
+                f"--group-budget needs NAME=TOKENS, got {spec!r}"
+            )
+        try:
+            group_budgets[name] = int(val)
+        except ValueError:
+            raise SystemExit(
+                f"--group-budget {name}: {val!r} is not an integer"
+            )
+    if args.budget is None and not group_budgets:
+        raise SystemExit(
+            "token-budget needs --budget N (all groups) and/or "
+            "--group-budget NAME=N (per-group; others keep all)"
+        )
+    ds = _read_input(args.input, args.max_docs, False)
+    need = [args.group_column, args.token_column]
+    if args.id_column != "doc_id":
+        need.append(args.id_column)
+    _require_columns(
+        ds, need,
+        "token-budget needs the group key (--group-column), a token/"
+        "char count column (--token-column) and a row id "
+        "(--id-column)",
+    )
+    ds = _ensure_doc_ids(ds, args.id_column)
+    try:
+        out = token_budget_sample(
+            ds,
+            group_budgets if group_budgets else int(args.budget),
+            token_col=args.token_column,
+            group_col=args.group_column,
+            id_col=args.id_column,
+            seed=args.seed,
+            default_budget=args.budget if group_budgets else None,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    out.write_parquet(args.output)
+    return {"output": args.output}
+
+
 def cmd_pack(args) -> dict:
     """Sequence packing (functions/packing.py)."""
     from .functions.packing import pack_sequences
@@ -1519,6 +1570,31 @@ def build_parser() -> argparse.ArgumentParser:
     )
     dcap.add_argument("--run-id", default=None)
     dcap.set_defaults(fn=cmd_domain_cap)
+
+    tbud = sub.add_parser(
+        "token-budget",
+        help="per-group token-budget sampling (keep docs until the "
+        "budget is met)",
+    )
+    tbud.add_argument("--input", required=True)
+    tbud.add_argument("--output", required=True)
+    tbud.add_argument(
+        "--budget", type=int, default=None,
+        help="token budget applied to every group (default for "
+        "--group-budget groups when both are given)",
+    )
+    tbud.add_argument(
+        "--group-budget", action="append", dest="group_budgets",
+        default=None, metavar="NAME=TOKENS",
+        help="per-group budget; groups without one keep all rows "
+        "unless --budget is also given",
+    )
+    tbud.add_argument("--token-column", default="n_chars")
+    tbud.add_argument("--group-column", default="source")
+    tbud.add_argument("--id-column", default="doc_id")
+    tbud.add_argument("--seed", type=int, default=42)
+    tbud.add_argument("--max-docs", type=int, default=None)
+    tbud.set_defaults(fn=cmd_token_budget)
 
     pk = sub.add_parser(
         "pack", help="pack docs into fixed-length token windows"

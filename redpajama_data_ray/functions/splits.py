@@ -389,3 +389,368 @@ def group_kept_counts(ds: Dataset, group_col: str) -> Dataset:
         )
 
     return ds.map_batches(_p, batch_format="pyarrow")
+
+
+# ------------------------------------------------------------------
+# token-budget sampling (keep docs per group until a budget is met)
+# ------------------------------------------------------------------
+#
+# Training mixes are specified in TOKENS, not row counts ("200B from
+# web, 50B from code"). token_budget_sample keeps, per group, the
+# prefix of documents in deterministic hash order whose running token
+# total stays below the group's budget (the crossing document is
+# kept, so the kept total lands in [budget, budget + one doc); a
+# group under budget keeps everything).
+#
+# Scale design (three streaming passes, text never shuffles):
+#   1. histogram: per (batch, group, hash-bucket) → (Σtokens, n) —
+#      256 buckets over the first two hex digits, so the exchange is
+#      at most groups×256 fixed-width rows. A per-group scan of the
+#      cumulative bucket sums finds the BOUNDARY bucket containing
+#      the budget crossing (groups under budget emit nothing).
+#   2. refine: only rows falling in their group's boundary bucket
+#      (~1/256 of the group) ship exact (hex, id, tokens) rows; a
+#      per-group cumulative walk pins the exact cut key.
+#   3. filter: broadcast {group: (boundary_bucket, cut_hex, cut_id)}
+#      and keep rows in earlier buckets, or at/below the cut key in
+#      the boundary bucket. Rows of unlisted groups pass untouched.
+
+
+def _bucket_of(h: np.ndarray) -> np.ndarray:
+    """Hash bucket = first two hex digits (256 buckets)."""
+    return np.char.ljust(h.astype("S2"), 2, b"0")
+
+
+def token_budget_sample(
+    ds: Dataset,
+    budget,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_budget: "int | None" = None,
+    max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
+) -> Dataset:
+    """Keep per group the deterministic-hash-order document prefix
+    whose running ``token_col`` total (exclusive of the current row)
+    stays below the group's budget. ``budget`` is an int applied to
+    every group or a mapping ``{group: budget}`` (str-normalized
+    keys; unlisted groups use ``default_budget``, None = keep all).
+    SQL equivalent: ``sum(tokens) OVER (PARTITION BY group ORDER BY
+    md5hex16, id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) <
+    budget``."""
+    if isinstance(budget, Mapping):
+        budgets = {str(k): int(v) for k, v in budget.items()}
+        bad = [k for k, v in budgets.items() if v <= 0]
+        if bad:
+            raise ValueError(
+                f"token_budget_sample: budgets must be positive, got "
+                f"{bad[0]!r}={budgets[bad[0]]} (omit the group or use "
+                "Dataset.filter to drop it)"
+            )
+    else:
+        if int(budget) <= 0:
+            raise ValueError(
+                f"token_budget_sample: budget must be positive, got "
+                f"{budget!r}"
+            )
+        budgets = None
+        default_budget = int(budget)
+    if default_budget is not None and int(default_budget) <= 0:
+        raise ValueError(
+            "token_budget_sample: default_budget must be positive or "
+            "None (None keeps unbudgeted groups whole)"
+        )
+
+    def _budget_of(g: str) -> "int | None":
+        if budgets is None:
+            return default_budget
+        b = budgets.get(g)
+        return b if b is not None else default_budget
+
+    def _tokens(t: pa.Table) -> np.ndarray:
+        import pyarrow.compute as pc
+
+        tok = pc.fill_null(
+            t.column(token_col).cast(pa.float64()), 0.0
+        ).to_numpy(zero_copy_only=False)
+        if (tok < 0).any():
+            raise ValueError(
+                f"token_budget_sample: {token_col!r} has negative "
+                "values — token counts must be non-negative"
+            )
+        return tok
+
+    # pass 1: per (batch, group, bucket) histogram partials
+    def _hist(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "g": pa.array([], pa.string()),
+                    "b": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.float64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        h = _hex16(t.column(id_col).to_pylist(), seed)
+        b = _bucket_of(h)
+        tok = _tokens(t)
+        keys = np.array(
+            [gi + "\x00" + bi.decode() for gi, bi in zip(g, b)],
+            dtype=object,
+        )
+        u, inv = np.unique(keys, return_inverse=True)
+        toks = np.bincount(inv, weights=tok, minlength=len(u))
+        ns = np.bincount(inv, minlength=len(u))
+        gs, bs = zip(*(k.split("\x00") for k in u))
+        return pa.table(
+            {
+                "g": pa.array(list(gs), pa.string()),
+                "b": pa.array(list(bs), pa.string()),
+                "tok": pa.array(toks, pa.float64()),
+                "n": pa.array(ns.astype(np.int64)),
+            }
+        )
+
+    def _boundaries(t: pa.Table) -> pa.Table:
+        """Per co-located group: boundary bucket + budget remaining
+        entering it (groups under budget emit nothing)."""
+        out_g, out_b, out_rem = [], [], []
+        if t.num_rows:
+            g = np.array(t.column("g").to_pylist(), dtype=object)
+            b = np.array(t.column("b").to_pylist(), dtype="S2")
+            tok = t.column("tok").to_numpy(zero_copy_only=False)
+            order = np.lexsort((b, g))
+            g, b, tok = g[order], b[order], tok[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], g[1:] != g[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(g)]))
+            for s, e in zip(starts, ends):
+                bud = _budget_of(g[s])
+                # strictly under budget: every row's exclusive prefix
+                # < budget, keep all. At EXACT equality the boundary
+                # path still runs so zero-token rows whose exclusive
+                # prefix equals the budget are dropped like the SQL
+                # window rule says.
+                if bud is None or tok[s:e].sum() < bud:
+                    continue
+                cum = 0.0
+                for i in range(s, e):
+                    # first bucket whose cumulative total crosses the
+                    # budget holds the cut (same bucket may repeat
+                    # across partial rows — walk them all)
+                    nxt = cum + tok[i]
+                    if nxt >= bud and (
+                        i + 1 >= e or b[i + 1] != b[i]
+                    ):
+                        out_g.append(g[s])
+                        out_b.append(b[i].decode())
+                        out_rem.append(bud - _cum_before(
+                            tok, b, s, i
+                        ))
+                        break
+                    cum = nxt
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "b": pa.array(out_b, pa.string()),
+                "rem": pa.array(out_rem, pa.float64()),
+            }
+        )
+
+    def _cum_before(tok, b, s, i):
+        """Sum of tokens in buckets strictly before b[i] within the
+        group segment starting at s (partial rows of one bucket may
+        interleave only within their sorted run)."""
+        j = i
+        while j > s and b[j - 1] == b[i]:
+            j -= 1
+        return float(tok[s:j].sum())
+
+    from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
+
+    hist = ds.map_batches(_hist, batch_format="pyarrow")
+    with scoped_hash_shuffle(hist.context):
+        bounds = (
+            hist.repartition(auto_partitions(), keys=["g"])
+            .map_batches(
+                _boundaries,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    n_b = bounds.count()
+    if n_b == 0:
+        return ds  # every group under budget
+    if n_b > max_broadcast_groups:
+        raise ValueError(
+            f"token_budget_sample: {n_b} groups exceed their budget — "
+            f"above max_broadcast_groups={max_broadcast_groups}; "
+            "raise the bound or deliver boundaries via a key join"
+        )
+    rows = bounds.take_all()
+    bmap = {r["g"]: (r["b"].encode(), r["rem"]) for r in rows}
+    if len(bmap) != len(rows):
+        raise RuntimeError(
+            "token_budget_sample: duplicate group in the boundary "
+            "table — the keyed repartition split a group across "
+            "blocks (one-block-per-partition invariant violated)"
+        )
+    bmap_ref = ray.put(bmap)
+
+    # pass 2: exact keys of boundary-bucket rows only
+    def _refine(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "g": pa.array([], pa.string()),
+                "h": pa.array([], pa.string()),
+                "id_s": pa.array([], pa.string()),
+                "tok": pa.array([], pa.float64()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        m = ray.get(bmap_ref)
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        hits = [u for u in set(g.tolist()) if u in m]
+        if not hits:
+            return empty
+        idx = np.flatnonzero(np.isin(g, np.array(hits, dtype=object)))
+        ids = t.column(id_col).to_pylist()
+        sub_ids = [ids[i] for i in idx]
+        h = _hex16(sub_ids, seed)
+        b = _bucket_of(h)
+        tok = _tokens(t)[idx]
+        g_sub = g[idx]
+        sel = np.array(
+            [bi == m[gi][0] for gi, bi in zip(g_sub, b)], dtype=bool
+        )
+        if not sel.any():
+            return empty
+        keep = np.flatnonzero(sel)
+        return pa.table(
+            {
+                "g": pa.array(g_sub[keep], pa.string()),
+                "h": pa.array(
+                    [h[i].decode() for i in keep], pa.string()
+                ),
+                "id_s": pa.array(
+                    [str(sub_ids[i]) for i in keep], pa.string()
+                ),
+                "tok": pa.array(tok[keep], pa.float64()),
+            }
+        )
+
+    def _cuts(t: pa.Table) -> pa.Table:
+        """Per group: walk the boundary bucket in composite order and
+        pin the cut key (last row whose exclusive prefix < rem)."""
+        out_g, out_h, out_id = [], [], []
+        if t.num_rows:
+            g = np.array(t.column("g").to_pylist(), dtype=object)
+            h = np.array(t.column("h").to_pylist(), dtype="S16")
+            id_s = np.array(t.column("id_s").to_pylist(), dtype=object)
+            tok = t.column("tok").to_numpy(zero_copy_only=False)
+            m = ray.get(bmap_ref)
+            order = np.lexsort((id_s, h, g))
+            g, h, id_s, tok = g[order], h[order], id_s[order], tok[order]
+            starts = np.flatnonzero(
+                np.concatenate(([True], g[1:] != g[:-1]))
+            )
+            ends = np.concatenate((starts[1:], [len(g)]))
+            for s, e in zip(starts, ends):
+                rem = m[g[s]][1]
+                cum, cut = 0.0, None
+                for i in range(s, e):
+                    if cum >= rem:
+                        break
+                    cut = i
+                    cum += tok[i]
+                if cut is None:
+                    # rem <= 0 cannot happen (the boundary bucket is
+                    # the FIRST crossing, so some budget remains) —
+                    # defensive drop-all marker
+                    out_g.append(g[s])
+                    out_h.append("")
+                    out_id.append("")
+                else:
+                    out_g.append(g[s])
+                    out_h.append(h[cut].decode())
+                    out_id.append(id_s[cut])
+        return pa.table(
+            {
+                "g": pa.array(out_g, pa.string()),
+                "h": pa.array(out_h, pa.string()),
+                "id_s": pa.array(out_id, pa.string()),
+            }
+        )
+
+    refined = ds.map_batches(_refine, batch_format="pyarrow")
+    with scoped_hash_shuffle(refined.context):
+        cut_tbl = (
+            refined.repartition(auto_partitions(), keys=["g"])
+            .map_batches(
+                _cuts,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    cut_rows = cut_tbl.take_all()
+    cuts = {
+        r["g"]: (r["h"].encode(), r["id_s"]) for r in cut_rows
+    }
+    if len(cuts) != len(cut_rows):
+        raise RuntimeError(
+            "token_budget_sample: duplicate group in the cut table — "
+            "one-block-per-partition invariant violated"
+        )
+    cuts_ref = ray.put(cuts)
+
+    # pass 3: keep earlier buckets whole; cut inside the boundary one
+    def _filter(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        bm = ray.get(bmap_ref)
+        cm = ray.get(cuts_ref)
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        hits = [u for u in set(g.tolist()) if u in bm]
+        if not hits:
+            return t
+        idx = np.flatnonzero(np.isin(g, np.array(hits, dtype=object)))
+        ids = t.column(id_col).to_pylist()
+        sub_ids = [ids[i] for i in idx]
+        h = _hex16(sub_ids, seed)
+        b = _bucket_of(h)
+        g_sub = g[idx]
+        keep = np.ones(t.num_rows, dtype=bool)
+        keep_sub = np.zeros(len(idx), dtype=bool)
+        for u in hits:
+            b_star, _ = bm[u]
+            thr_h, thr_id = cm.get(u, (b"", ""))
+            mrows = g_sub == u
+            keep_sub[mrows] = b[mrows] < b_star
+            at = mrows & (b == np.bytes_(b_star))
+            if at.any():
+                below = h < thr_h
+                eq = h == np.bytes_(thr_h)
+                keep_sub[at] = below[at]
+                for j in np.flatnonzero(at & eq):
+                    keep_sub[j] = str(sub_ids[j]) <= thr_id
+        keep[idx] = keep_sub
+        return t.filter(pa.array(keep))
+
+    return ds.map_batches(_filter, batch_format="pyarrow")

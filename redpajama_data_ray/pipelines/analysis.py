@@ -1918,6 +1918,23 @@ ORACLE_SQL: Dict[str, str] = {
             where doc_id is not null and source is not null
         ) where rk <= 7
     """,
+    # identical rule as functions/splits.py token_budget_sample: keep
+    # while the md5-ordered EXCLUSIVE running n_chars total < 4000
+    "token_budget_docs": """
+        select doc_id, source, n_chars from (
+            select doc_id, source, n_chars,
+                   sum(n_chars) over (
+                       partition by source
+                       order by substr(
+                           md5('42:' || cast(doc_id as varchar)), 1, 16
+                       ) asc, cast(doc_id as varchar) asc
+                       rows between unbounded preceding
+                            and 1 preceding
+                   ) as before_tok
+            from documents
+            where doc_id is not null and source is not null
+        ) where coalesce(before_tok, 0) < 4000
+    """,
 }
 
 def q_vocab_top_tokens(sf_dir: str) -> "pa.Table":

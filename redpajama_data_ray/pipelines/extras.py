@@ -1471,6 +1471,28 @@ def q_domain_cap_docs(sf_dir: str) -> Dataset:
     )
 
 
+def q_token_budget_docs(sf_dir: str) -> Dataset:
+    """Token-budget sampling (functions/splits.py
+    token_budget_sample): per source, keep documents in deterministic
+    md5 order while the running n_chars total (exclusive) stays below
+    4000 — how training mixes are actually specified (tokens, not row
+    counts). Direct SQL oracle: the identical cumulative-window rule
+    (sum over the md5-ordered window, rows unbounded preceding to 1
+    preceding, < budget)."""
+    from ..functions.splits import token_budget_sample
+    from .analysis import drop_null_keys
+
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "n_chars"],
+    )
+    ds = drop_null_keys(ds, ["doc_id", "source"])  # SQL lockstep
+    return token_budget_sample(
+        ds, 4000, token_col="n_chars", group_col="source",
+        id_col="doc_id", seed=42,
+    )
+
+
 EXTRA_QUERIES = {
     "code_quality_docs": q_code_quality_docs,
     "repo_stats": q_repo_stats,
@@ -1494,4 +1516,5 @@ EXTRA_QUERIES = {
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "grouped_split_docs": q_grouped_split_docs,
     "domain_cap_docs": q_domain_cap_docs,
+    "token_budget_docs": q_token_budget_docs,
 }

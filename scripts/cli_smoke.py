@@ -175,6 +175,14 @@ run(
         "--cap", "3", "--group-column", "repo",
     ],
 )
+run(
+    "token-budget",
+    [
+        "token-budget", "--input", ANN, "--output", "{OUT}",
+        "--budget", "20000", "--group-column", "repo",
+        "--group-budget", "repo_00=5000",
+    ],
+)
 qstate = os.path.join(WORK, "quota_state")
 run(
     "domain-cap incr r1",

@@ -183,3 +183,40 @@ def test_cli_split_bad_fraction_number(tmp_path):
     with pytest.raises(SystemExit, match="is not a number"):
         main(["split", "--input", src, "--output",
               str(tmp_path / "o"), "--fraction", "train=0.9x"])
+
+
+def test_cli_token_budget(tmp_path, capsys):
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(40), pa.int64()),
+            "source": pa.array([f"s{i % 2}" for i in range(40)]),
+            "n_chars": pa.array([100] * 40, pa.int64()),
+        }
+    )
+    d = tmp_path / "docs"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    out = str(tmp_path / "tb")
+    assert main(
+        ["token-budget", "--input", str(d), "--output", out,
+         "--budget", "500"]
+    ) == 0
+    df = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    # 20 docs x 100 chars per source; budget 500 -> exactly 5 kept each
+    assert df.groupby("source").size().to_dict() == {"s0": 5, "s1": 5}
+    # per-group override: s0 keeps 2, s1 falls back to --budget
+    out2 = str(tmp_path / "tb2")
+    assert main(
+        ["token-budget", "--input", str(d), "--output", out2,
+         "--budget", "500", "--group-budget", "s0=200"]
+    ) == 0
+    df2 = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    assert df2.groupby("source").size().to_dict() == {"s0": 2, "s1": 5}
+    with pytest.raises(SystemExit, match="needs --budget"):
+        main(["token-budget", "--input", str(d), "--output", out])
+    with pytest.raises(SystemExit, match="not an integer"):
+        main(["token-budget", "--input", str(d), "--output", out,
+              "--group-budget", "s0=abc"])
+    with pytest.raises(SystemExit, match="missing column"):
+        main(["token-budget", "--input", str(d), "--output", out,
+              "--budget", "10", "--token-column", "n_tokens"])

@@ -164,3 +164,100 @@ def test_grouped_split_existing_out_col_rejected():
         grouped_split(
             rd.from_arrow(t), {"train": 1.0}
         ).materialize()
+
+
+from redpajama_data_ray.functions.splits import token_budget_sample  # noqa: E402
+
+
+def _budget_docs(n=2000, n_groups=8, seed=6):
+    rng = np.random.default_rng(seed)
+    gids = rng.integers(0, n_groups, n)
+    tok = rng.integers(0, 300, n).astype(np.int64)
+    tok[rng.integers(0, n, 30)] = 0  # zero-token rows exercise ties
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+            "source": pa.array([f"grp{int(x)}" for x in gids]),
+            "n_chars": pa.array(tok),
+        }
+    )
+
+
+def _expected_budget(t, budgets, default=None, seed=42):
+    ids = t.column("doc_id").to_pylist()
+    groups = t.column("source").to_pylist()
+    toks = t.column("n_chars").to_pylist()
+    by = {}
+    for i, (g, v, tk) in enumerate(zip(groups, ids, toks)):
+        h = hashlib.md5(f"{seed}:{v}".encode()).hexdigest()[:16]
+        by.setdefault(str(g), []).append((h, str(v), i, tk or 0))
+    keep = set()
+    for g, rows in by.items():
+        bud = budgets.get(g, default) if isinstance(budgets, dict) \
+            else budgets
+        if bud is None:
+            keep.update(i for _, _, i, _ in rows)
+            continue
+        cum = 0
+        for _, _, i, tk in sorted(rows):
+            if cum < bud:
+                keep.add(i)
+            cum += tk
+    return keep
+
+
+@pytest.mark.parametrize("spec", [5000, 123, {"grp0": 4000, "grp1": 1}])
+def test_token_budget_matches_bruteforce(spec):
+    t = _budget_docs()
+    got = set(
+        token_budget_sample(
+            rd.from_arrow(t).repartition(11), spec, "n_chars"
+        ).to_pandas()["doc_id"]
+    )
+    assert got == {
+        t.column("doc_id")[i].as_py()
+        for i in _expected_budget(t, spec)
+    }
+
+
+def test_token_budget_partition_invariance_and_passthrough():
+    t = _budget_docs(800, 4, seed=9)
+    a = token_budget_sample(
+        rd.from_arrow(t), 9000, "n_chars"
+    ).to_pandas()
+    b = token_budget_sample(
+        rd.from_arrow(t).repartition(13), 9000, "n_chars"
+    ).to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # a budget above every group total keeps everything
+    full = token_budget_sample(
+        rd.from_arrow(t), 10**9, "n_chars"
+    ).to_pandas()
+    assert len(full) == 800
+    # kept totals land in [budget, budget + one doc) for cut groups
+    kept = a.groupby("source")["n_chars"].sum()
+    tot = t.to_pandas().groupby("source")["n_chars"].sum()
+    for g in kept.index:
+        if tot[g] >= 9000:
+            assert kept[g] >= 9000
+            assert kept[g] - 9000 < 300  # max doc size in fixture
+
+
+def test_token_budget_validation():
+    t = _budget_docs(50, 2)
+    ds = rd.from_arrow(t)
+    with pytest.raises(ValueError, match="must be positive"):
+        token_budget_sample(ds, 0, "n_chars")
+    with pytest.raises(ValueError, match="must be positive"):
+        token_budget_sample(ds, {"grp0": -5}, "n_chars")
+    neg = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "source": pa.array(["a", "a"]),
+            "n_chars": pa.array([-3, 5], pa.int64()),
+        }
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        token_budget_sample(
+            rd.from_arrow(neg), 10, "n_chars"
+        ).materialize()
