@@ -251,6 +251,29 @@ def _run_benchmarks(sf_dir: str, ncpu: int) -> dict:
     corp.map_batches(code_signal_batch, batch_format="pyarrow").count()
     timings["code_quality"] = round(time.time() - t0, 3)
 
+    # group-keyed sampling family (round 9): per-domain quota and
+    # token-budget sampling — only narrow partials/histograms
+    # exchange; the corpus text never shuffles
+    from redpajama_data_ray.functions.splits import (
+        cap_per_group,
+        token_budget_sample,
+    )
+
+    t0 = time.time()
+    corp = rd.read_parquet(out_dir, columns=["doc_id", "repo"])
+    cap_per_group(
+        corp, 1000, group_col="repo", id_col="doc_id"
+    ).count()
+    timings["domain_cap"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    corp = rd.read_parquet(out_dir, columns=["doc_id", "repo", "n_chars"])
+    token_budget_sample(
+        corp, 1_000_000, token_col="n_chars", group_col="repo",
+        id_col="doc_id",
+    ).count()
+    timings["token_budget"] = round(time.time() - t0, 3)
+
     # analysis queries over driver tables
     for name, fn in (
         ("token_totals", q_token_totals_by_source),

@@ -141,6 +141,37 @@ def main() -> None:
     timings["pack_buckets"] = PACK_BUCKETS
     print("pack", timings["pack_sequences"], flush=True)
 
+    # ---- group-keyed sampling family (round 9) ----------------------
+    from redpajama_data_ray.functions.splits import (
+        cap_per_group, token_budget_sample,
+    )
+
+    t0 = time.time()
+    capped = cap_per_group(
+        corp(["doc_id", "repo"]), 1000, group_col="repo",
+        id_col="doc_id",
+    ).to_pandas()
+    timings["domain_cap"] = round(time.time() - t0, 1)
+    assert capped.groupby("repo").size().max() <= 1000
+    timings["domain_cap_rows"] = len(capped)
+    print("domain_cap", timings["domain_cap"], flush=True)
+
+    t0 = time.time()
+    budgeted = (
+        token_budget_sample(
+            corp(["doc_id", "repo", "n_chars"]), 10_000_000,
+            token_col="n_chars", group_col="repo", id_col="doc_id",
+        )
+        .select_columns(["repo", "n_chars"])
+        .to_pandas()
+    )
+    timings["token_budget"] = round(time.time() - t0, 1)
+    kept = budgeted.groupby("repo")["n_chars"].sum()
+    # kept totals land in [budget, budget + one doc) for cut repos
+    assert (kept[kept >= 10_000_000] - 10_000_000).max() < 1_100_000
+    timings["token_budget_rows"] = len(budgeted)
+    print("token_budget", timings["token_budget"], flush=True)
+
     # ---- repo rollup over the raw corpus ----------------------------
     from redpajama_data_ray.functions.repostats import repo_stats
 
