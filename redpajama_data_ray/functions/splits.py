@@ -435,10 +435,15 @@ def token_budget_sample(
     whose running ``token_col`` total (exclusive of the current row)
     stays below the group's budget. ``budget`` is an int applied to
     every group or a mapping ``{group: budget}`` (str-normalized
-    keys; unlisted groups use ``default_budget``, None = keep all).
+    keys; unlisted groups use ``default_budget``, None = keep all;
+    combining an int budget WITH default_budget is rejected — the
+    int already applies to every group).
     SQL equivalent: ``sum(tokens) OVER (PARTITION BY group ORDER BY
     md5hex16, id ROWS UNBOUNDED PRECEDING AND 1 PRECEDING) <
-    budget``."""
+    budget``. Tokens are summed as float64: integer-valued token
+    columns (< 2^53) get exact partition-invariance and SQL parity;
+    fractional token values are subject to float summation order at
+    the boundary row."""
     if isinstance(budget, Mapping):
         budgets = {str(k): int(v) for k, v in budget.items()}
         bad = [k for k, v in budgets.items() if v <= 0]
@@ -453,6 +458,12 @@ def token_budget_sample(
             raise ValueError(
                 f"token_budget_sample: budget must be positive, got "
                 f"{budget!r}"
+            )
+        if default_budget is not None:
+            raise ValueError(
+                "token_budget_sample: an int budget already applies "
+                "to every group — default_budget only combines with "
+                "a per-group mapping"
             )
         budgets = None
         default_budget = int(budget)
@@ -481,7 +492,10 @@ def token_budget_sample(
             )
         return tok
 
-    # pass 1: per (batch, group, bucket) histogram partials
+    # pass 1: per (batch, group, bucket) histogram partials. The
+    # (group, bucket) aggregation is a sorted segment walk — no
+    # composite string key, so group values containing NUL (or any
+    # other byte) stay exact, matching the module's str(key) contract
     def _hist(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return pa.table(
@@ -489,7 +503,6 @@ def token_budget_sample(
                     "g": pa.array([], pa.string()),
                     "b": pa.array([], pa.string()),
                     "tok": pa.array([], pa.float64()),
-                    "n": pa.array([], pa.int64()),
                 }
             )
         g = np.array(
@@ -499,20 +512,20 @@ def token_budget_sample(
         h = _hex16(t.column(id_col).to_pylist(), seed)
         b = _bucket_of(h)
         tok = _tokens(t)
-        keys = np.array(
-            [gi + "\x00" + bi.decode() for gi, bi in zip(g, b)],
-            dtype=object,
+        order = np.lexsort((b, g))
+        gs, bs, ts = g[order], b[order], tok[order]
+        change = np.concatenate(
+            ([True], (gs[1:] != gs[:-1]) | (bs[1:] != bs[:-1]))
         )
-        u, inv = np.unique(keys, return_inverse=True)
-        toks = np.bincount(inv, weights=tok, minlength=len(u))
-        ns = np.bincount(inv, minlength=len(u))
-        gs, bs = zip(*(k.split("\x00") for k in u))
+        starts = np.flatnonzero(change)
+        sums = np.add.reduceat(ts, starts)
         return pa.table(
             {
-                "g": pa.array(list(gs), pa.string()),
-                "b": pa.array(list(bs), pa.string()),
-                "tok": pa.array(toks, pa.float64()),
-                "n": pa.array(ns.astype(np.int64)),
+                "g": pa.array(gs[starts], pa.string()),
+                "b": pa.array(
+                    [x.decode() for x in bs[starts]], pa.string()
+                ),
+                "tok": pa.array(sums, pa.float64()),
             }
         )
 

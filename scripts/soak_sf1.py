@@ -168,7 +168,9 @@ def main() -> None:
     timings["token_budget"] = round(time.time() - t0, 1)
     kept = budgeted.groupby("repo")["n_chars"].sum()
     # kept totals land in [budget, budget + one doc) for cut repos
-    assert (kept[kept >= 10_000_000] - 10_000_000).max() < 1_100_000
+    # (no repo may reach the budget at small SOAK_SF — skip then)
+    cut = kept[kept >= 10_000_000]
+    assert cut.empty or (cut - 10_000_000).max() < 1_100_000
     timings["token_budget_rows"] = len(budgeted)
     print("token_budget", timings["token_budget"], flush=True)
 

@@ -261,3 +261,32 @@ def test_token_budget_validation():
         token_budget_sample(
             rd.from_arrow(neg), 10, "n_chars"
         ).materialize()
+
+
+def test_token_budget_nul_group_keys_and_int_default_conflict():
+    # NUL bytes inside group keys must aggregate exactly (the
+    # histogram walks sorted segments, no composite string key)
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(300, dtype=np.int64)),
+            "source": pa.array(
+                ["grp\x00a" if i % 3 == 0 else
+                 ("grp" if i % 3 == 1 else "a")
+                 for i in range(300)]
+            ),
+            "n_chars": pa.array(np.full(300, 50, dtype=np.int64)),
+        }
+    )
+    got = set(
+        token_budget_sample(
+            rd.from_arrow(t).repartition(7), 1000, "n_chars"
+        ).to_pandas()["doc_id"]
+    )
+    assert got == {
+        t.column("doc_id")[i].as_py()
+        for i in _expected_budget(t, 1000)
+    }
+    with pytest.raises(ValueError, match="default_budget only"):
+        token_budget_sample(
+            rd.from_arrow(t), 100, "n_chars", default_budget=5000
+        )
