@@ -888,15 +888,55 @@ def cmd_token_budget(args) -> dict:
         "(--id-column)",
     )
     ds = _ensure_doc_ids(ds, args.id_column)
+    budget_arg = group_budgets if group_budgets else int(args.budget)
+    default_arg = args.budget if group_budgets else None
+    if args.state_dir:
+        # cross-run budget: banked kept-token sums charge against
+        # each group's budget (state/incremental.py)
+        from .functions.splits import group_kept_tokens
+        from .state.incremental import (
+            commit_run_token_budget,
+            incremental_token_budget,
+            seen_budget_rows,
+        )
+
+        try:
+            out, run_id = incremental_token_budget(
+                ds, args.state_dir, budget_arg,
+                token_col=args.token_column,
+                group_col=args.group_column, id_col=args.id_column,
+                seed=args.seed, run_id=args.run_id,
+                default_budget=default_arg,
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+        # write data THEN commit state — banked sums come from the
+        # written files, so state equals the output exactly
+        written = _write_then_reread(
+            out, args.output,
+            [args.group_column, args.token_column],
+        )
+        commit_run_token_budget(
+            group_kept_tokens(
+                written, args.group_column, args.token_column
+            ),
+            args.state_dir, run_id,
+        )
+        return {
+            "rows": written.count(),
+            "output": args.output,
+            "run_id": run_id,
+            "state_rows": seen_budget_rows(args.state_dir),
+        }
     try:
         out = token_budget_sample(
             ds,
-            group_budgets if group_budgets else int(args.budget),
+            budget_arg,
             token_col=args.token_column,
             group_col=args.group_column,
             id_col=args.id_column,
             seed=args.seed,
-            default_budget=args.budget if group_budgets else None,
+            default_budget=default_arg,
         )
     except ValueError as e:
         raise SystemExit(str(e))
@@ -1594,6 +1634,12 @@ def build_parser() -> argparse.ArgumentParser:
     tbud.add_argument("--id-column", default="doc_id")
     tbud.add_argument("--seed", type=int, default=42)
     tbud.add_argument("--max-docs", type=int, default=None)
+    tbud.add_argument(
+        "--state-dir", default=None,
+        help="cross-run budget state: banked kept-token sums charge "
+        "against each group's budget",
+    )
+    tbud.add_argument("--run-id", default=None)
     tbud.set_defaults(fn=cmd_token_budget)
 
     pk = sub.add_parser(

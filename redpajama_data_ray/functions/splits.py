@@ -430,6 +430,7 @@ def token_budget_sample(
     seed: int = 42,
     default_budget: "int | None" = None,
     max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
+    prev_tokens: "Dataset | None" = None,
 ) -> Dataset:
     """Keep per group the deterministic-hash-order document prefix
     whose running ``token_col`` total (exclusive of the current row)
@@ -443,7 +444,12 @@ def token_budget_sample(
     budget``. Tokens are summed as float64: integer-valued token
     columns (< 2^53) get exact partition-invariance and SQL parity;
     fractional token values are subject to float summation order at
-    the boundary row."""
+    the boundary row.
+
+    ``prev_tokens`` (columns ``group_key``/``cnt``, possibly PARTIAL
+    rows) charges previously-banked kept-token sums against each
+    group's budget (first-come across runs; state/incremental.py
+    wires the cross-run commit); exhausted groups drop entirely."""
     if isinstance(budget, Mapping):
         budgets = {str(k): int(v) for k, v in budget.items()}
         bad = [k for k, v in budgets.items() if v <= 0]
@@ -503,6 +509,7 @@ def token_budget_sample(
                     "g": pa.array([], pa.string()),
                     "b": pa.array([], pa.string()),
                     "tok": pa.array([], pa.float64()),
+                    "prev": pa.array([], pa.float64()),
                 }
             )
         g = np.array(
@@ -526,8 +533,31 @@ def token_budget_sample(
                     [x.decode() for x in bs[starts]], pa.string()
                 ),
                 "tok": pa.array(sums, pa.float64()),
+                "prev": pa.array(
+                    np.zeros(len(starts), dtype=np.float64)
+                ),
             }
         )
+
+    def _prev_token_rows(prev: Dataset) -> Dataset:
+        """Cross-run banked kept-token sums (``group_key``/``cnt``,
+        possibly PARTIAL rows) mapped into the histogram schema:
+        bucket '' sorts before every real 2-hex bucket and carries
+        tok=0, so the cumulative walk is undisturbed while ``prev``
+        charges the group's budget."""
+
+        def _mk(pt: pa.Table) -> pa.Table:
+            n = pt.num_rows
+            return pa.table(
+                {
+                    "g": pt.column("group_key").cast(pa.string()),
+                    "b": pa.array([""] * n, pa.string()),
+                    "tok": pa.array(np.zeros(n, dtype=np.float64)),
+                    "prev": pt.column("cnt").cast(pa.float64()),
+                }
+            )
+
+        return prev.map_batches(_mk, batch_format="pyarrow")
 
     def _boundaries(t: pa.Table) -> pa.Table:
         """Per co-located group: boundary bucket + budget remaining
@@ -537,20 +567,38 @@ def token_budget_sample(
             g = np.array(t.column("g").to_pylist(), dtype=object)
             b = np.array(t.column("b").to_pylist(), dtype="S2")
             tok = t.column("tok").to_numpy(zero_copy_only=False)
+            prev = t.column("prev").to_numpy(zero_copy_only=False)
             order = np.lexsort((b, g))
-            g, b, tok = g[order], b[order], tok[order]
+            g, b, tok, prev = g[order], b[order], tok[order], prev[order]
             starts = np.flatnonzero(
                 np.concatenate(([True], g[1:] != g[:-1]))
             )
             ends = np.concatenate((starts[1:], [len(g)]))
             for s, e in zip(starts, ends):
                 bud = _budget_of(g[s])
+                if bud is None:
+                    continue
+                # cross-run: previously-banked kept tokens charge the
+                # budget first (state rows carry tok=0, so the walk
+                # below is undisturbed)
+                bud = bud - float(prev[s:e].sum())
+                tot = float(tok[s:e].sum())
+                if tot == 0.0 and e - s == int((b[s:e] == b"").sum()):
+                    continue  # state-only group: absent this run
+                if bud <= 0:
+                    # budget exhausted by earlier runs: drop all ('' is
+                    # below every real 2-hex bucket, so the filter
+                    # keeps nothing)
+                    out_g.append(g[s])
+                    out_b.append("")
+                    out_rem.append(0.0)
+                    continue
                 # strictly under budget: every row's exclusive prefix
                 # < budget, keep all. At EXACT equality the boundary
                 # path still runs so zero-token rows whose exclusive
                 # prefix equals the budget are dropped like the SQL
                 # window rule says.
-                if bud is None or tok[s:e].sum() < bud:
+                if tot < bud:
                     continue
                 cum = 0.0
                 for i in range(s, e):
@@ -588,6 +636,8 @@ def token_budget_sample(
     from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
 
     hist = ds.map_batches(_hist, batch_format="pyarrow")
+    if prev_tokens is not None:
+        hist = hist.union(_prev_token_rows(prev_tokens))
     with scoped_hash_shuffle(hist.context):
         bounds = (
             hist.repartition(auto_partitions(), keys=["g"])
@@ -767,3 +817,40 @@ def token_budget_sample(
         return t.filter(pa.array(keep))
 
     return ds.map_batches(_filter, batch_format="pyarrow")
+
+
+def group_kept_tokens(
+    ds: Dataset, group_col: str, token_col: str
+) -> Dataset:
+    """Narrow ``(group_key, cnt)`` kept-token-sum partials over ``ds``
+    (float64 sums, str-normalized groups, one row per distinct group
+    per block) — what a cross-run token-budget commit stores. PARTIAL
+    by design, like :func:`group_kept_counts`."""
+
+    def _p(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "group_key": pa.array([], pa.string()),
+                    "cnt": pa.array([], pa.float64()),
+                }
+            )
+        import pyarrow.compute as pc
+
+        g = np.array(
+            [str(k) for k in t.column(group_col).to_pylist()],
+            dtype=object,
+        )
+        tok = pc.fill_null(
+            t.column(token_col).cast(pa.float64()), 0.0
+        ).to_numpy(zero_copy_only=False)
+        u, inv = np.unique(g, return_inverse=True)
+        sums = np.bincount(inv, weights=tok, minlength=len(u))
+        return pa.table(
+            {
+                "group_key": pa.array(u, pa.string()),
+                "cnt": pa.array(sums, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(_p, batch_format="pyarrow")

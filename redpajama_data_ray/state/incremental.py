@@ -779,15 +779,21 @@ def _commit_counts(
     if tables:
         t = pa.concat_tables(tables)
     else:
-        # keep the key's real type (int64 line/fp keys, string tokens)
+        # keep the REAL types (int64 line/fp keys, string tokens;
+        # int64 counts vs the float64 kept-token sums) — an empty run
+        # file with the wrong cnt type would wedge the parquet-dir
+        # schema merge for every later read
         try:
-            key_type = run_counts.schema().base_schema.field(key_col).type
+            sch = run_counts.schema().base_schema
+            key_type = sch.field(key_col).type
+            cnt_type = sch.field("cnt").type
         except Exception:
             key_type = pa.int64()
+            cnt_type = pa.int64()
         t = pa.table(
             {
                 key_col: pa.array([], key_type),
-                "cnt": pa.array([], pa.int64()),
+                "cnt": pa.array([], cnt_type),
             }
         )
     pq.write_table(t, tmp)
@@ -1423,4 +1429,89 @@ def compact_quota_state(state_dir: str, max_files: int = 16) -> int:
     compaction applies; the newest run file stays retryable)."""
     return _compact_counts(
         state_dir, "quota", GROUP_QUOTA_FORMAT, "group_key", max_files
+    )
+
+
+# ------------------------------------------------------------------
+# incremental cross-run token budget
+# ------------------------------------------------------------------
+
+# banked kept-token sums per str-normalized group; float64 (the
+# sampling kernel sums float64 — integer token columns stay exact)
+TOKEN_BUDGET_FORMAT = "grptok-str-f64-v1"
+
+
+def seen_budget_rows(state_dir: str) -> int:
+    """Committed kept-token-sum rows from parquet footers (PARTIAL
+    rows: the same group may appear in several run files until
+    :func:`compact_token_budget_state` merges them)."""
+    return _seen_counts(state_dir, "token_budget", TOKEN_BUDGET_FORMAT)
+
+
+def incremental_token_budget(
+    ds: "Dataset",
+    state_dir: str,
+    budget,
+    token_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+    run_id: Optional[str] = None,
+    default_budget: Optional[int] = None,
+) -> "Tuple[Dataset, str]":
+    """Cross-run token budget (first-come across snapshots): a group
+    that already banked ``s`` kept tokens in previous runs keeps at
+    most ``budget - s`` more tokens of THIS snapshot (within-run
+    selection stays the deterministic md5-order prefix); exhausted
+    groups drop entirely. State is a tiny (group_key, cnt) float64
+    table — old text is never re-read.
+
+    Returns ``(kept, run_id)``. Crash-safe order: write the output
+    parquet FIRST, then commit ``group_kept_tokens(written)`` via
+    :func:`commit_run_token_budget` so state equals data exactly.
+    Same identity caveat as :func:`incremental_domain_cap`: count-
+    only state cannot see row identity — compose with incremental
+    exact dedup when snapshots overlap."""
+    import ray.data as rd
+
+    from ..functions.splits import token_budget_sample
+
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+    files = _counts_files(
+        state_dir, "token_budget", TOKEN_BUDGET_FORMAT,
+        exclude_run_id=run_id,
+    )
+    prev = rd.read_parquet(files) if files else None
+    out = token_budget_sample(
+        ds, budget, token_col=token_col, group_col=group_col,
+        id_col=id_col, seed=seed, default_budget=default_budget,
+        prev_tokens=prev,
+    )
+    return out, run_id
+
+
+def commit_run_token_budget(
+    run_tokens: "Dataset", state_dir: str, run_id: str
+) -> str:
+    """Append one run's kept ``(group_key, cnt)`` token-sum partials
+    (atomic rename; rerunning the same run_id overwrites — unless the
+    run was folded into a compact file, which raises)."""
+    return _commit_counts(
+        run_tokens, state_dir, run_id, "token_budget",
+        TOKEN_BUDGET_FORMAT, "group_key",
+    )
+
+
+def compact_token_budget_state(
+    state_dir: str, max_files: int = 16
+) -> int:
+    """Merge per-run kept-token files past ``max_files`` (sums are
+    additive across runs; standard journaled count compaction, the
+    newest run file stays retryable)."""
+    return _compact_counts(
+        state_dir, "token_budget", TOKEN_BUDGET_FORMAT, "group_key",
+        max_files,
     )

@@ -183,6 +183,23 @@ run(
         "--group-budget", "repo_00=5000",
     ],
 )
+tbstate = os.path.join(WORK, "tb_state")
+run(
+    "token-budget incr r1",
+    [
+        "token-budget", "--input", ANN, "--output", "{OUT}",
+        "--budget", "8000", "--group-column", "repo",
+        "--state-dir", tbstate, "--run-id", "r1",
+    ],
+)
+run(
+    "token-budget incr r2 exhausted",
+    [
+        "token-budget", "--input", ANN, "--output", "{OUT}",
+        "--budget", "8000", "--group-column", "repo",
+        "--state-dir", tbstate, "--run-id", "r2",
+    ],
+)
 qstate = os.path.join(WORK, "quota_state")
 run(
     "domain-cap incr r1",

@@ -160,3 +160,137 @@ def test_cli_two_run_flow(tmp_path, capsys):
         r2["output"]
     ).count()
     assert total == 6
+
+
+# ---- cross-run token budget ---------------------------------------
+
+from redpajama_data_ray.functions.splits import group_kept_tokens  # noqa: E402
+from redpajama_data_ray.state.incremental import (  # noqa: E402
+    commit_run_token_budget,
+    compact_token_budget_state,
+    incremental_token_budget,
+    seen_budget_rows,
+)
+
+
+def _tt(rows):
+    """(doc_id, source, n_chars) fixture table."""
+    return pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "source": pa.array([r[1] for r in rows], pa.string()),
+            "n_chars": pa.array([r[2] for r in rows], pa.int64()),
+        }
+    )
+
+
+def _budget_prefix(rows, group, budget):
+    """ids of the md5-order prefix of `group` under exclusive budget."""
+    cand = sorted(
+        (
+            hashlib.md5(f"{SEED}:{i}".encode()).hexdigest()[:16],
+            str(i),
+            i,
+            tk,
+        )
+        for i, g, tk in rows
+        if g == group
+    )
+    keep, cum = set(), 0
+    for _, _, i, tk in cand:
+        if cum < budget:
+            keep.add(i)
+        cum += tk
+    return keep
+
+
+def _run_budget_and_commit(t, state, budget, run_id):
+    out, rid = incremental_token_budget(
+        rd.from_arrow(t), str(state), budget, "n_chars",
+        seed=SEED, run_id=run_id,
+    )
+    kept = out.to_pandas()
+    commit_run_token_budget(
+        group_kept_tokens(
+            rd.from_arrow(pa.Table.from_pandas(kept)),
+            "source", "n_chars",
+        ),
+        str(state), rid,
+    )
+    return kept
+
+
+def test_token_budget_two_run_first_come(tmp_path):
+    state = tmp_path / "tb"
+    a = [(i, "x", 100) for i in range(10)] + [
+        (100 + i, "y", 100) for i in range(3)
+    ]
+    b = [(20 + i, "x", 100) for i in range(6)] + [
+        (200 + i, "y", 100) for i in range(6)
+    ]
+    kept1 = _run_budget_and_commit(_tt(a), state, 500, "r1")
+    assert set(kept1["doc_id"]) == _budget_prefix(a, "x", 500) | set(
+        i for i, g, _ in a if g == "y"
+    )  # y total 300 < 500: all kept
+    banked_x = kept1[kept1.source == "x"]["n_chars"].sum()
+    banked_y = kept1[kept1.source == "y"]["n_chars"].sum()
+    assert banked_x == 500 and banked_y == 300
+
+    kept2 = _run_budget_and_commit(_tt(b), state, 500, "r2")
+    # x exhausted (banked 500) -> nothing; y keeps 200 more
+    assert set(kept2["doc_id"]) == _budget_prefix(b, "y", 500 - 300)
+    assert (kept2.source != "x").all()
+
+
+def test_token_budget_retry_and_compaction(tmp_path):
+    state = tmp_path / "tb"
+    snaps = [
+        [(100 * r + i, "x", 60) for i in range(3)] for r in range(4)
+    ]
+    for r, snap in enumerate(snaps[:3]):
+        _run_budget_and_commit(_tt(snap), state, 10_000, f"r{r}")
+    rows_after = seen_budget_rows(str(state))
+    # same-run_id retry: identical output, state rows unchanged
+    k = _run_budget_and_commit(_tt(snaps[2]), state, 10_000, "r2")
+    assert len(k) == 3
+    assert seen_budget_rows(str(state)) == rows_after
+    # compaction folds older runs; retry-of-folded raises
+    n = compact_token_budget_state(str(state), max_files=1)
+    assert n < 3
+    with pytest.raises(ValueError, match="folded"):
+        incremental_token_budget(
+            rd.from_arrow(_tt(snaps[0])), str(state), 10_000,
+            "n_chars", run_id="r0",
+        )
+    # banked total 9 x 60 = 540 charges the next run's budget of 600:
+    # 60 remaining -> exactly one 60-char doc kept
+    kept = _run_budget_and_commit(_tt(snaps[3]), state, 600, "r9")
+    assert len(kept) == 1
+
+
+def test_token_budget_cli_two_run(tmp_path, capsys):
+    from redpajama_data_ray.cli import main
+
+    def snap(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(_tt(rows), str(d / "a.parquet"))
+        return str(d)
+
+    s1 = snap("s1", [(i, "x", 100) for i in range(5)])
+    s2 = snap("s2", [(10 + i, "x", 100) for i in range(5)])
+    state = str(tmp_path / "state")
+    assert main(
+        ["token-budget", "--input", s1, "--output",
+         str(tmp_path / "o1"), "--budget", "600",
+         "--state-dir", state, "--run-id", "r1"]
+    ) == 0
+    r1 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r1["rows"] == 5  # 500 < 600: all kept
+    assert main(
+        ["token-budget", "--input", s2, "--output",
+         str(tmp_path / "o2"), "--budget", "600",
+         "--state-dir", state, "--run-id", "r2"]
+    ) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows"] == 1  # 100 remaining -> one 100-char doc
