@@ -294,3 +294,45 @@ def test_token_budget_cli_two_run(tmp_path, capsys):
     ) == 0
     r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r2["rows"] == 1  # 100 remaining -> one 100-char doc
+
+
+def test_token_budget_empty_run_commit_keeps_state_readable(
+    tmp_path, capsys
+):
+    """A fully-exhausted run writes NOTHING; its (empty) state commit
+    must stay float64-typed or the parquet-dir schema merge wedges
+    every later run."""
+    from redpajama_data_ray.cli import main
+
+    def snap(name, rows):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(_tt(rows), str(d / "a.parquet"))
+        return str(d)
+
+    state = str(tmp_path / "state")
+    s1 = snap("s1", [(i, "x", 100) for i in range(5)])
+    s2 = snap("s2", [(10 + i, "x", 100) for i in range(5)])
+    s3 = snap("s3", [(20 + i, "x", 100) for i in range(5)])
+    assert main(
+        ["token-budget", "--input", s1, "--output",
+         str(tmp_path / "o1"), "--budget", "300",
+         "--state-dir", state, "--run-id", "r1"]
+    ) == 0
+    capsys.readouterr()
+    # exhausted: writes an EMPTY dataset, commits an empty state file
+    assert main(
+        ["token-budget", "--input", s2, "--output",
+         str(tmp_path / "o2"), "--budget", "300",
+         "--state-dir", state, "--run-id", "r2"]
+    ) == 0
+    r2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r2["rows"] == 0
+    # a third run must still read the state dir (schema merge intact)
+    assert main(
+        ["token-budget", "--input", s3, "--output",
+         str(tmp_path / "o3"), "--budget", "300",
+         "--state-dir", state, "--run-id", "r3"]
+    ) == 0
+    r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert r3["rows"] == 0  # still exhausted
