@@ -878,9 +878,18 @@ def cmd_token_budget(args) -> dict:
             "--group-budget NAME=N (per-group; others keep all)"
         )
     ds = _read_input(args.input, args.max_docs, False)
-    need = [args.group_column, args.token_column]
+    need = [args.group_column]
     if args.id_column != "doc_id":
         need.append(args.id_column)
+    # n_chars / n_lines are DERIVED by the corpus id assignment
+    # (stages/ids.py metadata pass-through) — don't reject a raw
+    # corpus for lacking them before _ensure_doc_ids adds them
+    schema = ds.schema()
+    schema_names = list(schema.names) if schema is not None else []
+    if args.token_column not in ("n_chars", "n_lines") or (
+        args.token_column in schema_names
+    ) or "content" not in schema_names:
+        need.append(args.token_column)
     _require_columns(
         ds, need,
         "token-budget needs the group key (--group-column), a token/"

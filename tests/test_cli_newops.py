@@ -220,3 +220,34 @@ def test_cli_token_budget(tmp_path, capsys):
     with pytest.raises(SystemExit, match="missing column"):
         main(["token-budget", "--input", str(d), "--output", out,
               "--budget", "10", "--token-column", "n_tokens"])
+
+
+def test_cli_token_budget_derives_n_chars_on_raw_corpus(
+    tmp_path, capsys
+):
+    """n_chars is derived by corpus id assignment — a raw corpus
+    (repo/path/commit/content) must pass CLI validation and budget on
+    the derived column."""
+    t = pa.table(
+        {
+            "repo": pa.array([f"r{i % 2}" for i in range(20)]),
+            "path": pa.array([f"src/f{i}.py" for i in range(20)]),
+            "commit": pa.array(["c" * 40] * 20),
+            "content": pa.array(["x" * 100] * 20),
+        }
+    )
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    out = str(tmp_path / "tb")
+    assert main(
+        ["token-budget", "--input", str(d), "--output", out,
+         "--budget", "500", "--group-column", "repo"]
+    ) == 0
+    df = ray.data.read_parquet(_result(capsys)["output"]).to_pandas()
+    # 10 files x 100 chars per repo; budget 500 -> 5 kept each
+    assert df.groupby("repo").size().to_dict() == {"r0": 5, "r1": 5}
+    # a non-derivable token column still fails at the surface
+    with pytest.raises(SystemExit, match="missing column"):
+        main(["token-budget", "--input", str(d), "--output", out,
+              "--budget", "10", "--token-column", "n_tokens"])
