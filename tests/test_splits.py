@@ -290,3 +290,61 @@ def test_token_budget_nul_group_keys_and_int_default_conflict():
         token_budget_sample(
             rd.from_arrow(t), 100, "n_chars", default_budget=5000
         )
+
+
+# ---- hypothesis fuzz: encoding edges vs the brute-force oracles ----
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_group = st.text(
+    alphabet=st.characters(
+        min_codepoint=0, max_codepoint=0x2FF
+    ),  # controls, NUL, latin, combining marks
+    min_size=0, max_size=6,
+)
+_rows = st.lists(
+    st.tuples(_group, st.integers(min_value=0, max_value=50)),
+    min_size=1, max_size=120,
+)
+
+
+def _fuzz_table(rows):
+    return pa.table(
+        {
+            "doc_id": pa.array(
+                np.arange(len(rows), dtype=np.int64)
+            ),
+            "source": pa.array([g for g, _ in rows], pa.string()),
+            "n_chars": pa.array(
+                [t for _, t in rows], pa.int64()
+            ),
+        }
+    )
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rows, st.integers(min_value=1, max_value=8))
+def test_fuzz_cap_per_group_vs_bruteforce(rows, cap):
+    t = _fuzz_table(rows)
+    got = set(
+        cap_per_group(
+            rd.from_arrow(t).repartition(3), cap, seed=5
+        ).to_pandas()["doc_id"]
+    )
+    assert got == {
+        t.column("doc_id")[i].as_py()
+        for i in _expected_cap(t, cap, seed=5)
+    }
+
+
+@settings(max_examples=25, deadline=None)
+@given(_rows, st.integers(min_value=1, max_value=400))
+def test_fuzz_token_budget_vs_bruteforce(rows, budget):
+    t = _fuzz_table(rows)
+    got = set(
+        token_budget_sample(
+            rd.from_arrow(t).repartition(3), budget, "n_chars"
+        ).to_pandas()["doc_id"]
+    )
+    exp = _expected_budget(t, budget)
+    assert got == {t.column("doc_id")[i].as_py() for i in exp}
