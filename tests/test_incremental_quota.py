@@ -54,12 +54,19 @@ def _run_and_commit(t, state, cap, run_id):
         seed=SEED, run_id=run_id,
     )
     kept = out.to_pandas()
+    # an exhausted run keeps zero rows; to_pandas drops the columns,
+    # so rebuild the typed empty (the CLI path gets this from
+    # _write_then_reread)
+    kt = (
+        pa.Table.from_pandas(kept, preserve_index=False)
+        if len(kept)
+        else t.schema.empty_table()
+    )
     commit_run_quota_counts(
-        group_kept_counts(rd.from_arrow(pa.Table.from_pandas(kept)),
-                          "source"),
+        group_kept_counts(rd.from_arrow(kt), "source"),
         str(state), rid,
     )
-    return set(kept["doc_id"])
+    return set(kept["doc_id"]) if len(kept) else set()
 
 
 def test_two_run_first_come_semantics(tmp_path):
@@ -210,11 +217,13 @@ def _run_budget_and_commit(t, state, budget, run_id):
         seed=SEED, run_id=run_id,
     )
     kept = out.to_pandas()
+    kt = (
+        pa.Table.from_pandas(kept, preserve_index=False)
+        if len(kept)
+        else t.schema.empty_table()
+    )
     commit_run_token_budget(
-        group_kept_tokens(
-            rd.from_arrow(pa.Table.from_pandas(kept)),
-            "source", "n_chars",
-        ),
+        group_kept_tokens(rd.from_arrow(kt), "source", "n_chars"),
         str(state), rid,
     )
     return kept
@@ -336,3 +345,82 @@ def test_token_budget_empty_run_commit_keeps_state_readable(
     ) == 0
     r3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert r3["rows"] == 0  # still exhausted
+
+
+# ---- fuzz: cross-run invariants under random snapshot splits ------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+import numpy as np  # noqa: E402
+
+_spec = st.tuples(
+    st.integers(min_value=5, max_value=60),   # n rows
+    st.integers(min_value=1, max_value=4),    # n groups
+    st.integers(min_value=1, max_value=3),    # n snapshots
+    st.integers(min_value=1, max_value=9),    # cap / budget scale
+    st.randoms(use_true_random=False),
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(spec=_spec)
+def test_fuzz_incremental_quota_union_invariant(spec, tmp_path_factory):
+    n, n_groups, n_snaps, cap, rnd = spec
+    state = tmp_path_factory.mktemp("qf")
+    rows = [
+        (i, f"g{rnd.randrange(n_groups)}") for i in range(n)
+    ]
+    parts = [rows[i::n_snaps] for i in range(n_snaps)]
+    kept_all = []
+    for r, part in enumerate(parts):
+        if not part:
+            continue
+        kept_all.append(
+            _run_and_commit(_t(part), state, cap, f"r{r}")
+        )
+    union = set().union(*kept_all)
+    import collections
+
+    total = collections.Counter(g for _, g in rows)
+    got = collections.Counter(
+        g for i, g in rows if i in union
+    )
+    for g, tot in total.items():
+        assert got[g] == min(cap, tot), (g, cap, tot, got[g])
+
+
+@settings(max_examples=10, deadline=None)
+@given(spec=_spec)
+def test_fuzz_incremental_budget_window_invariant(
+    spec, tmp_path_factory
+):
+    n, n_groups, n_snaps, scale, rnd = spec
+    budget = scale * 40
+    state = tmp_path_factory.mktemp("bf")
+    rows = [
+        (i, f"g{rnd.randrange(n_groups)}", rnd.randrange(0, 30))
+        for i in range(n)
+    ]
+    parts = [rows[i::n_snaps] for i in range(n_snaps)]
+    kept_tokens: dict = {}
+    for r, part in enumerate(parts):
+        if not part:
+            continue
+        kept = _run_budget_and_commit(_tt(part), state, budget, f"r{r}")
+        for _, row in kept.iterrows():
+            kept_tokens[row["source"]] = kept_tokens.get(
+                row["source"], 0
+            ) + int(row["n_chars"])
+    import collections
+
+    totals = collections.Counter()
+    for _, g, tk in rows:
+        totals[g] += tk
+    for g, tot in totals.items():
+        got = kept_tokens.get(g, 0)
+        if tot < budget:
+            assert got == tot, (g, got, tot)
+        else:
+            # combined kept lands in [budget, budget + one doc), and
+            # zero-token boundary rows never push past it
+            assert budget <= got + 1e-9 or got == tot, (g, got)
+            assert got - budget < 30 or got == tot, (g, got)
