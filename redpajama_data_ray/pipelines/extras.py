@@ -32,8 +32,11 @@ def q_langid_distribution(sf_dir: str) -> "pa.Table":
     model stage). SQL-oracled: the deterministic stand-in model runs
     SEQUENTIALLY driver-side into a per-doc expected table and DuckDB
     aggregates both sides (write_langid_oracle)."""
+    from .analysis import drop_null_keys
+
     write_langid_oracle(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = drop_null_keys(ds, ["doc_id"])  # _oracle_docs lockstep
     ds = ds.map_batches(
         LangIdStage,
         fn_constructor_kwargs=dict(text_column="text"),
@@ -66,8 +69,11 @@ def q_langid_distribution(sf_dir: str) -> "pa.Table":
 def q_perplexity_buckets(sf_dir: str) -> "pa.Table":
     """Perplexity bucket distribution over documents.text. SQL-oracled
     via a sequential driver-side run (write_ppl_oracle)."""
+    from .analysis import drop_null_keys
+
     write_ppl_oracle(sf_dir)
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    ds = drop_null_keys(ds, ["doc_id"])  # _oracle_docs lockstep
     ds = ds.map_batches(
         PerplexityStage,
         fn_constructor_kwargs=dict(text_column="text"),
@@ -362,8 +368,15 @@ def _seq_simhash64(tokens):
         dtype=np.uint64,
         count=len(feats),
     )
+    # pin little-endian byte order before the byte view so the bit
+    # positions match functions/fingerprint.simhash64's (h >> i) & 1
+    # votes on any host
     bits = np.unpackbits(
-        hs.view(np.uint8).reshape(len(hs), 8), axis=1, bitorder="little"
+        np.ascontiguousarray(hs.astype("<u8"))
+        .view(np.uint8)
+        .reshape(len(hs), 8),
+        axis=1,
+        bitorder="little",
     )
     ones = bits.sum(axis=0)
     set_bits = np.nonzero(2 * ones.astype(np.int64) > len(hs))[0]
@@ -511,36 +524,7 @@ def write_ivf_knn_oracle(sf_dir: str) -> str:
         return out
 
     # deterministic sample: smallest blake2b(id) keys, tie-broken by id
-    keys = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(
-                    str(int(i)).encode(), digest_size=8
-                ).digest(),
-                "little",
-            )
-            for i in ids
-        ],
-        dtype=np.uint64,
-    )
-    order = np.lexsort((ids, keys))[:4096]
-    order = order[np.argsort(ids[order], kind="stable")]
-    x = mat[order]
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    x = x / norms
-    rng = np.random.default_rng(42)
-    cents = x[rng.choice(len(x), size=min(16, len(x)), replace=False)]
-    for _ in range(10):
-        sims = x @ cents.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                nm = np.linalg.norm(m)
-                if nm > 0:
-                    cents[c] = m / nm
+    cents = _seq_sample_kmeans(ids, mat)
 
     # assign all vectors; probe the 4 nearest centroid lists for vec 0.
     # Float math mirrors similarity/knn._cosine exactly (both sides
@@ -801,6 +785,50 @@ def q_simhash_near_dups(sf_dir: str) -> "pa.Table":
     )
 
 
+def _seq_sample_kmeans(ids, mat):
+    """Deterministic hash-ranked sample + sequential mini k-means: the
+    ONE train_centroids-parity kernel shared by the IVF and SemDeDup
+    oracle writers (blake2b key ranking tie-broken by id, id-sorted
+    4096-sample, seeded init, 10 renormalized-mean iterations).
+    Sequential and independent of similarity/ivf.train_centroids —
+    a fix to this float-parity code lands in both oracles at once."""
+    import hashlib
+
+    import numpy as np
+
+    keys = np.array(
+        [
+            int.from_bytes(
+                hashlib.blake2b(
+                    str(int(i)).encode(), digest_size=8
+                ).digest(),
+                "little",
+            )
+            for i in ids
+        ],
+        dtype=np.uint64,
+    )
+    order = np.lexsort((ids, keys))[:4096]
+    order = order[np.argsort(ids[order], kind="stable")]
+    x = mat[order]
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    x = x / norms
+    rng = np.random.default_rng(42)
+    cents = x[rng.choice(len(x), size=min(16, len(x)), replace=False)]
+    for _ in range(10):
+        sims = x @ cents.T
+        assign = sims.argmax(axis=1)
+        for c in range(len(cents)):
+            members = x[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                nm = np.linalg.norm(m)
+                if nm > 0:
+                    cents[c] = m / nm
+    return cents
+
+
 def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
     """LSH-bucketed ANN index stats over embeddings (scale path).
     SQL-oracled against a sequential hyperplane kernel
@@ -809,7 +837,10 @@ def q_ann_lsh_buckets(sf_dir: str) -> "pa.Table":
 
     write_ann_lsh_oracle(sf_dir)
     emb = drop_null_keys(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ),
         ["vec_id", "embedding"],
     )
     bucketed = add_lsh_bucket(emb, dim=64, bits=10, seed=42)
@@ -864,11 +895,23 @@ def q_ivf_knn(sf_dir: str) -> "pa.Table":
 
     write_ivf_knn_oracle(sf_dir)
     emb = drop_null_keys(
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet"),
+        rd.read_parquet(
+            f"{sf_dir}/embeddings.parquet",
+            columns=["vec_id", "embedding"],
+        ),
         ["vec_id", "embedding"],
     )
+    # the query-vector lookup applies the SAME null policy as the
+    # oracle (_oracle_embeddings): a null-embedding vec 0 means "no
+    # query", not a crash on a 0-d nan array
     q = (
-        rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        drop_null_keys(
+            rd.read_parquet(
+                f"{sf_dir}/embeddings.parquet",
+                columns=["vec_id", "embedding"],
+            ),
+            ["vec_id", "embedding"],
+        )
         .filter(lambda r: r["vec_id"] == 0)
         .to_pandas()
     )
@@ -1115,36 +1158,7 @@ def write_semdedup_oracle(sf_dir: str) -> str:
 
     # deterministic hash-ranked sample + mini k-means (train_centroids
     # semantics, sequential)
-    keys = np.array(
-        [
-            int.from_bytes(
-                hashlib.blake2b(
-                    str(int(i)).encode(), digest_size=8
-                ).digest(),
-                "little",
-            )
-            for i in ids
-        ],
-        dtype=np.uint64,
-    )
-    order = np.lexsort((ids, keys))[:4096]
-    order = order[np.argsort(ids[order], kind="stable")]
-    x = mat[order]
-    norms = np.linalg.norm(x, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    x = x / norms
-    rng = np.random.default_rng(42)
-    cents = x[rng.choice(len(x), size=min(16, len(x)), replace=False)]
-    for _ in range(10):
-        sims = x @ cents.T
-        assign = sims.argmax(axis=1)
-        for c in range(len(cents)):
-            members = x[assign == c]
-            if len(members):
-                m = members.mean(axis=0)
-                nm = np.linalg.norm(m)
-                if nm > 0:
-                    cents[c] = m / nm
+    cents = _seq_sample_kmeans(ids, mat)
 
     # assignment mirrors knn._cosine (both sides renormalized)
     mn = np.linalg.norm(mat, axis=1, keepdims=True)
@@ -1343,23 +1357,31 @@ def q_cms_token_counts(sf_dir: str) -> "pa.Table":
     probe the corpus's distinct tokens. SQL-oracled against one
     sequential sketch (write_cms_oracle) — addition-merge makes the
     distributed build layout-independent."""
-    import re
-
     import numpy as np
+    import pyarrow.parquet as pq
 
-    from ..functions.code_signals import WS_REGEX_CLASS
     from ..functions.sketches import approx_token_counts
 
-    write_cms_oracle(sf_dir)
     # deterministic probe list (input-derived; at 100 TB you'd probe a
-    # fixed external candidate list instead of the full vocabulary)
-    token_re = re.compile(WS_REGEX_CLASS)
-    _, texts, _ = _oracle_docs(sf_dir)
-    vocab: set = set()
-    for tx in texts:
-        vocab.update(token_re.findall(tx or ""))
-    probes = sorted(vocab)
-    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["text"])
+    # fixed external candidate list instead of the full vocabulary) —
+    # the oracle writer just tokenized the corpus to build the same
+    # sorted vocabulary, so read it back instead of re-tokenizing
+    oracle_path = write_cms_oracle(sf_dir)
+    probes = (
+        pq.read_table(oracle_path, columns=["token"])
+        .column("token")
+        .to_pylist()
+    )
+    from .analysis import drop_null_keys
+
+    # the sketch must cover exactly the rows the oracle's sketch
+    # covered (_oracle_docs drops null doc_id rows)
+    ds = drop_null_keys(
+        rd.read_parquet(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        ),
+        ["doc_id"],
+    ).select_columns(["text"])
     est = approx_token_counts(ds, "text", probes)
     return pa.table(
         {
@@ -1379,7 +1401,11 @@ def _refresh_code_corpus_link(sf_dir: str) -> str:
     corpus_dir = ensure_corpus_parquet(sf_from_dir(sf_dir))
     os.makedirs(_ORACLE_DIR, exist_ok=True)
     link = f"{_ORACLE_DIR}/code_corpus"
-    tmp = f"{link}.tmp.{os.getpid()}"
+    import uuid
+
+    # pid alone is not crash-safe: a stale .tmp.<recycled-pid> from an
+    # earlier crashed run would make os.symlink raise FileExistsError
+    tmp = f"{link}.tmp.{os.getpid()}.{uuid.uuid4().hex[:6]}"
     os.symlink(corpus_dir, tmp)
     os.replace(tmp, link)  # atomic refresh; points at the current sf
     return corpus_dir

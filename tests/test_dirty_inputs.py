@@ -132,3 +132,48 @@ def test_null_text_fingerprints_as_empty_string(dirty_dirs):
     assert (t["fp"] == hashlib.md5(b"").hexdigest()).any()
     # null doc_ids dropped, never emitted
     assert t["doc_id"].notna().all()
+
+
+def test_model_and_sketch_queries_lockstep_on_null_doc_ids(tmp_path):
+    """The langid/ppl/cms Ray sides must cover EXACTLY the rows their
+    sequential oracles cover (_oracle_docs drops null-doc_id rows) —
+    a null-id row with real text must not skew either side of the
+    driver compare (round-9 review finding)."""
+    import duckdb
+    import pandas as pd
+
+    d = tmp_path / "sf"
+    d.mkdir()
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, None], pa.int64()),
+            "text": pa.array(
+                ["alpha beta beta", "alpha gamma", "alpha alpha alpha"]
+            ),
+            "lang": pa.array(["en"] * 3),
+            "source": pa.array(["s0"] * 3),
+            "n_chars": pa.array([15, 11, 17], pa.int64()),
+        }
+    )
+    pq.write_table(t, str(d / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"create view documents as select * from "
+        f"read_parquet('{d}/documents.parquet')"
+    )
+    for name in (
+        "cms_token_counts", "langid_distribution", "perplexity_buckets"
+    ):
+        ray_df = extras.EXTRA_QUERIES[name](str(d))
+        if not isinstance(ray_df, pd.DataFrame):
+            ray_df = ray_df.to_pandas()
+        sql_df = con.execute(analysis.ORACLE_SQL[name]).fetchdf()
+        ray_df = ray_df[sorted(ray_df.columns)].sort_values(
+            list(sorted(ray_df.columns))
+        ).reset_index(drop=True)
+        sql_df = sql_df[sorted(sql_df.columns)].sort_values(
+            list(sorted(sql_df.columns))
+        ).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            ray_df, sql_df, check_dtype=False, atol=1e-9, rtol=0,
+        ), name
