@@ -853,6 +853,19 @@ def cmd_domain_cap(args) -> dict:
     return {"output": args.output}
 
 
+def _whole_tokens(v: str) -> int:
+    """Token budgets in plain or scientific notation (2e11 is how
+    real mixes are written); fractional values are rejected."""
+    try:
+        return int(v)
+    except ValueError:
+        f = float(v)  # ValueError propagates for non-numbers
+        i = int(f)
+        if f != i:
+            raise ValueError(f"{v!r} is not a whole number")
+        return i
+
+
 def cmd_token_budget(args) -> dict:
     """Token-budget sampling (functions/splits.py
     token_budget_sample): per group, keep documents in deterministic
@@ -867,10 +880,11 @@ def cmd_token_budget(args) -> dict:
                 f"--group-budget needs NAME=TOKENS, got {spec!r}"
             )
         try:
-            group_budgets[name] = int(val)
+            group_budgets[name] = _whole_tokens(val)
         except ValueError:
             raise SystemExit(
-                f"--group-budget {name}: {val!r} is not an integer"
+                f"--group-budget {name}: {val!r} is not a whole "
+                "token count (plain or scientific: 1000, 2e11)"
             )
     if args.budget is None and not group_budgets:
         raise SystemExit(
@@ -883,12 +897,19 @@ def cmd_token_budget(args) -> dict:
         need.append(args.id_column)
     # n_chars / n_lines are DERIVED by the corpus id assignment
     # (stages/ids.py metadata pass-through) — don't reject a raw
-    # corpus for lacking them before _ensure_doc_ids adds them
+    # corpus for lacking them, but ONLY when that assignment will
+    # actually run (default id column, no doc_id yet, corpus shape);
+    # otherwise the guard must fire here, not as a KeyError in a task
     schema = ds.schema()
     schema_names = list(schema.names) if schema is not None else []
-    if args.token_column not in ("n_chars", "n_lines") or (
-        args.token_column in schema_names
-    ) or "content" not in schema_names:
+    will_assign_ids = (
+        args.id_column == "doc_id"
+        and "doc_id" not in schema_names
+        and {"repo", "path", "commit", "content"}.issubset(schema_names)
+    )
+    if args.token_column in schema_names or not (
+        args.token_column in ("n_chars", "n_lines") and will_assign_ids
+    ):
         need.append(args.token_column)
     _require_columns(
         ds, need,
@@ -1628,7 +1649,7 @@ def build_parser() -> argparse.ArgumentParser:
     tbud.add_argument("--input", required=True)
     tbud.add_argument("--output", required=True)
     tbud.add_argument(
-        "--budget", type=int, default=None,
+        "--budget", type=_whole_tokens, default=None,
         help="token budget applied to every group (default for "
         "--group-budget groups when both are given)",
     )

@@ -449,7 +449,12 @@ def token_budget_sample(
     ``prev_tokens`` (columns ``group_key``/``cnt``, possibly PARTIAL
     rows) charges previously-banked kept-token sums against each
     group's budget (first-come across runs; state/incremental.py
-    wires the cross-run commit); exhausted groups drop entirely."""
+    wires the cross-run commit); exhausted groups drop entirely.
+
+    Duplicate ``(group, id)`` rows share one composite key, so every
+    copy of the cut-key document is kept — the overshoot bound and
+    the SQL-window parity hold for unique ids (same caveat as
+    :func:`cap_per_group`: assign ids first, stages/ids.py)."""
     if isinstance(budget, Mapping):
         budgets = {str(k): int(v) for k, v in budget.items()}
         bad = [k for k, v in budgets.items() if v <= 0]
@@ -693,7 +698,9 @@ def token_budget_sample(
         sub_ids = [ids[i] for i in idx]
         h = _hex16(sub_ids, seed)
         b = _bucket_of(h)
-        tok = _tokens(t)[idx]
+        # tokens only for the hit-group subset — pass 1 already
+        # validated the full column over the identical dataset
+        tok = _tokens(t.take(pa.array(idx, pa.int64())))
         g_sub = g[idx]
         sel = np.array(
             [bi == m[gi][0] for gi, bi in zip(g_sub, b)], dtype=bool

@@ -214,7 +214,7 @@ def test_cli_token_budget(tmp_path, capsys):
     assert df2.groupby("source").size().to_dict() == {"s0": 2, "s1": 5}
     with pytest.raises(SystemExit, match="needs --budget"):
         main(["token-budget", "--input", str(d), "--output", out])
-    with pytest.raises(SystemExit, match="not an integer"):
+    with pytest.raises(SystemExit, match="not a whole"):
         main(["token-budget", "--input", str(d), "--output", out,
               "--group-budget", "s0=abc"])
     with pytest.raises(SystemExit, match="missing column"):
