@@ -1183,12 +1183,22 @@ def cmd_semdedup(args) -> dict:
     from .similarity.semdedup import semdedup
 
     ds = rd.read_parquet(args.input)
-    kept, dropped = semdedup(
-        ds, dim=0, n_centroids=args.n_centroids,
-        threshold=args.threshold, keep=args.keep,
-        vec_col=args.vec_column, id_col=args.id_column,
+    _require_columns(
+        ds, [args.id_column, args.vec_column],
+        "semdedup needs the embedding column (--vec-column) and a row "
+        "id (--id-column)",
     )
-    kept.write_parquet(args.output)
+    try:
+        kept, dropped = semdedup(
+            ds, dim=0, n_centroids=args.n_centroids,
+            threshold=args.threshold, keep=args.keep,
+            vec_col=args.vec_column, id_col=args.id_column,
+        )
+        kept.write_parquet(args.output)
+    except ValueError as e:
+        # null/ragged vectors and empty inputs surface as named
+        # errors from the library — map them to CLI errors
+        raise SystemExit(str(e))
     return {"output": args.output, "dropped": int(len(dropped))}
 
 

@@ -537,7 +537,13 @@ def write_ivf_knn_oracle(sf_dir: str) -> str:
     all_assign = ((mat / mn) @ (cents / cn).T).argmax(axis=1)
     q = mat[ids == 0][0]
     qn = q / (np.linalg.norm(q) or 1.0)
-    probe = set(np.argsort(-(cents @ qn))[:4].astype(int).tolist())
+    # cosine probe ranking, mirroring similarity/ivf.ivf_knn exactly
+    # (both sides normalize the centroid rows before the dot)
+    pcn = np.linalg.norm(cents, axis=1, keepdims=True)
+    pcn[pcn == 0] = 1.0
+    probe = set(
+        np.argsort(-((cents / pcn) @ qn))[:4].astype(int).tolist()
+    )
     cand = np.array(
         [i for i in range(len(ids)) if int(all_assign[i]) in probe]
     )

@@ -74,22 +74,54 @@ def train_centroids(
     keys_l: List[np.ndarray] = []
     ids_l: List[np.ndarray] = []
     mats: List[np.ndarray] = []
+    held = 0
+
+    def _compact() -> None:
+        """Keep only the global sample_size smallest (key, id) rows
+        accumulated so far — smallest-k selection is associative, so
+        rolling compaction yields the identical final sample while
+        bounding driver memory at ~4x the sample regardless of corpus
+        size (per-block pruning alone is no bound when blocks are
+        smaller than sample_size)."""
+        nonlocal keys_l, ids_l, mats, held
+        keys = np.concatenate(keys_l)
+        ids = np.concatenate(ids_l)
+        mat = np.concatenate(mats)
+        sel = np.lexsort((ids, keys))[:sample_size]
+        keys_l, ids_l, mats = [keys[sel]], [ids[sel]], [mat[sel]]
+        held = len(sel)
+
     for batch in (
         ds.select_columns([id_col, vec_col])
         .map_batches(_local_sample, batch_format="pyarrow", batch_size=4096)
         .iter_batches(batch_size=4096, batch_format="pyarrow")
     ):
+        if batch.num_rows == 0:
+            continue
         keys_l.append(
             batch.column("__key").to_numpy(zero_copy_only=False)
         )
         ids_l.append(batch.column("__id").to_numpy(zero_copy_only=False))
         mats.append(_batch_matrix(batch, "__vec"))
+        held += batch.num_rows
+        if held > 4 * sample_size:
+            _compact()
+    if not keys_l:
+        raise ValueError(
+            "train_centroids: no embedding rows — the input dataset "
+            "is empty (or every row was filtered upstream)"
+        )
     keys = np.concatenate(keys_l)
     ids = np.concatenate(ids_l)
     mat = np.concatenate(mats)
     order = np.lexsort((ids, keys))[:sample_size]
     order = order[np.argsort(ids[order], kind="stable")]
     x = mat[order]
+    if dim and x.shape[1] != dim:
+        raise ValueError(
+            f"train_centroids: embedding dim {x.shape[1]} != declared "
+            f"dim {dim} (pass dim=0 to skip the check)"
+        )
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
     x = x / norms
@@ -117,6 +149,10 @@ def assign_ivf_buckets(
     c_ref = ray.put(centroids)
 
     def _assign(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "ivf_bucket", pa.array([], pa.int32())
+            )
         cents = ray.get(c_ref)
         mat = _batch_matrix(batch, vec_col)
         sims = _cosine(mat, cents)
@@ -144,8 +180,15 @@ def ivf_knn(
     """
     query = np.asarray(query, dtype=np.float64)
     qn = query / (np.linalg.norm(query) or 1.0)
+    # probe ranking must use COSINE like assignment does — raw dot
+    # products against unnormalized user-supplied centroids would
+    # bias probing toward large-norm centroids and silently miss the
+    # buckets the true neighbors were assigned to
+    cents = np.asarray(centroids, dtype=np.float64)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    cn[cn == 0] = 1.0
     probe = set(
-        np.argsort(-(centroids @ qn))[:n_probe].astype(int).tolist()
+        np.argsort(-((cents / cn) @ qn))[:n_probe].astype(int).tolist()
     )
     probe_ref = ray.put(probe)
     q_ref = ray.put(qn)

@@ -6,12 +6,11 @@
   driver merge handles k*num_blocks rows, never the full table. This is
   the baseline and the correctness oracle (DuckDB
   ``list_cosine_similarity`` reproduces it exactly in float64).
-- ``lsh_knn``: the scale path — random-hyperplane LSH buckets (seeded)
-  prune candidates before the exact rerank; recall < 1.0 by design, so
-  it is benchmarked against brute force rather than oracle-checked.
-- ``embedding_near_dup_pairs``: near-duplicate detection at cosine >=
-  threshold via the same LSH bucketing (groupby bucket -> in-bucket
-  pairwise cosine).
+- ``add_lsh_bucket`` / ``embedding_near_dup_pairs``: the LSH scale
+  path — random-hyperplane buckets (seeded) prune candidates before
+  the exact in-bucket pairwise cosine; recall < 1.0 by design, so it
+  is benchmarked against brute force rather than oracle-checked.
+  ``similarity/ivf.py`` holds the IVF scale path for top-k queries.
 """
 
 from __future__ import annotations
@@ -25,15 +24,86 @@ from ray.data import Dataset
 
 
 def _batch_matrix(batch: pa.Table, vec_col: str) -> np.ndarray:
-    """list<float> column -> (n, d) float64 matrix (zero-copy flatten)."""
+    """list<float> column -> (n, d) float64 matrix (zero-copy flatten).
+
+    Validates the fixed-dim contract LOUDLY: pyarrow's ``flatten()``
+    silently drops null list slots and concatenates ragged lists, so
+    without the checks a single dirty row either crashes the reshape
+    or — worse — shifts every following row's vector and silently
+    corrupts all downstream similarities."""
     col = batch.column(vec_col)
     if col.num_chunks == 1:
         arr = col.chunk(0)
     else:
         arr = col.combine_chunks()
-    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
     n = len(arr)
-    return flat.reshape(n, -1)
+    if n == 0:
+        return np.empty((0, 0), dtype=np.float64)
+    if arr.null_count:
+        raise ValueError(
+            f"{vec_col!r} has {arr.null_count} null vector(s) — drop "
+            "or impute null embeddings first "
+            "(pipelines/analysis.drop_null_keys)"
+        )
+    import pyarrow.compute as pc
+
+    lens = pc.list_value_length(arr).to_numpy(zero_copy_only=False)
+    d = int(lens[0])
+    if (lens != d).any():
+        raise ValueError(
+            f"{vec_col!r} is ragged (lengths {int(lens.min())}.."
+            f"{int(lens.max())}) — fixed-dimension vectors required"
+        )
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(n, d)
+
+
+# pairwise-similarity block edge: temporaries bounded at
+# _PAIR_CHUNK^2 float64 (~32 MiB) regardless of group size
+_PAIR_CHUNK = 2048
+
+
+def _cluster_edges(
+    unit: np.ndarray, threshold: float, want_sims: bool = False
+):
+    """(i, j[, cos]) index pairs (i < j) with cosine >= threshold,
+    computed in _PAIR_CHUNK x _PAIR_CHUNK blocks over the upper
+    triangle — the ONE bounded pairwise kernel (semdedup's clusters
+    and the LSH near-dup buckets both hit skewed groups where an
+    unchunked n x n allocation OOMs a worker)."""
+    n = len(unit)
+    ai, aj, av = [], [], []
+    for r0 in range(0, n, _PAIR_CHUNK):
+        r1 = min(r0 + _PAIR_CHUNK, n)
+        rows = unit[r0:r1]
+        for c0 in range(r0, n, _PAIR_CHUNK):
+            c1 = min(c0 + _PAIR_CHUNK, n)
+            sims = rows @ unit[c0:c1].T
+            if c0 == r0:
+                # strict upper triangle of the diagonal block
+                ii, jj = np.triu_indices(r1 - r0, k=1, m=c1 - c0)
+                hit = sims[ii, jj] >= threshold
+                ai.append(ii[hit] + r0)
+                aj.append(jj[hit] + c0)
+                if want_sims:
+                    av.append(sims[ii[hit], jj[hit]])
+            else:
+                ii, jj = np.nonzero(sims >= threshold)
+                ai.append(ii + r0)
+                aj.append(jj + c0)
+                if want_sims:
+                    av.append(sims[ii, jj])
+    if not ai:
+        ei = np.array([], np.int64)
+        ej = np.array([], np.int64)
+        return (ei, ej, np.array([], np.float64)) if want_sims else (
+            ei, ej,
+        )
+    ei = np.concatenate(ai).astype(np.int64)
+    ej = np.concatenate(aj).astype(np.int64)
+    if want_sims:
+        return ei, ej, np.concatenate(av).astype(np.float64)
+    return ei, ej
 
 
 def _cosine(mat: np.ndarray, queries: np.ndarray) -> np.ndarray:
@@ -65,6 +135,14 @@ def brute_force_knn(
     excl = set(exclude_ids or [])
 
     def _local_topk(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
         q = ray.get(q_ref)
         ids = batch.column(id_col).to_numpy(zero_copy_only=False)
         mat = _batch_matrix(batch, vec_col)
@@ -121,13 +199,31 @@ def add_lsh_bucket(
     vec_col: str = "embedding",
 ) -> Dataset:
     """Add a random-hyperplane LSH ``bucket`` column (uint32)."""
+    if not 1 <= bits <= 32:
+        raise ValueError(
+            f"add_lsh_bucket: bits must be in [1, 32] (uint32 bucket "
+            f"codes), got {bits} — bit weights past 32 silently wrap "
+            "to 0 and collapse buckets"
+        )
     h_ref = ray.put(_hyperplanes(dim, bits, seed))
 
     def _bucketize(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch.append_column(
+                "bucket", pa.array([], pa.uint32())
+            )
         h = ray.get(h_ref)
         mat = _batch_matrix(batch, vec_col)
+        if mat.shape[1] != h.shape[0]:
+            raise ValueError(
+                f"add_lsh_bucket: embedding dim {mat.shape[1]} != "
+                f"index dim {h.shape[0]} — pass the vectors' true "
+                "dimension"
+            )
         signs = (mat @ h) > 0
-        weights = (1 << np.arange(signs.shape[1])).astype(np.uint32)
+        weights = (
+            1 << np.arange(signs.shape[1], dtype=np.uint64)
+        ).astype(np.uint32)
         buckets = (signs @ weights).astype(np.uint32)
         return batch.append_column(
             "bucket", pa.array(buckets, pa.uint32())
@@ -161,15 +257,21 @@ def embedding_near_dup_pairs(
             )
         ids = group.column(id_col).to_numpy(zero_copy_only=False)
         mat = _batch_matrix(group, vec_col)
-        sims = _cosine(mat, mat)
-        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        # chunked upper-triangle kernel: a skewed bucket (near-dup-
+        # heavy corpora hash similar vectors together by construction)
+        # must not allocate an unbounded n x n block in one worker
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0] = 1.0
+        i, j, cos = _cluster_edges(
+            mat / norms, threshold, want_sims=True
+        )
         lo = np.minimum(ids[i], ids[j]).astype(np.int64)
         hi = np.maximum(ids[i], ids[j]).astype(np.int64)
         return pa.table(
             {
                 "a": pa.array(lo),
                 "b": pa.array(hi),
-                "cos": pa.array(sims[i, j], pa.float64()),
+                "cos": pa.array(cos, pa.float64()),
             }
         )
 

@@ -39,42 +39,10 @@ from ray.data import Dataset
 
 from ..dedupe.apply import broadcast_sorted, filter_members
 from .ivf import assign_ivf_buckets, train_centroids
-from .knn import _batch_matrix
-
-# pairwise-similarity block edge: temporaries bounded at
-# _PAIR_CHUNK^2 float64 (~32 MiB) regardless of cluster size
-_PAIR_CHUNK = 2048
-
-
-def _cluster_edges(
-    unit: np.ndarray, threshold: float
-) -> Tuple[np.ndarray, np.ndarray]:
-    """(i, j) index pairs (i < j) with cosine >= threshold, computed in
-    _PAIR_CHUNK x _PAIR_CHUNK blocks over the upper triangle."""
-    n = len(unit)
-    ai, aj = [], []
-    for r0 in range(0, n, _PAIR_CHUNK):
-        r1 = min(r0 + _PAIR_CHUNK, n)
-        rows = unit[r0:r1]
-        for c0 in range(r0, n, _PAIR_CHUNK):
-            c1 = min(c0 + _PAIR_CHUNK, n)
-            sims = rows @ unit[c0:c1].T
-            if c0 == r0:
-                # strict upper triangle of the diagonal block
-                ii, jj = np.triu_indices(r1 - r0, k=1, m=c1 - c0)
-                hit = sims[ii, jj] >= threshold
-                ai.append(ii[hit] + r0)
-                aj.append(jj[hit] + c0)
-            else:
-                ii, jj = np.nonzero(sims >= threshold)
-                ai.append(ii + r0)
-                aj.append(jj + c0)
-    if not ai:
-        return np.array([], np.int64), np.array([], np.int64)
-    return (
-        np.concatenate(ai).astype(np.int64),
-        np.concatenate(aj).astype(np.int64),
-    )
+from .knn import _batch_matrix, _cluster_edges  # noqa: F401 — the ONE
+# chunked pairwise kernel lives in knn.py (shared with the LSH
+# near-dup path); temporaries stay bounded at _PAIR_CHUNK^2 float64
+# regardless of cluster size
 
 
 def _union_find_components(
@@ -171,38 +139,73 @@ def semdedup(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     centroids: Optional[np.ndarray] = None,
+    mask_limit: Optional[int] = None,
 ) -> Tuple[Dataset, np.ndarray]:
     """Full SemDeDup pass: returns (deduplicated dataset, dropped ids).
 
-    The dropped-id set is one sorted int64 broadcast object (8 B per
-    duplicate) probed per batch with searchsorted — dup populations up
-    to DEFAULT_MASK_BROADCAST_LIMIT deliver without a shuffle; beyond
-    that, anti-join the narrow id projection exactly as
-    ``dedupe/lines.py`` does (dup share that large means the corpus is
-    mostly duplicates — re-examine the threshold first)."""
+    Delivery is size-adaptive: up to ``mask_limit`` dropped ids (8 B
+    each, default DEFAULT_MASK_BROADCAST_LIMIT) the sorted set
+    broadcasts and a vectorized searchsorted mask filters without a
+    shuffle; beyond that the narrow dropped-id dataset LEFT-ANTI-joins
+    the corpus (nested payload columns packed for Acero, dedupe/apply
+    machinery) and the dropped ids are never collected to the driver —
+    the second return value is then an empty array (a dup population
+    that large should be consumed from the written output, not a
+    driver list)."""
+    from ..dedupe.apply import DEFAULT_MASK_BROADCAST_LIMIT
+
     if centroids is None:
         centroids = train_centroids(
             ds, dim, n_centroids=n_centroids, vec_col=vec_col,
             id_col=id_col,
         )
     indexed = assign_ivf_buckets(ds, centroids, vec_col=vec_col)
-    dropped_tbl = semdedup_dropped_ids(
+    dropped_ds = semdedup_dropped_ids(
         indexed, centroids, threshold=threshold, keep=keep,
         vec_col=vec_col, id_col=id_col,
-    )
+    ).materialize()  # narrow id-only table; executed exactly once
+    if mask_limit is None:
+        mask_limit = DEFAULT_MASK_BROADCAST_LIMIT
+    n_dropped = dropped_ds.count()
+    if n_dropped == 0:
+        return ds, np.array([], np.int64)
+    if n_dropped > mask_limit:
+        # join delivery: dup ids stay in the object store
+        from ..dedupe.apply import (
+            nested_types, pack_nested, unpack_nested,
+        )
+        from ..dedupe.combine import auto_partitions, tune_shuffle_context
+
+        tune_shuffle_context()
+        schema = ds.schema()
+        nested = nested_types(schema.base_schema, exclude=(id_col,))
+        packed = (
+            ds.map_batches(pack_nested(nested), batch_format="pyarrow")
+            if nested
+            else ds
+        )
+        kept = packed.join(
+            dropped_ds,
+            join_type="left_anti",
+            num_partitions=auto_partitions(),
+            on=(id_col,),
+        )
+        if nested:
+            kept = kept.map_batches(
+                unpack_nested(nested), batch_format="pyarrow"
+            )
+        return kept, np.array([], np.int64)
     dropped = np.sort(
         np.concatenate(
             [
                 b.column(id_col).to_numpy(zero_copy_only=False)
-                for b in dropped_tbl.iter_batches(
+                for b in dropped_ds.iter_batches(
                     batch_size=65536, batch_format="pyarrow"
                 )
             ]
             or [np.array([], np.int64)]
         ).astype(np.int64)
     )
-    if len(dropped) == 0:
-        return ds, dropped
     ref = broadcast_sorted(dropped)
     kept = filter_members(ds, id_col, ref, keep_members=False)
     return kept, dropped

@@ -114,7 +114,7 @@ def test_cluster_edges_matches_naive_and_chunking():
     }
     assert got == want
     # force multi-block path
-    import redpajama_data_ray.similarity.semdedup as sd
+    import redpajama_data_ray.similarity.knn as sd  # kernel home
 
     old = sd._PAIR_CHUNK
     sd._PAIR_CHUNK = 64

@@ -341,3 +341,130 @@ class TestRealAudioDecode:
         )
         with _pytest.raises(NotImplementedError, match="codec"):
             decode_wav(payload)
+
+
+# ---- round-9 review hardening --------------------------------------
+
+import ray.data as rd  # noqa: E402
+
+
+def test_batch_matrix_rejects_null_and_ragged():
+    from redpajama_data_ray.similarity.knn import _batch_matrix
+
+    nulls = pa.table(
+        {"embedding": pa.array([[1.0, 2.0], None], pa.list_(pa.float64()))}
+    )
+    with pytest.raises(ValueError, match="null vector"):
+        _batch_matrix(nulls, "embedding")
+    ragged = pa.table(
+        {
+            "embedding": pa.array(
+                [[1.0, 2.0], [3.0]], pa.list_(pa.float64())
+            )
+        }
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        _batch_matrix(ragged, "embedding")
+    empty = pa.table(
+        {"embedding": pa.array([], pa.list_(pa.float64()))}
+    )
+    assert _batch_matrix(empty, "embedding").shape == (0, 0)
+
+
+def test_add_lsh_bucket_guards():
+    from redpajama_data_ray.similarity.knn import add_lsh_bucket
+
+    t = pa.table(
+        {
+            "vec_id": pa.array([1], pa.int64()),
+            "embedding": pa.array([[1.0] * 4], pa.list_(pa.float64())),
+        }
+    )
+    with pytest.raises(ValueError, match="bits must be in"):
+        add_lsh_bucket(rd.from_arrow(t), dim=4, bits=40)
+    with pytest.raises(Exception, match="embedding dim"):
+        add_lsh_bucket(rd.from_arrow(t), dim=16, bits=8).materialize()
+
+
+def test_train_centroids_bounded_merge_is_partition_invariant():
+    from redpajama_data_ray.similarity.ivf import train_centroids
+
+    rng = np.random.default_rng(3)
+    n = 3000  # > 4 x sample_size: the rolling driver compaction fires
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(
+                rng.normal(size=(n, 8)).tolist(), pa.list_(pa.float64())
+            ),
+        }
+    )
+    a = train_centroids(
+        rd.from_arrow(t), dim=8, n_centroids=8, sample_size=256
+    )
+    b = train_centroids(
+        rd.from_arrow(t).repartition(11), dim=8, n_centroids=8,
+        sample_size=256,
+    )
+    np.testing.assert_array_equal(a, b)
+    with pytest.raises(ValueError, match="declared dim"):
+        train_centroids(rd.from_arrow(t), dim=16, sample_size=64)
+    empty = t.schema.empty_table()
+    with pytest.raises(ValueError, match="no embedding rows"):
+        train_centroids(rd.from_arrow(empty), dim=8)
+
+
+def test_ivf_probe_uses_cosine_not_raw_dot():
+    from redpajama_data_ray.similarity.ivf import (
+        assign_ivf_buckets, ivf_knn,
+    )
+
+    # centroid 0: tiny norm, aligned with the query; centroid 1: huge
+    # norm, orthogonal. Raw-dot probing would rank centroid 1 first
+    # and n_probe=1 would miss the true neighbor.
+    cents = np.array(
+        [[1e-3, 0.0], [0.0, 1e3]], dtype=np.float64
+    )
+    t = pa.table(
+        {
+            "vec_id": pa.array([1, 2], pa.int64()),
+            "embedding": pa.array(
+                [[1.0, 0.05], [0.05, 1.0]], pa.list_(pa.float64())
+            ),
+        }
+    )
+    indexed = assign_ivf_buckets(rd.from_arrow(t), cents)
+    out = ivf_knn(
+        indexed, cents, np.array([1.0, 0.0]), k=1, n_probe=1
+    ).to_pandas()
+    assert list(out.vec_id) == [1]
+
+
+def test_semdedup_join_delivery_matches_broadcast(tmp_path):
+    from redpajama_data_ray.similarity.semdedup import semdedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    vecs = [base + rng.normal(scale=1e-3, size=8) for _ in range(4)]
+    vecs += [rng.normal(size=8) for _ in range(40)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(len(vecs), dtype=np.int64)),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    kept_b, dropped_b = semdedup(
+        rd.from_arrow(t), dim=8, n_centroids=4, threshold=0.9
+    )
+    kept_j, dropped_j = semdedup(
+        rd.from_arrow(t), dim=8, n_centroids=4, threshold=0.9,
+        mask_limit=1,  # force the anti-join delivery
+    )
+    assert len(dropped_b) >= 3  # the 4-clone cluster drops 3 (+ any
+    # incidental random near-dups at this threshold/dim)
+    assert len(dropped_j) == 0  # join path never collects the ids
+    assert sorted(kept_j.to_pandas().vec_id) == sorted(
+        kept_b.to_pandas().vec_id
+    )
