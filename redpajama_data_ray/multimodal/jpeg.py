@@ -428,7 +428,10 @@ def encode_jpeg(
     out += b"\xff\xe0" + _u16(len(app0) + 2) + app0
     # DQT
     for tid, qt in enumerate([qt_l] + ([qt_c] if not gray else [])):
-        seg = bytes([tid]) + bytes(int(x) for x in qt)
+        # DQT bytes are ZIGZAG-ordered per T.81 (the natural-order
+        # table scrambled every external decoder's dequantization;
+        # our own decoder reads zigzag, so roundtrips sharpened too)
+        seg = bytes([tid]) + bytes(int(x) for x in qt[ZIGZAG])
         out += b"\xff\xdb" + _u16(len(seg) + 2) + seg
     # SOF0
     ncomp = len(comps)
@@ -481,7 +484,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG: lone 0xFF at end of payload")
         marker = payload[pos + 1]
+        if marker == 0xFF:  # T.81 B.1.1.2: fill bytes before a marker
+            pos += 1
+            continue
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
@@ -565,6 +573,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos = body_end
     if scan_pos is None or not comps:
         raise ValueError("truncated JPEG: no SOS/SOF found")
+    if len(scan_comps) != len(comps):
+        raise NotImplementedError(
+            f"multi-scan (non-interleaved) baseline JPEG not "
+            f"supported: first scan covers {len(scan_comps)} of "
+            f"{len(comps)} components"
+        )
 
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)

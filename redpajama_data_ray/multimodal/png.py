@@ -97,7 +97,7 @@ def _unfilter(raw: bytes, h: int, w: int, c: int) -> "np.ndarray":
 
 def decode_png(payload: bytes) -> "np.ndarray":
     """PNG bytes -> (h, w, 3) uint8 RGB (alpha dropped, gray
-    replicated). 8-bit non-interlaced only; palette/16-bit/interlaced
+    replicated). 8-bit only (Adam7 interlace supported); palette/16-bit
     raise NotImplementedError."""
     if payload[:8] != _SIG:
         raise ValueError("not a PNG")

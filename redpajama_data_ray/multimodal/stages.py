@@ -128,18 +128,31 @@ def decode_image(payload: bytes) -> "np.ndarray":
         w, h, maxval = vals
         if maxval > 255:
             raise NotImplementedError("16-bit netpbm not supported")
+
+        def _scale(a: np.ndarray) -> np.ndarray:
+            # netpbm samples are stored 0..maxval — scale to the 0..255
+            # pixel range (a maxval=15 PGM is NOT a near-black image)
+            if maxval == 255:
+                return a.copy()
+            return np.round(
+                a.astype(np.float64) * (255.0 / maxval)
+            ).astype(np.uint8)
+
         if payload[:2] == b"P6":
             arr = np.frombuffer(
                 payload[pos : pos + w * h * 3], dtype=np.uint8
             ).reshape(h, w, 3)
-            return arr.copy()
-        arr = np.frombuffer(
-            payload[pos : pos + w * h], dtype=np.uint8
-        ).reshape(h, w)
+            return _scale(arr)
+        arr = _scale(
+            np.frombuffer(
+                payload[pos : pos + w * h], dtype=np.uint8
+            ).reshape(h, w)
+        )
         return np.repeat(arr[:, :, None], 3, axis=2)
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
         # dependency-free: stdlib zlib inflate + filter reconstruction
-        # (multimodal/png.py; 8-bit non-interlaced, all 5 filters)
+        # (multimodal/png.py; 8-bit incl. Adam7 interlace, all 5
+        # filters)
         from .png import decode_png
 
         return decode_png(payload)
@@ -187,7 +200,8 @@ class DecodeImageStage:
         for p in payloads:
             p = p or b""
             if self.decode_fn == "real":
-                # genuine decode (BMP / netpbm) + nearest resize;
+                # genuine decode (BMP / netpbm / PNG / baseline
+                # JPEG) + nearest resize;
                 # compressed formats raise with the needed library
                 px = resize_nearest(decode_image(p), self.size)
             else:
