@@ -166,7 +166,10 @@ def decontaminate(
     elif isinstance(benchmark, ray.ObjectRef):
         ref = benchmark
     else:
-        ref = ray.put(np.asarray(benchmark, np.int64))
+        # the probe is a searchsorted — sort defensively (the array
+        # is being copied anyway); an unsorted caller-built key array
+        # would silently miss hits, not error
+        ref = ray.put(np.sort(np.asarray(benchmark, np.int64)))
 
     def scan(t: pa.Table) -> pa.Table:
         sv = ray.get(ref)
@@ -181,13 +184,15 @@ def decontaminate(
             hit = np.zeros(len(flat), bool)
         n_grams = np.diff(gram_bounds)
         if len(hit):
-            n_hits = np.add.reduceat(
-                hit.astype(np.int64),
-                np.minimum(gram_bounds[:-1], len(hit) - 1),
+            # cumsum-difference segment sums: exact for empty
+            # segments. (np.add.reduceat with clipped indices STOLE
+            # the final gram's hit from the last gram-bearing doc
+            # whenever a zero-gram doc followed it in the batch —
+            # the contaminated doc then passed mode='filter'.)
+            cs = np.concatenate(
+                ([0], np.cumsum(hit.astype(np.int64)))
             )
-            # reduceat repeats the value at equal indices (docs with 0
-            # grams); zero them out explicitly
-            n_hits[n_grams == 0] = 0
+            n_hits = cs[gram_bounds[1:]] - cs[gram_bounds[:-1]]
         else:
             n_hits = np.zeros(t.num_rows, np.int64)
         if mode == "filter":
