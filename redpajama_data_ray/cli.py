@@ -856,10 +856,17 @@ def cmd_domain_cap(args) -> dict:
 def _whole_tokens(v: str) -> int:
     """Token budgets in plain or scientific notation (2e11 is how
     real mixes are written); fractional values are rejected."""
+    import math
+
     try:
         return int(v)
     except ValueError:
         f = float(v)  # ValueError propagates for non-numbers
+        if not math.isfinite(f):
+            # int(inf/nan) raises OverflowError, which would escape
+            # both argparse's ValueError handling and the
+            # --group-budget except clause as a raw traceback
+            raise ValueError(f"{v!r} is not a finite token count")
         i = int(f)
         if f != i:
             raise ValueError(f"{v!r} is not a whole number")

@@ -117,6 +117,19 @@ def grouped_split(
     thrs[-1] = "g"  # absorbs rounding: every hex digit < 'g'
     thr_arr = np.array([t.encode() for t in thrs], dtype="S16")
 
+    # eager collision check when the schema is already known (metadata
+    # -only — fetch_if_missing=False never triggers execution), so the
+    # CLI's constructor-time try/except catches it instead of a
+    # RayTaskError surfacing later at write time; the per-batch check
+    # below stays as the backstop for lazily-typed inputs
+    known = ds.schema(fetch_if_missing=False)
+    if known is not None and out_col in known.names:
+        raise ValueError(
+            f"grouped_split: input already has a {out_col!r} column — "
+            "pass a different out_col (or drop the existing one) "
+            "instead of silently shadowing it"
+        )
+
     def _assign(t: pa.Table) -> pa.Table:
         if out_col in t.column_names:
             raise ValueError(
@@ -206,16 +219,49 @@ def _prev_count_rows(prev_counts: Dataset) -> Dataset:
     return prev_counts.map_batches(_mk, batch_format="pyarrow")
 
 
+def _strip_block_sentinels(tbl, nparts: int, what: str):
+    """Split the per-finalize-call sentinel rows (``g`` null — real
+    group keys are str()-normalized, never null) off a materialized
+    threshold/boundary/cut table and assert the one-block-per-
+    keyed-partition invariant the finalize kernels rely on: each
+    finalize call emits exactly one sentinel, so more sentinels than
+    shuffle partitions means Ray split a partition's output into
+    multiple blocks — fragments of one group could then each look
+    locally under-cap and silently keep everything (ADVICE r4).
+    Returns ``(real_rows_dataset, n_real)``."""
+    import pyarrow.compute as pc
+
+    n_total = tbl.count()
+
+    def _drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column("g")))
+
+    real = tbl.map_batches(_drop, batch_format="pyarrow").materialize()
+    n_real = real.count()
+    if n_total - n_real > nparts:
+        raise RuntimeError(
+            f"{what}: {n_total - n_real} finalize blocks for {nparts} "
+            "keyed partitions — the shuffle split a partition's "
+            "output across blocks, so a group's partials may have "
+            "been finalized in fragments (silent under-enforcement). "
+            "Raise DataContext.target_max_block_size or lower the "
+            "partial volume (smaller cap / fewer input blocks)."
+        )
+    return real, n_real
+
+
 def _cap_thresholds(cap: int):
     """Per co-located group: this run's composite keys (+ optional
     cross-run state rows, marked ``h == ''`` and sorting first within
     the group) → at most one threshold row. ``thr_h == ''`` is the
     DROP-ALL marker (no md5 hex compares below the empty string, so
     the unchanged filter kernel keeps nothing); no row means the
-    group is under its remaining quota."""
+    group is under its remaining quota. Every call additionally emits
+    one ``g = null`` sentinel row so the driver can count finalize
+    blocks against shuffle partitions (:func:`_strip_block_sentinels`)."""
 
     def _finalize(t: pa.Table) -> pa.Table:
-        out_g, out_h, out_id = [], [], []
+        out_g, out_h, out_id = [None], [""], [""]
         if t.num_rows:
             g = np.array(t.column("g").to_pylist(), dtype=object)
             h = np.array(t.column("h").to_pylist(), dtype="S16")
@@ -292,9 +338,10 @@ def cap_per_group(
     )
     if prev_counts is not None:
         partials = partials.union(_prev_count_rows(prev_counts))
+    nparts = auto_partitions()
     with scoped_hash_shuffle(partials.context):
         thr_tbl = (
-            partials.repartition(auto_partitions(), keys=["g"])
+            partials.repartition(nparts, keys=["g"])
             .map_batches(
                 _cap_thresholds(cap),
                 batch_format="pyarrow",
@@ -303,7 +350,9 @@ def cap_per_group(
             )
             .materialize()
         )
-    n_thr = thr_tbl.count()
+    thr_tbl, n_thr = _strip_block_sentinels(
+        thr_tbl, nparts, "cap_per_group"
+    )
     if n_thr == 0:
         return ds  # no group exceeds the quota
     if n_thr > max_broadcast_groups:
@@ -566,8 +615,10 @@ def token_budget_sample(
 
     def _boundaries(t: pa.Table) -> pa.Table:
         """Per co-located group: boundary bucket + budget remaining
-        entering it (groups under budget emit nothing)."""
-        out_g, out_b, out_rem = [], [], []
+        entering it (groups under budget emit nothing). Each call
+        emits one ``g = null`` sentinel row for the block-split
+        canary (:func:`_strip_block_sentinels`)."""
+        out_g, out_b, out_rem = [None], [""], [0.0]
         if t.num_rows:
             g = np.array(t.column("g").to_pylist(), dtype=object)
             b = np.array(t.column("b").to_pylist(), dtype="S2")
@@ -643,9 +694,10 @@ def token_budget_sample(
     hist = ds.map_batches(_hist, batch_format="pyarrow")
     if prev_tokens is not None:
         hist = hist.union(_prev_token_rows(prev_tokens))
+    nparts = auto_partitions()
     with scoped_hash_shuffle(hist.context):
         bounds = (
-            hist.repartition(auto_partitions(), keys=["g"])
+            hist.repartition(nparts, keys=["g"])
             .map_batches(
                 _boundaries,
                 batch_format="pyarrow",
@@ -654,7 +706,9 @@ def token_budget_sample(
             )
             .materialize()
         )
-    n_b = bounds.count()
+    bounds, n_b = _strip_block_sentinels(
+        bounds, nparts, "token_budget_sample[boundaries]"
+    )
     if n_b == 0:
         return ds  # every group under budget
     if n_b > max_broadcast_groups:
@@ -723,8 +777,10 @@ def token_budget_sample(
 
     def _cuts(t: pa.Table) -> pa.Table:
         """Per group: walk the boundary bucket in composite order and
-        pin the cut key (last row whose exclusive prefix < rem)."""
-        out_g, out_h, out_id = [], [], []
+        pin the cut key (last row whose exclusive prefix < rem). Each
+        call emits one ``g = null`` sentinel row for the block-split
+        canary (:func:`_strip_block_sentinels`)."""
+        out_g, out_h, out_id = [None], [""], [""]
         if t.num_rows:
             g = np.array(t.column("g").to_pylist(), dtype=object)
             h = np.array(t.column("h").to_pylist(), dtype="S16")
@@ -767,7 +823,7 @@ def token_budget_sample(
     refined = ds.map_batches(_refine, batch_format="pyarrow")
     with scoped_hash_shuffle(refined.context):
         cut_tbl = (
-            refined.repartition(auto_partitions(), keys=["g"])
+            refined.repartition(nparts, keys=["g"])
             .map_batches(
                 _cuts,
                 batch_format="pyarrow",
@@ -776,6 +832,9 @@ def token_budget_sample(
             )
             .materialize()
         )
+    cut_tbl, _ = _strip_block_sentinels(
+        cut_tbl, nparts, "token_budget_sample[cuts]"
+    )
     cut_rows = cut_tbl.take_all()
     cuts = {
         r["g"]: (r["h"].encode(), r["id_s"]) for r in cut_rows

@@ -1217,6 +1217,55 @@ def q_part_brand_stats(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
+def q_relational_summary(sf_dir: str) -> "pa.Table":
+    """The five TPC-H-style relational pipelines (broadcast join,
+    large-x-large Dataset.join, TPC-H Q1 grouped aggregate, three-way
+    dim join, plain groupby) folded into ONE long-format table so all
+    five stay inside the driver's 50-query correctness window
+    (VERDICT r4 item 1 — the ``doc_signal_summary`` consolidation
+    pattern). Each section keeps its own grouping keys, rounding and
+    metrics; unused metric slots are NULL, unused key slots ''."""
+    sections = [
+        ("mktsegment", q_orders_by_mktsegment,
+         ["mktsegment"], "n_orders", ["total_price"]),
+        ("priority", q_order_priority_revenue,
+         ["orderpriority"], "n_items", ["revenue"]),
+        ("pricing", q_lineitem_pricing,
+         ["l_returnflag", "l_linestatus"], "count_order",
+         ["sum_qty", "sum_base_price", "sum_disc_price"]),
+        ("region", q_supplier_region_stats,
+         ["region"], "n_suppliers", ["avg_acctbal"]),
+        ("brand", q_part_brand_stats,
+         ["brand"], "n_parts", ["avg_size", "total_price"]),
+    ]
+    parts = []
+    for sec, fn, keys, ncol, mcols in sections:
+        t = fn(sf_dir)
+        nrows = t.num_rows
+        k2 = (
+            t.column(keys[1]).cast(pa.string())
+            if len(keys) > 1
+            else pa.array([""] * nrows, pa.string())
+        )
+        m = [t.column(c).cast(pa.float64()) for c in mcols]
+        while len(m) < 3:
+            m.append(pa.nulls(nrows, pa.float64()))
+        parts.append(
+            pa.table(
+                {
+                    "section": pa.array([sec] * nrows, pa.string()),
+                    "k1": t.column(keys[0]).cast(pa.string()),
+                    "k2": k2,
+                    "n": t.column(ncol).cast(pa.int64()),
+                    "m1": m[0],
+                    "m2": m[1],
+                    "m3": m[2],
+                }
+            )
+        )
+    return pa.concat_tables(parts)
+
+
 # ------------------------------------------------------------------
 # similarity search
 # ------------------------------------------------------------------
@@ -1712,6 +1761,36 @@ ORACLE_SQL: Dict[str, str] = {
         from embeddings e join documents d on d.doc_id = e.vec_id
         group by 1
     """,
+    "relational_summary": """
+        select 'mktsegment' as section, c.c_mktsegment as k1, '' as k2,
+               count(*) as n, round(sum(o.o_totalprice), 2) as m1,
+               cast(null as double) as m2, cast(null as double) as m3
+        from orders o join customer c on o.o_custkey = c.c_custkey
+        group by 2
+        union all
+        select 'priority', o.o_orderpriority, '', count(*),
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2),
+               null, null
+        from lineitem l join orders o on l.l_orderkey = o.o_orderkey
+        group by 2
+        union all
+        select 'pricing', l_returnflag, l_linestatus, count(*),
+               round(sum(l_quantity), 2),
+               round(sum(l_extendedprice), 2),
+               round(sum(l_extendedprice * (1 - l_discount)), 2)
+        from lineitem group by 2, 3
+        union all
+        select 'region', r.r_name, '', count(*),
+               round(avg(s.s_acctbal), 4), null, null
+        from supplier s
+        join nation n on s.s_nationkey = n.n_nationkey
+        join region r on n.n_regionkey = r.r_regionkey
+        group by 2
+        union all
+        select 'brand', p_brand, '', count(*), round(avg(p_size), 6),
+               round(sum(p_retailprice), 2), null
+        from part group by 2
+    """,
     "orders_by_mktsegment": """
         select c.c_mktsegment as mktsegment, count(*) as n_orders,
                round(sum(o.o_totalprice), 2) as total_price
@@ -1997,10 +2076,8 @@ QUERIES = {
     "pii_scrub_docs": q_pii_scrub_docs,
     "top_docs_by_chars": q_top_docs_by_chars,
     "embedding_label_stats": q_embedding_label_stats,
-    "orders_by_mktsegment": q_orders_by_mktsegment,
+    "relational_summary": q_relational_summary,
     "top_orders_per_segment": q_top_orders_per_segment,
-    "order_priority_revenue": q_order_priority_revenue,
-    "lineitem_pricing": q_lineitem_pricing,
     "events_hourly": q_events_hourly,
     "events_sliding_1h": q_events_sliding_1h,
     "events_orders_asof": q_events_orders_asof,
@@ -2009,8 +2086,6 @@ QUERIES = {
     "knn_cosine_top10": q_knn_cosine_top10,
     "jaccard_near_dup_pairs": q_jaccard_near_dup_pairs,
     "distinct_langs": q_distinct_langs,
-    "supplier_region_stats": q_supplier_region_stats,
-    "part_brand_stats": q_part_brand_stats,
     "ut1_domain_categories": q_ut1_domain_categories,
     "stratified_sample_docs": q_stratified_sample_docs,
     "token_counts": q_token_counts,

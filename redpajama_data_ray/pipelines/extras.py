@@ -18,6 +18,7 @@ import ray.data as rd
 from ray.data import Dataset
 from ray.data.aggregate import Count, Mean
 
+from . import analysis as _an
 from ..dedupe.lsh import fuzzy_dedup
 from ..dedupe.simhash import add_simhash, simhash_near_dup_pairs
 from ..pipelines.quality import QualityConfig, annotate, read_corpus
@@ -1542,11 +1543,20 @@ EXTRA_QUERIES = {
     "approx_distinct_texts": q_approx_distinct_texts,
     "corpus_flagship": q_corpus_flagship,
     "media_decode": q_media_decode,
-    # registered PAST the driver's 50-query report window (NOTES.md
-    # round-6 item 1) — covered by gate_preflight + the pytest oracle
-    # replica; do not reorder the first 50
+    # inside the driver's 50-query window since round 5 (VERDICT r4
+    # item 1): the five TPC-H-style relational queries merged into
+    # analysis.py's relational_summary, freeing exactly these slots
     "heavy_hitter_tokens": q_heavy_hitter_tokens,
     "grouped_split_docs": q_grouped_split_docs,
     "domain_cap_docs": q_domain_cap_docs,
     "token_budget_docs": q_token_budget_docs,
+    # registered PAST the driver's 50-query report window — each is a
+    # section of relational_summary (driver-verified); kept registered
+    # so gate_preflight + the adversarial soak still exercise them
+    # individually. Do not reorder the first 50.
+    "orders_by_mktsegment": _an.q_orders_by_mktsegment,
+    "order_priority_revenue": _an.q_order_priority_revenue,
+    "lineitem_pricing": _an.q_lineitem_pricing,
+    "supplier_region_stats": _an.q_supplier_region_stats,
+    "part_brand_stats": _an.q_part_brand_stats,
 }

@@ -217,6 +217,15 @@ def test_cli_token_budget(tmp_path, capsys):
     with pytest.raises(SystemExit, match="not a whole"):
         main(["token-budget", "--input", str(d), "--output", out,
               "--group-budget", "s0=abc"])
+    # infinite scientific input: int(float('1e999')) raises
+    # OverflowError — must surface as a clean argparse/SystemExit
+    # error, not a raw traceback (ADVICE r4)
+    with pytest.raises(SystemExit):
+        main(["token-budget", "--input", str(d), "--output", out,
+              "--budget", "1e999"])
+    with pytest.raises(SystemExit, match="not a whole"):
+        main(["token-budget", "--input", str(d), "--output", out,
+              "--group-budget", "s0=1e999"])
     with pytest.raises(SystemExit, match="missing column"):
         main(["token-budget", "--input", str(d), "--output", out,
               "--budget", "10", "--token-column", "n_tokens"])

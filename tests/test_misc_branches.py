@@ -68,26 +68,28 @@ def test_cli_query_list(capsys):
     from redpajama_data_ray.pipelines.extras import EXTRA_QUERIES
 
     first50 = list({**QUERIES, **EXTRA_QUERIES})[:50]
-    assert "heavy_hitter_tokens" not in first50  # extras stay past 50
+    # the individual relational sections stay registered PAST the
+    # window (their union, relational_summary, is driver-verified)
+    assert "orders_by_mktsegment" not in first50
     assert len(set(first50)) == 50
     assert set(first50) == {
         "ann_ivf_knn", "ann_lsh_buckets", "approx_distinct_texts",
         "chunk_docs", "cms_token_counts", "code_quality_docs",
         "corpus_flagship", "decontaminate_docs", "dedup_histogram",
         "distinct_langs", "doc_fingerprint", "doc_signal_summary",
-        "doc_stats_by_lang", "embedding_label_stats",
-        "embedding_near_dups", "events_hourly", "events_orders_asof",
-        "events_sessions", "events_sliding_1h", "exact_dedup_docs",
-        "fuzzy_dedup_docs", "incremental_dedup_docs",
-        "jaccard_near_dup_pairs", "knn_cosine_top10",
-        "langid_distribution", "line_dedup_docs", "lineitem_pricing",
+        "doc_stats_by_lang", "domain_cap_docs",
+        "embedding_label_stats", "embedding_near_dups",
+        "events_hourly", "events_orders_asof", "events_sessions",
+        "events_sliding_1h", "exact_dedup_docs", "fuzzy_dedup_docs",
+        "grouped_split_docs", "heavy_hitter_tokens",
+        "incremental_dedup_docs", "jaccard_near_dup_pairs",
+        "knn_cosine_top10", "langid_distribution", "line_dedup_docs",
         "media_decode", "minhash_signatures", "mix_sources_docs",
-        "order_priority_revenue", "orders_by_mktsegment",
-        "pack_sequences_docs", "part_brand_stats",
-        "perplexity_buckets", "pii_scrub_docs", "quality_filter_docs",
-        "repo_stats", "semdedup_docs", "simhash_near_dups",
-        "stratified_sample_docs", "substring_dedup_docs",
-        "supplier_region_stats", "token_counts",
+        "pack_sequences_docs", "perplexity_buckets",
+        "pii_scrub_docs", "quality_filter_docs",
+        "relational_summary", "repo_stats", "semdedup_docs",
+        "simhash_near_dups", "stratified_sample_docs",
+        "substring_dedup_docs", "token_budget_docs", "token_counts",
         "token_totals_by_source", "top_docs_by_chars",
         "top_orders_per_segment", "truncation_guard_docs",
         "ut1_domain_categories", "vocab_top_tokens",

@@ -160,10 +160,52 @@ def test_grouped_split_existing_out_col_rejected():
             "split": pa.array(["x", "y"]),
         }
     )
-    with pytest.raises(Exception, match="already has a 'split' column"):
-        grouped_split(
-            rd.from_arrow(t), {"train": 1.0}
-        ).materialize()
+    # known schema -> the collision raises EAGERLY at construction
+    # (a clean ValueError, not a RayTaskError at write time)
+    with pytest.raises(ValueError, match="already has a 'split' column"):
+        grouped_split(rd.from_arrow(t), {"train": 1.0})
+    # schema hidden behind a transform -> the per-batch backstop
+    # still catches it at execution time
+    lazy = rd.from_arrow(t).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    )
+    if lazy.schema(fetch_if_missing=False) is None:
+        with pytest.raises(Exception, match="already has a 'split' column"):
+            grouped_split(lazy, {"train": 1.0}).materialize()
+
+
+def test_block_sentinel_canary():
+    """The finalize kernels emit one g=null sentinel per call;
+    _strip_block_sentinels drops them and raises when there are more
+    finalize blocks than keyed partitions (a split partition could
+    silently under-enforce the cap)."""
+    from redpajama_data_ray.functions.splits import (
+        _strip_block_sentinels,
+    )
+
+    real = pa.table(
+        {
+            "g": pa.array(["a", "b"], pa.string()),
+            "h": pa.array(["00", "11"], pa.string()),
+            "id_s": pa.array(["1", "2"], pa.string()),
+        }
+    )
+    sent = pa.table(
+        {
+            "g": pa.array([None, None], pa.string()),
+            "h": pa.array(["", ""], pa.string()),
+            "id_s": pa.array(["", ""], pa.string()),
+        }
+    )
+    ok, n = _strip_block_sentinels(
+        rd.from_arrow(pa.concat_tables([real, sent])), 2, "t"
+    )
+    assert n == 2
+    assert sorted(ok.to_pandas()["g"]) == ["a", "b"]
+    with pytest.raises(RuntimeError, match="finalize blocks"):
+        _strip_block_sentinels(
+            rd.from_arrow(pa.concat_tables([real, sent])), 1, "t"
+        )
 
 
 from redpajama_data_ray.functions.splits import token_budget_sample  # noqa: E402
