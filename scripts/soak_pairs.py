@@ -1,0 +1,91 @@
+"""Planted-dup soak for the embedding near-dup pairs Dataset delivery
+(VERDICT r4 item 2): ~12.5M pairs must flow driver-free — consumed via
+write_parquet, never a driver list — with driver RSS flat.
+
+100 clusters x 500 near-identical vectors -> C(500,2) = 124,750 pairs
+each = 12,475,000 pairs total. The old implementation drained every
+pair into a driver dict; the Dataset path streams them to parquet.
+
+Run: python scripts/soak_pairs.py   (~1-2 min, 32 CPUs)
+"""
+import json
+import os
+import resource
+import shutil
+import sys
+import time
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+N_CLUSTERS = 100
+PER_CLUSTER = 500
+DIM = 32
+OUT = "/tmp/soak_pairs_out"
+
+
+def rss_mb() -> float:
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024
+
+
+def main() -> None:
+    ray.init(
+        address="local",
+        num_cpus=int(os.environ.get("RAY_GRAFT_CPUS", "32")),
+        include_dashboard=False,
+        logging_level="ERROR",
+    )
+    from redpajama_data_ray.similarity.knn import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((N_CLUSTERS, DIM))
+    vecs = np.repeat(centers, PER_CLUSTER, axis=0)
+    vecs += rng.standard_normal(vecs.shape) * 1e-4  # near-identical
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                list(vecs.astype(np.float32)),
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).map_batches(
+        lambda t: t, batch_size=2048, batch_format="pyarrow"
+    )
+    rss_before = rss_mb()
+    t0 = time.time()
+    pairs = embedding_near_dup_pairs(
+        ds, dim=DIM, threshold=0.999, bits=10, seed=42
+    )
+    shutil.rmtree(OUT, ignore_errors=True)
+    pairs.write_parquet(OUT)
+    wall = time.time() - t0
+    n_pairs = ray.data.read_parquet(OUT).count()
+    rss_after = rss_mb()
+    expected = N_CLUSTERS * PER_CLUSTER * (PER_CLUSTER - 1) // 2
+    print(
+        json.dumps(
+            {
+                "pairs": n_pairs,
+                "expected_min": expected,
+                "sec": round(wall, 1),
+                "driver_rss_before_mb": round(rss_before, 1),
+                "driver_rss_after_mb": round(rss_after, 1),
+                "ok": n_pairs >= expected and (rss_after - rss_before) < 500,
+            }
+        )
+    )
+    ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
