@@ -824,6 +824,7 @@ def cmd_domain_cap(args) -> dict:
                 ds, args.state_dir, args.cap,
                 group_col=args.group_column, id_col=args.id_column,
                 seed=args.seed, run_id=args.run_id,
+                delivery=args.delivery,
             )
         except ValueError as e:
             raise SystemExit(str(e))
@@ -846,6 +847,7 @@ def cmd_domain_cap(args) -> dict:
         out = cap_per_group(
             ds, args.cap, group_col=args.group_column,
             id_col=args.id_column, seed=args.seed,
+            delivery=args.delivery,
         )
     except ValueError as e:
         raise SystemExit(str(e))
@@ -943,7 +945,7 @@ def cmd_token_budget(args) -> dict:
                 token_col=args.token_column,
                 group_col=args.group_column, id_col=args.id_column,
                 seed=args.seed, run_id=args.run_id,
-                default_budget=default_arg,
+                default_budget=default_arg, delivery=args.delivery,
             )
         except ValueError as e:
             raise SystemExit(str(e))
@@ -974,6 +976,7 @@ def cmd_token_budget(args) -> dict:
             id_col=args.id_column,
             seed=args.seed,
             default_budget=default_arg,
+            delivery=args.delivery,
         )
     except ValueError as e:
         raise SystemExit(str(e))
@@ -1656,6 +1659,12 @@ def build_parser() -> argparse.ArgumentParser:
         "against each group's cap",
     )
     dcap.add_argument("--run-id", default=None)
+    dcap.add_argument(
+        "--delivery", choices=("auto", "broadcast", "join"),
+        default="auto",
+        help="threshold delivery: broadcast below the bound, key "
+        "join above it (auto), or force a path",
+    )
     dcap.set_defaults(fn=cmd_domain_cap)
 
     tbud = sub.add_parser(
@@ -1687,6 +1696,12 @@ def build_parser() -> argparse.ArgumentParser:
         "against each group's budget",
     )
     tbud.add_argument("--run-id", default=None)
+    tbud.add_argument(
+        "--delivery", choices=("auto", "broadcast", "join"),
+        default="auto",
+        help="boundary delivery: broadcast below the bound, key "
+        "join above it (auto), or force a path",
+    )
     tbud.set_defaults(fn=cmd_token_budget)
 
     pk = sub.add_parser(

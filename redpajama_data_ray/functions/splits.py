@@ -219,6 +219,114 @@ def _prev_count_rows(prev_counts: Dataset) -> Dataset:
     return prev_counts.map_batches(_mk, batch_format="pyarrow")
 
 
+_DIG_COL = "__rpray_pair_dig"
+
+
+def _gid_digests(g: "np.ndarray", id_s: "np.ndarray") -> np.ndarray:
+    """S16 blake2b digests of the length-prefixed (str(group),
+    str(id)) pair — the row identity the join delivery subtracts by.
+    Both sides (loser computation and corpus filter) str-normalize
+    identically, so the digests match exactly; 2^-128 collision
+    exactness is the engine-wide accepted risk (dedupe/exact.py
+    ``_pair_digests``)."""
+    from hashlib import blake2b
+
+    out = np.empty(len(g), dtype="S16")
+    for i in range(len(g)):
+        kb = g[i].encode()
+        h = blake2b(digest_size=16)
+        h.update(len(kb).to_bytes(8, "little"))
+        h.update(kb)
+        h.update(id_s[i].encode())
+        out[i] = h.digest()
+    return out
+
+
+def _corpus_digests(
+    t: pa.Table, group_col: str, id_col: str
+) -> np.ndarray:
+    g = np.array(
+        [str(k) for k in t.column(group_col).to_pylist()], dtype=object
+    )
+    id_s = np.array(
+        [str(v) for v in t.column(id_col).to_pylist()], dtype=object
+    )
+    return _gid_digests(g, id_s)
+
+
+def _subtract_losers(
+    ds: Dataset,
+    losers: Dataset,
+    group_col: str,
+    id_col: str,
+    mask_limit: "int | None" = None,
+) -> Dataset:
+    """Drop the corpus rows whose (group, id) digest appears in
+    ``losers`` (single ``_DIG_COL`` column, materialized): a broadcast
+    searchsorted mask when the loser set fits one object, else a
+    ``left_anti`` join on the digest with nested payload columns
+    packed around Acero (the dedupe/apply.py delivery pattern). The
+    corpus only ever joins on the UNIFORM digest key — never on the
+    skewed group key — so a giant domain cannot pin one partition."""
+    from ..dedupe.apply import (
+        DEFAULT_MASK_BROADCAST_LIMIT,
+        nested_types,
+        pack_nested,
+        unpack_nested,
+    )
+    from ..dedupe.combine import auto_partitions
+
+    if mask_limit is None:
+        mask_limit = DEFAULT_MASK_BROADCAST_LIMIT
+    n = losers.count()
+    if n == 0:
+        return ds
+    if n <= mask_limit:
+        chunks = [
+            np.asarray(b.column(_DIG_COL).to_pylist(), dtype="S16")
+            for b in losers.iter_batches(
+                batch_size=65536, batch_format="pyarrow"
+            )
+        ]
+        sv = np.sort(np.concatenate(chunks))
+        ref = ray.put(sv)
+
+        def _mask(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            member = ray.get(ref)
+            dig = _corpus_digests(t, group_col, id_col)
+            idx = np.searchsorted(member, dig)
+            idx_c = np.minimum(idx, len(member) - 1)
+            hit = (member[idx_c] == dig) & (idx < len(member))
+            return t.filter(pa.array(~hit))
+
+        return ds.map_batches(_mask, batch_format="pyarrow")
+
+    nparts = auto_partitions()
+    losers = losers.repartition(nparts)
+
+    def _addd(t: pa.Table) -> pa.Table:
+        dig = _corpus_digests(t, group_col, id_col)
+        return t.append_column(
+            _DIG_COL, pa.array(dig.tolist(), pa.binary())
+        )
+
+    ds2 = ds.map_batches(_addd, batch_format="pyarrow")
+    nested = nested_types(ds2.schema().base_schema, exclude=(_DIG_COL,))
+    if nested:
+        ds2 = ds2.map_batches(pack_nested(nested), batch_format="pyarrow")
+    out = ds2.join(
+        losers,
+        join_type="left_anti",
+        num_partitions=nparts,
+        on=(_DIG_COL,),
+    )
+    if nested:
+        out = out.map_batches(unpack_nested(nested), batch_format="pyarrow")
+    return out.drop_columns([_DIG_COL])
+
+
 def _strip_block_sentinels(tbl, nparts: int, what: str):
     """Split the per-finalize-call sentinel rows (``g`` null — real
     group keys are str()-normalized, never null) off a materialized
@@ -305,6 +413,105 @@ def _cap_thresholds(cap: int):
     return _finalize
 
 
+def _cap_join_delivery(
+    ds: Dataset,
+    thr_tbl: Dataset,
+    group_col: str,
+    id_col: str,
+    seed: int,
+) -> Dataset:
+    """Threshold delivery via key joins for corpora whose over-cap
+    group count exceeds the broadcast bound (VERDICT r4 item 3).
+
+    Two narrow exchanges: (1) a (g, hex16, id) projection of the
+    corpus inner-joins the threshold table on the group key — only
+    over-cap groups' rows survive the join — and the composite-key
+    compare marks the LOSER rows as 16-byte (group, id) digests;
+    (2) :func:`_subtract_losers` removes them from the corpus by
+    digest (broadcast mask or left_anti join). Document text never
+    enters the group-keyed join, and the corpus-side join key is the
+    uniform digest, so group skew cannot pin a partition."""
+    from ..dedupe.combine import auto_partitions
+
+    nparts = auto_partitions()
+
+    def _ren(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__rpray_g": t.column("g"),
+                "__rpray_thr_h": t.column("h"),
+                "__rpray_thr_id": t.column("id_s"),
+            }
+        )
+
+    # repartition: Ray 2.49's hash-shuffle join rejects inputs whose
+    # empty partitions lost their schema (dedupe/exact.py pattern)
+    thr = thr_tbl.map_batches(_ren, batch_format="pyarrow").repartition(
+        max(2, min(nparts, 16))
+    )
+
+    def _narrow(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table(
+                {
+                    "__rpray_g": pa.array([], pa.string()),
+                    "__rpray_h": pa.array([], pa.string()),
+                    "__rpray_id": pa.array([], pa.string()),
+                }
+            )
+        ids = t.column(id_col).to_pylist()
+        h = _hex16(ids, seed)
+        return pa.table(
+            {
+                "__rpray_g": pa.array(
+                    [str(k) for k in t.column(group_col).to_pylist()],
+                    pa.string(),
+                ),
+                "__rpray_h": pa.array(
+                    [x.decode() for x in h], pa.string()
+                ),
+                "__rpray_id": pa.array(
+                    [str(v) for v in ids], pa.string()
+                ),
+            }
+        )
+
+    joined = ds.map_batches(_narrow, batch_format="pyarrow").join(
+        thr,
+        join_type="inner",
+        num_partitions=nparts,
+        on=("__rpray_g",),
+    )
+
+    def _losers(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return pa.table({_DIG_COL: pa.array([], pa.binary())})
+        h = np.array(t.column("__rpray_h").to_pylist(), dtype="S16")
+        ids = np.array(t.column("__rpray_id").to_pylist(), dtype=object)
+        g = np.array(t.column("__rpray_g").to_pylist(), dtype=object)
+        thr_h = np.array(
+            t.column("__rpray_thr_h").to_pylist(), dtype="S16"
+        )
+        thr_id = np.array(
+            t.column("__rpray_thr_id").to_pylist(), dtype=object
+        )
+        # thr_h == b'' (quota exhausted) keeps nothing: no real hex16
+        # compares below the empty string
+        keep = h < thr_h
+        for j in np.flatnonzero(h == thr_h):
+            keep[j] = ids[j] <= thr_id[j]
+        lose = ~keep
+        dig = _gid_digests(g[lose], ids[lose])
+        return pa.table(
+            {_DIG_COL: pa.array(dig.tolist(), pa.binary())}
+        )
+
+    losers = joined.map_batches(
+        _losers, batch_format="pyarrow"
+    ).materialize()
+    return _subtract_losers(ds, losers, group_col, id_col)
+
+
 def cap_per_group(
     ds: Dataset,
     cap: int,
@@ -313,6 +520,7 @@ def cap_per_group(
     seed: int = 42,
     max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
     prev_counts: "Dataset | None" = None,
+    delivery: str = "auto",
 ) -> Dataset:
     """Keep at most ``cap`` rows per group, deterministically (the
     ``cap`` smallest ``(md5hex16(seed:id), str(id))`` keys win). See
@@ -324,11 +532,22 @@ def cap_per_group(
     group keys, possibly PARTIAL rows — the same group may repeat)
     charges previously-kept rows against each group's quota: a group
     keeps at most ``cap - sum(prev cnt)`` rows this run (first-come
-    across runs; state/incremental.py wires the cross-run commit)."""
+    across runs; state/incremental.py wires the cross-run commit).
+
+    ``delivery`` picks how thresholds reach the corpus: ``"auto"``
+    broadcasts below ``max_broadcast_groups`` over-cap groups and
+    falls back to the key-join delivery above it
+    (:func:`_cap_join_delivery`); ``"broadcast"`` / ``"join"`` force
+    a path (broadcast raises loudly above the bound)."""
     if cap < 1:
         raise ValueError(
             f"cap_per_group: cap must be >= 1, got {cap!r} "
             "(use Dataset.filter to drop everything)"
+        )
+    if delivery not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"cap_per_group: delivery must be auto|broadcast|join, "
+            f"got {delivery!r}"
         )
     from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
 
@@ -355,12 +574,16 @@ def cap_per_group(
     )
     if n_thr == 0:
         return ds  # no group exceeds the quota
+    if delivery == "join" or (
+        delivery == "auto" and n_thr > max_broadcast_groups
+    ):
+        return _cap_join_delivery(ds, thr_tbl, group_col, id_col, seed)
     if n_thr > max_broadcast_groups:
         raise ValueError(
             f"cap_per_group: {n_thr} groups exceed the quota — above "
-            f"max_broadcast_groups={max_broadcast_groups}; raise the "
-            "bound or deliver thresholds via a key join "
-            "(dedupe/apply.py pattern)"
+            f"max_broadcast_groups={max_broadcast_groups} with "
+            "delivery='broadcast'; raise the bound or use "
+            "delivery='auto'/'join' (key-join threshold delivery)"
         )
     rows = thr_tbl.take_all()
     thr: Dict[str, Tuple[bytes, str]] = {
@@ -480,6 +703,7 @@ def token_budget_sample(
     default_budget: "int | None" = None,
     max_broadcast_groups: int = MAX_BROADCAST_GROUPS,
     prev_tokens: "Dataset | None" = None,
+    delivery: str = "auto",
 ) -> Dataset:
     """Keep per group the deterministic-hash-order document prefix
     whose running ``token_col`` total (exclusive of the current row)
@@ -503,7 +727,20 @@ def token_budget_sample(
     Duplicate ``(group, id)`` rows share one composite key, so every
     copy of the cut-key document is kept — the overshoot bound and
     the SQL-window parity hold for unique ids (same caveat as
-    :func:`cap_per_group`: assign ids first, stages/ids.py)."""
+    :func:`cap_per_group`: assign ids first, stages/ids.py).
+
+    ``delivery``: ``"auto"`` broadcasts boundary/cut tables below
+    ``max_broadcast_groups`` over-budget groups and falls back to the
+    key-join delivery above it; ``"broadcast"`` / ``"join"`` force a
+    path (broadcast raises loudly above the bound). The join path
+    runs the refine/cut passes with boundaries attached by an inner
+    join on the group key (narrow projections only — text never
+    joins) and subtracts loser rows by (group, id) digest."""
+    if delivery not in ("auto", "broadcast", "join"):
+        raise ValueError(
+            f"token_budget_sample: delivery must be "
+            f"auto|broadcast|join, got {delivery!r}"
+        )
     if isinstance(budget, Mapping):
         budgets = {str(k): int(v) for k, v in budget.items()}
         bad = [k for k, v in budgets.items() if v <= 0]
@@ -711,11 +948,241 @@ def token_budget_sample(
     )
     if n_b == 0:
         return ds  # every group under budget
+
+    def _tb_join_path(bounds: Dataset) -> Dataset:
+        """Key-join delivery (VERDICT r4 item 3): boundaries reach
+        the refine pass by an inner join of a NARROW (g, hex16, id,
+        tok) corpus projection with the boundary table on the group
+        key; cut keys are computed per co-located group exactly as in
+        the broadcast path; a second inner join of the projection
+        with (boundary ⟕ cut) marks loser rows, which are subtracted
+        from the corpus by (group, id) digest
+        (:func:`_subtract_losers` — uniform key, no group skew)."""
+
+        small = max(2, min(nparts, 16))
+
+        def _renb(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__rpray_g": t.column("g"),
+                    "__rpray_b": t.column("b"),
+                    "__rpray_rem": t.column("rem"),
+                }
+            )
+
+        bnd = bounds.map_batches(
+            _renb, batch_format="pyarrow"
+        ).repartition(small)
+
+        def _narrow(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table(
+                    {
+                        "__rpray_g": pa.array([], pa.string()),
+                        "__rpray_h": pa.array([], pa.string()),
+                        "__rpray_id": pa.array([], pa.string()),
+                        "__rpray_tok": pa.array([], pa.float64()),
+                    }
+                )
+            ids = t.column(id_col).to_pylist()
+            h = _hex16(ids, seed)
+            return pa.table(
+                {
+                    "__rpray_g": pa.array(
+                        [
+                            str(k)
+                            for k in t.column(group_col).to_pylist()
+                        ],
+                        pa.string(),
+                    ),
+                    "__rpray_h": pa.array(
+                        [x.decode() for x in h], pa.string()
+                    ),
+                    "__rpray_id": pa.array(
+                        [str(v) for v in ids], pa.string()
+                    ),
+                    "__rpray_tok": pa.array(
+                        _tokens(t), pa.float64()
+                    ),
+                }
+            )
+
+        narrow = ds.map_batches(_narrow, batch_format="pyarrow")
+        refined = narrow.join(
+            bnd,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("__rpray_g",),
+        )
+
+        def _boundary_rows(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return t
+            h = np.array(
+                t.column("__rpray_h").to_pylist(), dtype="S16"
+            )
+            bs = np.array(
+                [
+                    "" if v is None else v
+                    for v in t.column("__rpray_b").to_pylist()
+                ],
+                dtype="S2",
+            )
+            return t.filter(pa.array(_bucket_of(h) == bs))
+
+        refined = refined.map_batches(
+            _boundary_rows, batch_format="pyarrow"
+        )
+
+        def _cuts_j(t: pa.Table) -> pa.Table:
+            out_g, out_h, out_id = [None], [""], [""]  # sentinel
+            if t.num_rows:
+                g = np.array(
+                    t.column("__rpray_g").to_pylist(), dtype=object
+                )
+                h = np.array(
+                    t.column("__rpray_h").to_pylist(), dtype="S16"
+                )
+                id_s = np.array(
+                    t.column("__rpray_id").to_pylist(), dtype=object
+                )
+                tok = t.column("__rpray_tok").to_numpy(
+                    zero_copy_only=False
+                )
+                rem = t.column("__rpray_rem").to_numpy(
+                    zero_copy_only=False
+                )
+                order = np.lexsort((id_s, h, g))
+                g, h, id_s = g[order], h[order], id_s[order]
+                tok, rem = tok[order], rem[order]
+                starts = np.flatnonzero(
+                    np.concatenate(([True], g[1:] != g[:-1]))
+                )
+                ends = np.concatenate((starts[1:], [len(g)]))
+                for s, e in zip(starts, ends):
+                    r = float(rem[s])
+                    cum, cut = 0.0, None
+                    for i in range(s, e):
+                        if cum >= r:
+                            break
+                        cut = i
+                        cum += tok[i]
+                    if cut is None:
+                        out_g.append(g[s])
+                        out_h.append("")
+                        out_id.append("")
+                    else:
+                        out_g.append(g[s])
+                        out_h.append(h[cut].decode())
+                        out_id.append(id_s[cut])
+            return pa.table(
+                {
+                    "g": pa.array(out_g, pa.string()),
+                    "h": pa.array(out_h, pa.string()),
+                    "id_s": pa.array(out_id, pa.string()),
+                }
+            )
+
+        with scoped_hash_shuffle(refined.context):
+            cut_tbl = (
+                refined.repartition(nparts, keys=["__rpray_g"])
+                .map_batches(
+                    _cuts_j,
+                    batch_format="pyarrow",
+                    batch_size=None,
+                    zero_copy_batch=True,
+                )
+                .materialize()
+            )
+        cut_tbl, _ = _strip_block_sentinels(
+            cut_tbl, nparts, "token_budget_sample[cuts:join]"
+        )
+
+        def _renc(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__rpray_g": t.column("g"),
+                    "__rpray_thr_h": t.column("h"),
+                    "__rpray_thr_id": t.column("id_s"),
+                }
+            )
+
+        cuts_r = cut_tbl.map_batches(
+            _renc, batch_format="pyarrow"
+        ).repartition(small)
+        thr = bnd.join(
+            cuts_r,
+            join_type="left_outer",
+            num_partitions=small,
+            on=("__rpray_g",),
+        ).repartition(small)
+        joined = narrow.join(
+            thr,
+            join_type="inner",
+            num_partitions=nparts,
+            on=("__rpray_g",),
+        )
+
+        def _losers(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({_DIG_COL: pa.array([], pa.binary())})
+            h = np.array(
+                t.column("__rpray_h").to_pylist(), dtype="S16"
+            )
+            b = _bucket_of(h)
+            ids = np.array(
+                t.column("__rpray_id").to_pylist(), dtype=object
+            )
+            g = np.array(
+                t.column("__rpray_g").to_pylist(), dtype=object
+            )
+            bs = np.array(
+                [
+                    "" if v is None else v
+                    for v in t.column("__rpray_b").to_pylist()
+                ],
+                dtype="S2",
+            )
+            th = np.array(
+                [
+                    "" if v is None else v
+                    for v in t.column("__rpray_thr_h").to_pylist()
+                ],
+                dtype="S16",
+            )
+            ti = np.array(
+                [
+                    "" if v is None else v
+                    for v in t.column("__rpray_thr_id").to_pylist()
+                ],
+                dtype=object,
+            )
+            keep = b < bs
+            at = b == bs
+            keep[at] = h[at] < th[at]
+            for j in np.flatnonzero(at & (h == th)):
+                keep[j] = ids[j] <= ti[j]
+            lose = ~keep
+            dig = _gid_digests(g[lose], ids[lose])
+            return pa.table(
+                {_DIG_COL: pa.array(dig.tolist(), pa.binary())}
+            )
+
+        losers = joined.map_batches(
+            _losers, batch_format="pyarrow"
+        ).materialize()
+        return _subtract_losers(ds, losers, group_col, id_col)
+
+    if delivery == "join" or (
+        delivery == "auto" and n_b > max_broadcast_groups
+    ):
+        return _tb_join_path(bounds)
     if n_b > max_broadcast_groups:
         raise ValueError(
             f"token_budget_sample: {n_b} groups exceed their budget — "
-            f"above max_broadcast_groups={max_broadcast_groups}; "
-            "raise the bound or deliver boundaries via a key join"
+            f"above max_broadcast_groups={max_broadcast_groups} with "
+            "delivery='broadcast'; raise the bound or use "
+            "delivery='auto'/'join' (key-join boundary delivery)"
         )
     rows = bounds.take_all()
     bmap = {r["g"]: (r["b"].encode(), r["rem"]) for r in rows}

@@ -1370,6 +1370,7 @@ def incremental_domain_cap(
     seed: int = 42,
     run_id: Optional[str] = None,
     max_broadcast_groups: Optional[int] = None,
+    delivery: str = "auto",
 ) -> "Tuple[Dataset, str]":
     """Cross-run per-group quota (first-come across snapshots): a
     group that already banked ``k`` kept rows in previous runs keeps
@@ -1406,7 +1407,7 @@ def incremental_domain_cap(
         kwargs["max_broadcast_groups"] = max_broadcast_groups
     out = cap_per_group(
         ds, cap, group_col=group_col, id_col=id_col, seed=seed,
-        prev_counts=prev, **kwargs,
+        prev_counts=prev, delivery=delivery, **kwargs,
     )
     return out, run_id
 
@@ -1458,6 +1459,7 @@ def incremental_token_budget(
     seed: int = 42,
     run_id: Optional[str] = None,
     default_budget: Optional[int] = None,
+    delivery: str = "auto",
 ) -> "Tuple[Dataset, str]":
     """Cross-run token budget (first-come across snapshots): a group
     that already banked ``s`` kept tokens in previous runs keeps at
@@ -1488,7 +1490,7 @@ def incremental_token_budget(
     out = token_budget_sample(
         ds, budget, token_col=token_col, group_col=group_col,
         id_col=id_col, seed=seed, default_budget=default_budget,
-        prev_tokens=prev,
+        prev_tokens=prev, delivery=delivery,
     )
     return out, run_id
 

@@ -128,8 +128,51 @@ def test_cap_per_group_validation_and_broadcast_limit():
     ds = rd.from_arrow(t)
     with pytest.raises(ValueError, match="cap must be >= 1"):
         cap_per_group(ds, 0)
+    # delivery='broadcast' still raises loudly above the bound;
+    # 'auto' now falls back to the key-join delivery instead
     with pytest.raises(ValueError, match="max_broadcast_groups"):
-        cap_per_group(ds, 3, max_broadcast_groups=1)
+        cap_per_group(
+            ds, 3, max_broadcast_groups=1, delivery="broadcast"
+        )
+    with pytest.raises(ValueError, match="delivery"):
+        cap_per_group(ds, 3, delivery="bogus")
+
+
+def test_cap_per_group_join_delivery_equals_broadcast():
+    """Forced-path equality: the key-join threshold delivery must
+    reproduce the broadcast path row-for-row, including on a fixture
+    with more over-cap groups than max_broadcast_groups (the auto
+    fallback trigger) and exhausted-quota state rows."""
+    t = _docs(3000, 40, seed=11)
+    ds = rd.from_arrow(t).map_batches(
+        lambda b: b, batch_size=257, batch_format="pyarrow"
+    )
+    base = cap_per_group(ds, 5, delivery="broadcast").to_pandas()
+    joined = cap_per_group(ds, 5, delivery="join").to_pandas()
+    assert sorted(base["doc_id"]) == sorted(joined["doc_id"])
+    # auto above the bound takes the join path and matches too
+    auto = cap_per_group(
+        ds, 5, max_broadcast_groups=3
+    ).to_pandas()
+    assert sorted(auto["doc_id"]) == sorted(base["doc_id"])
+    # cross-run state (exhausted + partially-charged groups) flows
+    # through the join path identically
+    prev = rd.from_arrow(
+        pa.table(
+            {
+                "group_key": pa.array(["grp0", "grp1", "grp1"]),
+                "cnt": pa.array([5, 2, 1], pa.int64()),
+            }
+        )
+    )
+    b2 = cap_per_group(
+        ds, 5, prev_counts=prev, delivery="broadcast"
+    ).to_pandas()
+    j2 = cap_per_group(
+        ds, 5, prev_counts=prev, delivery="join"
+    ).to_pandas()
+    assert sorted(b2["doc_id"]) == sorted(j2["doc_id"])
+    assert not (b2["source"] == "grp0").any()  # exhausted drops all
 
 
 def test_cap_per_group_string_ids_and_null_groups():
@@ -303,6 +346,65 @@ def test_token_budget_validation():
         token_budget_sample(
             rd.from_arrow(neg), 10, "n_chars"
         ).materialize()
+    ok = _budget_docs(50, 2)
+    with pytest.raises(ValueError, match="delivery"):
+        token_budget_sample(
+            rd.from_arrow(ok), 10, "n_chars", delivery="bogus"
+        )
+    with pytest.raises(ValueError, match="max_broadcast_groups"):
+        token_budget_sample(
+            rd.from_arrow(ok),
+            10,
+            "n_chars",
+            max_broadcast_groups=1,
+            delivery="broadcast",
+        )
+
+
+def test_token_budget_join_delivery_equals_broadcast():
+    """Forced-path equality for the token-budget key-join delivery,
+    including per-group budget maps, zero-token rows, banked state
+    (exhausted + partial) and the auto fallback above the bound."""
+    t = _budget_docs(2500, 30, seed=9)
+    ds = rd.from_arrow(t).map_batches(
+        lambda b: b, batch_size=193, batch_format="pyarrow"
+    )
+    for budget in (900, {"grp0": 200, "grp1": 50_000}):
+        kw = (
+            {"default_budget": 700}
+            if isinstance(budget, dict)
+            else {}
+        )
+        base = token_budget_sample(
+            ds, budget, "n_chars", delivery="broadcast", **kw
+        ).to_pandas()
+        joined = token_budget_sample(
+            ds, budget, "n_chars", delivery="join", **kw
+        ).to_pandas()
+        assert sorted(base["doc_id"]) == sorted(joined["doc_id"])
+    auto = token_budget_sample(
+        ds, 900, "n_chars", max_broadcast_groups=2
+    ).to_pandas()
+    base = token_budget_sample(
+        ds, 900, "n_chars", delivery="broadcast"
+    ).to_pandas()
+    assert sorted(auto["doc_id"]) == sorted(base["doc_id"])
+    prev = rd.from_arrow(
+        pa.table(
+            {
+                "group_key": pa.array(["grp0", "grp2"]),
+                "cnt": pa.array([1e9, 500.0], pa.float64()),
+            }
+        )
+    )
+    b2 = token_budget_sample(
+        ds, 900, "n_chars", prev_tokens=prev, delivery="broadcast"
+    ).to_pandas()
+    j2 = token_budget_sample(
+        ds, 900, "n_chars", prev_tokens=prev, delivery="join"
+    ).to_pandas()
+    assert sorted(b2["doc_id"]) == sorted(j2["doc_id"])
+    assert not (b2["source"] == "grp0").any()  # exhausted drops all
 
 
 def test_token_budget_nul_group_keys_and_int_default_conflict():
