@@ -1004,19 +1004,32 @@ def cmd_pack(args) -> dict:
         # pack_summaries)
         from .functions.packing import pack_summaries
 
-        out = pack_summaries(
-            ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
-            text_col=args.text_column, id_col=args.id_column,
-            delivery=args.seg_delivery,
-            spill_dir=args.rendezvous_dir,
-            tokenizer=getattr(args, "tokenizer", None),
-        )
-    else:
-        if args.seg_delivery != "auto" or args.rendezvous_dir:
+        if getattr(args, "corpus_path", None) and args.max_docs:
             raise SystemExit(
-                "--seg-delivery/--rendezvous-dir apply only to "
-                "--summaries-only (the co-locating text exchange has "
-                "no segment delivery step)"
+                "--corpus-path requires the input read unmodified "
+                "(same rows as the files) — drop --max-docs"
+            )
+        try:
+            out = pack_summaries(
+                ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
+                text_col=args.text_column, id_col=args.id_column,
+                delivery=args.seg_delivery,
+                spill_dir=args.rendezvous_dir,
+                tokenizer=getattr(args, "tokenizer", None),
+                corpus_path=getattr(args, "corpus_path", None),
+            )
+        except ValueError as e:
+            raise SystemExit(str(e))
+    else:
+        if (
+            args.seg_delivery != "auto"
+            or args.rendezvous_dir
+            or getattr(args, "corpus_path", None)
+        ):
+            raise SystemExit(
+                "--seg-delivery/--rendezvous-dir/--corpus-path apply "
+                "only to --summaries-only (the co-locating text "
+                "exchange has no segment delivery step)"
             )
         out = pack_sequences(
             ds, seq_len=args.seq_len, n_buckets=args.n_buckets,
@@ -1747,6 +1760,13 @@ def build_parser() -> argparse.ArgumentParser:
         "coverage error); each run writes and removes its own unique "
         "subdirectory, so the root is safely reusable; default: a "
         "local temp dir",
+    )
+    pk.add_argument(
+        "--corpus-path", default=None,
+        help="segjoin zero-pin mode: the input parquet directory "
+        "itself, when its files already carry the id and text "
+        "columns — blocks are re-read from storage instead of "
+        "pinned in the object store (no corpus-sized footprint)",
     )
     pk.set_defaults(fn=cmd_pack)
 

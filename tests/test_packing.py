@@ -289,6 +289,63 @@ class TestPackSummaries:
             == 0
         )
 
+    def test_segjoin_zero_pin_corpus_path(self, tmp_path):
+        """corpus_path mode (VERDICT r4 item 6): the segjoin path
+        re-reads the written corpus files instead of pinning blocks —
+        windows must be byte-identical to the pinned path, and the
+        column guard must name missing columns."""
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        from redpajama_data_ray.functions.packing import pack_summaries
+
+        docs = [(i * 3 + 1, f"z{i % 13} " * (i % 23)) for i in range(150)]
+        cdir = tmp_path / "corpus"
+        cdir.mkdir()
+        # several files so block_idx spans multiple re-read units
+        for fi in range(4):
+            chunk = docs[fi::4]
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(
+                            [d for d, _ in chunk], pa.int64()
+                        ),
+                        "text": pa.array([t for _, t in chunk]),
+                    }
+                ),
+                str(cdir / f"part-{fi}.parquet"),
+            )
+        ds = rd.read_parquet(str(cdir))
+        pinned = (
+            pack_summaries(ds, 24, n_buckets=4, delivery="segjoin")
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        zero_pin = (
+            pack_summaries(
+                ds,
+                24,
+                n_buckets=4,
+                delivery="segjoin",
+                corpus_path=str(cdir),
+            )
+            .to_pandas()
+            .sort_values(["bucket", "seq_idx"])
+            .reset_index(drop=True)
+        )
+        assert pinned.equals(zero_pin), (pinned, zero_pin)
+        with pytest.raises(ValueError, match="lack column"):
+            pack_summaries(
+                ds,
+                24,
+                n_buckets=4,
+                delivery="segjoin",
+                text_col="nope",
+                corpus_path=str(cdir),
+            )
+
     def test_blocking_independent(self):
         docs = [(i, f"w{i % 7} " * (i % 13)) for i in range(120)]
         from redpajama_data_ray.functions.packing import pack_summaries
