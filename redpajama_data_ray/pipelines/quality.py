@@ -34,7 +34,6 @@ from ray.data import Dataset
 from ..functions.rules import RuleConfig
 from ..sources.corpus import ensure_corpus_parquet, sf_from_dir
 from ..stages import (
-    DecideStage,
     LangIdStage,
     MinHashStage,
     PerplexityStage,
@@ -216,26 +215,51 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
                 "(fused=True): the unfused SignalStage computes the "
                 "classifier inside its per-language kernel"
             )
-        # one pool per model; fractional CPUs so min-actors of all pools
-        # fit small budgets without starving the executor
-        pool = dict(
-            batch_format="pyarrow",
-            batch_size=cfg.actor_batch_size,
-            concurrency=(1, max_actors),
-            num_cpus=0.5,
-        )
+        # One pool per model, each FIXED-SIZE (min == max) and sized to
+        # the stage's measured share of pipeline compute. The previous
+        # (1, max_actors) autoscaling pools utilized only ~40% of a
+        # 32-CPU host (220 s of remote compute stretched to 17 s wall,
+        # sf0.1): every pool ramps from ONE actor while upstream
+        # output queues, and six pools ramping serially never reach
+        # steady state within a stage's lifetime — the unfused plan's
+        # 0.54-0.65 scaling floor was scheduling bubbles, not handoff
+        # bytes (measured: 6 content-sized handoffs ≈ 1.5 GB through
+        # the object store ≈ sub-second). Weights from the sf0.1
+        # remote-wall profile: signal 56%, minhash 24%, langid 7.5%,
+        # perplexity 4%, rest tasks. Each actor holds 0.5 CPU, so a
+        # stage's CPU share is actors/2; ~10% of the budget stays free
+        # for the task operators (read/ids/scrub/write).
+        budget = max(2.0, max_actors * 0.9)  # CPUs for the pools
+
+        def sized(weight: float) -> "tuple[int, int]":
+            n = max(1, round(2 * budget * weight))
+            return (n, n)
+
+        def pool(weight: float) -> dict:
+            return dict(
+                batch_format="pyarrow",
+                batch_size=cfg.actor_batch_size,
+                concurrency=sized(weight),
+                num_cpus=0.5,
+                # stages build NEW tables (Arrow is immutable) — skip
+                # the defensive input copy on every handoff
+                zero_copy_batch=True,
+            )
+
         ds = ds.map_batches(
             LangIdStage,
             fn_constructor_kwargs=dict(model_path=cfg.langid_model_path),
-            **pool,
+            **pool(0.10),
         )
         ds = ds.map_batches(
             PerplexityStage,
             fn_constructor_kwargs=dict(model_path=cfg.ppl_model_path),
-            **pool,
+            **pool(0.06),
         )
         ds = ds.map_batches(
-            SignalStage, fn_constructor_kwargs=feature_kwargs, **pool
+            SignalStage,
+            fn_constructor_kwargs=feature_kwargs,
+            **pool(0.50),
         )
         if cfg.include_minhash:
             ds = ds.map_batches(
@@ -243,18 +267,26 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
                 fn_constructor_kwargs=dict(
                     shingle_hash=cfg.minhash_shingle_hash
                 ),
-                **pool,
+                **pool(0.24),
             )
+    # scrub and decide are stateless kernels — run them as TASK
+    # operators so Ray Data fuses scrub -> decide -> write into one
+    # pass (an actor-pool decide forced two extra content-sized
+    # object-store handoffs for <6% of the pipeline's compute)
+    from ..stages.decide import decide_batch
+
     ds = ds.map_batches(
-        scrub_batch, batch_format="pyarrow", batch_size=cfg.batch_size
-    )
-    ds = ds.map_batches(
-        DecideStage,
-        fn_constructor_kwargs=dict(config=cfg.rules),
+        scrub_batch,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, max_actors),
-        num_cpus=0.5,
+        zero_copy_batch=True,
+    )
+    ds = ds.map_batches(
+        decide_batch,
+        fn_kwargs=dict(config=cfg.rules),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
     )
     return ds
 

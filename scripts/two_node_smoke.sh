@@ -1,0 +1,95 @@
+#!/usr/bin/env bash
+# Two-node cluster smoke (VERDICT r4 item 8): start a head raylet plus
+# a second worker raylet on this host (two object stores, two node
+# ids — the closest a single box gets to a real multi-node cluster),
+# then drive the flagship quality pipeline AND a shuffle-heavy op
+# (ExactSubstr span dedup) through the job-runtime contract with a
+# SHARED RPRAY_SPILL_DIR, and prove that map tasks executed on BOTH
+# nodes. This exercises the cross-raylet object transfer and the
+# shared-scratch code paths (dedupe/combine.py spill-through, segjoin
+# rendezvous) that were written for multi-node runs.
+#
+# WARNING: uses `ray stop --force`, which kills EVERY Ray process on
+# the box. Run on a quiet box only.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+NCPU="${TWO_NODE_SMOKE_CPUS:-8}"          # per node
+INPUT="${TWO_NODE_SMOKE_INPUT:-/root/testdata/sf0.001}"
+OUT="${TWO_NODE_SMOKE_OUT:-/tmp/two_node_smoke_out}"
+SPILL="${TWO_NODE_SMOKE_SPILL:-/tmp/two_node_smoke_spill}"
+STORE_BYTES="${TWO_NODE_SMOKE_STORE:-1000000000}"  # 1 GB per node
+
+unset RAY_ADDRESS || true
+ray stop --force >/dev/null 2>&1 || true
+cleanup() { ray stop --force >/dev/null 2>&1 || true; }
+trap cleanup EXIT
+
+mkdir -p "$SPILL"
+ray start --head --num-cpus="$NCPU" --port=6379 \
+    --object-store-memory="$STORE_BYTES" \
+    --disable-usage-stats >/dev/null 2>&1
+ray start --address=127.0.0.1:6379 --num-cpus="$NCPU" \
+    --object-store-memory="$STORE_BYTES" \
+    --disable-usage-stats >/dev/null 2>&1
+sleep 2
+
+RAY_ADDRESS=auto python - <<EOF
+import ray
+ray.init(address="auto")
+nodes = [n for n in ray.nodes() if n["Alive"]]
+assert len(nodes) == 2, f"expected 2 alive nodes, got {len(nodes)}"
+cpus = ray.cluster_resources().get("CPU")
+assert cpus == 2 * $NCPU, f"expected {2*$NCPU} CPUs, got {cpus}"
+print(f"cluster up: {len(nodes)} nodes, {cpus} CPUs")
+ray.shutdown()
+EOF
+
+rm -rf "$OUT"
+# flagship: model actor pools + sinks, attached via the job contract
+RAY_JOB_ID=two_node_smoke RAY_ADDRESS=auto \
+    RPRAY_SPILL_DIR="$SPILL" \
+    python -m redpajama_data_ray quality \
+    --input "$INPUT" --output "$OUT"
+
+# shuffle-heavy op over the annotated output: winnowed fingerprint
+# partials hash-shuffle + spill-through combine on the SHARED scratch
+RAY_JOB_ID=two_node_smoke RAY_ADDRESS=auto \
+    RPRAY_SPILL_DIR="$SPILL" \
+    python -m redpajama_data_ray dedup-spans \
+    --input "$OUT/annotated" --output "$OUT/span_dedup" \
+    --text-col content --id-col doc_id
+
+RAY_ADDRESS=auto python - "$OUT" <<'EOF'
+import sys
+import ray
+import ray.data as rd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+out = sys.argv[1]
+ray.init(address="auto")
+ann = pq.read_table(out + "/annotated")
+assert ann.num_rows > 0, "no annotated rows"
+sub = pq.read_table(out + "/span_dedup")
+assert sub.num_rows > 0, "no span-dedup rows"
+
+# placement proof: map tasks over the annotated corpus must land on
+# BOTH node ids (a single-node fallback would silently pass the row
+# checks above)
+def node_of(t: pa.Table) -> pa.Table:
+    return pa.table(
+        {"node": pa.array([ray.get_runtime_context().get_node_id()])}
+    )
+
+ds = rd.read_parquet(out + "/annotated", override_num_blocks=32)
+nodes = set(
+    ds.map_batches(node_of, batch_format="pyarrow").to_pandas()["node"]
+)
+assert len(nodes) == 2, f"tasks ran on {len(nodes)} node(s), want 2"
+print(
+    f"two-node smoke OK: {ann.num_rows} annotated rows, "
+    f"{sub.num_rows} span-dedup rows, map tasks on both nodes"
+)
+ray.shutdown()
+EOF
