@@ -152,19 +152,29 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
         from ..functions.registry import registered_signals
         from ..stages.annotate import AnnotateStage, ModelPairStage
 
-        pool = dict(
-            batch_format="pyarrow",
-            batch_size=cfg.actor_batch_size,
-            concurrency=(1, max_actors),
-            num_cpus=0.5,
-        )
+        # fixed-size pools weighted by measured compute share, like
+        # the unfused plan below (the r4 "pairs" scaling floor of
+        # 0.37-0.44 was the same autoscale-from-1 ramp): models
+        # (langid+ppl) ~25% of pipeline compute, kernels ~75%
+        budget2 = max(2.0, max_actors * 0.9)
+
+        def pair_pool(weight: float) -> dict:
+            n = max(1, round(2 * budget2 * weight))
+            return dict(
+                batch_format="pyarrow",
+                batch_size=cfg.actor_batch_size,
+                concurrency=(n, n),
+                num_cpus=0.5,
+                zero_copy_batch=True,
+            )
+
         ds = ds.map_batches(
             ModelPairStage,
             fn_constructor_kwargs=dict(
                 langid_model_path=cfg.langid_model_path,
                 ppl_model_path=cfg.ppl_model_path,
             ),
-            **pool,
+            **pair_pool(0.25),
         )
         ds = ds.map_batches(
             AnnotateStage,
@@ -178,7 +188,7 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
                 classifier_model_path=cfg.classifier_model_path,
                 **feature_kwargs,
             ),
-            **pool,
+            **pair_pool(0.70),
         )
         return ds
     if cfg.fused:
@@ -206,6 +216,8 @@ def annotate(ds: Dataset, cfg: Optional[QualityConfig] = None) -> Dataset:
             batch_size=cfg.actor_batch_size,
             concurrency=(min_actors, max_actors),
             num_cpus=1,
+            # the stage builds a new table; skip the defensive copy
+            zero_copy_batch=True,
         )
         return ds
     else:
