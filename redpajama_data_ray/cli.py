@@ -1225,6 +1225,43 @@ def cmd_semdedup(args) -> dict:
     return {"output": args.output, "dropped": int(len(dropped))}
 
 
+def cmd_embedding_pairs(args) -> dict:
+    """Embedding near-duplicate PAIRS (similarity/knn.py
+    embedding_near_dup_pairs): LSH-bucketed cosine, streamed to
+    parquet as an (a, b, cos) Dataset — never a driver list, so a
+    dup-heavy corpus's corpus-scale pair set flows straight to the
+    sink."""
+    import ray.data as rd
+
+    from .similarity.knn import embedding_near_dup_pairs
+
+    ds = rd.read_parquet(args.input)
+    _require_columns(
+        ds, [args.id_column, args.vec_column],
+        "embedding-pairs needs the embedding column (--vec-column) "
+        "and a row id (--id-column)",
+    )
+    first = ds.take(1)
+    if not first:
+        raise SystemExit("embedding-pairs: input is empty")
+    vec = first[0][args.vec_column]
+    if vec is None or len(vec) == 0:
+        raise SystemExit(
+            "embedding-pairs: first embedding is null/empty — drop "
+            "null vectors first (the kernel raises on them by design)"
+        )
+    try:
+        pairs = embedding_near_dup_pairs(
+            ds, dim=len(vec), threshold=args.threshold,
+            bits=args.bits, seed=args.seed,
+            vec_col=args.vec_column, id_col=args.id_column,
+        )
+        pairs.write_parquet(args.output)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    return {"output": args.output, "pairs": int(pairs.count())}
+
+
 def cmd_token_count(args) -> dict:
     import pyarrow as pa
     import ray.data as rd
@@ -1857,6 +1894,20 @@ def build_parser() -> argparse.ArgumentParser:
     sd.add_argument("--vec-column", default="embedding")
     sd.add_argument("--id-column", default="vec_id")
     sd.set_defaults(fn=cmd_semdedup)
+
+    ep = sub.add_parser(
+        "embedding-pairs",
+        help="embedding near-duplicate pairs (LSH-bucketed cosine, "
+        "streamed to parquet)",
+    )
+    ep.add_argument("--input", required=True)
+    ep.add_argument("--output", required=True)
+    ep.add_argument("--threshold", type=float, default=0.95)
+    ep.add_argument("--bits", type=int, default=10)
+    ep.add_argument("--seed", type=int, default=42)
+    ep.add_argument("--vec-column", default="embedding")
+    ep.add_argument("--id-column", default="vec_id")
+    ep.set_defaults(fn=cmd_embedding_pairs)
 
     tc = sub.add_parser("token-count", help="corpus token totals")
     tc.add_argument("--input", required=True)

@@ -266,6 +266,15 @@ run(
         "--vec-column", "embedding", "--id-column", "vec_id",
     ],
 )
+run(
+    "embedding-pairs",
+    [
+        "embedding-pairs", "--input",
+        os.path.join(SF, "embeddings.parquet"), "--output", "{OUT}",
+        "--threshold", "0.45", "--vec-column", "embedding",
+        "--id-column", "vec_id",
+    ],
+)
 run("token-count", ["token-count", "--input", CORPUS])
 run(
     "token-count tokenizer",

@@ -124,6 +124,38 @@ def test_cli_semdedup(tmp_path, capsys):
     assert len(kept) == len(vecs) - 2
 
 
+def test_cli_embedding_pairs(tmp_path, capsys):
+    rng = np.random.default_rng(4)
+    base = rng.normal(size=8)
+    # planted near-dup pair (ids 0, 1) + noise vectors
+    vecs = [base, base + rng.normal(scale=0.001, size=8)]
+    vecs += [rng.normal(size=8) for _ in range(30)]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float64())
+            ),
+        }
+    )
+    d = tmp_path / "emb"
+    d.mkdir()
+    pq.write_table(t, str(d / "a.parquet"))
+    out = str(tmp_path / "pairs")
+    assert main(
+        ["embedding-pairs", "--input", str(d), "--output", out,
+         "--threshold", "0.99", "--bits", "8"]
+    ) == 0
+    res = _result(capsys)
+    pairs = ray.data.read_parquet(res["output"]).to_pandas()
+    assert res["pairs"] == len(pairs)
+    assert {"a", "b", "cos"} <= set(pairs.columns)
+    assert ((pairs.a == 0) & (pairs.b == 1)).any()
+    with pytest.raises(SystemExit, match="missing column"):
+        main(["embedding-pairs", "--input", str(d), "--output", out,
+              "--vec-column", "nope"])
+
+
 def test_cli_split(tmp_path, capsys):
     src = _docs_dir(tmp_path)
     out = str(tmp_path / "split")
