@@ -53,6 +53,55 @@ def scoped_hash_shuffle(ctx):
         ) = prev
 
 
+def _canary_wrap(kernel, key: str):
+    """Wrap a per-block combine kernel to append ONE null-``key``
+    sentinel row per invocation. The keyed-repartition + per-block
+    combine pattern is exact ONLY while every partition lands in the
+    kernel as a single block; if Ray ever splits an oversized
+    partition, a key's partials combine in fragments and a min_cnt /
+    min_count filter silently under-counts (missed dup keys). Real
+    partial rows never carry a null key — every emitter builds its
+    key arrays from numpy / ``str()``, which cannot hold nulls — so
+    the sentinel is unambiguous; :func:`_canary_strip` removes the
+    sentinels and fails loudly when they outnumber the shuffle
+    partitions (same canary as functions/splits.py)."""
+
+    def _wrapped(t: pa.Table) -> pa.Table:
+        out = kernel(t)
+        nulls = pa.table(
+            {
+                c: pa.nulls(1, out.schema.field(c).type)
+                for c in out.column_names
+            }
+        )
+        return pa.concat_tables([out, nulls])
+
+    return _wrapped
+
+
+def _canary_strip(
+    tbl: Dataset, key: str, nparts: int, what: str
+) -> Dataset:
+    import pyarrow.compute as pc
+
+    n_total = tbl.count()
+
+    def _drop(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t.column(key)))
+
+    real = tbl.map_batches(_drop, batch_format="pyarrow").materialize()
+    n_real = real.count()
+    if n_total - n_real > nparts:
+        raise RuntimeError(
+            f"{what}: {n_total - n_real} combine blocks for {nparts} "
+            "keyed partitions — the shuffle split a partition's "
+            "output across blocks, so a key's partials may have "
+            "combined in fragments (silent under-counting). Raise "
+            "DataContext.target_max_block_size or num_partitions."
+        )
+    return real
+
+
 def _meta_row_bound(ds: Dataset) -> "int | None":
     """Row count from plan metadata alone (never triggers execution):
     an int for pure parquet scans and already-materialized datasets,
@@ -190,17 +239,19 @@ def key_stats(
                 g = g.filter(pc.greater_equal(g.column("cnt"), min_cnt))
             return g
 
+        nparts = auto_partitions()
         with scoped_hash_shuffle(partials.context):
-            return (
-                partials.repartition(auto_partitions(), keys=[key])
+            out = (
+                partials.repartition(nparts, keys=[key])
                 .map_batches(
-                    combine_filtered,
+                    _canary_wrap(combine_filtered, key),
                     batch_format="pyarrow",
                     batch_size=None,
                     zero_copy_batch=True,
                 )
                 .materialize()
             )
+        return _canary_strip(out, key, nparts, "key_stats")
     return (
         partials.repartition(fanin)
         .map_batches(combine, batch_format="pyarrow")
@@ -444,16 +495,19 @@ def dup_keys_from_partials(
         # key-based repartition requires the hash-shuffle strategy;
         # scoped to THIS dataset's captured context, eager inside
         with scoped_hash_shuffle(stored.context):
-            return (
+            out = (
                 stored.repartition(num_partitions, keys=[key])
                 .map_batches(
-                    combine_dup,
+                    _canary_wrap(combine_dup, key),
                     batch_format="pyarrow",
                     batch_size=None,
                     zero_copy_batch=True,
                 )
                 .materialize()
             )
+        return _canary_strip(
+            out, key, num_partitions, "dup_keys_from_partials"
+        )
     finally:
         _cleanup()
 

@@ -154,3 +154,37 @@ def test_clusters_table_empty_dataset():
     assert t.schema.field("id_int").type == pa.uint64()
     # matches the dict branch's empty contract
     assert t.schema.equals(clusters_table({}).schema)
+
+
+def test_combine_block_canary():
+    """The keyed-combine canary (dedupe/combine.py): kernels emit one
+    null-key sentinel per invocation; _canary_strip drops them and
+    raises when combine blocks outnumber the keyed partitions (a
+    split partition would under-count keys silently)."""
+    from redpajama_data_ray.dedupe.combine import (
+        _canary_strip,
+        _canary_wrap,
+    )
+
+    def kernel(t: pa.Table) -> pa.Table:
+        return t.group_by("k").aggregate([("cnt", "sum")]) \
+            .rename_columns(["k", "cnt"])
+
+    t = pa.table(
+        {
+            "k": pa.array(["a", "a", "b"], pa.string()),
+            "cnt": pa.array([1, 2, 3], pa.int64()),
+        }
+    )
+    out = _canary_wrap(kernel, "k")(t)
+    assert out.num_rows == 3  # 2 combined keys + 1 sentinel
+    assert out.column("k").null_count == 1
+    ds = rd.from_arrow(out)
+    real = _canary_strip(ds, "k", 1, "t")
+    df = real.to_pandas().sort_values("k").reset_index(drop=True)
+    assert list(df["k"]) == ["a", "b"]
+    assert list(df["cnt"]) == [3, 3]
+    # two sentinels against one partition -> the invariant broke
+    two = pa.concat_tables([out, _canary_wrap(kernel, "k")(t)])
+    with pytest.raises(RuntimeError, match="combine blocks"):
+        _canary_strip(rd.from_arrow(two), "k", 1, "t")
