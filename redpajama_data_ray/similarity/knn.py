@@ -317,19 +317,26 @@ def embedding_near_dup_pairs(
             }
         )
 
-    from ..dedupe.combine import auto_partitions, scoped_hash_shuffle
+    from ..dedupe.combine import (
+        _canary_strip,
+        _canary_wrap,
+        auto_partitions,
+        scoped_hash_shuffle,
+    )
 
+    nparts = auto_partitions()
     with scoped_hash_shuffle(pairs_ds.context):
-        return (
-            pairs_ds.repartition(auto_partitions(), keys=["a", "b"])
+        out = (
+            pairs_ds.repartition(nparts, keys=["a", "b"])
             .map_batches(
-                _dedup_max,
+                _canary_wrap(_dedup_max, "a"),
                 batch_format="pyarrow",
                 batch_size=None,
                 zero_copy_batch=True,
             )
             .materialize()
         )
+    return _canary_strip(out, "a", nparts, "embedding_near_dup_pairs")
 
 
 # a sorted driver-side pair list above this is no longer a reasonable

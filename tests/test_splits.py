@@ -467,12 +467,17 @@ def _fuzz_table(rows):
 
 
 @settings(max_examples=25, deadline=None)
-@given(_rows, st.integers(min_value=1, max_value=8))
-def test_fuzz_cap_per_group_vs_bruteforce(rows, cap):
+@given(
+    _rows,
+    st.integers(min_value=1, max_value=8),
+    st.sampled_from(["broadcast", "join"]),
+)
+def test_fuzz_cap_per_group_vs_bruteforce(rows, cap, delivery):
     t = _fuzz_table(rows)
     got = set(
         cap_per_group(
-            rd.from_arrow(t).repartition(3), cap, seed=5
+            rd.from_arrow(t).repartition(3), cap, seed=5,
+            delivery=delivery,
         ).to_pandas()["doc_id"]
     )
     assert got == {
@@ -482,12 +487,17 @@ def test_fuzz_cap_per_group_vs_bruteforce(rows, cap):
 
 
 @settings(max_examples=25, deadline=None)
-@given(_rows, st.integers(min_value=1, max_value=400))
-def test_fuzz_token_budget_vs_bruteforce(rows, budget):
+@given(
+    _rows,
+    st.integers(min_value=1, max_value=400),
+    st.sampled_from(["broadcast", "join"]),
+)
+def test_fuzz_token_budget_vs_bruteforce(rows, budget, delivery):
     t = _fuzz_table(rows)
     got = set(
         token_budget_sample(
-            rd.from_arrow(t).repartition(3), budget, "n_chars"
+            rd.from_arrow(t).repartition(3), budget, "n_chars",
+            delivery=delivery,
         ).to_pandas()["doc_id"]
     )
     exp = _expected_budget(t, budget)
