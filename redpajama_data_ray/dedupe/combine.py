@@ -64,7 +64,14 @@ def _canary_wrap(kernel, key: str):
     key arrays from numpy / ``str()``, which cannot hold nulls — so
     the sentinel is unambiguous; :func:`_canary_strip` removes the
     sentinels and fails loudly when they outnumber the shuffle
-    partitions (same canary as functions/splits.py)."""
+    partitions (same canary as functions/splits.py).
+
+    Measured on Ray 2.49: the hash-shuffle aggregator concatenates a
+    partition's output into ONE block even when the partition is 8x
+    ``target_max_block_size`` (probe: 2M rows, 4 partitions, 1 MB
+    target → exactly 4 finalize calls), so today the invariant holds
+    structurally and the canary never fires — it is the tripwire for
+    a future Ray version that starts splitting aggregator output."""
 
     def _wrapped(t: pa.Table) -> pa.Table:
         out = kernel(t)
