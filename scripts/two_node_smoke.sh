@@ -60,6 +60,15 @@ RAY_JOB_ID=two_node_smoke RAY_ADDRESS=auto \
     --input "$OUT/annotated" --output "$OUT/span_dedup" \
     --text-col content --id-col doc_id
 
+# zero-pin segjoin summaries: per-FILE re-reads of the annotated
+# parquet across raylets + the shared rendezvous directory
+RAY_JOB_ID=two_node_smoke RAY_ADDRESS=auto \
+    python -m redpajama_data_ray pack \
+    --input "$OUT/annotated" --output "$OUT/pack_summaries" \
+    --summaries-only --seg-delivery segjoin \
+    --rendezvous-dir "$SPILL" --corpus-path "$OUT/annotated" \
+    --text-column content --id-column doc_id
+
 RAY_ADDRESS=auto python - "$OUT" <<'EOF'
 import sys
 import ray
@@ -73,6 +82,8 @@ ann = pq.read_table(out + "/annotated")
 assert ann.num_rows > 0, "no annotated rows"
 sub = pq.read_table(out + "/span_dedup")
 assert sub.num_rows > 0, "no span-dedup rows"
+packs = pq.read_table(out + "/pack_summaries")
+assert packs.num_rows > 0, "no pack-summary windows"
 
 # placement proof: map tasks over the annotated corpus must land on
 # BOTH node ids (a single-node fallback would silently pass the row
