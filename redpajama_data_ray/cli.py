@@ -1262,6 +1262,34 @@ def cmd_embedding_pairs(args) -> dict:
     return {"output": args.output, "pairs": int(pairs.count())}
 
 
+def cmd_profile(args) -> dict:
+    """Single-pass column profiling (functions/profile.py): one row
+    per column with counts, nulls, HLL distinct estimate, min/max,
+    exact integer means and string lengths."""
+    import ray.data as rd
+
+    from .functions.profile import profile_table
+
+    ds = rd.read_parquet(args.input)
+    try:
+        out = profile_table(
+            ds,
+            columns=args.columns.split(",") if args.columns else None,
+            hll_p=args.hll_p,
+        )
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if args.output:
+        import pyarrow.parquet as pq
+
+        pq.write_table(out, args.output)
+    return {
+        "columns": out.num_rows,
+        "rows": int(out.column("n")[0].as_py()) if out.num_rows else 0,
+        "output": args.output,
+    }
+
+
 def cmd_token_count(args) -> dict:
     import pyarrow as pa
     import ray.data as rd
@@ -1908,6 +1936,23 @@ def build_parser() -> argparse.ArgumentParser:
     ep.add_argument("--vec-column", default="embedding")
     ep.add_argument("--id-column", default="vec_id")
     ep.set_defaults(fn=cmd_embedding_pairs)
+
+    pf = sub.add_parser(
+        "profile",
+        help="single-pass per-column statistics (counts, nulls, "
+        "distinct estimate, min/max, means, string lengths)",
+    )
+    pf.add_argument("--input", required=True)
+    pf.add_argument(
+        "--output", default=None,
+        help="optional parquet file for the profile table",
+    )
+    pf.add_argument(
+        "--columns", default=None,
+        help="comma-separated subset (default: every column)",
+    )
+    pf.add_argument("--hll-p", type=int, default=12)
+    pf.set_defaults(fn=cmd_profile)
 
     tc = sub.add_parser("token-count", help="corpus token totals")
     tc.add_argument("--input", required=True)

@@ -1747,6 +1747,11 @@ ORACLE_SQL: Dict[str, str] = {
         select media_id, pixel_mean, pixel_std
         from read_parquet('{_ORACLE_DIR}/media_decode.parquet')
     """,
+    "profile_documents": f"""
+        select "column", dtype, n, nulls, approx_distinct, min_repr,
+               max_repr, mean, avg_len
+        from read_parquet('{_ORACLE_DIR}/profile_documents.parquet')
+    """,
     "quality_filter_docs": f"""
         select doc_id from (
             select doc_id, length({_WORDS}) as wc,

@@ -935,6 +935,41 @@ def q_ivf_knn(sf_dir: str) -> "pa.Table":
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def write_profile_oracle(sf_dir: str) -> str:
+    """Expected column profile via the SEQUENTIAL single-batch
+    reference kernel (functions/profile.py profile_arrow_table).
+    Every profile statistic is blocking-invariant by construction —
+    integer-exact sums, register-max HLL merge, canonical min/max —
+    so the sequential pass is an exact oracle for the distributed
+    one (the write_hll_oracle precedent)."""
+    import pyarrow.parquet as pq
+
+    from ..functions.profile import profile_arrow_table
+
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars", "text"],
+    )
+    out = _oracle_path(sf_dir, "profile_documents")
+    pq.write_table(profile_arrow_table(t), out)
+    return out
+
+
+def q_profile_documents(sf_dir: str) -> "pa.Table":
+    """Single-pass column profiling of the documents table
+    (functions/profile.py): counts, nulls, HLL distinct estimates,
+    min/max, exact integer means, string lengths — one streaming
+    pass, fixed-size mergeable partials."""
+    from ..functions.profile import profile_table
+
+    write_profile_oracle(sf_dir)
+    ds = rd.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "source", "lang", "n_chars", "text"],
+    )
+    return profile_table(ds)
+
+
 def write_hll_oracle(sf_dir: str) -> str:
     """Expected HLL estimate via a SEQUENTIAL single-sketch pass.
 
@@ -1559,4 +1594,5 @@ EXTRA_QUERIES = {
     "lineitem_pricing": _an.q_lineitem_pricing,
     "supplier_region_stats": _an.q_supplier_region_stats,
     "part_brand_stats": _an.q_part_brand_stats,
+    "profile_documents": q_profile_documents,
 }

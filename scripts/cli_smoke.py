@@ -275,6 +275,13 @@ run(
         "--id-column", "vec_id",
     ],
 )
+run(
+    "profile",
+    [
+        "profile", "--input", os.path.join(SF, "documents.parquet"),
+        "--columns", "doc_id,lang,n_chars,text",
+    ],
+)
 run("token-count", ["token-count", "--input", CORPUS])
 run(
     "token-count tokenizer",
