@@ -32,7 +32,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-from .sketches import HyperLogLog
+from .sketches import HyperLogLog, LogHistogramQuantiles
 
 _PARTIAL_SCHEMA = pa.schema(
     [
@@ -46,6 +46,7 @@ _PARTIAL_SCHEMA = pa.schema(
         ("int_sum", pa.string()),  # decimal string: exact bigints
         ("len_sum", pa.int64()),
         ("len_n", pa.int64()),
+        ("qsketch", pa.binary()),
     ]
 )
 
@@ -111,6 +112,14 @@ def _partials(columns: List[str], p: int):
                     lens = pc.binary_length(col)
                     len_sum = int(pc.sum(lens).as_py() or 0)
                     len_n = n - nulls
+            qsketch = None
+            if _is_numeric(typ) and n > nulls:
+                q = LogHistogramQuantiles()
+                vals = pc.fill_null(
+                    col.cast(pa.float64()), float("nan")
+                ).to_numpy(zero_copy_only=False)
+                q.add_many(vals)  # NaN (nulls) dropped by the sketch
+                qsketch = q.to_bytes()
             out["column"].append(c)
             out["dtype"].append(str(typ))
             out["n"].append(n)
@@ -121,6 +130,7 @@ def _partials(columns: List[str], p: int):
             out["int_sum"].append(int_sum)
             out["len_sum"].append(len_sum)
             out["len_n"].append(len_n)
+            out["qsketch"].append(qsketch)
         return pa.table(out, schema=_PARTIAL_SCHEMA)
 
     return _p
@@ -193,6 +203,7 @@ def _new_agg(columns: List[str], hll_p: int) -> dict:
         c: dict(
             n=0, nulls=0, sketch=HyperLogLog(hll_p), mn=None, mx=None,
             int_sum=0, has_int=False, len_sum=0, len_n=0, dtype=None,
+            qsketch=None,
         )
         for c in columns
     }
@@ -214,13 +225,18 @@ def _merge_partials(agg: dict, b: pa.Table) -> None:
             a["has_int"] = True
         a["len_sum"] += row["len_sum"]
         a["len_n"] += row["len_n"]
+        if row["qsketch"] is not None:
+            q = LogHistogramQuantiles.from_bytes(row["qsketch"])
+            a["qsketch"] = (
+                q if a["qsketch"] is None else a["qsketch"].merge(q)
+            )
 
 
 def _finalize(agg: dict, columns: List[str]) -> pa.Table:
     rows = {
         "column": [], "dtype": [], "n": [], "nulls": [],
         "approx_distinct": [], "min_repr": [], "max_repr": [],
-        "mean": [], "avg_len": [],
+        "mean": [], "avg_len": [], "p50": [], "p90": [], "p99": [],
     }
     for c in columns:
         a = agg[c]
@@ -242,6 +258,15 @@ def _finalize(agg: dict, columns: List[str]) -> pa.Table:
         rows["avg_len"].append(
             round(a["len_sum"] / a["len_n"], 6) if a["len_n"] else None
         )
+        if a["qsketch"] is not None and a["qsketch"].total:
+            p50, p90, p99 = a["qsketch"].quantiles([0.5, 0.9, 0.99])
+            rows["p50"].append(round(float(p50), 6))
+            rows["p90"].append(round(float(p90), 6))
+            rows["p99"].append(round(float(p99), 6))
+        else:
+            rows["p50"].append(None)
+            rows["p90"].append(None)
+            rows["p99"].append(None)
     return pa.table(
         {
             "column": pa.array(rows["column"], pa.string()),
@@ -255,5 +280,8 @@ def _finalize(agg: dict, columns: List[str]) -> pa.Table:
             "max_repr": pa.array(rows["max_repr"], pa.string()),
             "mean": pa.array(rows["mean"], pa.float64()),
             "avg_len": pa.array(rows["avg_len"], pa.float64()),
+            "p50": pa.array(rows["p50"], pa.float64()),
+            "p90": pa.array(rows["p90"], pa.float64()),
+            "p99": pa.array(rows["p99"], pa.float64()),
         }
     )

@@ -1749,7 +1749,7 @@ ORACLE_SQL: Dict[str, str] = {
     """,
     "profile_documents": f"""
         select "column", dtype, n, nulls, approx_distinct, min_repr,
-               max_repr, mean, avg_len
+               max_repr, mean, avg_len, p50, p90, p99
         from read_parquet('{_ORACLE_DIR}/profile_documents.parquet')
     """,
     "quality_filter_docs": f"""

@@ -60,6 +60,12 @@ def test_profile_blocking_invariance_and_hll_accuracy():
         assert dist.equals(seq)
     est = seq.set_index("column").loc["s", "approx_distinct"]
     assert abs(est - 61) / 61 < 0.1  # HLL p=12: ~1.6% expected error
+    # numeric quantiles from the mergeable log-histogram: ints uniform
+    # in [-100, 100) clamp negatives to the lowest bin, so p50 ~ 0-ish
+    # lower edge and p90/p99 land near the true positive quantiles
+    q = seq.set_index("column")
+    assert q.loc["i", "p99"] == pytest.approx(98, rel=0.05)
+    assert np.isnan(q.loc["s", "p50"])  # string column: no quantiles
 
 
 def test_profile_dirty_inputs():
