@@ -1,0 +1,56 @@
+"""Focused flagship + substring-dedup scale soak.
+
+Runs the flagship annotate to /dev/shm, then ExactSubstr span dedup
+over the annotated output, printing one JSON timing line. SOAK_SF
+picks the scale (default 5.0 — the largest the sandbox's 77-GB disk
+quota admits; sf8's ~95-GB spill-through scratch cannot fit).
+Recorded rows live in BASELINE.md (round 10: sf5 500.1 s, sf2 171.5 s
+post-canary — linear).
+
+Run on a quiet box: ray stop --force && python scripts/soak_substring.py
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+import ray
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+SF = float(os.environ.get("SOAK_SF", "5.0"))
+def _init():
+    ray.init(address="local", num_cpus=32, include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.enable_tensor_extension_casting = False
+_init()
+from redpajama_data_ray.sources.corpus import ensure_corpus_parquet
+t0 = time.time()
+corpus_dir = ensure_corpus_parquet(SF)
+print("synth/cached", round(time.time()-t0,1), flush=True)
+import ray.data as rd
+n_files = rd.read_parquet(corpus_dir).count()
+print("files", n_files, flush=True)
+timings = {"sf": SF, "files": n_files}
+out_dir = f"/dev/shm/soak_out/quality_sf{SF}"
+from redpajama_data_ray.pipelines.quality import QualityConfig, annotate
+shutil.rmtree(out_dir, ignore_errors=True)
+t0 = time.time()
+annotate(rd.read_parquet(corpus_dir), QualityConfig()).write_parquet(out_dir)
+timings["flagship_quality"] = round(time.time()-t0, 1)
+print("flagship", timings["flagship_quality"], flush=True)
+ray.shutdown(); _init()
+from redpajama_data_ray.dedupe.spans import substring_dedup
+t0 = time.time()
+n = substring_dedup(
+    rd.read_parquet(out_dir, columns=["doc_id", "content"]),
+    text_col="content", id_col="doc_id", k=50, winnow_w=8,
+).count()
+timings["substring_dedup"] = round(time.time()-t0, 1)
+timings["substring_rows"] = n
+print(json.dumps(timings), flush=True)
+ray.shutdown()
